@@ -1,0 +1,145 @@
+"""URL canonicalization + validation (SURVEY.md §2.2 M1–M3).
+
+The single most parity-critical UDF: the reference's URL-seen set is keyed
+by canonical URLs (BASELINE.json north_rule: "canonicalized +
+murmur3-hashed"). Both the distributed engine and the sequential oracle
+(tests/oracle.py) call these same pure functions, so canonicalization can
+never diverge between them; the property pinned by tests is idempotence
+(``canonicalize(canonicalize(u)) == canonicalize(u)``) plus golden pairs.
+
+Rules (RFC 3986 normalization + common crawler conventions):
+- lowercase scheme and host; strip fragment; drop default ports (80/443)
+- resolve ``.`` / ``..`` path segments; collapse ``//`` in paths
+- percent-encoding: decode unreserved characters, uppercase remaining hex
+- query: parse, drop tracking params (utm_*, fbclid, gclid, ...), sort by
+  (key, value), re-encode; drop empty query
+- empty path -> "/"
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import quote, unquote, urljoin, urlsplit, urlunsplit
+
+TRACKING_PARAMS = re.compile(
+    r"^(utm_\w+|fbclid|gclid|dclid|msclkid|mc_cid|mc_eid|ref|icid)$", re.I
+)
+
+# characters never percent-encoded in path/query after normalization
+_SAFE_PATH = "/:@!$&'()*+,;=~.-_"
+_SAFE_QUERY = ":@!$&'()*+,;/?~.-_"
+
+_BINARY_EXT = re.compile(
+    r"\.(?:jpe?g|png|gif|webp|svg|ico|bmp|tiff?|mp3|mp4|m4a|mkv|avi|mov|webm|"
+    r"wav|ogg|pdf|zip|gz|tar|rar|7z|exe|dmg|iso|css|js|woff2?|ttf|eot)$",
+    re.I,
+)
+
+DEFAULT_PORTS = {"http": "80", "https": "443"}
+
+
+def _norm_path_segments(path: str) -> str:
+    """Resolve ``.``/``..`` and collapse duplicate slashes, keeping a
+    trailing slash if the original (resolved) path had one."""
+    if not path:
+        return "/"
+    trailing = path.endswith("/")
+    out: list[str] = []
+    for seg in path.split("/"):
+        if seg in ("", "."):
+            continue
+        if seg == "..":
+            if out:
+                out.pop()
+            continue
+        out.append(seg)
+    norm = "/" + "/".join(out)
+    if trailing and norm != "/":
+        norm += "/"
+    return norm
+
+
+def _renc(s: str, safe: str) -> str:
+    """Percent-decode then re-encode with a fixed safe set and uppercase
+    hex — idempotent normalization of %-escapes."""
+    return quote(unquote(s), safe=safe)
+
+
+def canonicalize(url: str, base: str | None = None) -> str | None:
+    """Canonical form of ``url`` (resolved against ``base`` if given), or
+    None when the URL is not canonicalizable (bad scheme / no host)."""
+    url = url.strip()
+    if base:
+        url = urljoin(base, url)
+    try:
+        parts = urlsplit(url)
+    except ValueError:
+        return None
+    scheme = parts.scheme.lower()
+    if scheme not in ("http", "https"):
+        return None
+    host = (parts.hostname or "").lower().rstrip(".")
+    if not host:
+        return None
+    port = parts.port
+    netloc = host
+    if port is not None and str(port) != DEFAULT_PORTS.get(scheme):
+        netloc = f"{host}:{port}"
+    path = _renc(_norm_path_segments(parts.path), _SAFE_PATH)
+    query = ""
+    if parts.query:
+        kept = []
+        for piece in parts.query.split("&"):
+            if not piece:
+                continue
+            k, _, v = piece.partition("=")
+            if TRACKING_PARAMS.match(unquote(k)):
+                continue
+            kept.append((_renc(k, _SAFE_QUERY.replace("&", "").replace("=", "")),
+                         _renc(v, _SAFE_QUERY.replace("&", "").replace("=", ""))))
+        kept.sort()
+        query = "&".join(f"{k}={v}" if v else k for k, v in kept)
+    return urlunsplit((scheme, netloc, path, query, ""))
+
+
+def host_of(url_canon: str) -> str:
+    """Host (without port) of an already-canonical URL."""
+    return urlsplit(url_canon).hostname or ""
+
+
+def is_crawlable(
+    url_canon: str,
+    *,
+    allowed_hosts: set[str] | None = None,
+    max_len: int = 2048,
+) -> bool:
+    """M2 validation: http(s) canonical URL, optional host allowlist, no
+    binary-extension paths, bounded length."""
+    if not url_canon or len(url_canon) > max_len:
+        return False
+    parts = urlsplit(url_canon)
+    if parts.scheme not in ("http", "https"):
+        return False
+    if allowed_hosts is not None and (parts.hostname or "") not in allowed_hosts:
+        return False
+    if _BINARY_EXT.search(parts.path):
+        return False
+    return True
+
+
+def canonicalize_batch(urls, bases=None) -> list[str | None]:
+    """Batch canonicalization used inside ``map_batches``. Per-row Python is
+    unavoidable here (structural URL parsing has no Arrow kernel); a
+    memo dict amortizes repeated URLs within a batch, which is common
+    for crawl frontiers (duplicate links)."""
+    memo: dict[str, str | None] = {}
+    if bases is None:
+        out = []
+        for u in urls:
+            r = memo.get(u)
+            if r is None and u not in memo:
+                r = canonicalize(u)
+                memo[u] = r
+            out.append(r)
+        return out
+    return [canonicalize(u, b) for u, b in zip(urls, bases)]
