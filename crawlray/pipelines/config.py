@@ -1,0 +1,35 @@
+"""Crawl configuration — single source of the knobs both the engine and
+the sequential oracle consume, so parity runs share exact semantics."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class CrawlConfig:
+    # partitioning
+    n_parts: int = 8                 # P: host_hash % P frontier partitions
+    seen_shards: int = 8             # S: cuckoo seen-set shard actors
+    seen_capacity: int = 1 << 20     # per-shard filter capacity (items)
+    # budgets (reference politeness semantics)
+    max_depth: int = 4
+    max_waves: int = 8
+    max_pages_per_host: int = 10_000
+    default_delay_ms: int = 1000     # crawl-delay when robots has none
+    # skew handling
+    hot_host_threshold: int = 512    # pending URLs per wave above which a host is "hot"
+    hot_salt_parts: int = 4          # spread a hot host's fetch/parse over m parts
+    # execution
+    fetch_batch_size: int = 256
+    parse_batch_size: int = 512
+    fetch_concurrency: tuple = (2, 8)
+    parse_concurrency: tuple = (2, 8)
+    # io
+    transport: dict = field(default_factory=dict)  # see sources.transport.make_transport
+
+
+def part_of(host_hash_u64: int, n_parts: int) -> int:
+    """Partition of a host. Uses the *unsigned* view of the int64 hash so
+    python and numpy paths agree."""
+    return int(host_hash_u64 & 0xFFFFFFFFFFFFFFFF) % n_parts

@@ -30,9 +30,9 @@ FRONTIER = pa.schema(
         ("url_hash", pa.int64()),    # murmur3 low 64 bits, int64-reinterpreted (see murmur3.to_i64)
         ("host", pa.string()),
         ("host_hash", pa.int64()),
-        ("part", pa.uint32()),       # host_hash % P (+ hot-host salt)
-        ("depth", pa.int32()),
-        ("wave", pa.int32()),
+        ("part", pa.int64()),        # host_hash % P (+ hot-host salt)
+        ("depth", pa.int64()),
+        ("wave", pa.int64()),
         ("seq", pa.int64()),         # deterministic discovery sequence (SURVEY §3.2)
         ("priority", pa.int32()),
         ("src_doc", pa.string()),
@@ -45,10 +45,10 @@ FETCHES = pa.schema(
         ("url_hash", pa.int64()),
         ("url_canon", pa.string()),
         ("host", pa.string()),
-        ("part", pa.uint32()),
-        ("wave", pa.int32()),
+        ("part", pa.int64()),
+        ("wave", pa.int64()),
         ("seq", pa.int64()),
-        ("depth", pa.int32()),
+        ("depth", pa.int64()),
         ("status", pa.int16()),
         ("content_type", pa.string()),
         ("body", pa.large_binary()),

@@ -1,0 +1,191 @@
+"""Deterministic synthetic mini-web (FIXTURES.md §2).
+
+Stands in for the live Dutch-news web in this sealed sandbox: a known
+link graph with seeds, per-host robots policies, interleaved text+media
+HTML bodies, duplicate/denied/malformed links (canonicalizer + robots +
+dedup coverage) and one designated hot host (skew-splitting coverage).
+
+Everything derives from an LCG on (seed, host, page) — no global RNG
+state, so generation is order-independent and stable across runs and
+Python versions. The same tables feed the engine's SimTransport and the
+sequential oracle (tests/oracle.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..schemas import PAGES, ROBOTS, SEEDS
+
+_WORDS = (
+    "nieuws kabinet kamer minister verkiezing stad politie onderzoek economie "
+    "bedrijf cultuur sport voetbal wedstrijd europa wereld klimaat energie "
+    "zorg onderwijs rechter vonnis media burgemeester provincie gemeente "
+    "akkoord debat motie crisis herstel groei daling cijfers rapport"
+).split()
+
+
+def _lcg(x: int) -> int:
+    return (x * 6364136223846793005 + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
+
+
+def _rand(seed: int, *keys: int):
+    """Deterministic stream of ints from a key tuple."""
+    x = seed & 0xFFFFFFFFFFFFFFFF
+    for k in keys:
+        x = _lcg(x ^ (k & 0xFFFFFFFFFFFFFFFF))
+    while True:
+        x = _lcg(x)
+        yield x >> 11
+
+
+def host_name(k: int) -> str:
+    return f"news-{k}.nl"
+
+
+def page_path(i: int) -> str:
+    if i == 0:
+        return "/"
+    return f"/sectie/{i % 5}/artikel-{i}"
+
+
+def _page_html(seed: int, k: int, i: int, n_hosts: int, n_pages: int) -> bytes:
+    """Pseudo-article: 2–8 paragraphs, interleaved media, tree links
+    2i+1 / 2i+2 (same host), duplicate + tracking-param + relative link
+    variants, ~10% cross-host edges, a denied link, a 404 link, a binary
+    decoy link."""
+    r = _rand(seed, k, i)
+    host = host_name(k)
+    parts = [f"<html><head><title>Artikel {i} — {host}</title>"]
+    parts.append(
+        f'<meta property="article:published_time" '
+        f'content="2024-0{1 + i % 9}-{1 + i % 27:02d}T{i % 24:02d}:00:00Z">'
+    )
+    parts.append("</head><body>")
+    n_paras = 2 + next(r) % 7
+    links: list[str] = []
+    for c in (2 * i + 1, 2 * i + 2):
+        if c < n_pages:
+            links.append(page_path(c))
+    if links:
+        # duplicate with tracking junk + fragment (dedup/canonicalizer coverage)
+        links.append(links[0] + "?utm_source=home&utm_medium=web#teaser")
+        # relative with dot segments
+        links.append(".." + links[0] if not links[0] == "/" else "/")
+    if next(r) % 10 == 0 and n_hosts > 1:
+        other = (k + 1 + next(r) % (n_hosts - 1)) % n_hosts
+        links.append(f"https://{host_name(other)}/")
+    if next(r) % 7 == 0:
+        links.append("/prive/geheim-%d" % i)          # robots-denied
+    if next(r) % 11 == 0:
+        links.append("/weg/bestaat-niet-%d" % i)      # 404
+    if next(r) % 13 == 0:
+        links.append("/media/foto-%d.jpg" % i)        # binary decoy (M2 filter)
+    li = 0
+    for p in range(n_paras):
+        words = " ".join(_WORDS[next(r) % len(_WORDS)] for _ in range(8 + next(r) % 18))
+        inline = ""
+        if li < len(links) and next(r) % 2:
+            inline = f' <a href="{links[li]}">lees verder</a>'
+            li += 1
+        parts.append(f"<p>{words}{inline}.</p>")
+        if next(r) % 3 == 0:
+            kind = "img" if next(r) % 4 else "video"
+            src = f"/media/{kind}-{i}-{p}.{'jpg' if kind == 'img' else 'mp4'}"
+            alt = f' alt="beeld {p}"' if kind == "img" and next(r) % 2 else ""
+            parts.append(f"<{kind} src=\"{src}\"{alt}>")
+    while li < len(links):
+        parts.append(f'<a href="{links[li]}">meer</a>')
+        li += 1
+    parts.append("</body></html>")
+    return "\n".join(parts).encode("utf-8")
+
+
+def make_web(
+    n_hosts: int = 10,
+    pages_per_host: int = 30,
+    seed: int = 42,
+    hot_host: int = 0,
+    hot_factor: int = 20,
+):
+    """Returns (seeds, robots, pages) pyarrow Tables (schemas.SEEDS/ROBOTS/
+    PAGES). Host ``hot_host`` gets ``hot_factor``× the pages of the rest."""
+    seeds = pa.Table.from_pydict(
+        {
+            "url": [f"https://{host_name(k)}/" for k in range(n_hosts)],
+            "priority": [0] * n_hosts,
+        },
+        schema=SEEDS,
+    )
+    robots = pa.Table.from_pydict(
+        {
+            "host": [host_name(k) for k in range(n_hosts)],
+            "allow": [[] for _ in range(n_hosts)],
+            "deny": [["/prive/"] for _ in range(n_hosts)],
+            "crawl_delay_ms": [50 + (k % 5) * 50 for k in range(n_hosts)],
+        },
+        schema=ROBOTS.remove(ROBOTS.get_field_index("fetched_ok")),
+    )
+    urls, hosts, statuses, ctypes, htmls, lats = [], [], [], [], [], []
+    for k in range(n_hosts):
+        n_pages = pages_per_host * (hot_factor if k == hot_host else 1)
+        host = host_name(k)
+        for i in range(n_pages):
+            urls.append(f"https://{host}{page_path(i)}")
+            hosts.append(host)
+            statuses.append(200)
+            ctypes.append("text/html")
+            htmls.append(_page_html(seed, k, i, n_hosts, n_pages))
+            lats.append(float(20 + (next(_rand(seed, k, i, 7)) % 80)))
+    pages = pa.Table.from_pydict(
+        {
+            "url": urls,
+            "host": hosts,
+            "status": statuses,
+            "content_type": ctypes,
+            "html": htmls,
+            "latency_ms": lats,
+        },
+        schema=PAGES,
+    )
+    return seeds, robots, pages
+
+
+def write_web(out_dir: str, **kw) -> dict:
+    """Materialize the fixture as parquet; returns the path dict used by
+    crawl configs ({seeds,robots,pages} → file paths)."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    seeds, robots, pages = make_web(**kw)
+    paths = {}
+    for name, tbl in (("seeds", seeds), ("robots", robots), ("pages", pages)):
+        p = os.path.join(out_dir, f"{name}.parquet")
+        pq.write_table(tbl, p)
+        paths[name] = p
+    return paths
+
+
+def make_docs(n: int, seed: int = 42) -> pa.Table:
+    """FIXTURES.md §1: deterministic interleaved-docs table (DOCS schema).
+    span count ~ 1 + (i*2654435761 % 12); ~70% text spans."""
+    from ..functions.spans import docs_table
+
+    doc_ids = [f"doc-{i:08d}" for i in range(n)]
+    per_doc = []
+    kinds = ("text", "image", "text", "video", "text", "text", "audio", "text", "text", "link")
+    for i in range(n):
+        r = _rand(seed, i)
+        n_spans = 1 + (i * 2654435761) % 12
+        spans = []
+        for j in range(n_spans):
+            kind = kinds[(i + j * 3 + next(r) % 3) % len(kinds)]
+            if kind == "text":
+                txt = " ".join(_WORDS[next(r) % len(_WORDS)] for _ in range(4 + next(r) % 9))
+                spans.append(("text", txt, None))
+            else:
+                spans.append((kind, None, f"media/{doc_ids[i]}/{j}.jpg"))
+        per_doc.append(spans)
+    return docs_table(doc_ids, per_doc)

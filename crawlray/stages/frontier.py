@@ -1,0 +1,178 @@
+"""Frontier construction (SURVEY §3.2 steps J3/J2/seq): explode parsed
+out-links → canonical candidate rows → packed-srckey dedup → seen-set
+novelty → policy filters → per-part seq assignment.
+
+The dedup winner key is a single packed int64 so intra-wave dedup is ONE
+built-in ``groupby(url_hash).aggregate(Min(...))`` with per-block partial
+aggregation (no custom aggregate, no map_groups-per-url):
+
+    srckey64 = src_part(12b) | src_seq(30b) | link_idx(16b) | depth(6b)
+
+Lexicographic min of the packed key == min (src_part, src_seq, link_idx)
+triple — the sequential oracle's winner — and the winner's depth rides
+along in the low bits (decode, don't re-join).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from ..functions.canon import _BINARY_EXT
+from ..functions.murmur3 import hash64_batch_i64
+from ..pipelines.config import CrawlConfig
+
+_HOST_RE = r"^https?://(?P<host>[^/:]+)"
+
+SRCKEY_DEPTH_BITS = 6
+SRCKEY_LINK_BITS = 16
+SRCKEY_SEQ_BITS = 30
+
+
+def pack_srckey(src_part, src_seq, link_idx, depth):
+    """Vectorized packed dedup-winner key (see module docstring)."""
+    src_part = np.asarray(src_part, dtype=np.int64)
+    src_seq = np.asarray(src_seq, dtype=np.int64)
+    link_idx = np.asarray(link_idx, dtype=np.int64)
+    depth = np.asarray(depth, dtype=np.int64)
+    return (
+        (((src_part << SRCKEY_SEQ_BITS | src_seq) << SRCKEY_LINK_BITS | link_idx)
+         << SRCKEY_DEPTH_BITS) | depth
+    )
+
+
+def unpack_depth(srckey64):
+    return np.asarray(srckey64, dtype=np.int64) & ((1 << SRCKEY_DEPTH_BITS) - 1)
+
+
+def explode_links(batch: pa.Table, n_parts: int) -> pa.Table:
+    """Parsed pages (part, seq, depth, links) → one candidate row per
+    out-link with canonical fields + packed srckey. Fully vectorized:
+    Arrow list kernels for the explode, regex kernel for host extraction,
+    numpy for hashing/packing."""
+    links = batch["links"].combine_chunks()
+    flat = pc.list_flatten(links)
+    n = len(flat)
+    if n == 0:
+        return pa.table(
+            {
+                "url_canon": pa.array([], type=pa.string()),
+                "url_hash": pa.array([], type=pa.int64()),
+                "host": pa.array([], type=pa.string()),
+                "host_hash": pa.array([], type=pa.int64()),
+                "part": pa.array([], type=pa.int64()),
+                "srckey64": pa.array([], type=pa.int64()),
+            }
+        )
+    parent = pc.list_parent_indices(links).to_numpy(zero_copy_only=False)
+    offsets = links.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    link_idx = np.arange(n, dtype=np.int64) - offsets[parent]
+    src_part = batch["part"].to_numpy(zero_copy_only=False).astype(np.int64)[parent]
+    src_seq = batch["seq"].to_numpy(zero_copy_only=False).astype(np.int64)[parent]
+    depth = batch["depth"].to_numpy(zero_copy_only=False).astype(np.int64)[parent] + 1
+    srckey = pack_srckey(src_part, src_seq, link_idx, depth)
+    host = pc.struct_field(pc.extract_regex(flat, _HOST_RE), "host")
+    url_hash = hash64_batch_i64(flat)
+    host_hash = hash64_batch_i64(host.fill_null(""))
+    part = (host_hash.view(np.uint64) % np.uint64(n_parts)).astype(np.int64)
+    return pa.table(
+        {
+            "url_canon": flat,
+            "url_hash": pa.array(url_hash),
+            "host": host,
+            "host_hash": pa.array(host_hash),
+            "part": pa.array(part),
+            "srckey64": pa.array(srckey),
+        }
+    )
+
+
+def policy_filter(batch: pa.Table, robots, max_depth: int) -> pa.Table:
+    """Drop candidates that are uncrawlable / robots-denied / too deep.
+    Runs AFTER seen-marking (parity: discovery admits to the seen set,
+    filters only gate the frontier). Binary-extension check is an Arrow
+    regex kernel; robots prefix match is per-row over a per-host memo."""
+    urls = batch["url_canon"]
+    depth_ok = pa.array(unpack_depth(batch["srckey64"].to_numpy(zero_copy_only=False)) <= max_depth)
+    not_binary = pc.invert(
+        pc.match_substring_regex(urls, _BINARY_EXT.pattern, ignore_case=True)
+    )
+    len_ok = pc.less_equal(pc.utf8_length(urls), 2048)
+    allowed = pa.array(robots.allowed_many(urls.to_pylist()))
+    mask = pc.and_(pc.and_(depth_ok, not_binary), pc.and_(len_ok, allowed))
+    return batch.filter(mask)
+
+
+class SeqAssigner:
+    """Per-part actor-pool stage (groupby("part").map_groups): applies the
+    per-host page-cap budget in srckey order and assigns the
+    deterministic ``seq`` rank — the parity-critical ordering key."""
+
+    def __init__(self, budget_ref, cap: int, wave: int):
+        self._prior: dict[str, int] = ray.get(budget_ref) if budget_ref is not None else {}
+        self._cap = cap
+        self._wave = wave
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("srckey64", kind="mergesort", ignore_index=True)
+        within = df.groupby("host", sort=False).cumcount()
+        prior = df["host"].map(self._prior).fillna(0).astype(np.int64)
+        df = df[(within + prior) < self._cap].reset_index(drop=True)
+        df["depth"] = unpack_depth(df["srckey64"].to_numpy()).astype(np.int64)
+        df["seq"] = np.arange(len(df), dtype=np.int64)
+        df["wave"] = np.int64(self._wave)
+        return df
+
+
+def admit_seeds(seed_urls: list[str], robots, shards, cfg: CrawlConfig) -> pa.Table:
+    """Wave-0 admission on the driver (seeds are tiny): canonicalize,
+    first-occurrence dedup, seen-mark, policy filter, per-part seq —
+    byte-identical semantics to the oracle's wave 0."""
+    from ..functions.canon import canonicalize, host_of, is_crawlable
+    from ..functions.murmur3 import hash64s
+    from ..pipelines.config import part_of
+    from ..state.seen import novelty_mask
+
+    best: dict[str, int] = {}
+    for i, u in enumerate(seed_urls):
+        cu = canonicalize(u)
+        if cu and cu not in best:
+            best[cu] = i
+    urls = sorted(best, key=best.get)
+    hashes = np.array([hash64s(u) for u in urls], dtype=np.int64)
+    new = novelty_mask(shards, hashes)
+    rows = []
+    for u, h, isnew in zip(urls, hashes, new):
+        if not isnew or not is_crawlable(u) or not robots.allowed(u):
+            continue
+        host = host_of(u)
+        rows.append(
+            {
+                "url_canon": u,
+                "url_hash": int(h),
+                "host": host,
+                "host_hash": hash64s(host),
+                "part": part_of(hash64s(host), cfg.n_parts),
+                "srckey64": int(pack_srckey(0, 0, best[u], 0)),
+            }
+        )
+    rows.sort(key=lambda r: (r["part"], r["srckey64"]))
+    seq_in_part: dict[int, int] = {}
+    cap_in_host: dict[str, int] = {}
+    out = []
+    for r in rows:
+        if cap_in_host.get(r["host"], 0) >= cfg.max_pages_per_host:
+            continue
+        cap_in_host[r["host"]] = cap_in_host.get(r["host"], 0) + 1
+        r["seq"] = seq_in_part.get(r["part"], 0)
+        seq_in_part[r["part"]] = r["seq"] + 1
+        r["depth"] = 0
+        r["wave"] = 0
+        out.append(r)
+    if not out:
+        return None
+    df = pd.DataFrame(out)
+    return pa.Table.from_pandas(df, preserve_index=False)

@@ -1,0 +1,63 @@
+"""M5–M11 + M8: parse/extract stage — actor pool producing the per-wave
+pages table: crawl metadata + interleaved spans + canonical out-links.
+
+One parse pass per page; the wave's parquet checkpoint of this output is
+the fork point for BOTH the docs sink and next-wave frontier discovery
+(column-pruned re-reads instead of re-executing fetch+parse — the
+disk-backed fork that keeps the pipeline streaming at scale).
+
+Output columns: frontier keys (url_canon/url_hash/host/part/wave/seq/
+depth/scheduled_ms) + status/content_type/latency_ms + doc payload
+(title, published, spans list<struct>, links list<string>). ``body`` is
+DROPPED here — it never flows further.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..functions.canon import canonicalize
+from ..functions.htmlx import parse_html
+from ..functions.spans import spans_to_arrow
+from ..schemas import SPAN
+
+MAX_LINKS_PER_PAGE = 65535  # link_idx must fit the 16-bit srckey field
+
+
+class PageParser:
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        statuses = batch["status"].to_pylist()
+        ctypes = batch["content_type"].to_pylist()
+        bodies = batch["body"].to_pylist()
+        urls = batch["url_canon"].to_pylist()
+        titles: list[str | None] = []
+        published: list = []
+        all_spans: list[list] = []
+        all_links: list[list[str]] = []
+        for url, st, ct, body in zip(urls, statuses, ctypes, bodies):
+            if st == 200 and (ct or "").startswith("text/html") and body:
+                page = parse_html(body)
+                titles.append(page.title)
+                published.append(page.published)
+                all_spans.append(page.spans)
+                links: list[str] = []
+                seen_in_page: set[str] = set()
+                for href, _anchor in page.links:
+                    cu = canonicalize(href, base=url)
+                    if cu and cu not in seen_in_page:
+                        seen_in_page.add(cu)
+                        links.append(cu)
+                        if len(links) >= MAX_LINKS_PER_PAGE:
+                            break
+                all_links.append(links)
+            else:
+                titles.append(None)
+                published.append(None)
+                all_spans.append([])
+                all_links.append([])
+        out = batch.drop_columns(["body"])
+        out = out.append_column("title", pa.array(titles, type=pa.string()))
+        out = out.append_column("published", pa.array(published, type=pa.timestamp("us")))
+        out = out.append_column("spans", spans_to_arrow(all_spans))
+        out = out.append_column("links", pa.array(all_links, type=pa.list_(pa.string())))
+        return out

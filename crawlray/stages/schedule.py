@@ -1,0 +1,42 @@
+"""A2: per-host politeness scheduling — stateful actor-pool stage run as
+``groupby("part").map_groups(HostScheduler, ...)``.
+
+Each group is one frontier partition (hosts never straddle partitions:
+part = host_hash % P), so an actor sees every URL of its hosts for the
+wave. Politeness is a per-wave virtual clock: a host's j-th fetch (in
+``seq`` order) is scheduled at ``j * crawl_delay_ms(host)``. The fetch
+stage downstream honors ``scheduled_ms`` ordering; in SimTransport mode
+the clock is virtual (the benchmark measures the engine, not sleeps).
+
+The RobotsPolicy is broadcast once via ``ray.put`` and fetched in
+``__init__`` — once per actor, not per batch/group.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+
+
+class HostScheduler:
+    def __init__(self, robots_ref):
+        self._robots = ray.get(robots_ref)
+        self._delay_cache: dict[str, int] = {}
+
+    def _delay(self, host: str) -> int:
+        d = self._delay_cache.get(host)
+        if d is None:
+            d = self._robots.crawl_delay_ms(host)
+            self._delay_cache[host] = d
+        return d
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("seq", kind="mergesort", ignore_index=True)
+        j = df.groupby("host", sort=False).cumcount()
+        delays = df["host"].map(self._delay)
+        df["scheduled_ms"] = (j * delays).astype(np.float64)
+        # deterministic emit order inside the partition
+        return df.sort_values(
+            ["scheduled_ms", "host", "seq"], kind="mergesort", ignore_index=True
+        )

@@ -1,0 +1,134 @@
+"""Sequential oracle crawler (SURVEY §5.2) — the executable stand-in for
+the reference's sequential harvesting loop (§3.1), sharing only the pure
+kernels (canonicalize / murmur3 / parse_html) with the engine. What the
+parity tests exercise is crawl *scheduling*: wave structure, dedup
+winners, politeness spacing, deterministic ordering — everything the
+distributed engine could get wrong.
+
+Semantics (the contract both sides implement):
+- seen set = every unique canonical URL ever discovered (admission-time,
+  including robots-denied / uncrawlable ones so they are never revisited).
+- frontier wave k+1 = candidates discovered in wave k that are new,
+  robots-allowed, crawlable, within depth/host budgets.
+- dedup winner = min (src_part, src_seq, link_idx) per url_hash.
+- seq = rank within (wave, part) ordered by (src_part, src_seq, link_idx).
+- politeness: per-wave virtual clock; a host's j-th fetch of the wave is
+  scheduled at j * crawl_delay_ms(host).
+- parse: only status==200 and text/html bodies; links are canonicalized
+  against the page URL and deduped in-page preserving first occurrence.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from crawlray.functions.canon import canonicalize, host_of, is_crawlable
+from crawlray.functions.htmlx import parse_html
+from crawlray.functions.murmur3 import hash64s
+from crawlray.pipelines.config import CrawlConfig, part_of
+from crawlray.state.robots import RobotsPolicy
+
+
+@dataclass
+class OracleResult:
+    fetch_log: list = field(default_factory=list)  # dict rows
+    seen: set = field(default_factory=set)         # canonical URLs
+    docs: dict = field(default_factory=dict)       # url_canon -> [span tuples]
+    waves: list = field(default_factory=list)      # frontier size per wave
+
+
+def crawl_oracle(seed_urls, robots: RobotsPolicy, pages_index: dict, cfg: CrawlConfig) -> OracleResult:
+    """pages_index: url_canon -> (status, content_type, body, latency_ms)."""
+    res = OracleResult()
+    host_pages: dict[str, int] = {}  # admitted per host (cap budget)
+
+    def admit(candidates):
+        """candidates: [(url_canon, src_part, src_seq, link_idx, depth)] →
+        next frontier rows, applying dedup/seen/robots/crawlable/budgets."""
+        best: dict[str, tuple] = {}
+        for url, sp, ss, li, depth in candidates:
+            key = (sp, ss, li)
+            if url not in best or key < best[url][0]:
+                best[url] = (key, depth)
+        rows = []
+        # admission iterates in srckey order — the per-host page cap must
+        # consume budget deterministically (engine sorts by srckey too)
+        for url in sorted(best, key=lambda u: best[u][0]):
+            if url in res.seen:
+                continue
+            res.seen.add(url)
+            key, depth = best[url]
+            if depth > cfg.max_depth or not is_crawlable(url) or not robots.allowed(url):
+                continue
+            host = host_of(url)
+            if host_pages.get(host, 0) >= cfg.max_pages_per_host:
+                continue
+            host_pages[host] = host_pages.get(host, 0) + 1
+            part = part_of(hash64s(host) & 0xFFFFFFFFFFFFFFFF, cfg.n_parts)
+            rows.append({"url_canon": url, "host": host, "part": part,
+                         "depth": depth, "srckey": key})
+        # seq: rank within part by srckey
+        rows.sort(key=lambda r: (r["part"], r["srckey"]))
+        seq_in_part: dict[int, int] = {}
+        for r in rows:
+            r["seq"] = seq_in_part.get(r["part"], 0)
+            seq_in_part[r["part"]] = r["seq"] + 1
+        return rows
+
+    frontier = admit([(canonicalize(u), 0, 0, i, 0) for i, u in enumerate(seed_urls)
+                      if canonicalize(u)])
+    wave = 0
+    while frontier and wave < cfg.max_waves:
+        res.waves.append(len(frontier))
+        # politeness virtual clock per wave, per host, in (part, seq) order
+        frontier.sort(key=lambda r: (r["part"], r["seq"]))
+        host_j: dict[str, int] = {}
+        candidates = []
+        for r in frontier:
+            j = host_j.get(r["host"], 0)
+            host_j[r["host"]] = j + 1
+            sched = float(j * robots.crawl_delay_ms(r["host"]))
+            status, ctype, body, lat = pages_index.get(
+                r["url_canon"], (404, "text/html", b"", 5.0)
+            )
+            res.fetch_log.append(
+                {
+                    "wave": wave,
+                    "part": r["part"],
+                    "host": r["host"],
+                    "seq": r["seq"],
+                    "url_canon": r["url_canon"],
+                    "url_hash": hash64s(r["url_canon"]),
+                    "scheduled_ms": sched,
+                    "status": int(status),
+                }
+            )
+            if status == 200 and str(ctype).startswith("text/html"):
+                page = parse_html(body)
+                res.docs[r["url_canon"]] = [
+                    (k, t, m, i) for i, (k, t, m) in enumerate(page.spans)
+                ]
+                links, seen_in_page = [], set()
+                for href, _anchor in page.links:
+                    cu = canonicalize(href, base=r["url_canon"])
+                    if cu and cu not in seen_in_page:
+                        seen_in_page.add(cu)
+                        links.append(cu)
+                for li, cu in enumerate(links):
+                    candidates.append((cu, r["part"], r["seq"], li, r["depth"] + 1))
+        frontier = admit(candidates)
+        wave += 1
+    return res
+
+
+def build_pages_index(pages_table) -> dict:
+    return {
+        u: (s, c, h, l)
+        for u, s, c, h, l in zip(
+            pages_table["url"].to_pylist(),
+            pages_table["status"].to_pylist(),
+            pages_table["content_type"].to_pylist(),
+            pages_table["html"].to_pylist(),
+            pages_table["latency_ms"].to_pylist(),
+        )
+    }
