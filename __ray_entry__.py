@@ -1,44 +1,62 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported — nothing
+here (or in crawlray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship smoke — sf0.001 documents → interleaved-docs
+  (DOCS schema: doc_id + spans list<struct<kind,text,media_ref,offset>>).
+- ``queries()``: every implemented operator family from SURVEY.md §2 —
+  relational core (pipelines/relational.py), crawl kernels + dedup /
+  similarity / text-analysis / multimodal ops (pipelines/dataops.py).
+- ``oracle_sql()``: DuckDB equivalents where SQL can express the
+  semantics; rows-only entries (murmur3, minhash, simhash, HLL, ANN-LSH,
+  media decode, the crawl demo) are omitted by design.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 from typing import Any
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from crawlray.functions.spans import text_rows_to_docs
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def build(b: pa.Table) -> pa.Table:
+        ids = pc.binary_join_element_wise(
+            pa.array(["doc"] * b.num_rows), pc.cast(b["doc_id"], pa.string()), "-"
+        )
+        return text_rows_to_docs(ids.combine_chunks(), b["text"].combine_chunks())
+
+    return ds.map_batches(build, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _registry():
+    from crawlray.pipelines.dataops import DATAOPS_QUERIES
+    from crawlray.pipelines.relational import RELATIONAL_QUERIES
+
+    merged: dict[str, tuple] = {}
+    merged.update(RELATIONAL_QUERIES)
+    merged.update(DATAOPS_QUERIES)
+    return merged
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in _registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_fn, sql) in _registry().items() if sql}

@@ -1,0 +1,171 @@
+"""Mergeable sketches for dedup / approx-distinct at scale (SURVEY §2.7
+D6 / G6 + the training-data ops the engine adds beyond the reference):
+
+- MinHash (word-shingle) signatures + LSH banding — near-dup candidates
+  via a single ``groupby(band_id, band_hash)`` shuffle.
+- SimHash 64-bit — near-dup fingerprints with hamming-ball lookup.
+- HyperLogLog (p-bit registers) — approximate distinct counts, mergeable
+  per block then combined (the partial→final aggregation pattern).
+
+All numpy-vectorized per batch; hashing derives from murmur3 constants so
+results are deterministic and platform-independent.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .murmur3 import hash64_batch
+
+_MERSENNE61 = (1 << 61) - 1
+
+
+def _perm_params(n_perm: int, seed: int = 42):
+    """Deterministic (a, b) pairs for universal hashing mod 2^61-1."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE61, size=n_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE61, size=n_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def shingles(text: str, k: int = 3) -> list[str]:
+    """Word k-shingles (k consecutive tokens joined)."""
+    toks = text.split()
+    if len(toks) < k:
+        return [" ".join(toks)] if toks else []
+    return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+
+
+def minhash_signature(texts: list[str], n_perm: int = 64, k: int = 3,
+                      seed: int = 42) -> np.ndarray:
+    """(n_docs, n_perm) uint64 MinHash signatures, batch-vectorized: one
+    murmur3 pass over all shingles, then (a*h+b) mod M minimized per doc
+    per permutation."""
+    a, b = _perm_params(n_perm, seed)
+    sigs = np.full((len(texts), n_perm), np.uint64(_MERSENNE61), dtype=np.uint64)
+    all_sh: list[str] = []
+    bounds = [0]
+    for t in texts:
+        sh = shingles(t, k)
+        all_sh.extend(sh)
+        bounds.append(len(all_sh))
+    if not all_sh:
+        return sigs
+    h = hash64_batch(all_sh) % np.uint64(_MERSENNE61)  # (n_shingles,)
+    with np.errstate(over="ignore"):
+        for i in range(len(texts)):
+            lo, hi = bounds[i], bounds[i + 1]
+            if lo == hi:
+                continue
+            # (n_shingles_i, n_perm) — wrapping multiply is fine for min
+            # consistency as long as it is deterministic; take mod M
+            vals = (h[lo:hi, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE61)
+            sigs[i] = vals.min(axis=0)
+    return sigs
+
+
+def lsh_bands(sigs: np.ndarray, n_bands: int = 16) -> np.ndarray:
+    """(n_docs, n_bands) int64 band hashes: rows of the signature are
+    split into n_bands groups whose concatenation is hashed (cheap mix)."""
+    n, p = sigs.shape
+    rows = p // n_bands
+    out = np.empty((n, n_bands), dtype=np.int64)
+    with np.errstate(over="ignore"):
+        for bidx in range(n_bands):
+            seg = sigs[:, bidx * rows : (bidx + 1) * rows]
+            acc = np.zeros(n, dtype=np.uint64)
+            for c in range(rows):
+                acc = acc * np.uint64(0x9E3779B97F4A7C15) + seg[:, c]
+            out[:, bidx] = acc.view(np.int64)
+    return out
+
+
+def jaccard(a: str, b: str, k: int = 3) -> float:
+    sa, sb = set(shingles(a, k)), set(shingles(b, k))
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def simhash64(texts: list[str]) -> np.ndarray:
+    """64-bit SimHash over word features (int64 view). Vectorized: hash
+    all tokens once, accumulate per-bit votes per doc."""
+    all_toks: list[str] = []
+    bounds = [0]
+    for t in texts:
+        toks = t.split()
+        all_toks.extend(toks)
+        bounds.append(len(all_toks))
+    out = np.zeros(len(texts), dtype=np.uint64)
+    if not all_toks:
+        return out.view(np.int64)
+    h = hash64_batch(all_toks)  # (n_tokens,)
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+    votes = bits * 2 - 1  # ±1 per bit
+    for i in range(len(texts)):
+        lo, hi = bounds[i], bounds[i + 1]
+        if lo == hi:
+            continue
+        v = votes[lo:hi].sum(axis=0)
+        bitsset = (v > 0).astype(np.uint64)
+        out[i] = np.bitwise_or.reduce(bitsset << np.arange(64, dtype=np.uint64))
+    return out.view(np.int64)
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = a.view(np.uint64) ^ b.view(np.uint64)
+    # popcount via bit tricks (numpy has no popcount for uint64 pre-2.0)
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    with np.errstate(over="ignore"):
+        return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+
+
+class HLL:
+    """HyperLogLog with 2^p registers; merge = register-wise max."""
+
+    def __init__(self, p: int = 12):
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def add_hashes(self, h_i64: np.ndarray) -> None:
+        h = np.asarray(h_i64, dtype=np.int64).view(np.uint64)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = (h << np.uint64(self.p)) | np.uint64(1)  # sentinel stops the count
+        # rank = leading zeros of rest + 1
+        rank = np.zeros(len(h), dtype=np.uint8)
+        mask = np.uint64(1) << np.uint64(63)
+        cur = rest.copy()
+        for r in range(1, 64 - self.p + 2):
+            zero_top = (cur & mask) == 0
+            rank = np.where((rank == 0) & ~zero_top, r, rank).astype(np.uint8)
+            cur = cur << np.uint64(1)
+            if (rank != 0).all():
+                break
+        np.maximum.at(self.registers, idx, rank)
+
+    def merge(self, other: "HLL") -> "HLL":
+        assert self.p == other.p
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        s = np.sum(2.0 ** -self.registers.astype(np.float64))
+        e = alpha * m * m / s
+        zeros = int((self.registers == 0).sum())
+        if e <= 2.5 * m and zeros:
+            e = m * np.log(m / zeros)  # small-range correction
+        return float(e)
+
+    def dump(self) -> bytes:
+        return self.registers.tobytes()
+
+    @classmethod
+    def restore(cls, blob: bytes, p: int = 12) -> "HLL":
+        h = cls(p)
+        h.registers = np.frombuffer(blob, dtype=np.uint8).copy()
+        return h

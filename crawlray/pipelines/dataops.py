@@ -1,0 +1,601 @@
+"""Training-data pipeline operators over the star schema: deduplication
+(exact, MinHash+LSH, SimHash, n-gram Jaccard), similarity search (ANN),
+text analysis, multimodal plumbing, sketches, and the crawl-kernel
+surface (canonicalize / murmur3 / span assembly) exposed as driver
+queries. DuckDB-oracled where SQL can express the semantics; rows-only
+otherwise (the registry records which).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..functions.murmur3 import hash64_batch_i64
+from ..functions.sketches import (
+    HLL,
+    hamming64,
+    jaccard,
+    lsh_bands,
+    minhash_signature,
+    simhash64,
+)
+from ..functions.spans import text_rows_to_docs
+from ..functions.textstats import fingerprint, lang_id, token_count
+
+
+def _docs(sf_dir: str, columns=None):
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+# =====================================================================
+# crawl-kernel surface (oracled)
+# =====================================================================
+
+def q_url_canonicalize(sf_dir: str):
+    """M1 canonicalizer over URLs synthesized from the documents table:
+    messy scheme/dots/tracking-params/fragment → canonical. The oracle
+    builds the expected canonical string directly."""
+    from ..functions.canon import canonicalize_batch
+
+    ds = _docs(sf_dir, ["doc_id", "source"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        raw = [
+            f"HTTPS://{s}.NL/a/../doc/{d}?utm_source=x&b=2&a=1#frag"
+            for s, d in zip(b["source"].to_pylist(), b["doc_id"].to_pylist())
+        ]
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "url_canon": pa.array(canonicalize_batch(raw), type=pa.string()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_URL_CANONICALIZE = """
+SELECT doc_id,
+  'https://' || source || '.nl/doc/' || CAST(doc_id AS VARCHAR) || '?a=1&b=2'
+  AS url_canon
+FROM documents
+"""
+
+
+def q_murmur3(sf_dir: str):
+    """M4 murmur3 column (rows-only: SQL has no murmur3; the kernel is
+    pinned by published-vector unit tests instead)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: pa.table({
+            "doc_id": b["doc_id"],
+            "text_hash": pa.array(hash64_batch_i64(b["text"].combine_chunks())),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+def q_docs_spans(sf_dir: str):
+    """M8 span assembly + explode: documents → single-span DOCS rows →
+    flatten spans → count per kind."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def build(b: pa.Table) -> pa.Table:
+        ids = pc.binary_join_element_wise(
+            pa.array(["doc"] * b.num_rows), pc.cast(b["doc_id"], pa.string()), "-"
+        )
+        return text_rows_to_docs(ids.combine_chunks(), b["text"].combine_chunks())
+
+    docs = ds.map_batches(build, batch_format="pyarrow", zero_copy_batch=True)
+
+    def explode(b: pa.Table) -> pa.Table:
+        spans = b["spans"].combine_chunks()
+        flat = pc.list_flatten(spans)
+        return pa.table({"kind": pc.struct_field(flat, "kind")})
+
+    return (
+        docs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("kind")
+        .aggregate(Count(alias_name="n_spans"))
+    )
+
+
+SQL_DOCS_SPANS = "SELECT 'text' AS kind, COUNT(*) AS n_spans FROM documents"
+
+
+# =====================================================================
+# deduplication
+# =====================================================================
+
+def q_dedup_exact(sf_dir: str):
+    """D4 exact content dedup at scale: hash-partition on murmur3(text),
+    first-occurrence (min doc_id) wins. Input is documents ∪ documents
+    (synthetic duplicates), so survivors per lang == distinct texts."""
+    ds = _docs(sf_dir, ["doc_id", "text", "lang"])
+    doubled = ds.union(_docs(sf_dir, ["doc_id", "text", "lang"]))
+
+    def hash_text(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "text_hash": pa.array(hash64_batch_i64(b["text"].combine_chunks())),
+            "doc_id": b["doc_id"],
+            "lang": b["lang"],
+        })
+
+    hashed = doubled.map_batches(hash_text, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    winners = hashed.groupby("text_hash").aggregate(
+        Min("doc_id", alias_name="doc_id"), Min("lang", alias_name="lang")
+    )
+    return winners.groupby("lang").aggregate(Count(alias_name="n_unique"))
+
+
+SQL_DEDUP_EXACT = """
+SELECT lang, COUNT(DISTINCT text) AS n_unique FROM (
+  SELECT * FROM documents UNION ALL SELECT * FROM documents
+) GROUP BY lang
+"""
+
+
+def q_minhash_neardup(sf_dir: str):
+    """D6 near-dup via MinHash+LSH (rows-only): documents ∪ perturbed
+    copies (last word dropped, doc_id+10^6) → 64-perm signatures → 16
+    bands → groupby(band, hash) buckets → candidate pairs → exact
+    word-3-gram Jaccard ≥ 0.5 verification. Returns one row per verified
+    pair (a < b). Scale path: the only shuffle is the band groupby."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def perturb(b: pa.Table) -> pa.Table:
+        texts = [" ".join(t.split()[:-1]) for t in b["text"].to_pylist()]
+        return pa.table({
+            "doc_id": pc.add(b["doc_id"], pa.scalar(1_000_000, type=pa.int64())),
+            "text": pa.array(texts, type=pa.string()),
+        })
+
+    both = ds.union(ds.map_batches(perturb, batch_format="pyarrow"))
+
+    def bands(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        sig = minhash_signature(texts, n_perm=64, k=3)
+        bh = lsh_bands(sig, n_bands=16)  # (n, 16)
+        n, nb = bh.shape
+        return pa.table({
+            "doc_id": pa.array(np.repeat(b["doc_id"].to_numpy(zero_copy_only=False), nb)),
+            "band_id": pa.array(np.tile(np.arange(nb, dtype=np.int64), n)),
+            "band_hash": pa.array(bh.reshape(-1)),
+            "text": pa.array(np.repeat(np.asarray(texts, dtype=object), nb), type=pa.string()),
+        })
+
+    banded = both.map_batches(bands, batch_format="pyarrow")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort")
+        ids = g["doc_id"].to_numpy()
+        texts = g["text"].to_numpy()
+        a_out, b_out, sim = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                s = jaccard(texts[i], texts[j], k=3)
+                if s >= 0.5:
+                    a_out.append(int(ids[i]))
+                    b_out.append(int(ids[j]))
+                    sim.append(round(s, 6))
+        return pd.DataFrame({"doc_a": a_out, "doc_b": b_out, "sim": sim})
+
+    cand = banded.groupby(["band_id", "band_hash"]).map_groups(
+        pairs, batch_format="pandas"
+    )
+    # same pair can surface from several bands — exact-dedup the pairs
+    return (
+        cand.groupby(["doc_a", "doc_b"])
+        .aggregate(Max("sim", alias_name="sim"))
+    )
+
+
+def q_simhash(sf_dir: str):
+    """D6 SimHash fingerprints (rows-only): 64-bit simhash per doc and
+    hamming distance doc vs its perturbed copy (expected small)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        sh = simhash64(texts)
+        pert = simhash64([" ".join(t.split()[:-1]) for t in texts])
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "simhash": pa.array(sh),
+            "hamming_to_perturbed": pa.array(hamming64(sh, pert)),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_char_jaccard(sf_dir: str):
+    """n-gram Jaccard family, char-set flavor — exactly DuckDB's
+    ``jaccard()`` semantics (similarity of character sets) so the oracle
+    is exact. Consecutive-doc pairs, rounded to 6."""
+    small = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: b.filter(pc.less(b["doc_id"], pa.scalar(200))),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    right_src = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: b.filter(pc.less(b["doc_id"], pa.scalar(201))),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    right = right_src.map_batches(
+        lambda b: pa.table({
+            "doc_id_r": pc.subtract(b["doc_id"], pa.scalar(1, type=pa.int64())),
+            "text_r": b["text"],
+        }),
+        batch_format="pyarrow",
+    )
+    j = small.join(right, join_type="inner", num_partitions=4,
+                   on=("doc_id",), right_on=("doc_id_r",))
+
+    def sim(b: pa.Table) -> pa.Table:
+        out = []
+        for a, c in zip(b["text"].to_pylist(), b["text_r"].to_pylist()):
+            sa, sb = set(a), set(c)
+            out.append(round(len(sa & sb) / len(sa | sb), 6))
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "jac": pa.array(out, type=pa.float64()),
+        })
+
+    return j.map_batches(sim, batch_format="pyarrow")
+
+
+SQL_CHAR_JACCARD = """
+SELECT d1.doc_id, ROUND(jaccard(d1.text, d2.text), 6) AS jac
+FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+WHERE d1.doc_id < 200
+"""
+
+
+# =====================================================================
+# similarity search (ANN)
+# =====================================================================
+
+def q_ann_cosine(sf_dir: str):
+    """Brute-force cosine top-k against a broadcast query vector: numpy
+    matmul per batch (the scale path: O(n·d) per block, no shuffle; an
+    IVF/LSH bucketing variant drops the scan — see q_ann_lsh). Rounded
+    to 6 decimals; deterministic tie-break by vec_id."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    import pyarrow.parquet as pq
+
+    q = None
+    t0 = pq.read_table(path, columns=["vec_id", "embedding"])
+    for vid, emb in zip(t0["vec_id"].to_pylist(), t0["embedding"].to_pylist()):
+        if vid == 0:
+            q = np.asarray(emb, dtype=np.float64)
+            break
+    qn = q / np.linalg.norm(q)
+    q_ref = ray.put(qn)
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+
+    def score(b: pa.Table) -> pa.Table:
+        import ray as _r
+
+        qv = _r.get(q_ref)
+        emb = np.stack([np.asarray(e, dtype=np.float64) for e in b["embedding"].to_pylist()])
+        norms = np.linalg.norm(emb, axis=1)
+        cos = (emb @ qv) / np.where(norms == 0, 1.0, norms)
+        t = pa.table({
+            "vec_id": b["vec_id"],
+            "cos": pa.array(np.round(cos, 4)),
+        })
+        return t.filter(pc.greater(t["vec_id"], pa.scalar(0, type=pa.int64())))
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .sort(["cos", "vec_id"], descending=[True, False])
+        .limit(10)
+    )
+
+
+SQL_ANN_COSINE = """
+SELECT vec_id,
+  ROUND(CAST(list_cosine_similarity(embedding,
+    (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS DOUBLE), 4) AS cos
+FROM embeddings WHERE vec_id > 0
+ORDER BY cos DESC, vec_id LIMIT 10
+"""
+
+
+def q_ann_lsh(sf_dir: str):
+    """Bucketed ANN scale path (rows-only): random-hyperplane LSH (16-bit
+    signs) buckets the vectors; only the query's bucket (plus hamming≤6
+    neighbors) is scanned. Returns bucket stats + top-5 within the probe
+    buckets — demonstrates the shuffle-free partitioned index."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    import pyarrow.parquet as pq
+
+    t0 = pq.read_table(path, columns=["vec_id", "embedding"])
+    q = np.asarray(t0["embedding"][0].as_py(), dtype=np.float64)
+    dim = len(q)
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((dim, 16))
+    qsig = int((q @ planes > 0).astype(np.uint16) @ (1 << np.arange(16)).astype(np.uint16))
+    q_ref = ray.put((q / np.linalg.norm(q), planes, qsig))
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+
+    def score(b: pa.Table) -> pa.Table:
+        import ray as _r
+
+        qn, pl, qs = _r.get(q_ref)
+        emb = np.stack([np.asarray(e, dtype=np.float64) for e in b["embedding"].to_pylist()])
+        sig = (emb @ pl > 0).astype(np.uint16) @ (1 << np.arange(16)).astype(np.uint16)
+        ham = hamming64(sig.astype(np.int64), np.full(len(sig), qs, dtype=np.int64))
+        keep = (ham <= 6) & (np.asarray(b["vec_id"]) != 0)
+        emb = emb[keep]
+        if len(emb) == 0:
+            return pa.table({"vec_id": pa.array([], type=pa.int64()),
+                             "cos": pa.array([], type=pa.float64())})
+        norms = np.linalg.norm(emb, axis=1)
+        cos = (emb @ qn) / np.where(norms == 0, 1.0, norms)
+        return pa.table({
+            "vec_id": pa.array(np.asarray(b["vec_id"])[keep]),
+            "cos": pa.array(np.round(cos, 6)),
+        })
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .sort(["cos", "vec_id"], descending=[True, False])
+        .limit(5)
+    )
+
+
+def q_embedding_norms(sf_dir: str):
+    """Vector math surface (oracled): per-row L2 norm, rounded 6."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less(b["vec_id"], pa.scalar(100, type=pa.int64())))
+        if b.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], type=pa.int64()),
+                             "l2": pa.array([], type=pa.float64())})
+        emb = np.stack([np.asarray(e, dtype=np.float64) for e in b["embedding"].to_pylist()])
+        return pa.table({
+            "vec_id": b["vec_id"],
+            "l2": pa.array(np.round(np.sqrt((emb * emb).sum(axis=1)), 6)),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_EMBEDDING_NORMS = """
+SELECT vec_id,
+  ROUND(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))), 6) AS l2
+FROM embeddings WHERE vec_id < 100
+"""
+
+
+# =====================================================================
+# text analysis
+# =====================================================================
+
+def q_token_count(sf_dir: str):
+    """Token counting, exact-formula oracle (count(' ')+1)."""
+    ds = _docs(sf_dir, ["lang", "text"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": b["lang"],
+            "toks": token_count(b["text"]).cast(pa.int64()),
+        })
+
+    return (
+        ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .aggregate(Sum("toks", alias_name="total_tokens"), Count(alias_name="n_docs"))
+    )
+
+
+SQL_TOKEN_COUNT = """
+SELECT lang,
+  SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS total_tokens,
+  COUNT(*) AS n_docs
+FROM documents GROUP BY lang
+"""
+
+
+def q_quality_score(sf_dir: str):
+    """Quality scoring: per source, doc counts + exact char/token sums +
+    chars-per-token ratio (identical IEEE division both sides)."""
+    ds = _docs(sf_dir, ["source", "text", "n_chars"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": b["source"],
+            "n_chars": b["n_chars"].cast(pa.int64()),
+            "toks": token_count(b["text"]).cast(pa.int64()),
+        })
+
+    agg = (
+        ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(Sum("n_chars", alias_name="sum_chars"),
+                   Sum("toks", alias_name="sum_tokens"),
+                   Count(alias_name="n_docs"))
+    )
+    return agg.map_batches(
+        lambda b: b.append_column(
+            "chars_per_token",
+            pc.divide(b["sum_chars"].cast(pa.float64()),
+                      b["sum_tokens"].cast(pa.float64())),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_QUALITY_SCORE = """
+SELECT source, SUM(n_chars) AS sum_chars,
+  SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS sum_tokens,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS DOUBLE) /
+    SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS chars_per_token
+FROM documents GROUP BY source
+"""
+
+
+def q_lang_id(sf_dir: str):
+    """Language-ID heuristic (rows-only: the heuristic IS the spec)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang_pred": pa.array(lang_id(b["text"].to_pylist()), type=pa.string()),
+        })
+
+    return (
+        ds.map_batches(fn, batch_format="pyarrow")
+        .groupby("lang_pred")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def q_fingerprint(sf_dir: str):
+    """Rolling-hash document fingerprints (rows-only)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: pa.table({
+            "doc_id": b["doc_id"],
+            "fp": pa.array(fingerprint(b["text"].to_pylist())),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def q_hll_distinct(sf_dir: str):
+    """G6 approximate distinct via mergeable HLL sketches: one sketch per
+    block (map_batches partial), register-max merge on the driver —
+    the sketch pattern that replaces a full distinct shuffle. Rows-only
+    (approximate; the unit test asserts <5% error vs exact)."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"])
+
+    def sketch(b: pa.Table) -> pa.Table:
+        h = HLL(p=12)
+        keys = b["o_custkey"].cast(pa.string())
+        h.add_hashes(hash64_batch_i64(keys.combine_chunks()))
+        return pa.table({"registers": pa.array([h.dump()], type=pa.large_binary())})
+
+    merged = HLL(p=12)
+    for row in ds.map_batches(sketch, batch_format="pyarrow").take_all():
+        merged.merge(HLL.restore(row["registers"], p=12))
+    return pa.table({"approx_distinct_customers": pa.array([merged.estimate()])})
+
+
+# =====================================================================
+# multimodal plumbing (decode stubbed; Ray-side real)
+# =====================================================================
+
+class MediaDecoder:
+    """Actor-pool stage for media columns: holds 'decoder' state per actor
+    (stubbed deterministically — no image/audio libs in this sandbox; a
+    real deployment replaces ``_decode`` with PIL/ffmpeg and nothing else
+    changes). Batch size stays small because media payloads are wide."""
+
+    def __init__(self):
+        self._calls = 0  # stands in for decoder/model state
+
+    @staticmethod
+    def _decode(media_ref: str) -> tuple[int, int, int]:
+        from ..functions.murmur3 import hash64
+
+        h = hash64(media_ref)
+        # deterministic fake: width/height/bytes derived from the ref hash
+        return 160 + (h & 0x3FF), 90 + ((h >> 10) & 0x3FF), (h >> 20) & 0xFFFFF
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        self._calls += 1
+        dims = [self._decode(r) for r in batch["media_ref"].to_pylist()]
+        return batch.append_column(
+            "width", pa.array([d[0] for d in dims], type=pa.int32())
+        ).append_column(
+            "height", pa.array([d[1] for d in dims], type=pa.int32())
+        ).append_column(
+            "n_bytes", pa.array([d[2] for d in dims], type=pa.int64())
+        )
+
+
+def q_media_decode(sf_dir: str):
+    """Multimodal pipeline (rows-only): interleaved fixture docs →
+    explode media spans → actor-pool decode stub → per-kind stats."""
+    from ..sources.miniweb import make_docs
+
+    n = 500
+    docs = rd.from_arrow(make_docs(n))
+
+    def explode_media(b: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(b["spans"].combine_chunks())
+        kinds = pc.struct_field(flat, "kind")
+        refs = pc.struct_field(flat, "media_ref")
+        t = pa.table({"kind": kinds, "media_ref": refs})
+        return t.filter(pc.invert(pc.is_null(t["media_ref"])))
+
+    media = docs.map_batches(explode_media, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    decoded = media.map_batches(MediaDecoder, batch_format="pyarrow",
+                                batch_size=256, concurrency=(1, 4))
+    return decoded.groupby("kind").aggregate(
+        Count(alias_name="n_media"),
+        Sum("n_bytes", alias_name="total_bytes"),
+        Min("width", alias_name="min_w"),
+        Max("height", alias_name="max_h"),
+    )
+
+
+def q_crawl_mini(sf_dir: str):
+    """Flagship crawl demo (rows-only): tiny deterministic mini-web crawl
+    end-to-end (schedule→fetch→parse→dedup→frontier), per-host fetch
+    counts. The full-size parity run lives in tests/test_crawl_parity."""
+    import pyarrow.parquet as pq
+
+    from ..pipelines.config import CrawlConfig
+    from ..pipelines.crawl import run_crawl
+    from ..sources.miniweb import write_web
+
+    fix = f"/tmp/crawlray_demo_fix"
+    run_dir = f"/tmp/crawlray_demo_run_{os.getpid()}"
+    paths = write_web(fix, n_hosts=4, pages_per_host=8, hot_factor=4)
+    cfg = CrawlConfig(
+        n_parts=2, seen_shards=2, max_depth=4, max_waves=3,
+        fetch_concurrency=(1, 2), parse_concurrency=(1, 2),
+        transport={"kind": "sim", "pages_path": paths["pages"]},
+    )
+    run_crawl(run_dir, pq.read_table(paths["seeds"])["url"].to_pylist(),
+              pq.read_table(paths["robots"]), cfg)
+    pages = rd.read_parquet(os.path.join(run_dir, "pages"), columns=["host", "status"])
+    return pages.groupby("host").aggregate(Count(alias_name="n_fetched"))
+
+
+# =====================================================================
+# registry: name -> (ray_fn, sql_or_None)
+# =====================================================================
+
+DATAOPS_QUERIES = {
+    "url_canonicalize": (q_url_canonicalize, SQL_URL_CANONICALIZE),
+    "murmur3_hash": (q_murmur3, None),
+    "docs_spans": (q_docs_spans, SQL_DOCS_SPANS),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "minhash_neardup": (q_minhash_neardup, None),
+    "simhash": (q_simhash, None),
+    "char_jaccard": (q_char_jaccard, SQL_CHAR_JACCARD),
+    "ann_cosine": (q_ann_cosine, SQL_ANN_COSINE),
+    "ann_lsh": (q_ann_lsh, None),
+    "embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS),
+    "token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
+    "lang_id": (q_lang_id, None),
+    "fingerprint_docs": (q_fingerprint, None),
+    "hll_distinct": (q_hll_distinct, None),
+    "media_decode": (q_media_decode, None),
+    "crawl_mini": (q_crawl_mini, None),
+}

@@ -1,0 +1,689 @@
+"""Relational operator surface over the driver star schema (SURVEY §2 /
+§3.4): one registry entry per operator family, each with a DuckDB oracle.
+
+Exact-match discipline (the driver hash-compares values): money/decimal
+aggregates are summed as *integers* (price × 100 / 10000 rounded to
+int64) on both sides, so distributed summation order can never produce a
+last-ulp mismatch against DuckDB; ratios are then computed with the
+identical IEEE expression. Quantiles/cosines are rounded to fixed
+decimals on both sides (boundary risk ≪ 1e-9 per value).
+
+Every query takes ``sf_dir`` and returns a Dataset / pyarrow Table /
+pandas DataFrame. Ray is pre-initialised by the caller — nothing here
+calls ray.init().
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def _t(sf_dir: str, table: str, columns=None):
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _cents(arr, scale: int = 100) -> pa.Array:
+    """Exact integer representation of a fixed-decimal double column."""
+    return pc.round(pc.multiply(arr, pa.scalar(float(scale)))).cast(pa.int64())
+
+
+# =====================================================================
+# aggregations
+# =====================================================================
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1 family: multi-aggregate groupby with derived measures."""
+    ds = _t(sf_dir, "lineitem",
+            ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+             "l_discount"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(b["l_extendedprice"],
+                                 pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "l_linestatus": b["l_linestatus"],
+            "qty": b["l_quantity"].cast(pa.int64()) if pa.types.is_integer(b["l_quantity"].type)
+                   else pc.round(b["l_quantity"]).cast(pa.int64()),
+            "base_c": _cents(b["l_extendedprice"]),
+            "disc_c4": _cents(disc_price, 10000),
+            "disc_c": _cents(b["l_discount"]),
+        })
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty_i"),
+            Sum("base_c", alias_name="base_c"),
+            Sum("disc_c4", alias_name="disc_c4"),
+            Sum("disc_c", alias_name="disc_c"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        n = b["count_order"].cast(pa.float64())
+        sum_qty = b["sum_qty_i"].cast(pa.float64())
+        sum_base = pc.divide(b["base_c"].cast(pa.float64()), pa.scalar(100.0))
+        sum_disc_price = pc.divide(b["disc_c4"].cast(pa.float64()), pa.scalar(10000.0))
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "l_linestatus": b["l_linestatus"],
+            "sum_qty": sum_qty,
+            "sum_base_price": sum_base,
+            "sum_disc_price": sum_disc_price,
+            "avg_qty": pc.divide(sum_qty, n),
+            "avg_price": pc.divide(sum_base, n),
+            "avg_disc": pc.divide(
+                pc.divide(b["disc_c"].cast(pa.float64()), pa.scalar(100.0)), n),
+            "count_order": b["count_order"],
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_base_price,
+  CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*10000) AS BIGINT)) AS DOUBLE)/10000.0 AS sum_disc_price,
+  CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE)/COUNT(*) AS avg_qty,
+  (CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0)/COUNT(*) AS avg_price,
+  (CAST(SUM(CAST(ROUND(l_discount*100) AS BIGINT)) AS DOUBLE)/100.0)/COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_filter_project(sf_dir: str):
+    """M13/M2 family: predicate pushdown-ish filter + computed column."""
+    ds = _t(sf_dir, "lineitem",
+            ["l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice",
+             "l_discount"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(b["l_shipdate"], pa.scalar(pd.Timestamp("1996-01-01"))),
+            pc.less(b["l_shipdate"], pa.scalar(pd.Timestamp("1996-02-01"))),
+        )
+        b = b.filter(m)
+        rev = pc.multiply(b["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "l_linenumber": b["l_linenumber"],
+            "revenue": pc.divide(_cents(rev, 10000).cast(pa.float64()),
+                                 pa.scalar(10000.0)),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_FILTER_PROJECT = """
+SELECT l_orderkey, l_linenumber,
+  CAST(CAST(ROUND(l_extendedprice*(1.0-l_discount)*10000) AS BIGINT) AS DOUBLE)/10000.0 AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-01'
+"""
+
+
+def q_revenue_by_nation(sf_dir: str):
+    """J5 hash-join chain: lineitem ⨝ orders ⨝ customer ⨝ nation → agg."""
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(b: pa.Table) -> pa.Table:
+        r = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        return pa.table({"l_orderkey": b["l_orderkey"], "rev_c4": _cents(r, 10000)})
+
+    li = li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True)
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = _t(sf_dir, "nation", ["n_nationkey", "n_name"])
+    j = li.join(orders, join_type="inner", num_partitions=8,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+    j = j.join(cust, join_type="inner", num_partitions=8,
+               on=("o_custkey",), right_on=("c_custkey",))
+    j = j.join(nation, join_type="inner", num_partitions=4,
+               on=("c_nationkey",), right_on=("n_nationkey",))
+    agg = j.groupby("n_name").aggregate(Sum("rev_c4", alias_name="rev_c4"),
+                                        Count(alias_name="n_items"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "n_name": b["n_name"],
+            "revenue": pc.divide(b["rev_c4"].cast(pa.float64()), pa.scalar(10000.0)),
+            "n_items": b["n_items"],
+        }),
+        batch_format="pyarrow",
+    )
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT n_name,
+  CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*10000) AS BIGINT)) AS DOUBLE)/10000.0 AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_top_customers(sf_dir: str):
+    """O2 sort + limit with deterministic tie-break."""
+    return (
+        _t(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+        .sort(["c_acctbal", "c_custkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
+SQL_TOP_CUSTOMERS = """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+ORDER BY c_acctbal DESC, c_custkey LIMIT 10
+"""
+
+
+def q_distinct_segments(sf_dir: str):
+    """G3 distinct."""
+    vals = _t(sf_dir, "customer", ["c_mktsegment"]).unique("c_mktsegment")
+    return pa.table({"c_mktsegment": pa.array(sorted(vals), type=pa.string())})
+
+
+SQL_DISTINCT_SEGMENTS = "SELECT DISTINCT c_mktsegment FROM customer"
+
+
+def q_count_distinct_parts(sf_dir: str):
+    """COUNT(DISTINCT) = two-level groupby (exact, shuffle-pruned by the
+    first level's partial aggregation)."""
+    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_partkey"])
+    pairs = ds.groupby(["l_returnflag", "l_partkey"]).count()
+    out = pairs.groupby("l_returnflag").aggregate(Count(alias_name="n_parts"))
+    return out
+
+
+SQL_COUNT_DISTINCT_PARTS = """
+SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_union_orders(sf_dir: str):
+    """D1 union (all) of two filtered branches with provenance column."""
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice"])
+
+    def pick(tag: str, lo: float, hi: float, status: str | None):
+        def fn(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.greater_equal(b["o_totalprice"], pa.scalar(lo)),
+                        pc.less(b["o_totalprice"], pa.scalar(hi)))
+            if status is not None:
+                m = pc.and_(m, pc.equal(b["o_orderstatus"], pa.scalar(status)))
+            b = b.filter(m)
+            return pa.table({
+                "o_orderkey": b["o_orderkey"],
+                "o_totalprice": b["o_totalprice"],
+                "bucket": pa.array([tag] * b.num_rows, type=pa.string()),
+            })
+        return fn
+
+    hi = ds.map_batches(pick("high", 400000.0, 1e18, None), batch_format="pyarrow")
+    lo = ds.map_batches(pick("lowF", -1e18, 50000.0, "F"), batch_format="pyarrow")
+    return hi.union(lo)
+
+
+SQL_UNION_ORDERS = """
+SELECT o_orderkey, o_totalprice, 'high' AS bucket FROM orders WHERE o_totalprice >= 400000
+UNION ALL
+SELECT o_orderkey, o_totalprice, 'lowF' AS bucket FROM orders
+WHERE o_totalprice < 50000 AND o_orderstatus = 'F'
+"""
+
+
+def q_string_funcs(sf_dir: str):
+    """M9/§2.8 string kernels: upper + substring match + agg."""
+    ds = _t(sf_dir, "part", ["p_name", "p_brand", "p_retailprice"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.match_substring(b["p_name"], "widget"))
+        return pa.table({
+            "brand": pc.utf8_upper(b["p_brand"]),
+            "price_c": _cents(b["p_retailprice"]),
+        })
+
+    agg = (
+        ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("brand")
+        .aggregate(Count(alias_name="n"), Sum("price_c", alias_name="price_c"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table({
+            "brand": b["brand"], "n": b["n"],
+            "sum_price": pc.divide(b["price_c"].cast(pa.float64()), pa.scalar(100.0)),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+SQL_STRING_FUNCS = """
+SELECT UPPER(p_brand) AS brand, COUNT(*) AS n,
+  CAST(SUM(CAST(ROUND(p_retailprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_price
+FROM part WHERE p_name LIKE '%widget%' GROUP BY UPPER(p_brand)
+"""
+
+
+def q_orders_by_month(sf_dir: str):
+    """§2.8 date kernels: month truncation + agg."""
+    ds = _t(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "month": pc.floor_temporal(b["o_orderdate"], unit="month"),
+            "price_c": _cents(b["o_totalprice"]),
+        })
+
+    agg = (
+        ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("month")
+        .aggregate(Count(alias_name="n_orders"), Sum("price_c", alias_name="price_c"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table({
+            "month": b["month"], "n_orders": b["n_orders"],
+            "total": pc.divide(b["price_c"].cast(pa.float64()), pa.scalar(100.0)),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+SQL_ORDERS_BY_MONTH = """
+SELECT date_trunc('month', o_orderdate) AS month, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS total
+FROM orders GROUP BY date_trunc('month', o_orderdate)
+"""
+
+
+def q_json_extract(sf_dir: str):
+    """M14 JSON scalar fn + agg (int-exact)."""
+    ds = _t(sf_dir, "events", ["event_type", "props"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        ks = [int(json.loads(p)["k"]) for p in b["props"].to_pylist()]
+        return pa.table({
+            "event_type": b["event_type"],
+            "k": pa.array(ks, type=pa.int64()),
+        })
+
+    agg = (
+        ds.map_batches(fn, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("k", alias_name="sum_k"), Count(alias_name="n"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table({
+            "event_type": b["event_type"], "n": b["n"],
+            "avg_k": pc.divide(b["sum_k"].cast(pa.float64()),
+                               b["n"].cast(pa.float64())),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+SQL_JSON_EXTRACT = """
+SELECT event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS DOUBLE)/COUNT(*) AS avg_k
+FROM events GROUP BY event_type
+"""
+
+
+def q_case_when(sf_dir: str):
+    """Conditional aggregation (pc.if_else)."""
+    ds = _t(sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        urgent = pc.starts_with(b["o_orderpriority"], "1")
+        cents = _cents(b["o_totalprice"])
+        return pa.table({
+            "o_orderstatus": b["o_orderstatus"],
+            "urgent_c": pc.if_else(urgent, cents, pa.scalar(0, type=pa.int64())),
+            "is_urgent": urgent.cast(pa.int64()),
+        })
+
+    agg = (
+        ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_orderstatus")
+        .aggregate(Sum("urgent_c", alias_name="urgent_c"),
+                   Sum("is_urgent", alias_name="n_urgent"),
+                   Count(alias_name="n"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table({
+            "o_orderstatus": b["o_orderstatus"], "n": b["n"],
+            "n_urgent": b["n_urgent"],
+            "urgent_total": pc.divide(b["urgent_c"].cast(pa.float64()),
+                                      pa.scalar(100.0)),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+SQL_CASE_WHEN = """
+SELECT o_orderstatus, COUNT(*) AS n,
+  SUM(CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END) AS n_urgent,
+  CAST(SUM(CASE WHEN o_orderpriority LIKE '1%'
+       THEN CAST(ROUND(o_totalprice*100) AS BIGINT) ELSE 0 END) AS DOUBLE)/100.0
+       AS urgent_total
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def q_quantiles(sf_dir: str):
+    """G2/§2.5 quantiles per group (exact, linear interpolation both sides,
+    rounded to 2 decimals to kill last-ulp interpolation differences)."""
+    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        # discrete quantiles return ACTUAL elements (bit-exact passthrough,
+        # no interpolation arithmetic to diverge): numpy 'inverted_cdf' ==
+        # DuckDB quantile_disc (verified empirically in tests)
+        v = np.sort(g["l_extendedprice"].to_numpy())
+        return pd.DataFrame({
+            "l_returnflag": [g["l_returnflag"].iloc[0]],
+            "p50": [float(np.quantile(v, 0.5, method="inverted_cdf"))],
+            "p95": [float(np.quantile(v, 0.95, method="inverted_cdf"))],
+        })
+
+    return ds.groupby("l_returnflag").map_groups(per_group, batch_format="pandas")
+
+
+SQL_QUANTILES = """
+SELECT l_returnflag,
+  quantile_disc(l_extendedprice, 0.5) AS p50,
+  quantile_disc(l_extendedprice, 0.95) AS p95
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_semi_join(sf_dir: str):
+    """J5 semi join via broadcast key set (no shuffle for the small side)."""
+    import ray
+
+    keys = _t(sf_dir, "orders", ["o_custkey"]).unique("o_custkey")
+    key_ref = ray.put(np.array(sorted(keys), dtype=np.int64))
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        import ray as _r
+
+        ks = _r.get(key_ref)
+        have = np.isin(b["c_custkey"].to_numpy(zero_copy_only=False), ks)
+        return b.filter(pa.array(have))
+
+    return (
+        cust.map_batches(fn, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n_customers"))
+    )
+
+
+SQL_SEMI_JOIN = """
+SELECT c_mktsegment, COUNT(*) AS n_customers FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+def q_anti_join(sf_dir: str):
+    """J5 anti join via broadcast key set + broadcast dimension lookup
+    (nation is tiny — a dict beats a shuffle join). Restricted to
+    high-value orders so the anti set is non-empty at every sf (and
+    because Ray's hash join chokes on an empty left side)."""
+    import ray
+
+    big = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda b: b.filter(pc.greater(b["o_totalprice"], pa.scalar(300000.0)))
+        .select(["o_custkey"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    keys = big.unique("o_custkey")
+    key_ref = ray.put(np.array(sorted(keys), dtype=np.int64))
+    names = {
+        r["n_nationkey"]: r["n_name"]
+        for r in _t(sf_dir, "nation").take_all()
+    }
+    names_ref = ray.put(names)
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        import ray as _r
+
+        ks = _r.get(key_ref)
+        nm = _r.get(names_ref)
+        have = np.isin(b["c_custkey"].to_numpy(zero_copy_only=False), ks)
+        b = b.filter(pa.array(~have))
+        n_name = pa.array([nm[k] for k in b["c_nationkey"].to_pylist()],
+                          type=pa.string())
+        return pa.table({"n_name": n_name})
+
+    return (
+        cust.map_batches(fn, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Count(alias_name="n_customers"))
+    )
+
+
+SQL_ANTI_JOIN = """
+SELECT n_name, COUNT(*) AS n_customers FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+GROUP BY n_name
+"""
+
+
+def q_topk_per_group(sf_dir: str):
+    """O2 windowed top-k per group. Scale path: per-block partial top-k
+    (vectorized pandas) prunes the shuffle, then an exact per-group head.
+    Bounded to custkey < 400 so the oracle comparison stays cheap."""
+    ds = _t(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    ds = ds.map_batches(
+        lambda b: b.filter(pc.less(b["o_custkey"], pa.scalar(400))),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
+                            ascending=[True, False, True], kind="mergesort")
+        return df.groupby("o_custkey", sort=False).head(2)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"],
+                          ascending=[False, True], kind="mergesort")
+        return g.head(2)
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("o_custkey")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+SQL_TOPK_PER_GROUP = """
+SELECT o_custkey, o_orderkey, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    ROW_NUMBER() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders WHERE o_custkey < 400
+) WHERE rn <= 2
+"""
+
+
+def q_having(sf_dir: str):
+    """G-agg + HAVING filter on the aggregate."""
+    agg = (
+        _t(sf_dir, "part", ["p_brand"])
+        .groupby("p_brand")
+        .aggregate(Count(alias_name="n_parts"))
+    )
+    return agg.map_batches(
+        lambda b: b.filter(pc.greater(b["n_parts"], pa.scalar(5))),
+        batch_format="pyarrow",
+    )
+
+
+SQL_HAVING = """
+SELECT p_brand, COUNT(*) AS n_parts FROM part
+GROUP BY p_brand HAVING COUNT(*) > 5
+"""
+
+
+# =====================================================================
+# stream-shaped (events)
+# =====================================================================
+
+def q_sessionize(sf_dir: str):
+    """§2.9 session windows: per-user 30-minute-gap sessionization via
+    groupby(user).map_groups over ts-sorted groups."""
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values().to_numpy()
+        if len(ts) == 0:
+            return pd.DataFrame({"user_id": [], "n_sessions": [], "n_events": []})
+        # exact microsecond gaps (timestamps are timestamp[us]); DuckDB's
+        # date_diff('second') counts boundary crossings, which diverges on
+        # sub-second components — both sides use microseconds instead
+        gaps = np.diff(ts).astype("timedelta64[us]").astype(np.int64)
+        n_sessions = 1 + int((gaps > 1800 * 1_000_000).sum())
+        return pd.DataFrame({
+            "user_id": [g["user_id"].iloc[0]],
+            "n_sessions": [n_sessions],
+            "n_events": [len(ts)],
+        })
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+SQL_SESSIONIZE = """
+SELECT user_id,
+  1 + SUM(CASE WHEN gap_us > 1800 * 1000000 THEN 1 ELSE 0 END) AS n_sessions,
+  COUNT(*) AS n_events
+FROM (
+  SELECT user_id,
+    COALESCE(date_diff('microsecond',
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts), ts),
+             0) AS gap_us
+  FROM events
+) GROUP BY user_id
+"""
+
+
+def q_tumbling_window(sf_dir: str):
+    """§2.9 tumbling (hour) windows per event type."""
+    ds = _t(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b["event_type"],
+            "hour": pc.floor_temporal(b["ts"], unit="hour"),
+            "value_c": _cents(b["value"], 10000),
+        })
+
+    agg = (
+        ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "hour"])
+        .aggregate(Count(alias_name="n"), Sum("value_c", alias_name="value_c"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table({
+            "event_type": b["event_type"], "hour": b["hour"], "n": b["n"],
+            "sum_value": pc.divide(b["value_c"].cast(pa.float64()),
+                                   pa.scalar(10000.0)),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+SQL_TUMBLING_WINDOW = """
+SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n,
+  CAST(SUM(CAST(ROUND(value*10000) AS BIGINT)) AS DOUBLE)/10000.0 AS sum_value
+FROM events GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
+def q_asof_join(sf_dir: str):
+    """J6 as-of join: each purchase matched to the user's most recent
+    strictly-prior view. Ray: per-user sorted merge in map_groups (the
+    documented partitioning assumption: user_id co-located). Ties on
+    (user, ts) among views are collapsed to MAX(value) first on BOTH
+    sides so the match is well-defined."""
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        views = (
+            g[g["event_type"] == "view"]
+            .groupby("ts", sort=True)["value"].max().reset_index()
+        )
+        buys = g[g["event_type"] == "purchase"].sort_values("ts", kind="mergesort")
+        if len(buys) == 0:
+            return pd.DataFrame(
+                {"event_id": pd.Series([], dtype="int64"),
+                 "user_id": pd.Series([], dtype="int64"),
+                 "prior_view_value": pd.Series([], dtype="float64")})
+        vts = views["ts"].to_numpy()
+        vval = views["value"].to_numpy()
+        idx = np.searchsorted(vts, buys["ts"].to_numpy(), side="left") - 1
+        prior = np.where(idx >= 0, vval[np.clip(idx, 0, None)], np.nan)
+        return pd.DataFrame({
+            "event_id": buys["event_id"].to_numpy(),
+            "user_id": buys["user_id"].to_numpy(),
+            "prior_view_value": prior,
+        })
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+SQL_ASOF_JOIN = """
+WITH v AS (
+  SELECT user_id, ts, MAX(value) AS value FROM events
+  WHERE event_type = 'view' GROUP BY user_id, ts
+), p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, v.value AS prior_view_value
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts > v.ts
+"""
+
+
+# =====================================================================
+# registry
+# =====================================================================
+
+RELATIONAL_QUERIES = {
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "filter_project": (q_filter_project, SQL_FILTER_PROJECT),
+    "revenue_by_nation": (q_revenue_by_nation, SQL_REVENUE_BY_NATION),
+    "top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
+    "distinct_segments": (q_distinct_segments, SQL_DISTINCT_SEGMENTS),
+    "count_distinct_parts": (q_count_distinct_parts, SQL_COUNT_DISTINCT_PARTS),
+    "union_orders": (q_union_orders, SQL_UNION_ORDERS),
+    "string_funcs": (q_string_funcs, SQL_STRING_FUNCS),
+    "orders_by_month": (q_orders_by_month, SQL_ORDERS_BY_MONTH),
+    "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
+    "case_when": (q_case_when, SQL_CASE_WHEN),
+    "quantiles": (q_quantiles, SQL_QUANTILES),
+    "semi_join": (q_semi_join, SQL_SEMI_JOIN),
+    "anti_join": (q_anti_join, SQL_ANTI_JOIN),
+    "topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
+    "having": (q_having, SQL_HAVING),
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "tumbling_window": (q_tumbling_window, SQL_TUMBLING_WINDOW),
+    "asof_join": (q_asof_join, SQL_ASOF_JOIN),
+}

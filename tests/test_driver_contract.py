@@ -1,0 +1,142 @@
+"""Driver-contract conformance: every queries() entry vs its oracle_sql()
+through DuckDB, mirroring the driver's compare (row count + column names +
+order-insensitive values). Values are compared EXACTLY for ints/strings
+and bit-exactly for floats (the engine's integer-cents discipline makes
+distributed float aggregation deterministic) — NaN == NaN allowed.
+"""
+
+import math
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = os.environ.get("GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _to_pandas(res) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+    return df.sort_values(list(df.columns), ignore_index=True, na_position="last")
+
+
+def assert_query_matches(name, ray_fn, sql, sf_dir=SF_DIR):
+    got = _normalize(_to_pandas(ray_fn(sf_dir)))
+    want = _normalize(_duck(sf_dir).execute(sql).df())
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: columns {list(got.columns)} != {list(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
+    for c in got.columns:
+        a, b = got[c].to_numpy(), want[c].to_numpy()
+        if pd.api.types.is_float_dtype(got[c]):
+            ok = (a == b) | (np.isnan(a) & np.isnan(b))
+            assert ok.all(), (
+                f"{name}.{c}: {int((~ok).sum())} mismatches, "
+                f"max diff {np.nanmax(np.abs(a - b))}"
+            )
+        else:
+            mism = a != b
+            assert not mism.any(), (
+                f"{name}.{c}: {int(mism.sum())} mismatches, first "
+                f"{a[mism][:3]} vs {b[mism][:3]}"
+            )
+
+
+def _all_queries():
+    import __ray_entry__ as e
+
+    return e._registry()
+
+
+_REG = _all_queries()
+_ORACLED = sorted(n for n, (_f, s) in _REG.items() if s)
+_ROWS_ONLY = sorted(n for n, (_f, s) in _REG.items() if not s)
+
+
+@pytest.mark.parametrize("name", _ORACLED)
+def test_oracled_query(ray_session, name):
+    fn, sql = _REG[name]
+    assert_query_matches(name, fn, sql)
+
+
+@pytest.mark.parametrize("name", [n for n in _ROWS_ONLY if n != "crawl_mini"])
+def test_rows_only_query_runs(ray_session, name):
+    fn, _ = _REG[name]
+    df = _to_pandas(fn(SF_DIR))
+    assert len(df) >= 0 and len(df.columns) > 0
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__ as e
+
+    ds = e.entry()
+    df = _to_pandas(ds.limit(5))
+    assert list(df.columns) == ["doc_id", "spans"]
+    assert len(df) == 5
+
+
+def test_crawl_mini_query(ray_session):
+    fn, _ = _REG["crawl_mini"]
+    df = _to_pandas(fn(SF_DIR))
+    assert df["n_fetched"].sum() > 10
+
+
+def test_minhash_finds_planted_neardups(ray_session):
+    """Every doc's perturbed copy (last word dropped) must be recovered
+    as a verified near-dup pair by the MinHash+LSH pipeline."""
+    fn, _ = _REG["minhash_neardup"]
+    df = _to_pandas(fn(SF_DIR))
+    planted = df[(df["doc_b"] - df["doc_a"]) == 1_000_000]
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(os.path.join(SF_DIR, "documents.parquet")).num_rows
+    # long word-salad docs lose one word -> jaccard stays >= 0.5
+    assert len(planted) > 0.8 * n_docs
+    assert (df["sim"] >= 0.5).all()
+
+
+def test_simhash_close_to_perturbed(ray_session):
+    fn, _ = _REG["simhash"]
+    df = _to_pandas(fn(SF_DIR))
+    assert (df["hamming_to_perturbed"] <= 16).mean() > 0.9
+
+
+def test_hll_within_tolerance(ray_session):
+    fn, _ = _REG["hll_distinct"]
+    est = float(_to_pandas(fn(SF_DIR))["approx_distinct_customers"].iloc[0])
+    exact = _duck(SF_DIR).execute(
+        "SELECT COUNT(DISTINCT o_custkey) FROM orders"
+    ).fetchone()[0]
+    assert abs(est - exact) / exact < 0.05, (est, exact)
