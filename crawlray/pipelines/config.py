@@ -25,6 +25,15 @@ class CrawlConfig:
     parse_batch_size: int = 512
     fetch_concurrency: tuple = (2, 8)
     parse_concurrency: tuple = (2, 8)
+    # per-stage CPU reservations: fractional so the FOUR actor pools of
+    # the single wave pipeline (fetch, parse+sink, novelty, seq) can all
+    # hold their minimum actor alongside read/shuffle TASKS even on a
+    # 4-CPU node — integer minimums pin every core and the streaming
+    # executor deadlocks (nothing left for the read stage).
+    fetch_num_cpus: float = 0.5
+    parse_num_cpus: float = 1.0
+    novelty_num_cpus: float = 0.25
+    seq_num_cpus: float = 0.5
     # io
     transport: dict = field(default_factory=dict)  # see sources.transport.make_transport
 

@@ -1,36 +1,44 @@
-"""The crawl engine: BFS wave loop over Ray Data pipelines (SURVEY §3.2).
+"""The crawl engine: BFS wave loop, ONE streaming Ray Data pipeline per
+wave (SURVEY §3.2):
 
-Per wave k (every arrow a streaming Ray Data stage over Arrow blocks):
-
-  frontier_k (parquet)
-   → groupby(part).map_groups(HostScheduler)      politeness, actor pool
-   → repartition(n_exec_blocks)                   hot-host skew splitting:
-        the hot host's partition arrives as ONE group block; re-splitting
-        spreads its fetch+parse work across the whole pool while
-        scheduled_ms (already assigned per host) keeps politeness intact
+  frontier_k (parquet; rows already in per-part fetch order with
+              scheduled_ms stamped by the previous wave's SeqAssigner)
+   [→ repartition(n_exec)]                        ONLY when a hot host was
+                                                  detected in this frontier
+                                                  (A6 skew splitting): spread
+                                                  the hot part's block across
+                                                  the fetch/parse pool
    → map_batches(Fetcher)                         actor pool, transport state
-   → map_batches(PageParser)                      actor pool, drops bodies
-   → write pages/wave=k (parquet checkpoint)      THE fork point: docs sink
-                                                  and discovery both re-read
-                                                  it column-pruned — no
-                                                  double execution, stream
-                                                  never materializes in RAM
-  pages/wave=k (links columns only)
-   → map_batches(explode_links)                   vectorized candidate rows
-   → map_batches(partial dedup)                   per-block combiner
-   → groupby(url_hash).aggregate(Min...)          SHUFFLE: intra-wave dedup,
-                                                  packed-srckey argmin
-   → map_batches(filter_new)                      cuckoo seen shards (A1)
-   → map_batches(PolicyFilter)                    robots/depth/crawlable
-   → groupby(part).map_groups(SeqAssigner)        SHUFFLE: host-hash parts,
-                                                  page-cap budget + seq rank
+   → map_batches(ParseAndSink)                    actor pool: parse, side-
+                                                  write pages/wave=k fragment
+                                                  per batch, forward ONLY the
+                                                  (part, seq, depth, links)
+                                                  discovery projection
+   → map_batches(explode + partial dedup)         vectorized candidates, per-
+                                                  block combiner
+   → groupby(part).map_groups(PartFrontierBuilder) THE wave's one shuffle
+                                                  (host-hash): min-srckey
+                                                  dedup + cuckoo novelty (A1)
+                                                  + robots/depth policy +
+                                                  page-cap budget + seq rank +
+                                                  politeness clock for k+1
+                                                  (url_hash dedup needs no
+                                                  shuffle of its own: a URL's
+                                                  part is a function of its
+                                                  host, so all copies of a
+                                                  url_hash meet in one group)
    → write frontier/wave=k+1
   commit: seen snapshots, budgets, metrics, manifest.json (atomic rename)
 
-Only hashes and short strings ever shuffle; bodies live between Fetcher
-and PageParser inside one streaming segment. Resume = restore shards +
-budgets from the last committed manifest and re-enter at wave k+1
-(wave-scoped sink dirs make replay idempotent).
+The fork the Dataset API can't express (pages sink AND discovery from
+one parse pass) is a per-batch side-effect write inside ParseAndSink —
+wave-granular idempotence, no re-read, no double execution. Only hashes
+and short strings ever shuffle; bodies live only between Fetcher and
+ParseAndSink inside one streaming segment. Scheduling politeness at
+frontier-write time (SeqAssigner) removes the wave-start groupby(part)
+sort the naive design needs. Resume = restore shards + budgets from the
+last committed manifest and re-enter at wave k+1 (wave-scoped sink dirs
+make replay idempotent).
 """
 
 from __future__ import annotations
@@ -44,15 +52,13 @@ import numpy as np
 import pyarrow as pa
 import ray
 import ray.data as rd
-from ray.data.aggregate import Min
 
 from ..sources import lance_compat
 from ..stages.fetch import Fetcher
-from ..stages.frontier import SeqAssigner, admit_seeds, explode_links, policy_filter
-from ..stages.parse import PageParser
-from ..stages.schedule import HostScheduler
+from ..stages.frontier import PartFrontierBuilder, admit_seeds, explode_links
+from ..stages.parse import ParseAndSink
 from ..state.robots import RobotsPolicy
-from ..state.seen import filter_new, make_shards
+from ..state.seen import make_shards
 from .config import CrawlConfig
 
 _DEDUP_COLS = ["srckey64", "url_canon", "host", "host_hash", "part"]
@@ -66,15 +72,6 @@ def _partial_dedup(t: pa.Table) -> pa.Table:
     return g.rename_columns(["url_hash"] + _DEDUP_COLS)
 
 
-class PolicyFilter:
-    """Actor-pool wrapper for policy_filter with broadcast robots."""
-
-    def __init__(self, robots_ref, max_depth: int):
-        self._robots = ray.get(robots_ref)
-        self._max_depth = max_depth
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        return policy_filter(batch, self._robots, self._max_depth)
 
 
 class CrawlRun:
@@ -86,6 +83,7 @@ class CrawlRun:
         self.budgets: dict[str, int] = {}
         self.shards = None
         self.metrics: list[dict] = []
+        self.hot_hosts: set[str] = set()
 
     # ---------------------------------------------------------- paths
     def _p(self, *parts) -> str:
@@ -130,6 +128,22 @@ class CrawlRun:
                 for d in os.listdir(base):
                     if d.startswith("wave=") and int(d.split("=")[1]) > keep:
                         shutil.rmtree(os.path.join(base, d))
+        # re-derive hot-host detection for the wave we are about to run
+        import pyarrow.compute as pc_
+        import pyarrow.parquet as pq
+
+        ndir = self._p("frontier", f"wave={last + 1}")
+        self.hot_hosts = set()
+        if os.path.isdir(ndir):
+            frags = [f for f in os.listdir(ndir) if f.endswith(".parquet")]
+            if frags:
+                hosts = pa.concat_tables([
+                    pq.read_table(os.path.join(ndir, f), columns=["host"])
+                    for f in frags
+                ])["host"]
+                for rec in pc_.value_counts(hosts.combine_chunks()).to_pylist():
+                    if int(rec["counts"]) >= self.cfg.hot_host_threshold:
+                        self.hot_hosts.add(rec["values"])
         return last + 1
 
     def _commit(self, wave: int) -> None:
@@ -178,33 +192,78 @@ class CrawlRun:
             return {"wave": wave, "frontier": 0}
 
         t0 = time.time()
+        budget_ref = ray.put(dict(self.budgets))
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
         ds = rd.read_parquet(fdir)
-        sched = ds.groupby("part").map_groups(
-            HostScheduler,
-            batch_format="pandas",
-            fn_constructor_kwargs={"robots_ref": self.robots_ref},
-            concurrency=(1, max(2, cfg.n_parts)),
-        )
-        # hot-host skew splitting: break the per-part group blocks back
-        # into evenly sized execution blocks for the fetch/parse pools
-        n_exec = int(min(max(2 * cfg.n_parts, n_front // cfg.fetch_batch_size), 512))
-        sched = sched.repartition(max(n_exec, 1))
-        fetched = sched.map_batches(
+        if self.hot_hosts:
+            # A6 hot-host skew splitting: one part file carries a dominant
+            # host; re-split into even blocks so its fetch+parse work
+            # spreads across the whole pool (politeness stays intact —
+            # scheduled_ms was assigned per host at frontier-write time).
+            # Block count is capped at 4×CPUs: block count is also the
+            # downstream shuffle width, and B blocks × B partitions tiny
+            # objects dominate the aggregate at B≫cores.
+            n_exec = int(min(max(2 * cfg.n_parts, n_front // cfg.fetch_batch_size),
+                             4 * ncpu))
+            ds = ds.repartition(max(n_exec, 1))
+        # pool minimums scaled to the wave: a 64-row wave 0 must not pay
+        # a 32-actor spin-up, while a 300k-row wave must not ramp 1→32
+        waverows = max(1, n_front // (2 * cfg.fetch_batch_size))
+        fconc = (max(1, min(cfg.fetch_concurrency[0], waverows)),
+                 cfg.fetch_concurrency[1])
+        pconc = (max(1, min(cfg.parse_concurrency[0], waverows)),
+                 cfg.parse_concurrency[1])
+        # batch sizes scaled likewise: a small wave of heavy pages must
+        # split into per-page batches or one task serializes the wave
+        fbs = max(1, min(cfg.fetch_batch_size, n_front // (2 * fconc[1])))
+        pbs = max(1, min(cfg.parse_batch_size, n_front // (2 * pconc[1])))
+        fetched = ds.map_batches(
             Fetcher,
             batch_format="pyarrow",
             zero_copy_batch=True,
-            batch_size=cfg.fetch_batch_size,
-            concurrency=cfg.fetch_concurrency,
+            batch_size=fbs,
+            concurrency=fconc,
+            num_cpus=cfg.fetch_num_cpus,
             fn_constructor_kwargs={"transport_spec": cfg.transport},
         )
-        parsed = fetched.map_batches(
-            PageParser,
+        sunk = fetched.map_batches(
+            ParseAndSink,
             batch_format="pyarrow",
             zero_copy_batch=True,
-            batch_size=cfg.parse_batch_size,
-            concurrency=cfg.parse_concurrency,
+            batch_size=pbs,
+            concurrency=pconc,
+            num_cpus=cfg.parse_num_cpus,
+            fn_constructor_kwargs={"pages_dir": pages_dir},
         )
-        parsed.write_parquet(pages_dir)
+        # large batch_size coalesces the parse stream into few big blocks:
+        # (a) the per-block dedup combiner sees more duplicates, (b) the
+        # downstream sort shuffle's intermediate-object count is
+        # B_in × n_parts — tiny B_in keeps its scheduling tail flat
+        cands = sunk.map_batches(
+            lambda b: _partial_dedup(explode_links(b, cfg.n_parts)),
+            batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=32768,
+        )
+        seqed = cands.groupby("part").map_groups(
+            PartFrontierBuilder,
+            batch_format="pandas",
+            fn_constructor_kwargs={"shards": self.shards,
+                                   "robots_ref": self.robots_ref,
+                                   "budget_ref": budget_ref,
+                                   "cap": cfg.max_pages_per_host,
+                                   "wave": wave + 1,
+                                   "max_depth": cfg.max_depth},
+            concurrency=(1, max(2, cfg.n_parts)),
+            num_cpus=cfg.seq_num_cpus,
+        )
+        next_dir = self._p("frontier", f"wave={wave + 1}")
+        seqed.write_parquet(next_dir)
+        if os.environ.get("CRAWLRAY_STATS"):
+            sdir = self._p("stats")
+            os.makedirs(sdir, exist_ok=True)
+            with open(os.path.join(sdir, f"wave={wave}.txt"), "w") as f:
+                f.write(seqed.stats())
+
         lance_compat.finalize_fragment_dir(
             pages_dir,
             note="pages wave partition; docs view = status==200 rows, "
@@ -216,58 +275,30 @@ class CrawlRun:
             pq.read_metadata(os.path.join(pages_dir, f)).num_rows
             for f in os.listdir(pages_dir)
             if f.endswith(".parquet")
-        )
-        self._metric(wave, "fetch+parse", n_front, n_pages,
+        ) if os.path.isdir(pages_dir) else 0
+        n_next = self._frontier_count(wave + 1)
+        self._metric(wave, "wave_pipeline", n_front, n_pages,
                      (time.time() - t0) * 1000, refs=fdir)
 
-        # ---- frontier build for wave k+1 --------------------------------
-        t1 = time.time()
-        budget_ref = ray.put(dict(self.budgets))
-        shards = self.shards
-        pages = rd.read_parquet(pages_dir, columns=["part", "seq", "depth", "links"])
-        cands = pages.map_batches(
-            lambda b: explode_links(b, cfg.n_parts),
-            batch_format="pyarrow", zero_copy_batch=True,
-        )
-        cands = cands.map_batches(_partial_dedup, batch_format="pyarrow",
-                                  zero_copy_batch=True)
-        winners = cands.groupby("url_hash").aggregate(
-            *[Min(c, alias_name=c) for c in _DEDUP_COLS]
-        )
-        fresh = winners.map_batches(
-            lambda b: filter_new(b, shards), batch_format="pyarrow"
-        )
-        admitted = fresh.map_batches(
-            PolicyFilter,
-            batch_format="pyarrow",
-            concurrency=(1, 4),
-            fn_constructor_kwargs={"robots_ref": self.robots_ref,
-                                   "max_depth": cfg.max_depth},
-        )
-        seqed = admitted.groupby("part").map_groups(
-            SeqAssigner,
-            batch_format="pandas",
-            fn_constructor_kwargs={"budget_ref": budget_ref,
-                                   "cap": cfg.max_pages_per_host,
-                                   "wave": wave + 1},
-            concurrency=(1, max(2, cfg.n_parts)),
-        )
-        next_dir = self._p("frontier", f"wave={wave + 1}")
-        seqed.write_parquet(next_dir)
-        n_next = self._frontier_count(wave + 1)
-        self._metric(wave, "frontier_build", n_pages, n_next,
-                     (time.time() - t1) * 1000, refs=pages_dir)
-
-        # budgets += admitted counts per host (small driver-side agg)
+        # budgets += admitted counts per host; hot-host detection for the
+        # next wave's skew split. The admitted frontier is tiny relative
+        # to the wave (hashes + short strings), so a column-pruned local
+        # read beats a Ray pipeline here; at multi-node scale this same
+        # fold is a Dataset groupby feeding A6.
+        self.hot_hosts = set()
         if n_next:
-            stats = (
-                rd.read_parquet(next_dir, columns=["host"])
-                .groupby("host")
-                .count()
-                .take_all()
-            )
-            for r in stats:
-                self.budgets[r["host"]] = self.budgets.get(r["host"], 0) + int(r["count()"])
+            import pyarrow.compute as pc_
+
+            hosts = pa.concat_tables([
+                pq.read_table(os.path.join(next_dir, f), columns=["host"])
+                for f in os.listdir(next_dir) if f.endswith(".parquet")
+            ])["host"]
+            vc = pc_.value_counts(hosts.combine_chunks())
+            for rec in vc.to_pylist():
+                h, c = rec["values"], int(rec["counts"])
+                self.budgets[h] = self.budgets.get(h, 0) + c
+                if c >= cfg.hot_host_threshold:
+                    self.hot_hosts.add(h)
         self._commit(wave)
         return {"wave": wave, "frontier": n_front, "pages": n_pages, "next": n_next}
 
@@ -289,7 +320,15 @@ def run_crawl(
     cfg: CrawlConfig,
     resume: bool = False,
 ) -> dict:
-    """Entry point B/C (SURVEY §3.2/§3.3). Returns a run summary."""
+    """Entry point B/C (SURVEY §3.2/§3.3). Returns a run summary.
+
+    Shuffle strategy note: Ray 2.49's HASH_SHUFFLE would be the natural
+    fit for the host-hash groupby (n_parts-wide fan-out, streaming
+    aggregators), but its aggregator ``finalize`` crashes on empty
+    partitions (schema-less block → ``sort_by('part')`` ArrowInvalid),
+    which small waves hit constantly. We stay on the sort shuffle and
+    instead bound its B×B intermediate-object count by coalescing the
+    candidate stream into few, large blocks before the groupby."""
     robots = RobotsPolicy.from_arrow(robots_table, cfg.default_delay_ms)
     run = CrawlRun(run_dir, cfg, robots)
     if resume and os.path.exists(run._manifest_path()):

@@ -51,11 +51,19 @@ def page_path(i: int) -> str:
     return f"/sectie/{i % 5}/artikel-{i}"
 
 
-def _page_html(seed: int, k: int, i: int, n_hosts: int, n_pages: int) -> bytes:
-    """Pseudo-article: 2–8 paragraphs, interleaved media, tree links
-    2i+1 / 2i+2 (same host), duplicate + tracking-param + relative link
-    variants, ~10% cross-host edges, a denied link, a 404 link, a binary
-    decoy link."""
+def _page_html(
+    seed: int,
+    k: int,
+    i: int,
+    n_hosts: int,
+    n_pages: int,
+    fanout: int = 2,
+    heft: int = 1,
+) -> bytes:
+    """Pseudo-article: 2–8 paragraphs (×``heft``), interleaved media, tree
+    links fanout*i+1 .. fanout*i+fanout (same host; fanout=2 → binary
+    tree), duplicate + tracking-param + relative link variants, ~10%
+    cross-host edges, a denied link, a 404 link, a binary decoy link."""
     r = _rand(seed, k, i)
     host = host_name(k)
     parts = [f"<html><head><title>Artikel {i} — {host}</title>"]
@@ -66,7 +74,7 @@ def _page_html(seed: int, k: int, i: int, n_hosts: int, n_pages: int) -> bytes:
     parts.append("</head><body>")
     n_paras = 2 + next(r) % 7
     links: list[str] = []
-    for c in (2 * i + 1, 2 * i + 2):
+    for c in range(fanout * i + 1, fanout * i + fanout + 1):
         if c < n_pages:
             links.append(page_path(c))
     if links:
@@ -85,7 +93,9 @@ def _page_html(seed: int, k: int, i: int, n_hosts: int, n_pages: int) -> bytes:
         links.append("/media/foto-%d.jpg" % i)        # binary decoy (M2 filter)
     li = 0
     for p in range(n_paras):
-        words = " ".join(_WORDS[next(r) % len(_WORDS)] for _ in range(8 + next(r) % 18))
+        words = " ".join(
+            _WORDS[next(r) % len(_WORDS)] for _ in range(heft * (8 + next(r) % 18))
+        )
         inline = ""
         if li < len(links) and next(r) % 2:
             inline = f' <a href="{links[li]}">lees verder</a>'
@@ -103,15 +113,10 @@ def _page_html(seed: int, k: int, i: int, n_hosts: int, n_pages: int) -> bytes:
     return "\n".join(parts).encode("utf-8")
 
 
-def make_web(
-    n_hosts: int = 10,
-    pages_per_host: int = 30,
-    seed: int = 42,
-    hot_host: int = 0,
-    hot_factor: int = 20,
-):
-    """Returns (seeds, robots, pages) pyarrow Tables (schemas.SEEDS/ROBOTS/
-    PAGES). Host ``hot_host`` gets ``hot_factor``× the pages of the rest."""
+def make_meta(n_hosts: int):
+    """(seeds, robots) tables for an ``n_hosts`` mini-web — shared by the
+    materialized (make_web/SimTransport) and implicit (SynthTransport)
+    fixtures so both describe the same web."""
     seeds = pa.Table.from_pydict(
         {
             "url": [f"https://{host_name(k)}/" for k in range(n_hosts)],
@@ -128,6 +133,70 @@ def make_web(
         },
         schema=ROBOTS.remove(ROBOTS.get_field_index("fetched_ok")),
     )
+    return seeds, robots
+
+
+def synth_page(spec: dict, url: str):
+    """O(1)-memory implicit web: regenerate the page a URL denotes, or a
+    404 — byte-identical to the ``make_web`` row for the same parameters
+    (property-tested in tests/test_crawl_parity.py). This is what lets
+    the benchmark simulate a web far larger than RAM: no pages table is
+    materialized anywhere; fetch actors carry only this spec dict."""
+    miss = (404, "text/html", b"", 5.0)
+    if not url.startswith("https://news-"):
+        return miss
+    rest = url[len("https://"):]
+    slash = rest.find("/")
+    if slash < 0:
+        return miss
+    host, path = rest[:slash], rest[slash:]
+    try:
+        k = int(host[len("news-"):-len(".nl")])
+    except ValueError:
+        return miss
+    n_hosts = spec["n_hosts"]
+    if not (0 <= k < n_hosts) or host != host_name(k):
+        return miss
+    if path == "/":
+        i = 0
+    else:
+        parts = path.split("/")
+        if len(parts) != 4 or parts[1] != "sectie" or not parts[3].startswith("artikel-"):
+            return miss
+        try:
+            i = int(parts[3][len("artikel-"):])
+        except ValueError:
+            return miss
+        if i == 0 or page_path(i) != path:
+            return miss
+    n_pages = spec["pages_per_host"] * (
+        spec.get("hot_factor", 1) if k == spec.get("hot_host", 0) else 1
+    )
+    if i >= n_pages:
+        return miss
+    seed = spec.get("seed", 42)
+    html = _page_html(
+        seed, k, i, n_hosts, n_pages,
+        spec.get("fanout", 2), spec.get("heft", 1),
+    )
+    lat = float(20 + (next(_rand(seed, k, i, 7)) % 80))
+    return (200, "text/html", html, lat)
+
+
+def make_web(
+    n_hosts: int = 10,
+    pages_per_host: int = 30,
+    seed: int = 42,
+    hot_host: int = 0,
+    hot_factor: int = 20,
+    fanout: int = 2,
+    heft: int = 1,
+):
+    """Returns (seeds, robots, pages) pyarrow Tables (schemas.SEEDS/ROBOTS/
+    PAGES). Host ``hot_host`` gets ``hot_factor``× the pages of the rest.
+    ``fanout`` controls the link-tree branching (wave width vs depth);
+    ``heft`` scales page size (parse work per page)."""
+    seeds, robots = make_meta(n_hosts)
     urls, hosts, statuses, ctypes, htmls, lats = [], [], [], [], [], []
     for k in range(n_hosts):
         n_pages = pages_per_host * (hot_factor if k == hot_host else 1)
@@ -137,7 +206,7 @@ def make_web(
             hosts.append(host)
             statuses.append(200)
             ctypes.append("text/html")
-            htmls.append(_page_html(seed, k, i, n_hosts, n_pages))
+            htmls.append(_page_html(seed, k, i, n_hosts, n_pages, fanout, heft))
             lats.append(float(20 + (next(_rand(seed, k, i, 7)) % 80)))
     pages = pa.Table.from_pydict(
         {

@@ -44,6 +44,25 @@ class SimTransport:
         return [idx.get(u, miss) for u in urls]
 
 
+class SynthTransport:
+    """Implicit deterministic web (miniweb.synth_page): pages are
+    regenerated from the URL on demand — O(1) actor memory, so the
+    simulated web can be arbitrarily larger than RAM. This is the
+    10^10-frontier-scale benchmark transport; SimTransport (materialized
+    table) remains the oracle-parity fixture."""
+
+    def __init__(self, spec: dict):
+        from .miniweb import synth_page
+
+        self._spec = dict(spec)
+        self._page = synth_page
+
+    def fetch_many(self, urls: list[str]):
+        spec = self._spec
+        page = self._page
+        return [page(spec, u) for u in urls]
+
+
 class HttpTransport:
     """Real-web transport: one ``requests.Session`` per actor (connection
     reuse), UA + timeout config. NOT exercised in this sandbox (no
@@ -79,6 +98,8 @@ def make_transport(spec: dict):
     kind = spec.get("kind", "sim")
     if kind == "sim":
         return SimTransport(spec["pages_path"])
+    if kind == "synth":
+        return SynthTransport(spec)
     if kind == "http":
         return HttpTransport(
             user_agent=spec.get("user_agent", "crawlray/0.1"),

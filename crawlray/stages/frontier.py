@@ -108,13 +108,29 @@ def policy_filter(batch: pa.Table, robots, max_depth: int) -> pa.Table:
 
 class SeqAssigner:
     """Per-part actor-pool stage (groupby("part").map_groups): applies the
-    per-host page-cap budget in srckey order and assigns the
-    deterministic ``seq`` rank — the parity-critical ordering key."""
+    per-host page-cap budget in srckey order, assigns the deterministic
+    ``seq`` rank — the parity-critical ordering key — and stamps the
+    politeness virtual clock (``scheduled_ms``): a host's j-th fetch of
+    the wave is scheduled at j × crawl_delay(host).
 
-    def __init__(self, budget_ref, cap: int, wave: int):
+    Scheduling at frontier-WRITE time (here) instead of wave start means
+    the next wave needs no extra groupby("part") sort before fetching —
+    one all-to-all saved per wave. Output rows are emitted in the
+    partition's fetch order (scheduled_ms, host, seq)."""
+
+    def __init__(self, budget_ref, cap: int, wave: int, robots_ref=None):
         self._prior: dict[str, int] = ray.get(budget_ref) if budget_ref is not None else {}
         self._cap = cap
         self._wave = wave
+        self._robots = ray.get(robots_ref) if robots_ref is not None else None
+        self._delay_cache: dict[str, int] = {}
+
+    def _delay(self, host: str) -> int:
+        d = self._delay_cache.get(host)
+        if d is None:
+            d = self._robots.crawl_delay_ms(host)
+            self._delay_cache[host] = d
+        return d
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values("srckey64", kind="mergesort", ignore_index=True)
@@ -124,7 +140,87 @@ class SeqAssigner:
         df["depth"] = unpack_depth(df["srckey64"].to_numpy()).astype(np.int64)
         df["seq"] = np.arange(len(df), dtype=np.int64)
         df["wave"] = np.int64(self._wave)
+        if self._robots is not None:
+            j = df.groupby("host", sort=False).cumcount()
+            delays = df["host"].map(self._delay)
+            df["scheduled_ms"] = (j * delays).astype(np.float64)
+            df = df.sort_values(
+                ["scheduled_ms", "host", "seq"], kind="mergesort", ignore_index=True
+            )
         return df
+
+
+class PartFrontierBuilder:
+    """The whole frontier build for one part group, in the engine's ONE
+    per-wave shuffle (``groupby("part").map_groups`` — the mandated
+    host-hash exchange): min-srckey intra-wave dedup → cuckoo-shard
+    novelty → policy gate → per-host page-cap budget → deterministic
+    ``seq`` rank → politeness virtual clock.
+
+    Fusing all six steps into the part group is correct because
+    ``part = host_hash % P`` and a URL's host is a pure function of the
+    URL: every candidate row for a given url_hash lands in the same part
+    group, so the group sees the full dedup/novelty picture for its URLs.
+    (The naive design pays a second groupby(url_hash) all-to-all for the
+    dedup — redundant given the key dependency.) Novelty stays
+    deterministic: each url_hash is offered to its seen shard exactly
+    once per wave, from exactly one group."""
+
+    def __init__(self, shards, robots_ref, budget_ref, cap: int, wave: int,
+                 max_depth: int):
+        from ..state.seen import novelty_mask
+
+        self._novelty = novelty_mask
+        self._shards = shards
+        self._robots = ray.get(robots_ref)
+        self._prior: dict[str, int] = ray.get(budget_ref) if budget_ref is not None else {}
+        self._cap = cap
+        self._wave = wave
+        self._max_depth = max_depth
+        self._delay_cache: dict[str, int] = {}
+
+    def _delay(self, host: str) -> int:
+        d = self._delay_cache.get(host)
+        if d is None:
+            d = self._robots.crawl_delay_ms(host)
+            self._delay_cache[host] = d
+        return d
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        # 1. intra-wave dedup: min srckey64 wins (sorted → keep first)
+        df = df.sort_values("srckey64", kind="mergesort", ignore_index=True)
+        df = df.drop_duplicates("url_hash", keep="first", ignore_index=True)
+        # 2. cross-wave novelty: offer the wave-unique hashes to the
+        #    cuckoo shards (admission-time seen semantics, oracle parity)
+        mask = self._novelty(self._shards, df["url_hash"].to_numpy().astype(np.int64))
+        df = df[mask].reset_index(drop=True)
+        # 3. policy gate (same predicates as policy_filter)
+        depth = unpack_depth(df["srckey64"].to_numpy())
+        ok = depth <= self._max_depth
+        ok &= ~df["url_canon"].str.contains(
+            _BINARY_EXT.pattern, case=False, regex=True
+        ).to_numpy(dtype=bool, na_value=False)
+        ok &= (df["url_canon"].str.len() <= 2048).to_numpy(dtype=bool, na_value=False)
+        ok &= np.asarray(self._robots.allowed_many(df["url_canon"].tolist()),
+                         dtype=bool)
+        df = df[ok].reset_index(drop=True)
+        # 4. per-host page-cap budget, consumed in srckey order
+        within = df.groupby("host", sort=False).cumcount()
+        prior = df["host"].map(self._prior).fillna(0).astype(np.int64)
+        df = df[(within + prior) < self._cap].reset_index(drop=True)
+        # 5. deterministic seq rank + wave stamp
+        df = df.assign(
+            depth=unpack_depth(df["srckey64"].to_numpy()).astype(np.int64),
+            seq=np.arange(len(df), dtype=np.int64),
+            wave=np.full(len(df), self._wave, dtype=np.int64),
+        )
+        # 6. politeness virtual clock; emit in the part's fetch order
+        j = df.groupby("host", sort=False).cumcount()
+        delays = df["host"].map(self._delay)
+        df["scheduled_ms"] = (j * delays).astype(np.float64)
+        return df.sort_values(
+            ["scheduled_ms", "host", "seq"], kind="mergesort", ignore_index=True
+        )
 
 
 def admit_seeds(seed_urls: list[str], robots, shards, cfg: CrawlConfig) -> pa.Table:
@@ -166,13 +262,16 @@ def admit_seeds(seed_urls: list[str], robots, shards, cfg: CrawlConfig) -> pa.Ta
     for r in rows:
         if cap_in_host.get(r["host"], 0) >= cfg.max_pages_per_host:
             continue
-        cap_in_host[r["host"]] = cap_in_host.get(r["host"], 0) + 1
+        j = cap_in_host.get(r["host"], 0)
+        cap_in_host[r["host"]] = j + 1
         r["seq"] = seq_in_part.get(r["part"], 0)
         seq_in_part[r["part"]] = r["seq"] + 1
         r["depth"] = 0
         r["wave"] = 0
+        r["scheduled_ms"] = float(j * robots.crawl_delay_ms(r["host"]))
         out.append(r)
     if not out:
         return None
+    out.sort(key=lambda r: (r["part"], r["scheduled_ms"], r["host"], r["seq"]))
     df = pd.DataFrame(out)
     return pa.Table.from_pandas(df, preserve_index=False)

@@ -14,7 +14,11 @@ DROPPED here — it never flows further.
 
 from __future__ import annotations
 
+import os
+import uuid
+
 import pyarrow as pa
+import pyarrow.parquet as pq
 
 from ..functions.canon import canonicalize
 from ..functions.htmlx import parse_html
@@ -61,3 +65,32 @@ class PageParser:
         out = out.append_column("spans", spans_to_arrow(all_spans))
         out = out.append_column("links", pa.array(all_links, type=pa.list_(pa.string())))
         return out
+
+
+class ParseAndSink:
+    """Parse stage fused with the pages sink: each parsed batch is
+    appended to the wave's pages directory as its own fragment file, and
+    only the tiny discovery projection (part, seq, depth, links) flows on
+    to the dedup shuffle.
+
+    This collapses the naive two-pipeline wave (fetch→parse→write, then
+    re-read→discover) into ONE streaming pipeline — the fork the Dataset
+    API can't express becomes a per-batch side-effect write. Fragment
+    names are unique per (actor, batch); idempotence is wave-granular:
+    resume discards uncommitted wave dirs before replay, so duplicated
+    fragments from a mid-wave task retry never survive a restart. The
+    driver stamps the lance-compat manifest after the wave completes."""
+
+    def __init__(self, pages_dir: str):
+        os.makedirs(pages_dir, exist_ok=True)
+        self._dir = pages_dir
+        self._parse = PageParser()
+        self._tag = uuid.uuid4().hex[:12]
+        self._n = 0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        parsed = self._parse(batch)
+        frag = os.path.join(self._dir, f"frag-{self._tag}-{self._n:05d}.parquet")
+        self._n += 1
+        pq.write_table(parsed, frag)
+        return parsed.select(["part", "seq", "depth", "links"])

@@ -1,6 +1,14 @@
 """A2: per-host politeness scheduling — stateful actor-pool stage run as
 ``groupby("part").map_groups(HostScheduler, ...)``.
 
+NOTE: the default wave pipeline no longer runs this stage — the same
+virtual clock is stamped at frontier-WRITE time by SeqAssigner
+(stages/frontier.py), saving one groupby(part) all-to-all per wave.
+HostScheduler remains the wave-START scheduling path for transports
+where politeness must reflect *measured* fetch times (real HTTP): there
+the previous wave's clock can drift, so it is recomputed here before
+fetching.
+
 Each group is one frontier partition (hosts never straddle partitions:
 part = host_hash % P), so an actor sees every URL of its hosts for the
 wave. Politeness is a per-wave virtual clock: a host's j-th fetch (in

@@ -49,4 +49,6 @@ class RobotsPolicy:
 
     @classmethod
     def from_arrow(cls, robots_table, default_delay_ms: int = 1000) -> "RobotsPolicy":
-        return cls(robots_table.to_pylist(), default_delay_ms=default_delay_ms)
+        """None → empty policy (every URL allowed, default delay)."""
+        rows = robots_table.to_pylist() if robots_table is not None else []
+        return cls(rows, default_delay_ms=default_delay_ms)
