@@ -21,9 +21,14 @@ _MERSENNE61 = (1 << 61) - 1
 
 
 def _perm_params(n_perm: int, seed: int = 42):
-    """Deterministic (a, b) pairs for universal hashing mod 2^61-1."""
+    """Deterministic (a, b) pairs for wrapping multiply-shift mixing
+    (a forced odd → bijective over Z/2^64). MinHash needs a family of
+    deterministic pseudo-permutations, not true universal hashes; the
+    wrapping form avoids 64-bit modulo, which has no SIMD path and
+    dominates signature cost at corpus scale."""
     rng = np.random.default_rng(seed)
     a = rng.integers(1, _MERSENNE61, size=n_perm, dtype=np.int64).astype(np.uint64)
+    a |= np.uint64(1)
     b = rng.integers(0, _MERSENNE61, size=n_perm, dtype=np.int64).astype(np.uint64)
     return a, b
 
@@ -39,10 +44,11 @@ def shingles(text: str, k: int = 3) -> list[str]:
 def minhash_signature(texts: list[str], n_perm: int = 64, k: int = 3,
                       seed: int = 42) -> np.ndarray:
     """(n_docs, n_perm) uint64 MinHash signatures, batch-vectorized: one
-    murmur3 pass over all shingles, then (a*h+b) mod M minimized per doc
-    per permutation."""
+    murmur3 pass over all shingles, then wrapping (a*h+b) minimized per
+    doc per permutation (empty doc → all-ones sentinel)."""
     a, b = _perm_params(n_perm, seed)
-    sigs = np.full((len(texts), n_perm), np.uint64(_MERSENNE61), dtype=np.uint64)
+    sigs = np.full((len(texts), n_perm), np.uint64(0xFFFFFFFFFFFFFFFF),
+                   dtype=np.uint64)
     all_sh: list[str] = []
     bounds = [0]
     for t in texts:
@@ -51,16 +57,22 @@ def minhash_signature(texts: list[str], n_perm: int = 64, k: int = 3,
         bounds.append(len(all_sh))
     if not all_sh:
         return sigs
-    h = hash64_batch(all_sh) % np.uint64(_MERSENNE61)  # (n_shingles,)
+    import pyarrow as pa
+
+    # pa.array first: C-speed UTF-8 packing vs per-string Python encode
+    h = hash64_batch(pa.array(all_sh, type=pa.string()))  # (n_shingles,)
+    starts = np.asarray(bounds[:-1], dtype=np.int64)
+    ends = np.asarray(bounds[1:], dtype=np.int64)
+    nonempty = np.where(ends > starts)[0]
+    if not len(nonempty):
+        return sigs
     with np.errstate(over="ignore"):
-        for i in range(len(texts)):
-            lo, hi = bounds[i], bounds[i + 1]
-            if lo == hi:
-                continue
-            # (n_shingles_i, n_perm) — wrapping multiply is fine for min
-            # consistency as long as it is deterministic; take mod M
-            vals = (h[lo:hi, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE61)
-            sigs[i] = vals.min(axis=0)
+        # one (n_shingles, n_perm) pass + segment-min per doc — no
+        # per-doc Python loop. multiply.outer, NOT h[:,None]*a[None,:]:
+        # the stride-0 broadcast takes numpy's slow inner loop (~40×).
+        vals = np.multiply.outer(h, a)
+        vals += b[None, :]
+        sigs[nonempty] = np.minimum.reduceat(vals, starts[nonempty], axis=0)
     return sigs
 
 
@@ -99,16 +111,21 @@ def simhash64(texts: list[str]) -> np.ndarray:
     out = np.zeros(len(texts), dtype=np.uint64)
     if not all_toks:
         return out.view(np.int64)
-    h = hash64_batch(all_toks)  # (n_tokens,)
-    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+    import pyarrow as pa
+
+    h = hash64_batch(pa.array(all_toks, type=pa.string()))  # (n_tokens,)
+    bits = (np.right_shift.outer(h, np.arange(64, dtype=np.uint64))
+            & np.uint64(1)).astype(np.int64)
     votes = bits * 2 - 1  # ±1 per bit
-    for i in range(len(texts)):
-        lo, hi = bounds[i], bounds[i + 1]
-        if lo == hi:
-            continue
-        v = votes[lo:hi].sum(axis=0)
-        bitsset = (v > 0).astype(np.uint64)
-        out[i] = np.bitwise_or.reduce(bitsset << np.arange(64, dtype=np.uint64))
+    starts = np.asarray(bounds[:-1], dtype=np.int64)
+    ends = np.asarray(bounds[1:], dtype=np.int64)
+    nonempty = np.where(ends > starts)[0]
+    if len(nonempty):
+        # segment-sum of votes per doc in one C pass, then bit-pack
+        v = np.add.reduceat(votes, starts[nonempty], axis=0)  # (n_docs', 64)
+        packed = ((v > 0).astype(np.uint64)
+                  << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1, dtype=np.uint64)
+        out[nonempty] = packed
     return out.view(np.int64)
 
 

@@ -145,9 +145,16 @@ SELECT lang, COUNT(DISTINCT text) AS n_unique FROM (
 def q_minhash_neardup(sf_dir: str):
     """D6 near-dup via MinHash+LSH (rows-only): documents ∪ perturbed
     copies (last word dropped, doc_id+10^6) → 64-perm signatures → 16
-    bands → groupby(band, hash) buckets → candidate pairs → exact
-    word-3-gram Jaccard ≥ 0.5 verification. Returns one row per verified
-    pair (a < b). Scale path: the only shuffle is the band groupby."""
+    bands → groupby(band, hash) buckets → candidate id-pairs → pair
+    dedup → exact word-3-gram Jaccard ≥ 0.5 verification. Returns one
+    row per verified pair (a < b).
+
+    Scale shape: the band shuffle moves ONLY (doc_id, band_id,
+    band_hash) — never text — and the expensive exact Jaccard runs once
+    per unique candidate pair, after the pair-dedup groupby. Here the
+    verification text map is broadcast via ray.put (small corpus); at
+    100 TB it becomes a hash join of the pair list against the docs
+    table on doc_id."""
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def perturb(b: pa.Table) -> pa.Table:
@@ -160,40 +167,59 @@ def q_minhash_neardup(sf_dir: str):
     both = ds.union(ds.map_batches(perturb, batch_format="pyarrow"))
 
     def bands(b: pa.Table) -> pa.Table:
-        texts = b["text"].to_pylist()
-        sig = minhash_signature(texts, n_perm=64, k=3)
+        sig = minhash_signature(b["text"].to_pylist(), n_perm=64, k=3)
         bh = lsh_bands(sig, n_bands=16)  # (n, 16)
         n, nb = bh.shape
         return pa.table({
             "doc_id": pa.array(np.repeat(b["doc_id"].to_numpy(zero_copy_only=False), nb)),
             "band_id": pa.array(np.tile(np.arange(nb, dtype=np.int64), n)),
             "band_hash": pa.array(bh.reshape(-1)),
-            "text": pa.array(np.repeat(np.asarray(texts, dtype=object), nb), type=pa.string()),
         })
 
     banded = both.map_batches(bands, batch_format="pyarrow")
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id", kind="mergesort")
-        ids = g["doc_id"].to_numpy()
-        texts = g["text"].to_numpy()
-        a_out, b_out, sim = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                s = jaccard(texts[i], texts[j], k=3)
-                if s >= 0.5:
-                    a_out.append(int(ids[i]))
-                    b_out.append(int(ids[j]))
-                    sim.append(round(s, 6))
-        return pd.DataFrame({"doc_a": a_out, "doc_b": b_out, "sim": sim})
+        ids = np.sort(g["doc_id"].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": np.array([], dtype=np.int64),
+                                 "doc_b": np.array([], dtype=np.int64)})
+        ai, bi = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": ids[ai], "doc_b": ids[bi]})
 
     cand = banded.groupby(["band_id", "band_hash"]).map_groups(
         pairs, batch_format="pandas"
     )
-    # same pair can surface from several bands — exact-dedup the pairs
-    return (
-        cand.groupby(["doc_a", "doc_b"])
-        .aggregate(Max("sim", alias_name="sim"))
+    # same pair surfaces from several bands — dedup before verification
+    uniq = cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
+
+    import pyarrow.parquet as pq_
+
+    docs_t = pq_.read_table(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id", "text"])
+    text_map = dict(zip(docs_t["doc_id"].to_pylist(), docs_t["text"].to_pylist()))
+    for i, t in list(text_map.items()):
+        text_map[i + 1_000_000] = " ".join(t.split()[:-1])
+    map_ref = ray.put(text_map)
+
+    class Verify:
+        def __init__(self, ref):
+            self._m = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            m = self._m
+            sims = [
+                round(jaccard(m[a], m[x], k=3), 6)
+                for a, x in zip(b["doc_a"].to_pylist(), b["doc_b"].to_pylist())
+            ]
+            out = pa.table({
+                "doc_a": b["doc_a"], "doc_b": b["doc_b"],
+                "sim": pa.array(sims, type=pa.float64()),
+            })
+            return out.filter(pc.greater_equal(out["sim"], pa.scalar(0.5)))
+
+    return uniq.map_batches(
+        Verify, batch_format="pyarrow", concurrency=(1, 4),
+        fn_constructor_kwargs={"ref": map_ref},
     )
 
 
@@ -552,6 +578,103 @@ def q_media_decode(sf_dir: str):
     )
 
 
+def q_sitemap_discovery(sf_dir: str):
+    """S3 sitemap reader, distributed: per source host, synthesize the
+    host's sitemap.xml from its documents (deterministic lastmod =
+    2024-01-01 + doc_id%365 days), parse it back through the
+    feeds.discover_batch stage, count discovered URLs + max lastmod per
+    sitemap. The oracle recomputes both directly from the table."""
+    from ..sources.feeds import discover_batch
+
+    ds = _docs(sf_dir, ["doc_id", "source"])
+
+    def build_sitemap(df: pd.DataFrame) -> pd.DataFrame:
+        src = df["source"].iloc[0]
+        rows = ["<?xml version='1.0'?>"
+                "<urlset xmlns='http://www.sitemaps.org/schemas/sitemap/0.9'>"]
+        for d in df["doc_id"]:
+            day = pd.Timestamp("2024-01-01") + pd.Timedelta(days=int(d) % 365)
+            rows.append(
+                f"<url><loc>https://{src}.nl/doc/{int(d)}</loc>"
+                f"<lastmod>{day.strftime('%Y-%m-%d')}</lastmod></url>"
+            )
+        rows.append("</urlset>")
+        return pd.DataFrame({
+            "url_canon": [f"https://{src}.nl/sitemap.xml"],
+            "content_type": ["application/xml"],
+            "body": ["".join(rows).encode()],
+        })
+
+    sitemaps = ds.groupby("source").map_groups(build_sitemap, batch_format="pandas")
+    found = sitemaps.map_batches(discover_batch, batch_format="pyarrow")
+
+    def fmt(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": b["src"],
+            "lastmod_s": pc.strftime(b["lastmod"], format="%Y-%m-%d"),
+        })
+
+    return (
+        found.map_batches(fmt, batch_format="pyarrow")
+        .groupby("src")
+        .aggregate(Count(alias_name="n_urls"), Max("lastmod_s", alias_name="max_lastmod"))
+    )
+
+
+SQL_SITEMAP_DISCOVERY = """
+SELECT 'https://' || source || '.nl/sitemap.xml' AS src,
+       COUNT(*) AS n_urls,
+       MAX(STRFTIME(DATE '2024-01-01' + (doc_id % 365) * INTERVAL 1 DAY,
+                    '%Y-%m-%d')) AS max_lastmod
+FROM documents GROUP BY source
+"""
+
+
+def q_feed_titles(sf_dir: str):
+    """S4 RSS reader, distributed: per source host, synthesize an RSS 2.0
+    feed for its docs with doc_id % 7 == 0, run it through
+    feeds.discover_batch, count items + min title per feed."""
+    from ..sources.feeds import discover_batch
+
+    ds = _docs(sf_dir, ["doc_id", "source"])
+
+    def build_feed(df: pd.DataFrame) -> pd.DataFrame:
+        src = df["source"].iloc[0]
+        items = []
+        for d in df["doc_id"]:
+            if int(d) % 7:
+                continue
+            items.append(
+                f"<item><title>Artikel {int(d):08d}</title>"
+                f"<link>https://{src}.nl/doc/{int(d)}</link></item>"
+            )
+        body = ("<?xml version='1.0'?><rss version='2.0'><channel>"
+                + "".join(items) + "</channel></rss>").encode()
+        return pd.DataFrame({
+            "url_canon": [f"https://{src}.nl/rss.xml"],
+            "content_type": ["application/rss+xml"],
+            "body": [body],
+        })
+
+    feeds_ds = ds.groupby("source").map_groups(build_feed, batch_format="pandas")
+    found = feeds_ds.map_batches(discover_batch, batch_format="pyarrow")
+    return (
+        found.map_batches(
+            lambda b: b.select(["src", "title"]), batch_format="pyarrow"
+        )
+        .groupby("src")
+        .aggregate(Count(alias_name="n_items"), Min("title", alias_name="first_title"))
+    )
+
+
+SQL_FEED_TITLES = """
+SELECT 'https://' || source || '.nl/rss.xml' AS src,
+       COUNT(*) AS n_items,
+       MIN('Artikel ' || LPAD(CAST(doc_id AS VARCHAR), 8, '0')) AS first_title
+FROM documents WHERE doc_id % 7 = 0 GROUP BY source
+"""
+
+
 def q_crawl_mini(sf_dir: str):
     """Flagship crawl demo (rows-only): tiny deterministic mini-web crawl
     end-to-end (schedule→fetch→parse→dedup→frontier), per-host fetch
@@ -597,5 +720,7 @@ DATAOPS_QUERIES = {
     "fingerprint_docs": (q_fingerprint, None),
     "hll_distinct": (q_hll_distinct, None),
     "media_decode": (q_media_decode, None),
+    "sitemap_discovery": (q_sitemap_discovery, SQL_SITEMAP_DISCOVERY),
+    "feed_titles": (q_feed_titles, SQL_FEED_TITLES),
     "crawl_mini": (q_crawl_mini, None),
 }
