@@ -124,6 +124,9 @@ def main() -> None:
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--scale-pair", default="4,16",
                     help="N,4N CPU counts for --scaling")
+    ap.add_argument("--trials", type=int, default=2,
+                    help="runs per --scaling leg; best throughput wins "
+                         "(removes actor-placement / page-cache noise)")
     ap.add_argument("--run-dir", default=None)
     args = ap.parse_args()
 
@@ -138,16 +141,23 @@ def main() -> None:
         assert hi == 4 * lo, "--scale-pair must be N,4N"
         runs = {}
         for n in (lo, hi):
-            env = dict(os.environ)
-            env.pop("RAY_ADDRESS", None)
-            p = subprocess.run(
-                [sys.executable, __file__, "--crawl-only", "--cpus", str(n)],
-                capture_output=True, text=True, env=env,
-            )
-            if p.returncode != 0:
-                sys.stderr.write(p.stderr[-4000:])
-                raise SystemExit(f"scaling child (cpus={n}) failed")
-            runs[n] = json.loads(p.stdout.strip().splitlines()[-1])
+            best = None
+            for _ in range(max(1, args.trials)):
+                env = dict(os.environ)
+                env.pop("RAY_ADDRESS", None)
+                p = subprocess.run(
+                    [sys.executable, __file__, "--crawl-only", "--cpus", str(n)],
+                    capture_output=True, text=True, env=env,
+                )
+                if p.returncode != 0:
+                    sys.stderr.write(p.stderr[-4000:])
+                    raise SystemExit(f"scaling child (cpus={n}) failed")
+                r = json.loads(p.stdout.strip().splitlines()[-1])
+                if (best is None
+                        or r["crawl"]["throughput_urls_per_s"]
+                        > best["crawl"]["throughput_urls_per_s"]):
+                    best = r
+            runs[n] = best
         t_lo = runs[lo]["crawl"]["throughput_urls_per_s"]
         t_hi = runs[hi]["crawl"]["throughput_urls_per_s"]
         eff = t_hi / (4 * t_lo)

@@ -244,9 +244,11 @@ def to_i64(u: int) -> int:
     return u - (1 << 64) if u >= (1 << 63) else u
 
 
-def hash64_batch(strings, seed: int = 0) -> np.ndarray:
-    """Vectorized low-64-bit murmur3 over a pyarrow StringArray / ChunkedArray
-    / numpy object array / list of str. Returns uint64 ndarray."""
+def string_buffers(strings) -> tuple[np.ndarray, np.ndarray]:
+    """(data, offsets) uint8/int64 view of a pyarrow StringArray /
+    ChunkedArray / list of str — the Arrow value-buffer layout every
+    vectorized byte-level kernel here consumes (zero-copy for Arrow
+    inputs)."""
     import pyarrow as pa
 
     if isinstance(strings, pa.ChunkedArray):
@@ -278,6 +280,13 @@ def hash64_batch(strings, seed: int = 0) -> np.ndarray:
             if enc
             else np.empty(0, dtype=np.uint8)
         )
+    return data, offsets
+
+
+def hash64_batch(strings, seed: int = 0) -> np.ndarray:
+    """Vectorized low-64-bit murmur3 over a pyarrow StringArray / ChunkedArray
+    / numpy object array / list of str. Returns uint64 ndarray."""
+    data, offsets = string_buffers(strings)
     h1, _ = murmur3_x64_128_batch(data, offsets, seed)
     return h1
 

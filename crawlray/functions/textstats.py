@@ -24,20 +24,28 @@ def token_count(texts: pa.Array) -> pa.Array:
     return pc.add(pc.count_substring(texts, " "), 1)
 
 
-def lang_id(texts: list[str]) -> list[str]:
-    """n-gram/stopword heuristic language ID: the language whose stopword
-    set overlaps the document's tokens most; 'und' (undetermined) when no
-    stopword hits at all. Deterministic tie-break by language code."""
-    out = []
-    for t in texts:
-        toks = set(t.lower().split())
-        best = ("und", 0)
-        for lang in sorted(_STOPWORDS):
-            score = len(toks & _STOPWORDS[lang])
-            if score > best[1]:
-                best = (lang, score)
-        out.append(best[0])
-    return out
+def lang_id(texts) -> list[str]:
+    """Stopword-overlap language ID: the language whose stopword set has
+    the most DISTINCT members present in the document; 'und' when none.
+    Deterministic tie-break by language code (sorted iteration + strict
+    >). Vectorized: one Arrow regex containment kernel per stopword over
+    the whole batch — no per-row Python."""
+    arr = texts if isinstance(texts, (pa.Array, pa.ChunkedArray)) else pa.array(
+        texts, type=pa.string()
+    )
+    low = pc.utf8_lower(arr)
+    n = len(arr)
+    best_score = np.zeros(n, dtype=np.int64)
+    best_lang = np.full(n, "und", dtype=object)
+    for lang in sorted(_STOPWORDS):
+        score = np.zeros(n, dtype=np.int64)
+        for w in _STOPWORDS[lang]:
+            hit = pc.match_substring_regex(low, rf"(^|\s){w}(\s|$)")
+            score += hit.to_numpy(zero_copy_only=False).astype(np.int64)
+        better = score > best_score
+        best_score = np.where(better, score, best_score)
+        best_lang = np.where(better, lang, best_lang)
+    return best_lang.tolist()
 
 
 def quality_features(batch: pa.Table, text_col: str = "text") -> pa.Table:
@@ -54,16 +62,33 @@ def quality_features(batch: pa.Table, text_col: str = "text") -> pa.Table:
     )
 
 
-def fingerprint(texts: list[str]) -> np.ndarray:
-    """Karp–Rabin rolling polynomial fingerprint mod 2^61-1 over bytes —
-    a deterministic whole-document fingerprint (D4 content dedup key that
-    is order-sensitive, unlike a bag-of-words hash)."""
-    M = (1 << 61) - 1
-    B = 1000003
-    out = np.empty(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        acc = 0
-        for by in t.encode("utf-8"):
-            acc = (acc * B + by) % M
-        out[i] = acc
-    return out
+def fingerprint(texts) -> np.ndarray:
+    """Karp–Rabin rolling polynomial fingerprint over UTF-8 bytes,
+    wrapping mod 2^64 — a deterministic, order-sensitive whole-document
+    fingerprint (D4 content dedup key, unlike a bag-of-words hash).
+
+    Fully vectorized over the Arrow value buffer: fp(doc) =
+    Σ byte[j]·B^(L-1-j), computed as one power-table gather + one
+    segment-sum (reduceat) — no per-row, let alone per-byte, Python."""
+    from .murmur3 import string_buffers
+
+    B = np.uint64(1000003)
+    data, offsets = string_buffers(texts)
+    n = len(offsets) - 1
+    out = np.zeros(n, dtype=np.uint64)
+    total = int(offsets[-1])
+    if total == 0:
+        return out.view(np.int64)
+    lengths = offsets[1:] - offsets[:-1]
+    maxlen = int(lengths.max())
+    with np.errstate(over="ignore"):
+        powers = np.empty(maxlen, dtype=np.uint64)
+        powers[0] = np.uint64(1)
+        if maxlen > 1:
+            np.cumprod(np.full(maxlen - 1, B, dtype=np.uint64), out=powers[1:])
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), lengths)
+        pos_from_end = offsets[1:][doc_of] - 1 - np.arange(total, dtype=np.int64)
+        terms = data.astype(np.uint64) * powers[pos_from_end]
+        nonempty = np.where(lengths > 0)[0]
+        out[nonempty] = np.add.reduceat(terms, offsets[:-1][nonempty])
+    return out.view(np.int64)
