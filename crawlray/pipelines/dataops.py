@@ -426,7 +426,7 @@ def q_token_count(sf_dir: str):
 
 SQL_TOKEN_COUNT = """
 SELECT lang,
-  SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS total_tokens,
+  CAST(SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS BIGINT) AS total_tokens,
   COUNT(*) AS n_docs
 FROM documents GROUP BY lang
 """
@@ -462,8 +462,8 @@ def q_quality_score(sf_dir: str):
 
 
 SQL_QUALITY_SCORE = """
-SELECT source, SUM(n_chars) AS sum_chars,
-  SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS sum_tokens,
+SELECT source, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+  CAST(SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS BIGINT) AS sum_tokens,
   COUNT(*) AS n_docs,
   CAST(SUM(n_chars) AS DOUBLE) /
     SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS chars_per_token

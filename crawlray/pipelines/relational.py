@@ -376,7 +376,7 @@ def q_case_when(sf_dir: str):
 
 SQL_CASE_WHEN = """
 SELECT o_orderstatus, COUNT(*) AS n,
-  SUM(CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END) AS n_urgent,
+  CAST(SUM(CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
   CAST(SUM(CASE WHEN o_orderpriority LIKE '1%'
        THEN CAST(ROUND(o_totalprice*100) AS BIGINT) ELSE 0 END) AS DOUBLE)/100.0
        AS urgent_total
@@ -573,7 +573,7 @@ def q_sessionize(sf_dir: str):
 
 SQL_SESSIONIZE = """
 SELECT user_id,
-  1 + SUM(CASE WHEN gap_us > 1800 * 1000000 THEN 1 ELSE 0 END) AS n_sessions,
+  CAST(1 + SUM(CASE WHEN gap_us > 1800 * 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
   COUNT(*) AS n_events
 FROM (
   SELECT user_id,
