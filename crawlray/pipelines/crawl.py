@@ -311,6 +311,10 @@ class CrawlRun:
             pq.write_table(
                 pa.Table.from_pylist(self.metrics), os.path.join(mdir, "metrics.parquet")
             )
+            lance_compat.finalize_fragment_dir(
+                mdir, note="per-(wave, stage) lineage: rows in/out, wall ms, "
+                           "input refs (S8; [B:L14])",
+            )
 
 
 def run_crawl(
