@@ -34,6 +34,12 @@ class CrawlConfig:
     parse_num_cpus: float = 1.0
     novelty_num_cpus: float = 0.25
     seq_num_cpus: float = 0.5
+    # politeness clock placement: "write" stamps scheduled_ms when the
+    # frontier is written (one less shuffle per wave; exact for
+    # deterministic transports). "wave_start" re-derives it per wave via
+    # HostScheduler — the live-HTTP path, where measured fetch times can
+    # drift from the written clock between waves.
+    schedule_mode: str = "write"
     # io
     transport: dict = field(default_factory=dict)  # see sources.transport.make_transport
 

@@ -206,6 +206,21 @@ class CrawlRun:
             n_exec = int(min(max(2 * cfg.n_parts, n_front // cfg.fetch_batch_size),
                              4 * ncpu))
             ds = ds.repartition(max(n_exec, 1))
+        if cfg.schedule_mode == "wave_start":
+            # live-HTTP politeness path: re-derive the per-host clock at
+            # wave start (A2 proper) instead of trusting the clock the
+            # previous wave wrote — identical values for deterministic
+            # transports (tested), fresher ones when real fetch latency
+            # feeds back into budgets
+            from ..stages.schedule import HostScheduler
+
+            ds = ds.groupby("part").map_groups(
+                HostScheduler,
+                batch_format="pandas",
+                fn_constructor_kwargs={"robots_ref": self.robots_ref},
+                concurrency=(1, max(2, cfg.n_parts)),
+                num_cpus=cfg.seq_num_cpus,
+            )
         # pool minimums scaled to the wave: a 64-row wave 0 must not pay
         # a 32-actor spin-up, while a 300k-row wave must not ramp 1→32
         waverows = max(1, n_front // (2 * cfg.fetch_batch_size))

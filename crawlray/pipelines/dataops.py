@@ -675,6 +675,18 @@ FROM documents WHERE doc_id % 7 = 0 GROUP BY source
 """
 
 
+def q_sample(sf_dir: str):
+    """O4 QA sampling (rows-only; sample membership depends on block
+    layout, so no value oracle): seeded 10% sample of documents →
+    per-lang sampled counts."""
+    ds = _docs(sf_dir, ["doc_id", "lang"])
+    return (
+        ds.random_sample(0.1, seed=42)
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_sampled"))
+    )
+
+
 def q_crawl_mini(sf_dir: str):
     """Flagship crawl demo (rows-only): tiny deterministic mini-web crawl
     end-to-end (schedule→fetch→parse→dedup→frontier), per-host fetch
@@ -722,5 +734,6 @@ DATAOPS_QUERIES = {
     "media_decode": (q_media_decode, None),
     "sitemap_discovery": (q_sitemap_discovery, SQL_SITEMAP_DISCOVERY),
     "feed_titles": (q_feed_titles, SQL_FEED_TITLES),
+    "qa_sample": (q_sample, None),
     "crawl_mini": (q_crawl_mini, None),
 }
