@@ -221,17 +221,20 @@ class CrawlRun:
                 concurrency=(1, max(2, cfg.n_parts)),
                 num_cpus=cfg.seq_num_cpus,
             )
-        # pool minimums scaled to the wave: a 64-row wave 0 must not pay
-        # a 32-actor spin-up, while a 300k-row wave must not ramp 1→32
-        waverows = max(1, n_front // (2 * cfg.fetch_batch_size))
-        fconc = (max(1, min(cfg.fetch_concurrency[0], waverows)),
+        # batch sizes scaled to the wave: a small wave of heavy pages
+        # must split into per-page batches or one task serializes it
+        fbs = max(1, min(cfg.fetch_batch_size,
+                         n_front // (2 * cfg.fetch_concurrency[1])))
+        pbs = max(1, min(cfg.parse_batch_size,
+                         n_front // (2 * cfg.parse_concurrency[1])))
+        # pool minimums paired with those batch sizes (#batches drives
+        # how many actors can be busy): a 64-row wave 0 of heavy root
+        # pages still wants its actors up front, while autoscaling from
+        # min=1 would ramp for tens of seconds on a 300k-row wave
+        fconc = (max(1, min(cfg.fetch_concurrency[0], n_front // (2 * fbs))),
                  cfg.fetch_concurrency[1])
-        pconc = (max(1, min(cfg.parse_concurrency[0], waverows)),
+        pconc = (max(1, min(cfg.parse_concurrency[0], n_front // (2 * pbs))),
                  cfg.parse_concurrency[1])
-        # batch sizes scaled likewise: a small wave of heavy pages must
-        # split into per-page batches or one task serializes the wave
-        fbs = max(1, min(cfg.fetch_batch_size, n_front // (2 * fconc[1])))
-        pbs = max(1, min(cfg.parse_batch_size, n_front // (2 * pconc[1])))
         fetched = ds.map_batches(
             Fetcher,
             batch_format="pyarrow",
@@ -250,14 +253,18 @@ class CrawlRun:
             num_cpus=cfg.parse_num_cpus,
             fn_constructor_kwargs={"pages_dir": pages_dir},
         )
-        # large batch_size coalesces the parse stream into few big blocks:
-        # (a) the per-block dedup combiner sees more duplicates, (b) the
+        # coalesce the parse stream into few big blocks: (a) the
+        # per-block dedup combiner sees more duplicates, (b) the
         # downstream sort shuffle's intermediate-object count is
-        # B_in × n_parts — tiny B_in keeps its scheduling tail flat
+        # B_in × n_parts — tiny B_in keeps its scheduling tail flat.
+        # For a TINY wave of high-fanout pages (seed roots) drop to
+        # per-page batches so the explode runs parallel; everywhere else
+        # few-big-blocks wins (the shuffle tail scales with B_in).
+        lb = 32768 if n_front > 16 * ncpu else max(1, n_front // (2 * ncpu))
         cands = sunk.map_batches(
             lambda b: _partial_dedup(explode_links(b, cfg.n_parts)),
             batch_format="pyarrow", zero_copy_batch=True,
-            batch_size=32768,
+            batch_size=lb,
         )
         seqed = cands.groupby("part").map_groups(
             PartFrontierBuilder,
