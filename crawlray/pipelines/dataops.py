@@ -697,8 +697,10 @@ def q_crawl_mini(sf_dir: str):
     from ..pipelines.crawl import run_crawl
     from ..sources.miniweb import write_web
 
-    fix = f"/tmp/crawlray_demo_fix"
-    run_dir = f"/tmp/crawlray_demo_run_{os.getpid()}"
+    import shutil
+
+    scratch = f"/tmp/crawlray_demo_{os.getpid()}"
+    fix, run_dir = os.path.join(scratch, "fix"), os.path.join(scratch, "run")
     paths = write_web(fix, n_hosts=4, pages_per_host=8, hot_factor=4)
     cfg = CrawlConfig(
         n_parts=2, seen_shards=2, max_depth=4, max_waves=3,
@@ -708,7 +710,9 @@ def q_crawl_mini(sf_dir: str):
     run_crawl(run_dir, pq.read_table(paths["seeds"])["url"].to_pylist(),
               pq.read_table(paths["robots"]), cfg)
     pages = rd.read_parquet(os.path.join(run_dir, "pages"), columns=["host", "status"])
-    return pages.groupby("host").aggregate(Count(alias_name="n_fetched"))
+    result = pages.groupby("host").aggregate(Count(alias_name="n_fetched")).materialize()
+    shutil.rmtree(scratch, ignore_errors=True)
+    return result
 
 
 # =====================================================================
