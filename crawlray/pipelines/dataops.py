@@ -31,6 +31,21 @@ from ..functions.spans import text_rows_to_docs
 from ..functions.textstats import fingerprint, lang_id, token_count
 
 
+
+def _embedding_matrix(col) -> np.ndarray:
+    """Zero-copy (n, d) float64 matrix from a list<float> Arrow column:
+    flatten the child values buffer and reshape — no per-row Python.
+    Falls back to a row stack for ragged inputs."""
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(col)
+    flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+    if n and len(flat) % n == 0:
+        lengths = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        if (lengths == lengths[0]).all():
+            return flat.reshape(n, -1).astype(np.float64)
+    return np.stack([np.asarray(e, dtype=np.float64) for e in col.to_pylist()])
+
+
 def _docs(sf_dir: str, columns=None):
     return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
 
@@ -309,7 +324,7 @@ def q_ann_cosine(sf_dir: str):
         import ray as _r
 
         qv = _r.get(q_ref)
-        emb = np.stack([np.asarray(e, dtype=np.float64) for e in b["embedding"].to_pylist()])
+        emb = _embedding_matrix(b["embedding"])
         norms = np.linalg.norm(emb, axis=1)
         cos = (emb @ qv) / np.where(norms == 0, 1.0, norms)
         t = pa.table({
@@ -355,7 +370,7 @@ def q_ann_lsh(sf_dir: str):
         import ray as _r
 
         qn, pl, qs = _r.get(q_ref)
-        emb = np.stack([np.asarray(e, dtype=np.float64) for e in b["embedding"].to_pylist()])
+        emb = _embedding_matrix(b["embedding"])
         sig = (emb @ pl > 0).astype(np.uint16) @ (1 << np.arange(16)).astype(np.uint16)
         ham = hamming64(sig.astype(np.int64), np.full(len(sig), qs, dtype=np.int64))
         keep = (ham <= 6) & (np.asarray(b["vec_id"]) != 0)
@@ -387,7 +402,7 @@ def q_embedding_norms(sf_dir: str):
         if b.num_rows == 0:
             return pa.table({"vec_id": pa.array([], type=pa.int64()),
                              "l2": pa.array([], type=pa.float64())})
-        emb = np.stack([np.asarray(e, dtype=np.float64) for e in b["embedding"].to_pylist()])
+        emb = _embedding_matrix(b["embedding"])
         return pa.table({
             "vec_id": b["vec_id"],
             "l2": pa.array(np.round(np.sqrt((emb * emb).sum(axis=1)), 6)),
