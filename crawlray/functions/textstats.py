@@ -74,11 +74,19 @@ def fingerprint(texts) -> np.ndarray:
 
     B = np.uint64(1000003)
     data, offsets = string_buffers(texts)
+    # string_buffers returns ABSOLUTE offsets into the full value buffer;
+    # a sliced StringArray (arr.offset > 0) starts past 0 — normalize so
+    # positions index the slice's bytes (ADVICE r1)
+    base = int(offsets[0])
+    if base:
+        offsets = offsets - base
+        data = data[base:]
     n = len(offsets) - 1
     out = np.zeros(n, dtype=np.uint64)
     total = int(offsets[-1])
     if total == 0:
         return out.view(np.int64)
+    data = data[:total]
     lengths = offsets[1:] - offsets[:-1]
     maxlen = int(lengths.max())
     with np.errstate(over="ignore"):

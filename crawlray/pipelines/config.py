@@ -43,6 +43,15 @@ class CrawlConfig:
     # io
     transport: dict = field(default_factory=dict)  # see sources.transport.make_transport
 
+    def __post_init__(self):
+        # a typo here would silently fall back to "write" behavior in the
+        # wave loop — fail loudly instead (ADVICE r1)
+        if self.schedule_mode not in ("write", "wave_start"):
+            raise ValueError(
+                f"schedule_mode must be 'write' or 'wave_start', "
+                f"got {self.schedule_mode!r}"
+            )
+
 
 def part_of(host_hash_u64: int, n_parts: int) -> int:
     """Partition of a host. Uses the *unsigned* view of the int64 hash so

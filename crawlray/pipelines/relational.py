@@ -384,23 +384,57 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def quantile_disc_from_hist(values: np.ndarray, counts: np.ndarray,
+                            q: float) -> float:
+    """Exact discrete quantile from a (sorted values, counts) histogram —
+    the same element numpy's ``inverted_cdf`` (== DuckDB quantile_disc)
+    picks from the expanded array, chosen by rank instead of
+    materializing the rows. The virtual index uses the identical float
+    arithmetic as numpy so results are bit-equal (formula verified
+    against np.quantile in tests)."""
+    cum = counts.cumsum()
+    n = int(cum[-1])
+    vi = q * n - 1.0
+    prev = np.floor(vi)
+    idx = max(0, int(prev) + (1 if vi > prev else 0))
+    return float(values[np.searchsorted(cum, idx + 1)])
+
+
 def q_quantiles(sf_dir: str):
-    """G2/§2.5 quantiles per group (exact, linear interpolation both sides,
-    rounded to 2 decimals to kill last-ulp interpolation differences)."""
+    """G2/§2.5 exact per-group quantiles, DISTRIBUTED (VERDICT r1 item
+    #6): per-block (group, value) histogram combiner → one groupby whose
+    input is distinct values (not rows) → tiny per-group
+    quantile-from-histogram. The round-1 version sorted ⅓ of lineitem in
+    one pandas task per group; this one's per-task memory is O(distinct
+    values per group) — bounded in price-like columns (TPC-H prices are
+    retailprice × qty combinations) and mergeable like any partial agg.
+    Semantics are exact quantile_disc (an actual element, bit-equal to
+    DuckDB)."""
     ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
 
+    def block_hist(b: pa.Table) -> pa.Table:
+        g = b.group_by(["l_returnflag", "l_extendedprice"]).aggregate(
+            [("l_extendedprice", "count")]
+        )
+        return g.rename_columns(["l_returnflag", "l_extendedprice", "n"])
+
+    merged = (
+        ds.map_batches(block_hist, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_extendedprice"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
     def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        # discrete quantiles return ACTUAL elements (bit-exact passthrough,
-        # no interpolation arithmetic to diverge): numpy 'inverted_cdf' ==
-        # DuckDB quantile_disc (verified empirically in tests)
-        v = np.sort(g["l_extendedprice"].to_numpy())
+        g = g.sort_values("l_extendedprice", ignore_index=True)
+        v = g["l_extendedprice"].to_numpy()
+        c = g["n"].to_numpy()
         return pd.DataFrame({
             "l_returnflag": [g["l_returnflag"].iloc[0]],
-            "p50": [float(np.quantile(v, 0.5, method="inverted_cdf"))],
-            "p95": [float(np.quantile(v, 0.95, method="inverted_cdf"))],
+            "p50": [quantile_disc_from_hist(v, c, 0.5)],
+            "p95": [quantile_disc_from_hist(v, c, 0.95)],
         })
 
-    return ds.groupby("l_returnflag").map_groups(per_group, batch_format="pandas")
+    return merged.groupby("l_returnflag").map_groups(per_group, batch_format="pandas")
 
 
 SQL_QUANTILES = """
@@ -411,13 +445,34 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+_BROADCAST_KEY_LIMIT = 5_000_000  # ~40 MB of int64 keys; beyond this the
+# "small side" isn't small — broadcast would ship the set to every task
+# and sorted() would burn the driver, so fall back to a real hash join.
+
+
+def _distinct_keys(ds, col: str):
+    """One row per distinct key, as a Dataset (for the join fallback)."""
+    return ds.groupby(col).aggregate(Count(alias_name="_n")).select_columns([col])
+
+
 def q_semi_join(sf_dir: str):
-    """J5 semi join via broadcast key set (no shuffle for the small side)."""
+    """J5 semi join. Fast path: broadcast key set consulted per batch (no
+    shuffle at all — right when the build side is small, as here). Guarded
+    by ``_BROADCAST_KEY_LIMIT``: a big build side falls back to
+    distinct-keys + ``Dataset.join`` so the pattern survives at scale
+    (VERDICT r1 item #7)."""
     import ray
 
-    keys = _t(sf_dir, "orders", ["o_custkey"]).unique("o_custkey")
-    key_ref = ray.put(np.array(sorted(keys), dtype=np.int64))
+    orders = _t(sf_dir, "orders", ["o_custkey"])
     cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    if orders.count() > _BROADCAST_KEY_LIMIT:
+        hit = cust.join(_distinct_keys(orders, "o_custkey"), join_type="inner",
+                        num_partitions=8, on=("c_custkey",),
+                        right_on=("o_custkey",))
+        return (hit.groupby("c_mktsegment")
+                .aggregate(Count(alias_name="n_customers")))
+    keys = orders.unique("o_custkey")
+    key_ref = ray.put(np.array(sorted(keys), dtype=np.int64))
 
     def fn(b: pa.Table) -> pa.Table:
         import ray as _r
@@ -444,7 +499,9 @@ def q_anti_join(sf_dir: str):
     """J5 anti join via broadcast key set + broadcast dimension lookup
     (nation is tiny — a dict beats a shuffle join). Restricted to
     high-value orders so the anti set is non-empty at every sf (and
-    because Ray's hash join chokes on an empty left side)."""
+    because Ray's hash join chokes on an empty left side). Same
+    ``_BROADCAST_KEY_LIMIT`` guard as the semi join: a big build side
+    falls back to a left-outer ``Dataset.join`` + null filter."""
     import ray
 
     big = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
@@ -452,8 +509,6 @@ def q_anti_join(sf_dir: str):
         .select(["o_custkey"]),
         batch_format="pyarrow", zero_copy_batch=True,
     )
-    keys = big.unique("o_custkey")
-    key_ref = ray.put(np.array(sorted(keys), dtype=np.int64))
     names = {
         r["n_nationkey"]: r["n_name"]
         for r in _t(sf_dir, "nation").take_all()
@@ -461,16 +516,38 @@ def q_anti_join(sf_dir: str):
     names_ref = ray.put(names)
     cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
 
+    def name_of(b: pa.Table) -> pa.Table:
+        import ray as _r
+
+        nm = _r.get(names_ref)
+        n_name = pa.array([nm[k] for k in b["c_nationkey"].to_pylist()],
+                          type=pa.string())
+        return pa.table({"n_name": n_name})
+
+    if big.count() > _BROADCAST_KEY_LIMIT:
+        probe = cust.join(
+            _distinct_keys(big, "o_custkey").map_batches(
+                lambda b: b.append_column("_hit", pa.array([1] * b.num_rows,
+                                                           type=pa.int64())),
+                batch_format="pyarrow",
+            ),
+            join_type="left_outer", num_partitions=8,
+            on=("c_custkey",), right_on=("o_custkey",),
+        )
+        anti = probe.map_batches(
+            lambda b: b.filter(pc.is_null(b["_hit"])), batch_format="pyarrow"
+        )
+        return (anti.map_batches(name_of, batch_format="pyarrow")
+                .groupby("n_name").aggregate(Count(alias_name="n_customers")))
+    keys = big.unique("o_custkey")
+    key_ref = ray.put(np.array(sorted(keys), dtype=np.int64))
+
     def fn(b: pa.Table) -> pa.Table:
         import ray as _r
 
         ks = _r.get(key_ref)
-        nm = _r.get(names_ref)
         have = np.isin(b["c_custkey"].to_numpy(zero_copy_only=False), ks)
-        b = b.filter(pa.array(~have))
-        n_name = pa.array([nm[k] for k in b["c_nationkey"].to_pylist()],
-                          type=pa.string())
-        return pa.table({"n_name": n_name})
+        return name_of(b.filter(pa.array(~have)))
 
     return (
         cust.map_batches(fn, batch_format="pyarrow")

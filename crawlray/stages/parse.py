@@ -76,21 +76,36 @@ class ParseAndSink:
     This collapses the naive two-pipeline wave (fetch→parse→write, then
     re-read→discover) into ONE streaming pipeline — the fork the Dataset
     API can't express becomes a per-batch side-effect write. Fragment
-    names are unique per (actor, batch); idempotence is wave-granular:
-    resume discards uncommitted wave dirs before replay, so duplicated
-    fragments from a mid-wave task retry never survive a restart. The
-    driver stamps the lance-compat manifest after the wave completes."""
+    names are DETERMINISTIC per logical batch — a hash of the batch's
+    (part, seq) row identities, which are unique within a wave — so a
+    mid-wave task retry / lineage reconstruction OVERWRITES the original
+    fragment instead of appending a duplicate (an in-run retry would
+    otherwise commit both copies at wave end and inflate the docs view;
+    ADVICE r1). Resume additionally discards uncommitted wave dirs before
+    replay. The driver stamps the lance-compat manifest after the wave
+    completes (atomic tmp+rename per fragment: a fragment killed mid-write
+    never surfaces as a committed .parquet)."""
 
     def __init__(self, pages_dir: str):
         os.makedirs(pages_dir, exist_ok=True)
         self._dir = pages_dir
         self._parse = PageParser()
-        self._tag = uuid.uuid4().hex[:12]
-        self._n = 0
+
+    @staticmethod
+    def _frag_name(batch: pa.Table) -> str:
+        import hashlib
+
+        import numpy as np
+
+        part = batch["part"].to_numpy(zero_copy_only=False).astype(np.int64)
+        seq = batch["seq"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = ((part << 32) ^ seq).tobytes()
+        return f"frag-{hashlib.blake2b(key, digest_size=10).hexdigest()}.parquet"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         parsed = self._parse(batch)
-        frag = os.path.join(self._dir, f"frag-{self._tag}-{self._n:05d}.parquet")
-        self._n += 1
-        pq.write_table(parsed, frag)
+        frag = os.path.join(self._dir, self._frag_name(batch))
+        tmp = f"{frag}.tmp-{uuid.uuid4().hex[:8]}"
+        pq.write_table(parsed, tmp)
+        os.replace(tmp, frag)
         return parsed.select(["part", "seq", "depth", "links"])

@@ -133,3 +133,14 @@ def test_lang_id_tie_break_deterministic():
 def test_token_count_formula():
     arr = pa.array(["een twee drie", "x", "a  b"], type=pa.string())
     assert token_count(arr).to_pylist() == [3, 1, 3]  # count(' ')+1, SQL-mirrorable
+
+
+def test_fingerprint_on_sliced_array():
+    # string_buffers returns ABSOLUTE offsets; a sliced StringArray
+    # (arr.offset > 0) must fingerprint identically to an unsliced copy
+    # of the same strings (ADVICE r1: broadcast ValueError before fix)
+    texts = ["nul", "een twee", "drie vier vijf", "", "zes"]
+    arr = pa.array(texts, type=pa.string())
+    sliced = arr.slice(1, 3)
+    fresh = pa.array(texts[1:4], type=pa.string())
+    assert fingerprint(sliced).tolist() == fingerprint(fresh).tolist()
