@@ -17,9 +17,19 @@ class CrawlConfig:
     max_waves: int = 8
     max_pages_per_host: int = 10_000
     default_delay_ms: int = 1000     # crawl-delay when robots has none
-    # skew handling
-    hot_host_threshold: int = 512    # pending URLs per wave above which a host is "hot"
-    hot_salt_parts: int = 4          # spread a hot host's fetch/parse over m parts
+    # skew handling: a host is "hot" (gets the salted two-stage frontier
+    # build) only when BOTH hold — it has enough pending URLs to matter
+    # (absolute threshold) AND it alone carries more than hot_skew_factor
+    # × an average part's share of the wave (relative skew: salting buys
+    # nothing unless one host's dedup group would straggle the wave, and
+    # it costs a second, admitted-rows-only shuffle)
+    hot_host_threshold: int = 512
+    hot_skew_factor: float = 2.0
+    hot_salt_parts: int = 4          # spread a hot host's dedup work over m salt groups
+    # frontier files are written in small chunks so the next wave's read
+    # splits every part's work across the pool at file granularity
+    # (override_num_blocks) — no repartition all-to-all needed
+    frontier_rows_per_file: int = 8192
     # execution
     fetch_batch_size: int = 256
     parse_batch_size: int = 512

@@ -106,6 +106,17 @@ def policy_filter(batch: pa.Table, robots, max_depth: int) -> pa.Table:
     return batch.filter(mask)
 
 
+def send_part_stats(stats, wave: int, df: pd.DataFrame) -> None:
+    """Push this part group's per-host admitted counts to the WaveStats
+    actor (A6 fold — see state/wavestats.py). Synchronous on purpose:
+    the ``ray.get`` makes the put land before the group task completes,
+    so the wave's write barrier implies every slot is present."""
+    if stats is None or not len(df):
+        return
+    counts = {k: int(v) for k, v in df["host"].value_counts().items()}
+    ray.get(stats.put.remote(wave, int(df["part"].iat[0]), counts))
+
+
 class SeqAssigner:
     """Per-part actor-pool stage (groupby("part").map_groups): applies the
     per-host page-cap budget in srckey order, assigns the deterministic
@@ -116,13 +127,23 @@ class SeqAssigner:
     Scheduling at frontier-WRITE time (here) instead of wave start means
     the next wave needs no extra groupby("part") sort before fetching —
     one all-to-all saved per wave. Output rows are emitted in the
-    partition's fetch order (scheduled_ms, host, seq)."""
+    partition's fetch order (scheduled_ms, host, seq).
 
-    def __init__(self, budget_ref, cap: int, wave: int, robots_ref=None):
+    In the hot-host salted path this is STAGE 2: DedupNoveltyPolicy
+    groups (salted by url_hash) have already deduped/marked/filtered, so
+    this stage sees only admitted survivors — the per-part sequencing
+    still covers the host's FULL admitted set in one group, which is what
+    keeps seq ranks and the politeness clock identical to the unsalted
+    path (the shared-delay-budget property: one clock per host, stamped
+    in one place)."""
+
+    def __init__(self, budget_ref, cap: int, wave: int, robots_ref=None,
+                 stats=None):
         self._prior: dict[str, int] = ray.get(budget_ref) if budget_ref is not None else {}
         self._cap = cap
         self._wave = wave
         self._robots = ray.get(robots_ref) if robots_ref is not None else None
+        self._stats = stats
         self._delay_cache: dict[str, int] = {}
 
     def _delay(self, host: str) -> int:
@@ -147,6 +168,7 @@ class SeqAssigner:
             df = df.sort_values(
                 ["scheduled_ms", "host", "seq"], kind="mergesort", ignore_index=True
             )
+        send_part_stats(self._stats, self._wave, df)
         return df
 
 
@@ -167,7 +189,7 @@ class PartFrontierBuilder:
     once per wave, from exactly one group."""
 
     def __init__(self, shards, robots_ref, budget_ref, cap: int, wave: int,
-                 max_depth: int):
+                 max_depth: int, stats=None):
         from ..state.seen import novelty_mask
 
         self._novelty = novelty_mask
@@ -177,6 +199,7 @@ class PartFrontierBuilder:
         self._cap = cap
         self._wave = wave
         self._max_depth = max_depth
+        self._stats = stats
         self._delay_cache: dict[str, int] = {}
 
     def _delay(self, host: str) -> int:
@@ -218,9 +241,67 @@ class PartFrontierBuilder:
         j = df.groupby("host", sort=False).cumcount()
         delays = df["host"].map(self._delay)
         df["scheduled_ms"] = (j * delays).astype(np.float64)
-        return df.sort_values(
+        df = df.sort_values(
             ["scheduled_ms", "host", "seq"], kind="mergesort", ignore_index=True
         )
+        # 7. A6 fold: admitted-host counts to the WaveStats actor — the
+        #    driver never re-reads the frontier to learn them
+        send_part_stats(self._stats, self._wave, df)
+        return df
+
+
+def salt_gparts(batch: pa.Table, hot_hosts: set[str], n_parts: int,
+                m: int) -> pa.Table:
+    """A6 salted-part assignment (SURVEY §4.2) for the candidate stream:
+    ``gpart = part·m + salt`` where salt = url_hash % m for hot hosts and
+    0 otherwise. The salt is a function of the URL — every copy of a
+    url_hash still meets in exactly ONE group, so the dedup/novelty
+    semantics of the salted groupby are identical to the unsalted one;
+    only a hot host's candidate volume is spread over m groups."""
+    part = batch["part"].to_numpy(zero_copy_only=False).astype(np.int64)
+    salt = np.zeros(len(batch), dtype=np.int64)
+    if hot_hosts:
+        is_hot = pc.is_in(
+            batch["host"], value_set=pa.array(sorted(hot_hosts), type=pa.string())
+        ).to_numpy(zero_copy_only=False)
+        uh = batch["url_hash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        salt = np.where(is_hot, (uh % np.uint64(m)).astype(np.int64), 0)
+    return batch.append_column("gpart", pa.array(part * m + salt))
+
+
+class DedupNoveltyPolicy:
+    """STAGE 1 of the hot-host salted frontier build
+    (``groupby("gpart").map_groups``): intra-wave min-srckey dedup →
+    cuckoo-shard novelty → policy gate — the heavy, per-candidate work,
+    spread over ``hot_salt_parts`` groups per part for hot hosts. The
+    light per-part sequencing (page-cap budget, seq rank, politeness
+    clock) runs afterwards in SeqAssigner over the admitted survivors
+    only, so a hot host's cap/clock still come from ONE group — the
+    shared-budget property that keeps salted output byte-identical to
+    the fused single-shuffle path (asserted in tests)."""
+
+    def __init__(self, shards, robots_ref, max_depth: int):
+        from ..state.seen import novelty_mask
+
+        self._novelty = novelty_mask
+        self._shards = shards
+        self._robots = ray.get(robots_ref)
+        self._max_depth = max_depth
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("srckey64", kind="mergesort", ignore_index=True)
+        df = df.drop_duplicates("url_hash", keep="first", ignore_index=True)
+        mask = self._novelty(self._shards, df["url_hash"].to_numpy().astype(np.int64))
+        df = df[mask].reset_index(drop=True)
+        depth = unpack_depth(df["srckey64"].to_numpy())
+        ok = depth <= self._max_depth
+        ok &= ~df["url_canon"].str.contains(
+            _BINARY_EXT.pattern, case=False, regex=True
+        ).to_numpy(dtype=bool, na_value=False)
+        ok &= (df["url_canon"].str.len() <= 2048).to_numpy(dtype=bool, na_value=False)
+        ok &= np.asarray(self._robots.allowed_many(df["url_canon"].tolist()),
+                         dtype=bool)
+        return df[ok].drop(columns=["gpart"]).reset_index(drop=True)
 
 
 def admit_seeds(seed_urls: list[str], robots, shards, cfg: CrawlConfig) -> pa.Table:

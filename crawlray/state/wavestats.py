@@ -1,0 +1,35 @@
+"""A6 support: per-wave admitted-host counts folded INSIDE the frontier
+build (VERDICT r1 item #4 — the round-1 driver read the whole next
+frontier's host column back to count hosts; at 10^10-URL frontiers that
+is a driver OOM).
+
+Each frontier-builder group already sees every admitted row of its part,
+so it counts hosts locally (a ≤ #hosts-in-part dict) and pushes the tiny
+dict here, keyed by (wave, part). The keying makes retries idempotent: a
+re-executed group OVERWRITES its slot instead of double-counting. Groups
+``ray.get`` their put before returning, so the wave's ``write_parquet``
+barrier guarantees every slot has landed before the driver drains.
+
+The driver folds ≤ #hosts rows per wave — budgets update + hot-host
+detection with no frontier re-read anywhere.
+"""
+
+from __future__ import annotations
+
+import ray
+
+
+@ray.remote(num_cpus=0)
+class WaveStats:
+    def __init__(self):
+        self._by_wave: dict[int, dict[int, dict[str, int]]] = {}
+
+    def put(self, wave: int, part: int, counts: dict[str, int]) -> None:
+        self._by_wave.setdefault(wave, {})[part] = counts
+
+    def drain(self, wave: int) -> dict[str, int]:
+        folded: dict[str, int] = {}
+        for counts in self._by_wave.pop(wave, {}).values():
+            for h, n in counts.items():
+                folded[h] = folded.get(h, 0) + n
+        return folded
