@@ -17,6 +17,11 @@ class CrawlConfig:
     max_waves: int = 8
     max_pages_per_host: int = 10_000
     default_delay_ms: int = 1000     # crawl-delay when robots has none
+    # D1: when a host is first admitted, fetch its /sitemap.xml and
+    # /rss.xml during that wave and union the discovered URLs into the
+    # same admission shuffle as page links (sitemap-index children are
+    # re-queued for the next wave). A host without feeds costs two 404s.
+    discover_feeds: bool = True
     # skew handling: a host is "hot" (gets the salted two-stage frontier
     # build) only when BOTH hold — it has enough pending URLs to matter
     # (absolute threshold) AND it alone carries more than hot_skew_factor

@@ -108,6 +108,10 @@ class CrawlRun:
         # resume), folded inside the builder groups — never re-read
         self.wave_counts: dict[str, int] = {}
         self.stats = WaveStats.remote()
+        # D1 discovery state: hosts whose feeds were already probed, and
+        # sitemap-index children queued for the next wave
+        self.disco_done: set[str] = set()
+        self.pending_disco: list[str] = []
 
     # ---------------------------------------------------------- paths
     def _p(self, *parts) -> str:
@@ -157,6 +161,8 @@ class CrawlRun:
         # NOT from re-reading the frontier's host column (VERDICT r1 #4)
         self.wave_counts = state.get("wave_counts", {})
         self.hot_hosts = self._detect_hot(self.wave_counts)
+        self.disco_done = set(state.get("disco_done", []))
+        self.pending_disco = list(state.get("pending_disco", []))
         snapdir = self._p("seen", f"wave={last}")
         snaps = []
         for i in range(self.cfg.seen_shards):
@@ -177,7 +183,9 @@ class CrawlRun:
         os.makedirs(sdir, exist_ok=True)
         lance_compat._atomic_write_json(
             self._p("state", f"wave={wave}.json"),
-            {"budgets": self.budgets, "wave_counts": self.wave_counts},
+            {"budgets": self.budgets, "wave_counts": self.wave_counts,
+             "disco_done": sorted(self.disco_done),
+             "pending_disco": list(self.pending_disco)},
         )
         snapdir = self._p("seen", f"wave={wave}")
         os.makedirs(snapdir, exist_ok=True)
@@ -188,6 +196,62 @@ class CrawlRun:
             self._manifest_path(),
             {"last_wave": wave, "cfg_parts": self.cfg.n_parts,
              "committed_at": time.time()},
+        )
+
+    # ------------------------------------------------------ discovery
+    def _wave_discovery(self):
+        """D1: fetch+parse the wave's discovery documents (feeds of hosts
+        first admitted this wave, plus sitemap-index children queued by
+        the previous wave) and return their frontier candidates as a
+        Dataset in the link-candidate schema — the caller unions it into
+        the wave's ONE admission shuffle. Returns None when there is
+        nothing to discover.
+
+        The parsed discovery rows (url/via/src/idx — no bodies) are
+        materialized so the tiny sitemap-index-children pass does not
+        re-execute the fetches; at extreme scale (10^9 feed entries per
+        wave) this object-store working set spills — the alternative is a
+        wave-scoped parquet side-write like the pages sink."""
+        cfg = self.cfg
+        if not cfg.discover_feeds:
+            return None
+        from ..sources.feeds import discover_batch, feed_candidates
+
+        new_hosts = sorted(set(self.budgets) - self.disco_done)
+        self.disco_done.update(new_hosts)
+        disco_urls = list(self.pending_disco) + [
+            u for h in new_hosts
+            for u in (f"https://{h}/sitemap.xml", f"https://{h}/rss.xml")
+        ]
+        self.pending_disco = []
+        if not disco_urls:
+            return None
+        import pyarrow.compute as pc_
+
+        src = rd.from_arrow(
+            pa.table({"url_canon": pa.array(disco_urls, type=pa.string())})
+        )
+        parsed = (
+            src.map_batches(
+                Fetcher, batch_format="pyarrow", batch_size=64,
+                concurrency=(1, max(2, cfg.fetch_concurrency[1] // 2)),
+                num_cpus=cfg.fetch_num_cpus,
+                fn_constructor_kwargs={"transport_spec": cfg.transport},
+            )
+            .map_batches(discover_batch, batch_format="pyarrow")
+            .materialize()
+        )
+        self.pending_disco = [
+            r["url"] for r in parsed.map_batches(
+                lambda b: b.filter(
+                    pc_.equal(b["via"], pa.scalar("sitemap_index"))
+                ).select(["url"]),
+                batch_format="pyarrow",
+            ).take_all()
+        ]
+        return parsed.map_batches(
+            lambda b: _partial_dedup(feed_candidates(b, cfg.n_parts)),
+            batch_format="pyarrow",
         )
 
     # ------------------------------------------------------ wave logic
@@ -292,6 +356,11 @@ class CrawlRun:
             batch_format="pyarrow", zero_copy_batch=True,
             batch_size=lb,
         )
+        # D1: sitemap/RSS discovery for hosts first admitted this wave —
+        # same candidate schema, same admission shuffle as page links
+        disco_cands = self._wave_discovery()
+        if disco_cands is not None:
+            cands = cands.union(disco_cands)
         if self.hot_hosts:
             # A6 salted-part split (SURVEY §4.2): the heavy dedup/novelty/
             # policy work for a hot host spreads over hot_salt_parts

@@ -810,6 +810,54 @@ FROM documents WHERE doc_id % 7 = 0 GROUP BY source
 """
 
 
+def q_crawl_feeds_mini(sf_dir: str):
+    """D1 integrated-discovery demo (rows-only): crawl a mini-web whose
+    sitemap/RSS list pages that NO page links to (plus a sitemap-index
+    hop); count fetched pages per channel. Non-zero sitemap_only /
+    feed_only counts prove the feed channels are wired into the wave
+    loop's admission shuffle. Full parity vs the sequential oracle lives
+    in tests/test_feed_discovery.py."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from ..pipelines.config import CrawlConfig
+    from ..pipelines.crawl import run_crawl
+    from ..sources.miniweb import write_web
+
+    scratch = f"/tmp/crawlray_feeds_demo_{os.getpid()}"
+    fix, run_dir = os.path.join(scratch, "fix"), os.path.join(scratch, "run")
+    paths = write_web(fix, n_hosts=4, pages_per_host=8, hot_factor=2,
+                      with_feeds=True)
+    cfg = CrawlConfig(
+        n_parts=2, seen_shards=2, max_depth=4, max_waves=4,
+        fetch_concurrency=(1, 2), parse_concurrency=(1, 2),
+        transport={"kind": "sim", "pages_path": paths["pages"]},
+        discover_feeds=True,
+    )
+    run_crawl(run_dir, pq.read_table(paths["seeds"])["url"].to_pylist(),
+              pq.read_table(paths["robots"]), cfg)
+    pages = rd.read_parquet(os.path.join(run_dir, "pages"),
+                            columns=["url_canon"])
+
+    def channel(b: pa.Table) -> pa.Table:
+        u = b["url_canon"]
+        ch = pc.if_else(
+            pc.match_substring(u, "/archief/"), pa.scalar("sitemap_only"),
+            pc.if_else(pc.match_substring(u, "/feed/item"),
+                       pa.scalar("feed_only"), pa.scalar("linked")),
+        )
+        return pa.table({"channel": ch})
+
+    result = (
+        pages.map_batches(channel, batch_format="pyarrow")
+        .groupby("channel").aggregate(Count(alias_name="n_pages"))
+        .materialize()
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    return result
+
+
 def q_sample(sf_dir: str):
     """O4 QA sampling (rows-only; sample membership depends on block
     layout, so no value oracle): seeded 10% sample of documents →
@@ -875,4 +923,5 @@ DATAOPS_QUERIES = {
     "feed_titles": (q_feed_titles, SQL_FEED_TITLES),
     "qa_sample": (q_sample, None),
     "crawl_mini": (q_crawl_mini, None),
+    "crawl_feeds_mini": (q_crawl_feeds_mini, None),
 }

@@ -123,8 +123,12 @@ def discover_batch(batch: pa.Table) -> pa.Table:
     """Ray stage (map_batches over zero-copy Arrow): fetched discovery
     documents (url_canon, content_type, body) → exploded candidate URLs
     with provenance. Sitemap-index children come back with
-    via='sitemap_index' so the driver loop can fetch-and-recurse."""
-    urls, vias, titles, lastmods, srcs = [], [], [], [], []
+    via='sitemap_index' so the driver loop can fetch-and-recurse.
+    ``idx`` is the row's 0-based position WITHIN its source document
+    (pages and children enumerated separately) — the deterministic
+    ordering key feed_candidates packs into srckeys, carried explicitly
+    so downstream re-batching cannot lose document boundaries."""
+    urls, vias, titles, lastmods, srcs, idxs = [], [], [], [], [], []
     for src, ctype, body in zip(
         batch["url_canon"].to_pylist(),
         batch["content_type"].to_pylist(),
@@ -134,16 +138,19 @@ def discover_batch(batch: pa.Table) -> pa.Table:
         if "sitemap" in low or "xml" in (ctype or ""):
             pages, children = parse_sitemap(body or b"")
             if pages or children:
-                for u, lm in pages:
+                for i, (u, lm) in enumerate(pages):
                     urls.append(u); vias.append("sitemap")
                     titles.append(None); lastmods.append(lm); srcs.append(src)
-                for u in children:
+                    idxs.append(i)
+                for i, u in enumerate(children):
                     urls.append(u); vias.append("sitemap_index")
                     titles.append(None); lastmods.append(None); srcs.append(src)
+                    idxs.append(i)
                 continue
-        for u, title, pub in parse_feed(body or b""):
+        for i, (u, title, pub) in enumerate(parse_feed(body or b"")):
             urls.append(u); vias.append("feed")
             titles.append(title); lastmods.append(pub); srcs.append(src)
+            idxs.append(i)
     return pa.table(
         {
             "url": pa.array(urls, type=pa.string()),
@@ -151,5 +158,59 @@ def discover_batch(batch: pa.Table) -> pa.Table:
             "title": pa.array(titles, type=pa.string()),
             "lastmod": pa.array(lastmods, type=pa.timestamp("us")),
             "src": pa.array(srcs, type=pa.string()),
+            "idx": pa.array(idxs, type=pa.int64()),
         }
     )
+
+
+FEED_SRC_SEQ = (1 << 30) - 1  # max src_seq: a page-link discovery of the
+# same URL always wins the min-srckey dedup against a feed discovery
+
+
+def feed_candidates(batch: pa.Table, n_parts: int) -> pa.Table:
+    """Discovery rows (discover_batch output) → frontier candidate rows
+    in the SAME schema as the link-explode stream, so both discovery
+    channels union into the wave's ONE admission shuffle (D1):
+
+        srckey64 = pack(part(host(url)), FEED_SRC_SEQ, idx-in-doc, depth=1)
+
+    Deterministic: idx is the row's position within its feed document;
+    ties between a URL listed in several discovery docs resolve by idx
+    (same both sides of the parity suite). sitemap_index rows are NOT
+    candidates — the driver re-queues them as next-wave discovery docs."""
+    import numpy as np
+
+    from ..functions.canon import canonicalize, host_of
+    from ..functions.murmur3 import hash64s
+    from ..stages.frontier import pack_srckey
+
+    urls, hosts, idxs = [], [], []
+    for url, via, src, idx in zip(
+        batch["url"].to_pylist(), batch["via"].to_pylist(),
+        batch["src"].to_pylist(), batch["idx"].to_pylist(),
+    ):
+        if via not in ("sitemap", "feed"):
+            continue
+        cu = canonicalize(url, base=src)
+        if not cu:
+            continue
+        h = host_of(cu)
+        if not h:
+            continue
+        urls.append(cu)
+        hosts.append(h)
+        idxs.append(min(int(idx), 65535))
+    uh = np.array([hash64s(u) for u in urls], dtype=np.int64)
+    hh = np.array([hash64s(h) for h in hosts], dtype=np.int64)
+    part = (hh.view(np.uint64) % np.uint64(n_parts)).astype(np.int64)
+    srckey = pack_srckey(part, np.full(len(urls), FEED_SRC_SEQ, dtype=np.int64),
+                         np.array(idxs, dtype=np.int64),
+                         np.ones(len(urls), dtype=np.int64))
+    return pa.table({
+        "url_canon": pa.array(urls, type=pa.string()),
+        "url_hash": pa.array(uh),
+        "host": pa.array(hosts, type=pa.string()),
+        "host_hash": pa.array(hh),
+        "part": pa.array(part),
+        "srckey64": pa.array(np.asarray(srckey, dtype=np.int64)),
+    })

@@ -191,23 +191,98 @@ def make_web(
     hot_factor: int = 20,
     fanout: int = 2,
     heft: int = 1,
+    with_feeds: bool = False,
 ):
     """Returns (seeds, robots, pages) pyarrow Tables (schemas.SEEDS/ROBOTS/
     PAGES). Host ``hot_host`` gets ``hot_factor``× the pages of the rest.
     ``fanout`` controls the link-tree branching (wave width vs depth);
-    ``heft`` scales page size (parse work per page)."""
+    ``heft`` scales page size (parse work per page).
+
+    ``with_feeds=True`` adds per-host discovery channels (D1 coverage):
+    ``/sitemap.xml`` listing the host root plus ARCHIVE pages reachable
+    ONLY via the sitemap (never linked), ``/rss.xml`` listing a disjoint
+    set of feed-only pages plus a robots-denied decoy and (host 0) a
+    cross-host URL, and host 0 additionally serves a ``/sitemap-index.xml``
+    pointing at a second-level ``/sitemap-extra.xml`` with one more
+    otherwise-unreachable page (index recursion coverage)."""
     seeds, robots = make_meta(n_hosts)
     urls, hosts, statuses, ctypes, htmls, lats = [], [], [], [], [], []
+
+    def add(url, host, status, ctype, body, lat):
+        urls.append(url); hosts.append(host); statuses.append(status)
+        ctypes.append(ctype); htmls.append(body); lats.append(lat)
+
     for k in range(n_hosts):
         n_pages = pages_per_host * (hot_factor if k == hot_host else 1)
         host = host_name(k)
         for i in range(n_pages):
-            urls.append(f"https://{host}{page_path(i)}")
-            hosts.append(host)
-            statuses.append(200)
-            ctypes.append("text/html")
-            htmls.append(_page_html(seed, k, i, n_hosts, n_pages, fanout, heft))
-            lats.append(float(20 + (next(_rand(seed, k, i, 7)) % 80)))
+            add(f"https://{host}{page_path(i)}", host, 200, "text/html",
+                _page_html(seed, k, i, n_hosts, n_pages, fanout, heft),
+                float(20 + (next(_rand(seed, k, i, 7)) % 80)))
+        if not with_feeds:
+            continue
+        # archive/feed-only pages: generated from high page indexes so the
+        # tree-link logic emits no in-range links — unreachable by crawl
+        n_arch = max(2, pages_per_host // 4)
+        arch_urls, feed_urls = [], []
+        for j in range(n_arch):
+            u = f"https://{host}/archief/stuk-{j}"
+            arch_urls.append(u)
+            add(u, host, 200, "text/html",
+                _page_html(seed, k, 50_000 + j, n_hosts, n_pages, fanout, heft),
+                25.0)
+        for j in range(max(2, n_arch // 2)):
+            u = f"https://{host}/feed/item-{j}"
+            feed_urls.append(u)
+            add(u, host, 200, "text/html",
+                _page_html(seed, k, 60_000 + j, n_hosts, n_pages, fanout, heft),
+                25.0)
+        if k == 0:
+            # host 0's /sitemap.xml is a sitemap INDEX: its urlset lives
+            # one hop away at /sitemap-extra.xml (and adds one more
+            # otherwise-unreachable page) — index recursion lands those
+            # candidates one wave later
+            deep = f"https://{host}/archief/diep-0"
+            add(deep, host, 200, "text/html",
+                _page_html(seed, k, 70_000, n_hosts, n_pages, fanout, heft),
+                25.0)
+            add(f"https://{host}/sitemap.xml", host, 200, "application/xml",
+                ("<?xml version='1.0'?>"
+                 "<sitemapindex xmlns='http://www.sitemaps.org/schemas/sitemap/0.9'>"
+                 f"<sitemap><loc>https://{host}/sitemap-extra.xml</loc></sitemap>"
+                 "</sitemapindex>").encode(), 10.0)
+            sm = ["<?xml version='1.0'?>"
+                  "<urlset xmlns='http://www.sitemaps.org/schemas/sitemap/0.9'>",
+                  f"<url><loc>https://{host}/</loc></url>",
+                  f"<url><loc>{deep}</loc></url>"]
+            for j, u in enumerate(arch_urls):
+                sm.append(f"<url><loc>{u}</loc>"
+                          f"<lastmod>2024-02-{1 + j % 27:02d}</lastmod></url>")
+            sm.append("</urlset>")
+            add(f"https://{host}/sitemap-extra.xml", host, 200,
+                "application/xml", "".join(sm).encode(), 10.0)
+        else:
+            sm = ["<?xml version='1.0'?>"
+                  "<urlset xmlns='http://www.sitemaps.org/schemas/sitemap/0.9'>",
+                  f"<url><loc>https://{host}/</loc>"
+                  f"<lastmod>2024-01-0{1 + k % 9}</lastmod></url>"]
+            for j, u in enumerate(arch_urls):
+                sm.append(f"<url><loc>{u}</loc>"
+                          f"<lastmod>2024-02-{1 + j % 27:02d}</lastmod></url>")
+            sm.append("</urlset>")
+            add(f"https://{host}/sitemap.xml", host, 200, "application/xml",
+                "".join(sm).encode(), 10.0)
+        items = [f"<item><title>Feed {k}-{j}</title><link>{u}</link></item>"
+                 for j, u in enumerate(feed_urls)]
+        items.append(f"<item><title>Verboden</title>"
+                     f"<link>https://{host}/prive/feed-geheim</link></item>")
+        if k == 0 and n_hosts > 1:
+            items.append(f"<item><title>Cross</title>"
+                         f"<link>https://{host_name(1)}/</link></item>")
+        add(f"https://{host}/rss.xml", host, 200, "application/rss+xml",
+            ("<?xml version='1.0'?><rss version='2.0'><channel>"
+             + "".join(items) + "</channel></rss>").encode(), 10.0)
+
     pages = pa.Table.from_pydict(
         {
             "url": urls,

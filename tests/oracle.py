@@ -16,6 +16,16 @@ Semantics (the contract both sides implement):
   scheduled at j * crawl_delay_ms(host).
 - parse: only status==200 and text/html bodies; links are canonicalized
   against the page URL and deduped in-page preserving first occurrence.
+- feed discovery (D1, cfg.discover_feeds): when a host is first admitted
+  at wave k, its /sitemap.xml and /rss.xml are fetched during wave k
+  (internal metadata fetches — not pages: no fetch-log entry, no seen
+  marking, no robots gate on the feed URL itself). Discovered URLs join
+  wave k's link candidates with srckey (part(host(url)), FEED_SRC_SEQ,
+  idx-in-doc, depth=1) — FEED_SRC_SEQ is the max src_seq, so page-link
+  discovery wins dedup ties. sitemap-index children are re-queued as
+  wave-k+1 discovery docs. Candidates pass the normal admission filters
+  (seen/robots/depth/cap). If the frontier empties, queued discovery
+  dies with the crawl (both sides).
 """
 
 from __future__ import annotations
@@ -75,6 +85,41 @@ def crawl_oracle(seed_urls, robots: RobotsPolicy, pages_index: dict, cfg: CrawlC
             seq_in_part[r["part"]] = r["seq"] + 1
         return rows
 
+    def discover(doc_urls, pending_next):
+        """Feed-discovery candidates for one wave: runs the SAME parser
+        stage (feeds.discover_batch) the engine uses over the discovery
+        docs, mirroring feed_candidates' srckey packing."""
+        import pyarrow as pa
+
+        from crawlray.sources.feeds import FEED_SRC_SEQ, discover_batch
+
+        out = []
+        for src in doc_urls:
+            status, ctype, body, _lat = pages_index.get(
+                src, (404, "text/html", b"", 5.0)
+            )
+            rows = discover_batch(pa.table({
+                "url_canon": pa.array([src], type=pa.string()),
+                "content_type": pa.array([ctype], type=pa.string()),
+                "body": pa.array([body or b""], type=pa.binary()),
+            })).to_pylist()
+            for r in rows:
+                if r["via"] == "sitemap_index":
+                    pending_next.append(r["url"])
+                    continue
+                cu = canonicalize(r["url"], base=src)
+                if not cu:
+                    continue
+                h = host_of(cu)
+                if not h:
+                    continue
+                p = part_of(hash64s(h) & 0xFFFFFFFFFFFFFFFF, cfg.n_parts)
+                out.append((cu, p, FEED_SRC_SEQ, min(int(r["idx"]), 65535), 1))
+        return out
+
+    disco_done: set[str] = set()
+    pending_disco: list[str] = []
+
     frontier = admit([(canonicalize(u), 0, 0, i, 0) for i, u in enumerate(seed_urls)
                       if canonicalize(u)])
     wave = 0
@@ -116,6 +161,18 @@ def crawl_oracle(seed_urls, robots: RobotsPolicy, pages_index: dict, cfg: CrawlC
                         links.append(cu)
                 for li, cu in enumerate(links):
                     candidates.append((cu, r["part"], r["seq"], li, r["depth"] + 1))
+        if getattr(cfg, "discover_feeds", False):
+            # hosts first admitted by wave ≤ k (host_pages keys) minus
+            # those already probed == hosts first admitted at wave k —
+            # identical to the engine's budgets-vs-disco_done difference
+            new_hosts = sorted(set(host_pages) - disco_done)
+            disco_done.update(new_hosts)
+            doc_urls = list(pending_disco) + [
+                u for h in new_hosts
+                for u in (f"https://{h}/sitemap.xml", f"https://{h}/rss.xml")
+            ]
+            pending_disco = []
+            candidates.extend(discover(doc_urls, pending_disco))
         frontier = admit(candidates)
         wave += 1
     return res

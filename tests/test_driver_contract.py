@@ -91,7 +91,10 @@ def test_oracled_query(ray_session, name):
     assert_query_matches(name, fn, sql)
 
 
-@pytest.mark.parametrize("name", [n for n in _ROWS_ONLY if n != "crawl_mini"])
+@pytest.mark.parametrize(
+    "name",
+    [n for n in _ROWS_ONLY if n not in ("crawl_mini", "crawl_feeds_mini")],
+)
 def test_rows_only_query_runs(ray_session, name):
     fn, _ = _REG[name]
     df = _to_pandas(fn(SF_DIR))
@@ -111,6 +114,15 @@ def test_crawl_mini_query(ray_session):
     fn, _ = _REG["crawl_mini"]
     df = _to_pandas(fn(SF_DIR))
     assert df["n_fetched"].sum() > 10
+
+
+def test_crawl_feeds_mini_query(ray_session):
+    fn, _ = _REG["crawl_feeds_mini"]
+    df = _to_pandas(fn(SF_DIR)).set_index("channel")["n_pages"]
+    # feed-only channels actually contribute crawled pages
+    assert df.get("sitemap_only", 0) > 0
+    assert df.get("feed_only", 0) > 0
+    assert df.get("linked", 0) > 10
 
 
 def test_minhash_finds_planted_neardups(ray_session):
