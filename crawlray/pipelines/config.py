@@ -55,6 +55,14 @@ class CrawlConfig:
     # HostScheduler — the live-HTTP path, where measured fetch times can
     # drift from the written clock between waves.
     schedule_mode: str = "write"
+    # robots policy source: "table" consumes a pre-parsed robots table
+    # (the fast path); "fetch" fetches+parses /robots.txt per host
+    # through the transport as hosts are first admitted (S2 — the
+    # reference's behavior). Fetch mode REQUIRES schedule_mode
+    # "wave_start": rules can arrive after a host's rows were admitted
+    # under the default policy, and the wave-start scheduler is where
+    # the fresh policy re-filters rows and re-derives the clock.
+    robots_mode: str = "table"
     # io
     transport: dict = field(default_factory=dict)  # see sources.transport.make_transport
 
@@ -65,6 +73,15 @@ class CrawlConfig:
             raise ValueError(
                 f"schedule_mode must be 'write' or 'wave_start', "
                 f"got {self.schedule_mode!r}"
+            )
+        if self.robots_mode not in ("table", "fetch"):
+            raise ValueError(
+                f"robots_mode must be 'table' or 'fetch', got {self.robots_mode!r}"
+            )
+        if self.robots_mode == "fetch" and self.schedule_mode != "wave_start":
+            raise ValueError(
+                "robots_mode='fetch' requires schedule_mode='wave_start' "
+                "(late-arriving rules re-filter at wave start)"
             )
 
 

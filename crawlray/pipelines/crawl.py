@@ -198,6 +198,36 @@ class CrawlRun:
              "committed_at": time.time()},
         )
 
+    # ------------------------------------------------------ robots (S2)
+    def _ensure_robots(self) -> None:
+        """robots_mode='fetch': fetch+parse /robots.txt for every
+        admitted host that has no policy entry yet, through the normal
+        transport (RobotsFetcher actor pool), then re-broadcast the
+        policy. One row per host comes back to the driver — the policy
+        is a driver-held broadcast dict by design (SURVEY J1), so this
+        adds no new driver-side scaling class."""
+        if self.cfg.robots_mode != "fetch":
+            return
+        from ..state.robots import RobotsFetcher
+
+        missing = sorted(set(self.budgets) - self.robots.known())
+        if not missing:
+            return
+        cfg = self.cfg
+        rows = (
+            rd.from_arrow(pa.table({"host": pa.array(missing, type=pa.string())}))
+            .map_batches(
+                RobotsFetcher, batch_format="pyarrow", batch_size=128,
+                concurrency=(1, max(2, cfg.fetch_concurrency[1] // 2)),
+                num_cpus=cfg.fetch_num_cpus,
+                fn_constructor_kwargs={"transport_spec": cfg.transport,
+                                       "default_delay_ms": cfg.default_delay_ms},
+            )
+            .take_all()
+        )
+        self.robots.add_rows(rows)
+        self.robots_ref = ray.put(self.robots)
+
     # ------------------------------------------------------ discovery
     def _wave_discovery(self):
         """D1: fetch+parse the wave's discovery documents (feeds of hosts
@@ -283,6 +313,7 @@ class CrawlRun:
             return {"wave": wave, "frontier": 0}
 
         t0 = time.time()
+        self._ensure_robots()
         budget_ref = ray.put(dict(self.budgets))
         ncpu = int(ray.cluster_resources().get("CPU", 8))
         # Read-time block splitting replaces the round-1 hot-wave

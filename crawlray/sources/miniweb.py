@@ -192,6 +192,7 @@ def make_web(
     fanout: int = 2,
     heft: int = 1,
     with_feeds: bool = False,
+    with_robots_txt: bool = False,
 ):
     """Returns (seeds, robots, pages) pyarrow Tables (schemas.SEEDS/ROBOTS/
     PAGES). Host ``hot_host`` gets ``hot_factor``× the pages of the rest.
@@ -204,7 +205,13 @@ def make_web(
     set of feed-only pages plus a robots-denied decoy and (host 0) a
     cross-host URL, and host 0 additionally serves a ``/sitemap-index.xml``
     pointing at a second-level ``/sitemap-extra.xml`` with one more
-    otherwise-unreachable page (index recursion coverage)."""
+    otherwise-unreachable page (index recursion coverage).
+
+    ``with_robots_txt=True`` additionally serves ``/robots.txt`` text per
+    host whose crawlray-group rules parse to EXACTLY the robots table's
+    rows (deny /prive/, the host's crawl delay) — with decoy groups for
+    other agents — so robots_mode='fetch' runs must make identical
+    decisions to table-mode runs (S2 parity)."""
     seeds, robots = make_meta(n_hosts)
     urls, hosts, statuses, ctypes, htmls, lats = [], [], [], [], [], []
 
@@ -219,6 +226,23 @@ def make_web(
             add(f"https://{host}{page_path(i)}", host, 200, "text/html",
                 _page_html(seed, k, i, n_hosts, n_pages, fanout, heft),
                 float(20 + (next(_rand(seed, k, i, 7)) % 80)))
+        if with_robots_txt:
+            delay_s = (50 + (k % 5) * 50) / 1000
+            body = (
+                "# fixture robots\n"
+                "User-agent: googlebot\n"
+                "Disallow: /\n"
+                "\n"
+                "User-agent: crawlray\n"
+                "User-agent: anderebot\n"
+                "Disallow: /prive/\n"
+                f"Crawl-delay: {delay_s}\n"
+                "\n"
+                "User-agent: *\n"
+                "Disallow: /alles/\n"
+            ).encode()
+            add(f"https://{host}/robots.txt", host, 200, "text/plain",
+                body, 8.0)
         if not with_feeds:
             continue
         # archive/feed-only pages: generated from high page indexes so the

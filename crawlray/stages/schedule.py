@@ -41,6 +41,16 @@ class HostScheduler:
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values("seq", kind="mergesort", ignore_index=True)
+        # robots re-check with the CURRENT policy: in robots-fetch mode a
+        # host's rules may arrive only after its rows were admitted (with
+        # the default-allow policy); denied rows are dropped here — they
+        # stay in the seen set (admission-time semantics) but are never
+        # fetched. Idempotent for static table policies (rows were
+        # already filtered at admission), so it runs unconditionally.
+        keep = np.asarray(
+            self._robots.allowed_many(df["url_canon"].tolist()), dtype=bool
+        )
+        df = df[keep].reset_index(drop=True)
         j = df.groupby("host", sort=False).cumcount()
         delays = df["host"].map(self._delay)
         df["scheduled_ms"] = (j * delays).astype(np.float64)

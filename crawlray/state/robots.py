@@ -1,15 +1,92 @@
-"""Robots policy: per-host allow/deny prefix rules + crawl-delay budget.
+"""Robots policy: per-host allow/deny prefix rules + crawl-delay budget,
+plus the robots.txt TEXT parser and per-host fetch stage (S2 — the
+reference fetches and parses ``/robots.txt`` per site; the pre-parsed
+table remains the fast path).
 
 Semantics follow stdlib ``urllib.robotparser`` longest-match convention
-simplified to path prefixes (the fixture generates prefix rules): the
-longest matching rule wins; allow beats deny on equal length; no rule →
-allowed. The robots table is tiny (one row per host) so it is broadcast
-via ``ray.put`` and consulted inside stages — never shuffled (SURVEY J1).
+simplified to path prefixes: the longest matching rule wins; allow beats
+deny on equal length; no rule → allowed. Grammar per RFC 9309: groups of
+``User-agent`` lines (consecutive lines stack onto one group) followed by
+``Allow``/``Disallow``/``Crawl-delay`` records; the group whose agent
+token is the longest case-insensitive substring of our UA wins, ``*``
+matches everything at specificity 0, and all groups naming the winning
+agent merge. The robots table is tiny (one row per host) so it is
+broadcast via ``ray.put`` and consulted inside stages — never shuffled
+(SURVEY J1).
 """
 
 from __future__ import annotations
 
 from urllib.parse import urlsplit
+
+DEFAULT_UA = "crawlray"
+
+
+def parse_robots_txt(
+    text: str, user_agent: str = DEFAULT_UA, default_delay_ms: int = 1000
+) -> tuple[list[str], list[str], int]:
+    """robots.txt body → (allow_prefixes, deny_prefixes, crawl_delay_ms)
+    for ``user_agent``. Unknown directives and malformed lines are
+    ignored (a crawler treats a broken robots.txt leniently); rules
+    before any User-agent line are ignored per the RFC."""
+    ua = user_agent.lower()
+    # group: [agents, allow, deny, delay_ms|None]
+    groups: list[list] = []
+    cur: list | None = None
+    last_was_agent = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if not last_was_agent:
+                cur = [[], [], [], None]
+                groups.append(cur)
+            if value:
+                cur[0].append(value.lower())
+            last_was_agent = True
+            continue
+        last_was_agent = False
+        if cur is None:
+            continue  # record before any User-agent line
+        if field == "allow":
+            if value:
+                cur[1].append(value)
+        elif field == "disallow":
+            if value:
+                cur[2].append(value)
+            # empty Disallow == allow everything: contributes no rule
+        elif field == "crawl-delay":
+            try:
+                cur[3] = int(float(value) * 1000)
+            except ValueError:
+                pass
+
+    def specificity(agents: list[str]) -> int:
+        best = -1
+        for a in agents:
+            if a == "*":
+                best = max(best, 0)
+            elif a in ua or ua in a:
+                best = max(best, len(a))
+        return best
+
+    best_spec = max((specificity(g[0]) for g in groups), default=-1)
+    if best_spec < 0:
+        return [], [], default_delay_ms
+    allow: list[str] = []
+    deny: list[str] = []
+    delay = None
+    for g in groups:
+        if specificity(g[0]) == best_spec:
+            allow.extend(g[1])
+            deny.extend(g[2])
+            if g[3] is not None and delay is None:
+                delay = g[3]
+    return allow, deny, delay if delay is not None else default_delay_ms
 
 
 class RobotsPolicy:
@@ -52,3 +129,58 @@ class RobotsPolicy:
         """None → empty policy (every URL allowed, default delay)."""
         rows = robots_table.to_pylist() if robots_table is not None else []
         return cls(rows, default_delay_ms=default_delay_ms)
+
+    # ---- incremental population (S2 fetch mode) ----
+    def known(self) -> set[str]:
+        return set(self._by_host)
+
+    def add_rows(self, rows: list[dict]) -> None:
+        for r in rows:
+            self._by_host[r["host"]] = (
+                list(r.get("allow") or []),
+                list(r.get("deny") or []),
+                int(r.get("crawl_delay_ms") or self.default_delay_ms),
+            )
+
+
+class RobotsFetcher:
+    """S2 fetch stage: host batches → per-host robots.txt rules, through
+    the SAME pluggable transport as page fetches (actor pool: transport
+    built once per actor in ``__init__``). A missing or non-200 robots.txt
+    yields the default policy row (allow-all, default delay) with
+    fetched_ok=False — the reference's lenient behavior."""
+
+    def __init__(self, transport_spec: dict, default_delay_ms: int = 1000,
+                 user_agent: str = DEFAULT_UA):
+        from ..sources.transport import make_transport
+
+        self._transport = make_transport(transport_spec)
+        self._default = default_delay_ms
+        self._ua = user_agent
+
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        hosts = batch["host"].to_pylist()
+        results = self._transport.fetch_many(
+            [f"https://{h}/robots.txt" for h in hosts]
+        )
+        allows, denies, delays, oks = [], [], [], []
+        for status, _ctype, body, _lat in results:
+            if status == 200 and body:
+                a, d, ms = parse_robots_txt(
+                    bytes(body).decode("utf-8", errors="replace"),
+                    self._ua, self._default,
+                )
+                allows.append(a); denies.append(d); delays.append(ms)
+                oks.append(True)
+            else:
+                allows.append([]); denies.append([]); delays.append(self._default)
+                oks.append(False)
+        return pa.table({
+            "host": pa.array(hosts, type=pa.string()),
+            "allow": pa.array(allows, type=pa.list_(pa.string())),
+            "deny": pa.array(denies, type=pa.list_(pa.string())),
+            "crawl_delay_ms": pa.array(delays, type=pa.int32()),
+            "fetched_ok": pa.array(oks, type=pa.bool_()),
+        })

@@ -120,10 +120,40 @@ def crawl_oracle(seed_urls, robots: RobotsPolicy, pages_index: dict, cfg: CrawlC
     disco_done: set[str] = set()
     pending_disco: list[str] = []
 
+    robots_known: set[str] = set()
+
+    def ensure_robots(hosts):
+        """robots_mode='fetch' mirror: fetch+parse /robots.txt for hosts
+        first entering a frontier; late rules re-filter the wave below
+        (denied rows stay seen, are never fetched) — same spec as the
+        engine's _ensure_robots + HostScheduler re-check."""
+        from crawlray.state.robots import DEFAULT_UA, parse_robots_txt
+
+        for h in sorted(set(hosts) - robots_known):
+            robots_known.add(h)
+            status, _c, body, _l = pages_index.get(
+                f"https://{h}/robots.txt", (404, "text/html", b"", 5.0)
+            )
+            if status == 200 and body:
+                a, d, ms = parse_robots_txt(
+                    bytes(body).decode("utf-8", errors="replace"),
+                    DEFAULT_UA, cfg.default_delay_ms,
+                )
+                robots.add_rows([{"host": h, "allow": a, "deny": d,
+                                  "crawl_delay_ms": ms}])
+            else:
+                robots.add_rows([{"host": h, "allow": [], "deny": [],
+                                  "crawl_delay_ms": cfg.default_delay_ms}])
+
     frontier = admit([(canonicalize(u), 0, 0, i, 0) for i, u in enumerate(seed_urls)
                       if canonicalize(u)])
     wave = 0
     while frontier and wave < cfg.max_waves:
+        if getattr(cfg, "robots_mode", "table") == "fetch":
+            ensure_robots({r["host"] for r in frontier})
+            frontier = [r for r in frontier if robots.allowed(r["url_canon"])]
+            if not frontier:
+                break
         res.waves.append(len(frontier))
         # politeness virtual clock per wave, per host, in (part, seq) order
         frontier.sort(key=lambda r: (r["part"], r["seq"]))

@@ -1,0 +1,187 @@
+"""S2 robots.txt text parsing + fetch mode (VERDICT r1 item #3): the
+grammar parser (User-agent groups, Allow/Disallow, Crawl-delay), parity
+of fetch-derived policy vs the pre-parsed table policy, and full crawl
+parity engine-vs-oracle with robots_mode='fetch'.
+"""
+
+import dataclasses
+import glob
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from crawlray.pipelines.config import CrawlConfig
+from crawlray.state.robots import (
+    DEFAULT_UA,
+    RobotsPolicy,
+    parse_robots_txt,
+)
+
+FETCH_COLS = ["wave", "part", "host", "seq", "url_canon", "url_hash",
+              "scheduled_ms", "status"]
+
+
+def _log(run_dir):
+    files = sorted(glob.glob(f"{run_dir}/pages/wave=*/*.parquet"))
+    t = pa.concat_tables([pq.read_table(f, columns=FETCH_COLS) for f in files])
+    return sorted(tuple(r[c] for c in FETCH_COLS) for r in t.to_pylist())
+
+
+# ------------------------------------------------------------- grammar
+
+SAMPLE = """
+# comment line
+Disallow: /ignored-before-any-group/
+
+User-agent: googlebot
+Disallow: /
+
+User-agent: crawlray
+User-agent: anderebot
+Disallow: /prive/
+Allow: /prive/openbaar/
+Crawl-delay: 0.25
+
+User-agent: *
+Disallow: /alles/
+"""
+
+
+def test_parse_selects_most_specific_group():
+    allow, deny, delay = parse_robots_txt(SAMPLE, "crawlray")
+    assert deny == ["/prive/"]
+    assert allow == ["/prive/openbaar/"]
+    assert delay == 250
+
+
+def test_parse_falls_back_to_star_group():
+    allow, deny, delay = parse_robots_txt(SAMPLE, "onbekendebot",
+                                          default_delay_ms=700)
+    assert deny == ["/alles/"]
+    assert allow == []
+    assert delay == 700  # * group has no Crawl-delay → default
+
+
+def test_parse_other_named_group():
+    _a, deny, _d = parse_robots_txt(SAMPLE, "googlebot")
+    assert deny == ["/"]
+
+
+def test_parse_no_groups_means_allow_all():
+    allow, deny, delay = parse_robots_txt("just noise\n\n", "crawlray",
+                                          default_delay_ms=123)
+    assert (allow, deny, delay) == ([], [], 123)
+
+
+def test_parse_merges_groups_with_same_agent():
+    txt = """User-agent: crawlray
+Disallow: /a/
+
+User-agent: crawlray
+Disallow: /b/
+Crawl-delay: 2
+"""
+    allow, deny, delay = parse_robots_txt(txt, "crawlray")
+    assert deny == ["/a/", "/b/"]
+    assert delay == 2000
+
+
+def test_parse_empty_disallow_is_allow_all():
+    txt = "User-agent: *\nDisallow:\n"
+    allow, deny, _ = parse_robots_txt(txt, "crawlray")
+    assert deny == [] and allow == []
+
+
+def test_fixture_robots_txt_matches_table_policy():
+    """Parsing the fixture's robots.txt bodies must reproduce the robots
+    TABLE's decisions exactly (same deny set + crawl delay per host)."""
+    from crawlray.sources.miniweb import make_web
+
+    _s, robots_t, pages = make_web(n_hosts=5, pages_per_host=4,
+                                   hot_factor=1, with_robots_txt=True)
+    table_pol = RobotsPolicy.from_arrow(robots_t)
+    bodies = {
+        h: b for h, b, u in zip(pages["host"].to_pylist(),
+                                pages["html"].to_pylist(),
+                                pages["url"].to_pylist())
+        if u.endswith("/robots.txt")
+    }
+    assert len(bodies) == 5
+    for h, body in bodies.items():
+        allow, deny, delay = parse_robots_txt(body.decode(), DEFAULT_UA)
+        assert deny == ["/prive/"], h
+        assert delay == table_pol.crawl_delay_ms(h), h
+        fetched_pol = RobotsPolicy(
+            [{"host": h, "allow": allow, "deny": deny, "crawl_delay_ms": delay}]
+        )
+        for path in ("/", "/sectie/1/artikel-3", "/prive/geheim-1",
+                     "/prive/", "/alles/x"):
+            u = f"https://{h}{path}"
+            assert fetched_pol.allowed(u) == table_pol.allowed(u), (h, path)
+
+
+# ------------------------------------------------------- crawl parity
+
+
+@pytest.fixture(scope="module")
+def robots_env(ray_session, tmp_path_factory):
+    from crawlray.pipelines.crawl import run_crawl
+    from crawlray.sources.miniweb import write_web
+
+    root = tmp_path_factory.mktemp("robots")
+    paths = write_web(str(root / "web"), n_hosts=5, pages_per_host=12,
+                      hot_factor=4, with_robots_txt=True)
+    seeds = pq.read_table(paths["seeds"])["url"].to_pylist()
+    robots_t = pq.read_table(paths["robots"])
+    base = CrawlConfig(
+        n_parts=4, seen_shards=2, max_depth=6, max_waves=4,
+        max_pages_per_host=60,
+        fetch_concurrency=(1, 4), parse_concurrency=(1, 4),
+        transport={"kind": "sim", "pages_path": paths["pages"]},
+        schedule_mode="wave_start",
+    )
+    run_table = str(root / "run_table")
+    run_fetch = str(root / "run_fetch")
+    run_crawl(run_table, seeds, robots_t, base)
+    cfg_fetch = dataclasses.replace(base, robots_mode="fetch")
+    run_crawl(run_fetch, seeds, None, cfg_fetch)
+    return {"root": root, "paths": paths, "seeds": seeds,
+            "robots_t": robots_t, "base": base, "cfg_fetch": cfg_fetch,
+            "run_table": run_table, "run_fetch": run_fetch}
+
+
+def test_fetch_mode_matches_table_mode(robots_env):
+    """Identical allow/deny/delay decisions → identical crawls."""
+    a = _log(robots_env["run_table"])
+    b = _log(robots_env["run_fetch"])
+    assert len(a) > 50
+    assert a == b
+
+
+def test_fetch_mode_oracle_parity(robots_env):
+    from crawlray.state.robots import RobotsPolicy as RP
+    from tests.oracle import build_pages_index, crawl_oracle
+
+    cfg = robots_env["cfg_fetch"]
+    oracle = crawl_oracle(
+        robots_env["seeds"],
+        RP([], default_delay_ms=cfg.default_delay_ms),  # starts EMPTY
+        build_pages_index(pq.read_table(robots_env["paths"]["pages"])),
+        cfg,
+    )
+    eng = _log(robots_env["run_fetch"])
+    ora = sorted(tuple(r[c] for c in FETCH_COLS) for r in oracle.fetch_log)
+    assert eng == ora
+
+
+def test_fetch_mode_denied_never_fetched(robots_env):
+    for k in _log(robots_env["run_fetch"]):
+        assert "/prive/" not in k[4]
+
+
+def test_robots_mode_validation():
+    with pytest.raises(ValueError):
+        CrawlConfig(robots_mode="fetch")  # requires wave_start
+    with pytest.raises(ValueError):
+        CrawlConfig(robots_mode="nonsense")
