@@ -22,6 +22,10 @@ class CrawlConfig:
     # same admission shuffle as page links (sitemap-index children are
     # re-queued for the next wave). A host without feeds costs two 404s.
     discover_feeds: bool = True
+    # §2.10 per-site extraction rules: {host_pattern: extractor NAME}
+    # (names resolved in functions/extractors.EXTRACTORS; exact host or
+    # dot-suffix patterns, longest wins; unmatched hosts parse generic)
+    extractors: dict = field(default_factory=dict)
     # skew handling: a host is "hot" (gets the salted two-stage frontier
     # build) only when BOTH hold — it has enough pending URLs to matter
     # (absolute threshold) AND it alone carries more than hot_skew_factor

@@ -372,7 +372,8 @@ class CrawlRun:
             batch_size=pbs,
             concurrency=pconc,
             num_cpus=cfg.parse_num_cpus,
-            fn_constructor_kwargs={"pages_dir": pages_dir},
+            fn_constructor_kwargs={"pages_dir": pages_dir,
+                                   "extractors": cfg.extractors},
         )
         # coalesce the parse stream into few big blocks: (a) the
         # per-block dedup combiner sees more duplicates, (b) the

@@ -739,6 +739,43 @@ FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts > v.ts
 """
 
 
+def q_csv_roundtrip(sf_dir: str):
+    """S9 relational sink surface: project+filter lineitem →
+    ``Dataset.write_csv`` (partitioned files under /tmp) → ``read_csv``
+    re-ingest → aggregate. Quantities are cast to int64 before the write
+    so the text round-trip is exact. The aggregate is materialized before
+    the scratch dir is removed."""
+    import shutil
+
+    out = f"/tmp/crawlray_csv_{os.getpid()}"
+    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less_equal(b["l_quantity"], pa.scalar(10.0)))
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "qty": b["l_quantity"].cast(pa.int64()),
+        })
+
+    ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True
+                   ).write_csv(out)
+    back = rd.read_csv(out)
+    result = (
+        back.groupby("l_returnflag")
+        .aggregate(Sum("qty", alias_name="sum_qty"), Count(alias_name="n_rows"))
+        .materialize()
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    return result
+
+
+SQL_CSV_ROUNDTRIP = """
+SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem WHERE l_quantity <= 10 GROUP BY l_returnflag
+"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -763,4 +800,5 @@ RELATIONAL_QUERIES = {
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "tumbling_window": (q_tumbling_window, SQL_TUMBLING_WINDOW),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "csv_roundtrip": (q_csv_roundtrip, SQL_CSV_ROUNDTRIP),
 }

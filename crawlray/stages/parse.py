@@ -21,7 +21,6 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..functions.canon import canonicalize
-from ..functions.htmlx import parse_html
 from ..functions.spans import spans_to_arrow
 from ..schemas import SPAN
 
@@ -29,18 +28,38 @@ MAX_LINKS_PER_PAGE = 65535  # link_idx must fit the 16-bit srckey field
 
 
 class PageParser:
+    """M5–M11 + §2.10: per-site extractor registry — hosts matching a
+    configured pattern parse through their registered extractor (resolved
+    ONCE per host, memoized per actor); everything else uses the generic
+    parser. The oracle resolves through the same registry, so custom
+    rules stay parity-checked."""
+
+    def __init__(self, extractors: dict[str, str] | None = None):
+        self._extractors_cfg = extractors or {}
+        self._by_host: dict[str, object] = {}
+
+    def _extractor(self, host: str):
+        fn = self._by_host.get(host)
+        if fn is None:
+            from ..functions.extractors import resolve
+
+            fn = resolve(host, self._extractors_cfg)
+            self._by_host[host] = fn
+        return fn
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         statuses = batch["status"].to_pylist()
         ctypes = batch["content_type"].to_pylist()
         bodies = batch["body"].to_pylist()
         urls = batch["url_canon"].to_pylist()
+        hosts = batch["host"].to_pylist()
         titles: list[str | None] = []
         published: list = []
         all_spans: list[list] = []
         all_links: list[list[str]] = []
-        for url, st, ct, body in zip(urls, statuses, ctypes, bodies):
+        for url, host, st, ct, body in zip(urls, hosts, statuses, ctypes, bodies):
             if st == 200 and (ct or "").startswith("text/html") and body:
-                page = parse_html(body)
+                page = self._extractor(host)(body)
                 titles.append(page.title)
                 published.append(page.published)
                 all_spans.append(page.spans)
@@ -86,10 +105,10 @@ class ParseAndSink:
     completes (atomic tmp+rename per fragment: a fragment killed mid-write
     never surfaces as a committed .parquet)."""
 
-    def __init__(self, pages_dir: str):
+    def __init__(self, pages_dir: str, extractors: dict[str, str] | None = None):
         os.makedirs(pages_dir, exist_ok=True)
         self._dir = pages_dir
-        self._parse = PageParser()
+        self._parse = PageParser(extractors)
 
     @staticmethod
     def _frag_name(batch: pa.Table) -> str:

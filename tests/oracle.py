@@ -52,6 +52,18 @@ def crawl_oracle(seed_urls, robots: RobotsPolicy, pages_index: dict, cfg: CrawlC
     res = OracleResult()
     host_pages: dict[str, int] = {}  # admitted per host (cap budget)
 
+    ext_cache: dict[str, object] = {}
+
+    def extractor_for(host: str):
+        """§2.10: same per-site extractor registry as the engine."""
+        fn = ext_cache.get(host)
+        if fn is None:
+            from crawlray.functions.extractors import resolve
+
+            fn = resolve(host, getattr(cfg, "extractors", None))
+            ext_cache[host] = fn
+        return fn
+
     def admit(candidates):
         """candidates: [(url_canon, src_part, src_seq, link_idx, depth)] →
         next frontier rows, applying dedup/seen/robots/crawlable/budgets."""
@@ -179,7 +191,7 @@ def crawl_oracle(seed_urls, robots: RobotsPolicy, pages_index: dict, cfg: CrawlC
                 }
             )
             if status == 200 and str(ctype).startswith("text/html"):
-                page = parse_html(body)
+                page = extractor_for(r["host"])(body)
                 res.docs[r["url_canon"]] = [
                     (k, t, m, i) for i, (k, t, m) in enumerate(page.spans)
                 ]

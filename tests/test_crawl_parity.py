@@ -148,6 +148,25 @@ def test_resume_parity(crawl_env):
     assert eng1 == eng2
 
 
+def test_metrics_lineage_reconciles(crawl_env):
+    """S8: the persisted metrics table's per-wave lineage must reconcile
+    with ground truth — rows_in == the oracle's frontier size per wave,
+    rows_out == the fetch-log rows of that wave, wall time and input
+    refs populated."""
+    from collections import Counter
+
+    t = pq.read_table(f"{crawl_env['run_dir']}/metrics/metrics.parquet")
+    waves = {r["wave"]: r for r in t.to_pylist() if r["stage"] == "wave_pipeline"}
+    assert sorted(waves) == list(range(len(crawl_env["oracle"].waves)))
+    for w, size in enumerate(crawl_env["oracle"].waves):
+        assert waves[w]["rows_in"] == size, w
+    per_wave = Counter(r["wave"] for r in _engine_log(crawl_env["run_dir"]))
+    for w, m in waves.items():
+        assert m["rows_out"] == per_wave.get(w, 0), w
+        assert m["wall_ms"] > 0
+        assert m["input_refs"].endswith(f"wave={w}")
+
+
 def test_docs_manifest_written(crawl_env):
     from crawlray.sources.lance_compat import read_manifest
 
