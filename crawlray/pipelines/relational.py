@@ -401,15 +401,19 @@ def quantile_disc_from_hist(values: np.ndarray, counts: np.ndarray,
 
 
 def q_quantiles(sf_dir: str):
-    """G2/§2.5 exact per-group quantiles, DISTRIBUTED (VERDICT r1 item
-    #6): per-block (group, value) histogram combiner → one groupby whose
-    input is distinct values (not rows) → tiny per-group
-    quantile-from-histogram. The round-1 version sorted ⅓ of lineitem in
-    one pandas task per group; this one's per-task memory is O(distinct
-    values per group) — bounded in price-like columns (TPC-H prices are
-    retailprice × qty combinations) and mergeable like any partial agg.
+    """G2/§2.5 exact per-group quantiles, distributed (VERDICT r1 item
+    #6): per-block (group, value)→count histogram combiner (Arrow
+    group_by per batch), ONE groupby(flag) shuffle of the partials, then
+    a numpy merge + rank lookup per group. vs round 1 this sorts packed
+    (value, count) numerics instead of raw pandas rows, and the shuffle
+    carries partial histograms, which compress whenever values repeat
+    (quantized/categorical data). Worst case (near-unique values, as in
+    TPC-H prices) per-group memory is O(rows in group) as two numeric
+    arrays — the documented cardinality assumption; beyond that the
+    exact path is multi-pass selection, approximate is t-digest.
     Semantics are exact quantile_disc (an actual element, bit-equal to
-    DuckDB)."""
+    DuckDB / numpy inverted_cdf — duplicates need no pre-merge: the
+    cumulative-count rank lookup is insensitive to repeated values)."""
     ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
 
     def block_hist(b: pa.Table) -> pa.Table:
@@ -418,23 +422,21 @@ def q_quantiles(sf_dir: str):
         )
         return g.rename_columns(["l_returnflag", "l_extendedprice", "n"])
 
-    merged = (
-        ds.map_batches(block_hist, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["l_returnflag", "l_extendedprice"])
-        .aggregate(Sum("n", alias_name="n"))
-    )
+    hist = ds.map_batches(block_hist, batch_format="pyarrow",
+                          zero_copy_batch=True)
 
     def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("l_extendedprice", ignore_index=True)
         v = g["l_extendedprice"].to_numpy()
-        c = g["n"].to_numpy()
+        c = g["n"].to_numpy().astype(np.int64)
+        order = np.argsort(v, kind="mergesort")
+        v, c = v[order], c[order]
         return pd.DataFrame({
             "l_returnflag": [g["l_returnflag"].iloc[0]],
             "p50": [quantile_disc_from_hist(v, c, 0.5)],
             "p95": [quantile_disc_from_hist(v, c, 0.95)],
         })
 
-    return merged.groupby("l_returnflag").map_groups(per_group, batch_format="pandas")
+    return hist.groupby("l_returnflag").map_groups(per_group, batch_format="pandas")
 
 
 SQL_QUANTILES = """

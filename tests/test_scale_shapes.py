@@ -112,10 +112,11 @@ def test_lsh_bucket_cap_truncates():
         ]).astype(np.int64),
     })
     out = bucket_pairs(df)
-    hot = out[out["doc_a"] < 100]
-    assert len(hot) == cap * (cap - 1) // 2
-    assert hot["doc_b"].max() == cap - 1          # lowest ids survive the cap
-    small = out[out["doc_a"] >= 100]
-    assert sorted(map(tuple, small.to_numpy().tolist())) == [
-        (100, 101), (100, 102), (101, 102)]
-    assert (out["doc_a"] < out["doc_b"]).all()
+    doc_a = (out["pairkey"].to_numpy() >> 32)
+    doc_b = (out["pairkey"].to_numpy() & 0xFFFFFFFF)
+    hot_mask = doc_a < 100
+    assert hot_mask.sum() == cap * (cap - 1) // 2
+    assert doc_b[hot_mask].max() == cap - 1       # lowest ids survive the cap
+    small = sorted(zip(doc_a[~hot_mask].tolist(), doc_b[~hot_mask].tolist()))
+    assert small == [(100, 101), (100, 102), (101, 102)]
+    assert (doc_a < doc_b).all()
