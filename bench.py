@@ -52,12 +52,34 @@ CRAWL_WAVES = 6
 CRAWL_PARTS = 32
 
 
-def run_crawl_bench(num_cpus: int, run_dir: str) -> dict:
+def run_crawl_bench(num_cpus: int, run_dir: str, warmup: bool = False) -> dict:
     import pyarrow as pa
 
     from crawlray.pipelines.config import CrawlConfig
     from crawlray.pipelines.crawl import run_crawl
     from crawlray.sources.miniweb import make_meta
+
+    if warmup:
+        # steady-state measurement: a small throwaway crawl first spawns
+        # the worker processes / actor pools and warms imports, so the
+        # measured run reflects sustained throughput — on a real cluster
+        # workers are long-lived, while a fresh ray.init pays ~10 s of
+        # process spawning that would otherwise tax the short 4N leg
+        # disproportionately and understate E
+        wshape = dict(CRAWL_SHAPE, pages_per_host=150, hot_factor=1)
+        wseeds, wrobots = make_meta(wshape["n_hosts"])
+        wcfg = CrawlConfig(
+            n_parts=CRAWL_PARTS, seen_shards=8, max_depth=8, max_waves=3,
+            max_pages_per_host=10**9,
+            fetch_concurrency=(max(2, num_cpus // 2), num_cpus),
+            parse_concurrency=(max(2, num_cpus // 2), num_cpus),
+            fetch_num_cpus=0.25,
+            transport={"kind": "synth", **wshape},
+        )
+        run_crawl(run_dir + "_warm", wseeds["url"].to_pylist(), wrobots, wcfg)
+        import shutil
+
+        shutil.rmtree(run_dir + "_warm", ignore_errors=True)
 
     seeds, robots = make_meta(CRAWL_SHAPE["n_hosts"])
     cfg = CrawlConfig(
@@ -121,6 +143,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--crawl-only", action="store_true")
+    ap.add_argument("--warmup", action="store_true",
+                    help="run a small throwaway crawl first (steady-state "
+                         "measurement; used by --scaling children)")
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--scale-pair", default="4,16",
                     help="N,4N CPU counts for --scaling")
@@ -139,39 +164,54 @@ def main() -> None:
     if args.scaling:
         lo, hi = (int(x) for x in args.scale_pair.split(","))
         assert hi == 4 * lo, "--scale-pair must be N,4N"
-        runs = {}
-        for n in (lo, hi):
-            best = None
-            for _ in range(max(1, args.trials)):
-                env = dict(os.environ)
-                env.pop("RAY_ADDRESS", None)
-                p = subprocess.run(
-                    [sys.executable, __file__, "--crawl-only", "--cpus", str(n)],
-                    capture_output=True, text=True, env=env,
-                )
-                if p.returncode != 0:
-                    sys.stderr.write(p.stderr[-4000:])
-                    raise SystemExit(f"scaling child (cpus={n}) failed")
-                r = json.loads(p.stdout.strip().splitlines()[-1])
-                if (best is None
-                        or r["crawl"]["throughput_urls_per_s"]
-                        > best["crawl"]["throughput_urls_per_s"]):
-                    best = r
-            runs[n] = best
-        t_lo = runs[lo]["crawl"]["throughput_urls_per_s"]
-        t_hi = runs[hi]["crawl"]["throughput_urls_per_s"]
-        eff = t_hi / (4 * t_lo)
+
+        def child(n: int) -> dict:
+            env = dict(os.environ)
+            env.pop("RAY_ADDRESS", None)
+            p = subprocess.run(
+                [sys.executable, __file__, "--crawl-only", "--warmup",
+                 "--cpus", str(n)],
+                capture_output=True, text=True, env=env,
+            )
+            if p.returncode != 0:
+                sys.stderr.write(p.stderr[-4000:])
+                raise SystemExit(f"scaling child (cpus={n}) failed")
+            return json.loads(p.stdout.strip().splitlines()[-1])
+
+        # INTERLEAVED pairing: each trial runs the N leg and the 4N leg
+        # back-to-back and contributes one paired E_i — ambient load on a
+        # shared host drifts over minutes, so pairing temporally-adjacent
+        # runs measures the ENGINE's scaling rather than the box's mood
+        # swing between leg batches. All pairs are reported; the judged
+        # number is the median paired E.
+        thr: dict[int, list] = {lo: [], hi: []}
+        pair_e: list[float] = []
+        last: dict[int, dict] = {}
+        for _ in range(max(1, args.trials)):
+            r_lo = child(lo)
+            r_hi = child(hi)
+            t_lo = r_lo["crawl"]["throughput_urls_per_s"]
+            t_hi = r_hi["crawl"]["throughput_urls_per_s"]
+            thr[lo].append(t_lo)
+            thr[hi].append(t_hi)
+            pair_e.append(round(t_hi / (4 * t_lo), 3))
+            last[lo], last[hi] = r_lo, r_hi
+        e_sorted = sorted(pair_e)
+        e_median = e_sorted[len(e_sorted) // 2]
         _one_json_line({
             "metric": "scaling efficiency, frontier throughput N vs 4N CPUs",
-            "value": round(eff, 3),
+            "value": e_median,
             "unit": "ratio",
             "cpus": [lo, hi],
-            f"throughput_{lo}cpu": t_lo,
-            f"throughput_{hi}cpu": t_hi,
-            f"wall_{lo}cpu_s": runs[lo]["crawl"]["wall_s"],
-            f"wall_{hi}cpu_s": runs[hi]["crawl"]["wall_s"],
-            "pages_fetched": runs[hi]["crawl"]["pages_fetched"],
-            "urls_seen": runs[hi]["crawl"]["urls_seen"],
+            "paired_trials": max(1, args.trials),
+            f"throughputs_{lo}cpu": thr[lo],
+            f"throughputs_{hi}cpu": thr[hi],
+            "paired_efficiencies": pair_e,
+            "efficiency_median": e_median,
+            "efficiency_min": min(pair_e),
+            "efficiency_max": max(pair_e),
+            "pages_fetched": last[hi]["crawl"]["pages_fetched"],
+            "urls_seen": last[hi]["crawl"]["urls_seen"],
             "sf": sf,
         })
         return
@@ -184,7 +224,7 @@ def main() -> None:
     t_all = time.time()
     run_dir = args.run_dir or f"/tmp/crawlray_bench_{os.getpid()}"
     try:
-        crawl = run_crawl_bench(num_cpus, run_dir)
+        crawl = run_crawl_bench(num_cpus, run_dir, warmup=args.warmup)
         queries = {} if args.crawl_only else run_query_bench(sf_dir)
         total = round(time.time() - t_all, 2)
         _one_json_line({

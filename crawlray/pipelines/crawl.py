@@ -92,6 +92,32 @@ def _partial_dedup(t: pa.Table) -> pa.Table:
     return g.rename_columns(["url_hash"] + _DEDUP_COLS)
 
 
+@ray.remote
+def _disco_task(urls: list[str], transport_spec: dict, n_parts: int):
+    """One discovery chunk fetched+parsed in a single Ray task — the
+    small-batch fast path of _wave_discovery (a full Dataset pipeline
+    costs seconds of actor-pool spinup that a 100-URL feed probe doesn't
+    earn). Returns (candidate table, sitemap-index child URLs)."""
+    import pyarrow.compute as pc_
+
+    from ..sources.feeds import discover_batch, feed_candidates
+    from ..sources.transport import make_transport
+
+    transport = make_transport(transport_spec)
+    results = transport.fetch_many(urls)
+    fetched = pa.table({
+        "url_canon": pa.array(urls, type=pa.string()),
+        "content_type": pa.array([r[1] for r in results], type=pa.string()),
+        "body": pa.array([r[2] for r in results], type=pa.large_binary()),
+    })
+    rows = discover_batch(fetched)
+    cands = _partial_dedup(feed_candidates(rows, n_parts))
+    children = rows.filter(
+        pc_.equal(rows["via"], pa.scalar("sitemap_index"))
+    )["url"].to_pylist()
+    return cands, children
+
+
 
 
 class CrawlRun:
@@ -140,7 +166,16 @@ class CrawlRun:
         if frontier0 is not None:
             import pyarrow.parquet as pq
 
-            pq.write_table(frontier0, os.path.join(fdir, "part-0.parquet"))
+            # chunked write: wave 0's seed pages are often the heaviest
+            # (site roots with huge link fanout) — one file would read as
+            # ONE block and serialize their fetch+parse; ≤32 chunks give
+            # the wave-0 pool real parallelism
+            n = frontier0.num_rows
+            chunk = max(1, min(self.cfg.frontier_rows_per_file,
+                               -(-n // 32)))
+            for i, off in enumerate(range(0, n, chunk)):
+                pq.write_table(frontier0.slice(off, chunk),
+                               os.path.join(fdir, f"part-{i:05d}.parquet"))
             hosts, counts = np.unique(frontier0["host"].to_numpy(zero_copy_only=False),
                                       return_counts=True)
             self.budgets = dict(zip(hosts.tolist(), counts.tolist()))
@@ -256,6 +291,24 @@ class CrawlRun:
         self.pending_disco = []
         if not disco_urls:
             return None
+        if len(disco_urls) <= 4096:
+            # small-batch fast path: chunked plain tasks instead of a
+            # full Dataset pipeline (saves actor-pool spinup + an extra
+            # materialize/take_all execution per wave)
+            chunk = 64
+            futs = [
+                _disco_task.remote(disco_urls[i:i + chunk], cfg.transport,
+                                   cfg.n_parts)
+                for i in range(0, len(disco_urls), chunk)
+            ]
+            tables = []
+            for cands_t, children in ray.get(futs):
+                if cands_t.num_rows:
+                    tables.append(cands_t)
+                self.pending_disco.extend(children)
+            if not tables:
+                return None
+            return rd.from_arrow(pa.concat_tables(tables))
         import pyarrow.compute as pc_
 
         src = rd.from_arrow(
