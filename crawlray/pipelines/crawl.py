@@ -376,9 +376,12 @@ class CrawlRun:
         # granularity for free — a hot part's rows land in many blocks
         # while its politeness clock (stamped once per host at
         # frontier-write time) stays the single shared budget. Capped at
-        # 4×CPUs: block count is also the downstream shuffle width.
+        # 8×CPUs: fine enough that fetch/parse tasks pack the pool evenly
+        # (at 4× the last-wave stragglers cost ~40% wall, measured), while
+        # the downstream shuffle width stays governed by the coalesce
+        # stage's big batches, not the read block count.
         n_exec = int(min(max(2 * cfg.n_parts, n_front // cfg.fetch_batch_size),
-                         4 * ncpu))
+                         8 * ncpu))
         ds = rd.read_parquet(fdir, override_num_blocks=max(1, n_exec))
         if cfg.schedule_mode == "wave_start":
             # live-HTTP politeness path: re-derive the per-host clock at

@@ -287,6 +287,66 @@ def q_minhash_neardup(sf_dir: str):
     return with_ab.map_batches(verify, batch_format="pyarrow")
 
 
+def q_embed_neardup(sf_dir: str):
+    """D6 embedding-cosine near-dup (oracled): pairs of vectors with
+    cosine ≥ 0.4 among vec_id < 400 (the synthetic embeddings are
+    near-orthogonal, so 0.4 is the near-dup tail). Scale shape: the
+    probe side streams
+    block-by-block against a BROADCAST candidate matrix (ray.put once,
+    zero-copy reshape per block, one numpy matmul per block — no
+    shuffle); candidates are capped/bucketed in a real deployment (the
+    ann_lsh index is the unbounded-side path). Deterministic pair order
+    (a < b), cosine rounded to 4."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    import pyarrow.parquet as pq
+
+    cap = 400
+    t = pq.read_table(path, columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "<", cap)])
+    ids = np.asarray(t["vec_id"], dtype=np.int64)
+    mat = _embedding_matrix(t["embedding"])
+    norms = np.linalg.norm(mat, axis=1)
+    matn = mat / np.where(norms == 0, 1.0, norms)[:, None]
+    cand_ref = ray.put((ids, matn))
+
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        import ray as _r
+
+        cids, cmat = _r.get(cand_ref)
+        vid = b["vec_id"].to_numpy(zero_copy_only=False)
+        keep = vid < cap
+        vid = vid[keep]
+        if len(vid) == 0:
+            return pa.table({"vec_a": pa.array([], type=pa.int64()),
+                             "vec_b": pa.array([], type=pa.int64()),
+                             "cos": pa.array([], type=pa.float64())})
+        emb = _embedding_matrix(b["embedding"])[keep]
+        n = np.linalg.norm(emb, axis=1)
+        embn = emb / np.where(n == 0, 1.0, n)[:, None]
+        cos = np.round(embn @ cmat.T, 4)  # (block, cand)
+        ai, bi = np.nonzero((cos >= 0.4) & (vid[:, None] < cids[None, :]))
+        return pa.table({
+            "vec_a": pa.array(vid[ai]),
+            "vec_b": pa.array(cids[bi]),
+            "cos": pa.array(cos[ai, bi]),
+        })
+
+    return ds.map_batches(pairs, batch_format="pyarrow")
+
+
+SQL_EMBED_NEARDUP = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  ROUND(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4)
+    AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.vec_id < 400 AND b.vec_id < 400
+  AND ROUND(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4)
+      >= 0.4
+"""
+
+
 def q_simhash(sf_dir: str):
     """D6 SimHash fingerprints (rows-only): 64-bit simhash per doc and
     hamming distance doc vs its perturbed copy (expected small)."""
@@ -920,6 +980,7 @@ DATAOPS_QUERIES = {
     "docs_spans": (q_docs_spans, SQL_DOCS_SPANS),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "minhash_neardup": (q_minhash_neardup, None),
+    "embed_neardup": (q_embed_neardup, SQL_EMBED_NEARDUP),
     "simhash": (q_simhash, None),
     "char_jaccard": (q_char_jaccard, SQL_CHAR_JACCARD),
     "ann_cosine": (q_ann_cosine, SQL_ANN_COSINE),
