@@ -67,6 +67,16 @@ class CrawlConfig:
     # under the default policy, and the wave-start scheduler is where
     # the fresh policy re-filters rows and re-derives the clock.
     robots_mode: str = "table"
+    # politeness drift feedback (A2 live-HTTP refinement): when on, each
+    # wave folds per-host MEASURED fetch latency (inside the parse stage,
+    # batch-keyed for retry idempotence) and the next wave's scheduler
+    # spaces a host's fetches at max(crawl_delay, drift_factor × mean
+    # latency of the previous wave). Requires schedule_mode='wave_start'
+    # (the clock must be re-derived with the fresh means). Deterministic
+    # given integral latencies: float sums of integral ms are exact in
+    # any accumulation order.
+    politeness_drift: bool = False
+    drift_factor: float = 2.0
     # io
     transport: dict = field(default_factory=dict)  # see sources.transport.make_transport
 
@@ -86,6 +96,11 @@ class CrawlConfig:
             raise ValueError(
                 "robots_mode='fetch' requires schedule_mode='wave_start' "
                 "(late-arriving rules re-filter at wave start)"
+            )
+        if self.politeness_drift and self.schedule_mode != "wave_start":
+            raise ValueError(
+                "politeness_drift requires schedule_mode='wave_start' "
+                "(the clock is re-derived with the measured means)"
             )
 
 

@@ -138,6 +138,9 @@ class CrawlRun:
         # sitemap-index children queued for the next wave
         self.disco_done: set[str] = set()
         self.pending_disco: list[str] = []
+        # politeness drift: per-host delay floor from the previous wave's
+        # measured latencies (cfg.politeness_drift)
+        self.drift_ms: dict[str, int] = {}
 
     # ---------------------------------------------------------- paths
     def _p(self, *parts) -> str:
@@ -198,6 +201,7 @@ class CrawlRun:
         self.hot_hosts = self._detect_hot(self.wave_counts)
         self.disco_done = set(state.get("disco_done", []))
         self.pending_disco = list(state.get("pending_disco", []))
+        self.drift_ms = dict(state.get("drift_ms", {}))
         snapdir = self._p("seen", f"wave={last}")
         snaps = []
         for i in range(self.cfg.seen_shards):
@@ -220,7 +224,8 @@ class CrawlRun:
             self._p("state", f"wave={wave}.json"),
             {"budgets": self.budgets, "wave_counts": self.wave_counts,
              "disco_done": sorted(self.disco_done),
-             "pending_disco": list(self.pending_disco)},
+             "pending_disco": list(self.pending_disco),
+             "drift_ms": self.drift_ms},
         )
         snapdir = self._p("seen", f"wave={wave}")
         os.makedirs(snapdir, exist_ok=True)
@@ -391,10 +396,13 @@ class CrawlRun:
             # feeds back into budgets
             from ..stages.schedule import HostScheduler
 
+            drift_ref = (ray.put(dict(self.drift_ms))
+                         if cfg.politeness_drift else None)
             ds = ds.groupby("part").map_groups(
                 HostScheduler,
                 batch_format="pandas",
-                fn_constructor_kwargs={"robots_ref": self.robots_ref},
+                fn_constructor_kwargs={"robots_ref": self.robots_ref,
+                                       "drift_ref": drift_ref},
                 concurrency=(1, max(2, cfg.n_parts)),
                 num_cpus=cfg.seq_num_cpus,
             )
@@ -429,7 +437,10 @@ class CrawlRun:
             concurrency=pconc,
             num_cpus=cfg.parse_num_cpus,
             fn_constructor_kwargs={"pages_dir": pages_dir,
-                                   "extractors": cfg.extractors},
+                                   "extractors": cfg.extractors,
+                                   "stats": (self.stats if cfg.politeness_drift
+                                             else None),
+                                   "wave": wave},
         )
         # coalesce the parse stream into few big blocks: (a) the
         # per-block dedup combiner sees more duplicates, (b) the
@@ -531,6 +542,15 @@ class CrawlRun:
         for h, c in self.wave_counts.items():
             self.budgets[h] = self.budgets.get(h, 0) + c
         self.hot_hosts = self._detect_hot(self.wave_counts)
+        if cfg.politeness_drift:
+            # next wave's delay floor = drift_factor × this wave's mean
+            # measured latency per host (exact for integral-ms fixtures —
+            # float sums of integers are order-independent)
+            lat = ray.get(self.stats.drain_latency.remote(wave))
+            self.drift_ms = {
+                h: int(round(cfg.drift_factor * s / n))
+                for h, (s, n) in lat.items() if n
+            }
         self._commit(wave)
         return {"wave": wave, "frontier": n_front, "pages": n_pages, "next": n_next}
 

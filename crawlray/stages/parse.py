@@ -105,10 +105,28 @@ class ParseAndSink:
     completes (atomic tmp+rename per fragment: a fragment killed mid-write
     never surfaces as a committed .parquet)."""
 
-    def __init__(self, pages_dir: str, extractors: dict[str, str] | None = None):
+    def __init__(self, pages_dir: str, extractors: dict[str, str] | None = None,
+                 stats=None, wave: int = -1):
         os.makedirs(pages_dir, exist_ok=True)
         self._dir = pages_dir
         self._parse = PageParser(extractors)
+        self._stats = stats   # politeness-drift latency fold (WaveStats)
+        self._wave = wave
+
+    def _fold_latency(self, batch: pa.Table, frag: str) -> None:
+        """Per-host (latency_sum, n) of this batch → WaveStats, keyed by
+        the deterministic fragment name (retry overwrites). Synchronous:
+        the put lands before the task completes, so the wave barrier
+        implies completeness."""
+        import ray
+
+        hosts = batch["host"]
+        sums: dict[str, tuple[float, int]] = {}
+        for rec in pa.table({"host": hosts, "lat": batch["latency_ms"]}) \
+                .group_by("host").aggregate([("lat", "sum"), ("lat", "count")]) \
+                .to_pylist():
+            sums[rec["host"]] = (float(rec["lat_sum"]), int(rec["lat_count"]))
+        ray.get(self._stats.put_latency.remote(self._wave, frag, sums))
 
     @staticmethod
     def _frag_name(batch: pa.Table) -> str:
@@ -123,8 +141,11 @@ class ParseAndSink:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         parsed = self._parse(batch)
-        frag = os.path.join(self._dir, self._frag_name(batch))
+        name = self._frag_name(batch)
+        frag = os.path.join(self._dir, name)
         tmp = f"{frag}.tmp-{uuid.uuid4().hex[:8]}"
         pq.write_table(parsed, tmp)
         os.replace(tmp, frag)
+        if self._stats is not None:
+            self._fold_latency(batch, name)
         return parsed.select(["part", "seq", "depth", "links"])

@@ -28,14 +28,21 @@ import ray
 
 
 class HostScheduler:
-    def __init__(self, robots_ref):
+    def __init__(self, robots_ref, drift_ref=None):
         self._robots = ray.get(robots_ref)
+        # politeness drift: {host: drift-floor ms} derived from the
+        # previous wave's measured latencies (crawl.py folds them); the
+        # effective spacing is max(robots crawl-delay, drift floor)
+        self._drift: dict[str, int] = (
+            ray.get(drift_ref) if drift_ref is not None else {}
+        )
         self._delay_cache: dict[str, int] = {}
 
     def _delay(self, host: str) -> int:
         d = self._delay_cache.get(host)
         if d is None:
-            d = self._robots.crawl_delay_ms(host)
+            d = max(self._robots.crawl_delay_ms(host),
+                    self._drift.get(host, 0))
             self._delay_cache[host] = d
         return d
 

@@ -23,6 +23,8 @@ import ray
 class WaveStats:
     def __init__(self):
         self._by_wave: dict[int, dict[int, dict[str, int]]] = {}
+        # politeness drift: per-wave, per-batch-key → {host: (lat_sum, n)}
+        self._lat: dict[int, dict[str, dict[str, tuple[float, int]]]] = {}
 
     def put(self, wave: int, part: int, counts: dict[str, int]) -> None:
         self._by_wave.setdefault(wave, {})[part] = counts
@@ -32,4 +34,19 @@ class WaveStats:
         for counts in self._by_wave.pop(wave, {}).values():
             for h, n in counts.items():
                 folded[h] = folded.get(h, 0) + n
+        return folded
+
+    def put_latency(self, wave: int, batch_key: str,
+                    sums: dict[str, tuple[float, int]]) -> None:
+        """Per-host (latency_sum_ms, n_fetches) for one parse batch; the
+        deterministic batch_key (fragment digest) makes retries overwrite
+        instead of double-counting."""
+        self._lat.setdefault(wave, {})[batch_key] = sums
+
+    def drain_latency(self, wave: int) -> dict[str, tuple[float, int]]:
+        folded: dict[str, tuple[float, int]] = {}
+        for sums in self._lat.pop(wave, {}).values():
+            for h, (s, n) in sums.items():
+                ps, pn = folded.get(h, (0.0, 0))
+                folded[h] = (ps + s, pn + n)
         return folded

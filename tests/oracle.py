@@ -159,6 +159,13 @@ def crawl_oracle(seed_urls, robots: RobotsPolicy, pages_index: dict, cfg: CrawlC
 
     frontier = admit([(canonicalize(u), 0, 0, i, 0) for i, u in enumerate(seed_urls)
                       if canonicalize(u)])
+    drift_ms: dict[str, int] = {}
+
+    def eff_delay(host: str) -> int:
+        """Politeness-drift mirror: spacing = max(robots crawl-delay,
+        drift floor from the PREVIOUS wave's mean measured latency)."""
+        return max(robots.crawl_delay_ms(host), drift_ms.get(host, 0))
+
     wave = 0
     while frontier and wave < cfg.max_waves:
         if getattr(cfg, "robots_mode", "table") == "fetch":
@@ -170,14 +177,18 @@ def crawl_oracle(seed_urls, robots: RobotsPolicy, pages_index: dict, cfg: CrawlC
         # politeness virtual clock per wave, per host, in (part, seq) order
         frontier.sort(key=lambda r: (r["part"], r["seq"]))
         host_j: dict[str, int] = {}
+        lat_sums: dict[str, list] = {}
         candidates = []
         for r in frontier:
             j = host_j.get(r["host"], 0)
             host_j[r["host"]] = j + 1
-            sched = float(j * robots.crawl_delay_ms(r["host"]))
+            sched = float(j * eff_delay(r["host"]))
             status, ctype, body, lat = pages_index.get(
                 r["url_canon"], (404, "text/html", b"", 5.0)
             )
+            acc = lat_sums.setdefault(r["host"], [0.0, 0])
+            acc[0] += float(lat)
+            acc[1] += 1
             res.fetch_log.append(
                 {
                     "wave": wave,
@@ -215,6 +226,11 @@ def crawl_oracle(seed_urls, robots: RobotsPolicy, pages_index: dict, cfg: CrawlC
             ]
             pending_disco = []
             candidates.extend(discover(doc_urls, pending_disco))
+        if getattr(cfg, "politeness_drift", False):
+            drift_ms = {
+                h: int(round(cfg.drift_factor * s / n))
+                for h, (s, n) in lat_sums.items() if n
+            }
         frontier = admit(candidates)
         wave += 1
     return res
