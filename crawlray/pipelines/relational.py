@@ -778,6 +778,46 @@ FROM lineitem WHERE l_quantity <= 10 GROUP BY l_returnflag
 """
 
 
+def q_sql_roundtrip(sf_dir: str):
+    """S9 relational SQL sink (the reference stored article rows in a
+    SQL DB via an ORM): region → ``Dataset.write_sql`` into a sqlite
+    database (stdlib DBAPI; single-writer, so concurrency=1 — the
+    pattern targets one DB endpoint regardless of cluster size) →
+    ``ray.data.read_sql`` re-ingest → projection. Exact string/int
+    round-trip; DuckDB oracle on the source table."""
+    import sqlite3
+
+    db = f"/tmp/crawlray_sql_{os.getpid()}.db"
+    if os.path.exists(db):
+        os.remove(db)
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE region_rt (r_regionkey INTEGER, r_name TEXT)")
+    con.commit()
+    con.close()
+
+    def factory():
+        return sqlite3.connect(db)
+
+    src = _t(sf_dir, "region", ["r_regionkey", "r_name"])
+    src.write_sql("INSERT INTO region_rt VALUES(?, ?)", factory,
+                  concurrency=1)
+    back = rd.read_sql("SELECT r_regionkey, r_name FROM region_rt", factory)
+    result = back.map_batches(
+        lambda b: pa.table({
+            "r_regionkey": b["r_regionkey"].cast(pa.int64()),
+            "name_upper": pc.utf8_upper(b["r_name"]),
+        }),
+        batch_format="pyarrow",
+    ).materialize()
+    os.remove(db)
+    return result
+
+
+SQL_SQL_ROUNDTRIP = """
+SELECT r_regionkey, UPPER(r_name) AS name_upper FROM region
+"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -803,4 +843,5 @@ RELATIONAL_QUERIES = {
     "tumbling_window": (q_tumbling_window, SQL_TUMBLING_WINDOW),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "csv_roundtrip": (q_csv_roundtrip, SQL_CSV_ROUNDTRIP),
+    "sql_roundtrip": (q_sql_roundtrip, SQL_SQL_ROUNDTRIP),
 }
