@@ -6,11 +6,16 @@ here (or in crawlray) calls ray.init()/ray.shutdown().
 - ``entry()``: flagship smoke — sf0.001 documents → interleaved-docs
   (DOCS schema: doc_id + spans list<struct<kind,text,media_ref,offset>>).
 - ``queries()``: every implemented operator family from SURVEY.md §2 —
-  relational core (pipelines/relational.py), crawl kernels + dedup /
-  similarity / text-analysis / multimodal ops (pipelines/dataops.py).
+  relational core incl. CSV/SQL sink round-trips
+  (pipelines/relational.py), crawl kernels + the full dedup family
+  (exact / MinHash+LSH / SimHash-banded / n-gram Jaccard /
+  embedding-cosine) / similarity search / text-analysis / multimodal
+  ops / integrated feed-discovery crawls (pipelines/dataops.py).
 - ``oracle_sql()``: DuckDB equivalents where SQL can express the
-  semantics; rows-only entries (murmur3, minhash, simhash, HLL, ANN-LSH,
-  media decode, the crawl demo) are omitted by design.
+  semantics; rows-only entries (murmur3, minhash/simhash near-dup, HLL,
+  ANN-LSH, lang-id, fingerprints, media decode, qa sampling, the crawl
+  demos) are omitted by design — each is pinned by a pytest assertion
+  instead (tests/test_driver_contract.py, tests/test_scale_shapes.py).
 """
 
 from __future__ import annotations
