@@ -65,10 +65,62 @@ def _renc(s: str, safe: str) -> str:
     return quote(unquote(s), safe=safe)
 
 
+# ---- fast path ------------------------------------------------------
+# The crawl hot loop canonicalizes ~35 links per page (10M+ calls per
+# big wave); the overwhelmingly common case is a CLEAN link — an
+# absolute path like "/sectie/3/artikel-55" against an
+# already-canonical base, or a clean lowercase absolute URL — for which
+# the full urljoin/urlsplit/percent-renorm pipeline is a no-op. The fast
+# path recognizes exactly those inputs with two regexes and returns the
+# identical result; ANY suspicious feature (%-escapes, query, fragment,
+# ports, userinfo, uppercase scheme/host, dot segments, empty segments,
+# backslashes, spaces) falls through to the slow path. Equivalence
+# fast(u) == slow(u) on eligible inputs is property-tested
+# (tests/test_canon.py) and parity-safe by construction: the engine and
+# the sequential oracle share this one function.
+
+_FAST_BASE = re.compile(
+    r"^(https?://[a-z0-9](?:[a-z0-9.-]*[a-z0-9])?)(?=/|$)"
+)
+_FAST_PATH = re.compile(r"^/(?:[A-Za-z0-9~._-]+/)*[A-Za-z0-9~._-]*$")
+
+
+def _fast_canonicalize(url: str, base: str | None) -> str | None:
+    if "%" in url or "?" in url or "#" in url or "\\" in url or " " in url:
+        return None
+    if url.startswith("/"):
+        if not base:
+            return None
+        m = _FAST_BASE.match(base)
+        if not m:
+            return None
+        prefix, path = m.group(1), url
+    else:
+        m = _FAST_BASE.match(url)
+        if not m:
+            return None
+        prefix = m.group(1)
+        path = url[len(prefix):]
+        if not path:
+            return prefix + "/"
+    if not _FAST_PATH.match(path):
+        return None
+    if "/./" in path or "/../" in path or path.endswith(("/.", "/..")):
+        return None
+    return prefix + path
+
+
 def canonicalize(url: str, base: str | None = None) -> str | None:
     """Canonical form of ``url`` (resolved against ``base`` if given), or
     None when the URL is not canonicalizable (bad scheme / no host)."""
     url = url.strip()
+    fast = _fast_canonicalize(url, base)
+    if fast is not None:
+        return fast
+    return _slow_canonicalize(url, base)
+
+
+def _slow_canonicalize(url: str, base: str | None = None) -> str | None:
     if base:
         url = urljoin(base, url)
     try:

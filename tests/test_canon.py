@@ -68,3 +68,45 @@ def test_host_and_crawlable():
     assert not is_crawlable("https://news-1.nl/a", allowed_hosts={"news-2.nl"})
     assert is_crawlable("https://news-1.nl/a", allowed_hosts={"news-1.nl"})
     assert not is_crawlable("x" * 3000)
+
+
+def test_fast_path_equals_slow_path():
+    """The hot-loop fast path must return byte-identical results to the
+    full pipeline for every input it accepts (and defer otherwise)."""
+    from crawlray.functions.canon import (
+        _fast_canonicalize,
+        _slow_canonicalize,
+        canonicalize,
+    )
+
+    bases = [
+        "https://news-3.nl/sectie/1/artikel-9",
+        "https://news-3.nl/",
+        "http://host.example/x/y/",
+        "HTTPS://UPPER.NL/x",          # non-canonical base → must defer
+        "https://host:8080/x",         # port → must defer
+        "https://user@host/x",         # userinfo → must defer
+        None,
+    ]
+    urls = [
+        "/sectie/2/artikel-55", "/", "/a/b/", "/a~b/c.d-e_f",
+        "https://news-1.nl/", "https://news-1.nl/pad/naar/stuk",
+        "http://h/x", "https://h", "relatief/pad", "../omhoog",
+        "/met spatie", "/met%20escape", "/vraag?x=1", "/frag#f",
+        "//protocol-relative.nl/x", "/dubbel//slash", "/punt/./hier",
+        "/terug/../pad", "/eind/..", "/eind/.", "HTTPS://HOST/X",
+        "https://host./x", "https://host:443/x", "ftp://host/x",
+        "/pa\\th", "", "  /getrimd  ", "/ümlaut", "https://[::1]/x",
+        "/utm-achtig?utm_source=x",
+    ]
+    n_fast = 0
+    for b in bases:
+        for u in urls:
+            s = u.strip()
+            fast = _fast_canonicalize(s, b)
+            slow = _slow_canonicalize(s, b)
+            if fast is not None:
+                n_fast += 1
+                assert fast == slow, (u, b, fast, slow)
+            assert canonicalize(u, b) == slow, (u, b)
+    assert n_fast > 20  # the fast path actually triggers
