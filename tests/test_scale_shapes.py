@@ -58,22 +58,50 @@ def test_ann_lsh_scores_exact_and_ordered(ray_session):
 
 def test_ann_lsh_index_reads_subset_only(ray_session):
     """The probe must NOT scan the whole corpus: the union of probed
-    bucket dirs is a strict subset of the index rows."""
-    from crawlray.pipelines.dataops import _ann_lsh_index
+    bucket dirs is a strict subset of the index rows. The bucket →
+    files mapping comes from the build-time manifest, not a directory
+    listing (VERDICT r2 item #6)."""
+    from crawlray.pipelines.dataops import _ann_lsh_index, _ann_lsh_manifest
 
     idx = _ann_lsh_index(SF_DIR)
-    buckets = [d for d in os.listdir(idx) if d.startswith("bucket=")]
+    buckets = _ann_lsh_manifest(idx)["buckets"]
     n_total = pq.read_metadata(
         os.path.join(SF_DIR, "embeddings.parquet")).num_rows
     per_bucket = {
-        d: sum(
-            pq.read_metadata(os.path.join(idx, d, f)).num_rows
-            for f in os.listdir(os.path.join(idx, d)) if f.endswith(".parquet")
-        )
-        for d in buckets
+        sig: sum(pq.read_metadata(os.path.join(idx, rel)).num_rows
+                 for rel in rels)
+        for sig, rels in buckets.items()
     }
     assert sum(per_bucket.values()) == n_total  # index is a partition
     assert len(buckets) > 8  # signatures actually spread
+
+
+def test_ann_lsh_shared_root_no_listdir_probe(ray_session, tmp_path,
+                                              monkeypatch):
+    """Multi-node shape (VERDICT r2 item #6): the index builds under
+    CRAWLRAY_INDEX_ROOT (shared storage stand-in, not the hardcoded
+    /tmp default), and once built, the PROBE path never enumerates
+    directories — os.listdir is forbidden during q_ann_lsh."""
+    import crawlray.pipelines.dataops as d
+
+    root = str(tmp_path / "shared" / "indexes")
+    monkeypatch.setenv("CRAWLRAY_INDEX_ROOT", root)
+    idx = d._ann_lsh_index(SF_DIR)  # build (may listdir — single writer)
+    assert idx.startswith(root)
+    real_listdir = os.listdir
+
+    def forbidden(*a, **k):
+        raise AssertionError("os.listdir called in the probe path")
+
+    monkeypatch.setattr(os, "listdir", forbidden)
+    try:
+        out = d.q_ann_lsh(SF_DIR).to_pandas()
+    finally:
+        monkeypatch.setattr(os, "listdir", real_listdir)
+    assert len(out) == 5
+    truth = _brute_cos(SF_DIR)
+    for vid, cos in zip(out["vec_id"], out["cos"]):
+        assert cos == pytest.approx(round(truth[int(vid)], 6), abs=1e-9)
 
 
 def test_semi_anti_join_fallback_path(ray_session, monkeypatch):
@@ -138,8 +166,17 @@ def test_ann_cosine_no_global_sort(ray_session):
 
 
 def test_simhash_neardup_recovers_planted(ray_session):
-    """≥70% of planted perturbed pairs recovered via 4×16 banding
-    (measured band recall ≈94%); every reported pair within hamming 8."""
+    """ZERO silent loss (VERDICT r2 item #7): the pipeline must recover
+    EXACTLY the planted pairs that 4×16 banding can reach (≥1 equal
+    band AND hamming ≤ 8, computed locally from the fingerprints) — the
+    former hot-bucket truncation dropped ~6% of reachable pairs. Recall
+    below that ceiling is banding-inherent (the perturbation moved the
+    fingerprint > 3 bits), not a pipeline loss. Also: every reported
+    pair within hamming 8, and the overall planted recall ≥ 0.9
+    (measured banding ceiling ≈ 0.93 at sf0.1)."""
+    import numpy as np
+
+    from crawlray.functions.sketches import hamming64, simhash64
     from crawlray.pipelines.dataops import q_simhash_neardup
 
     df = q_simhash_neardup(SF_DIR).to_pandas()
@@ -147,4 +184,36 @@ def test_simhash_neardup_recovers_planted(ray_session):
     planted = df[(df["doc_b"] - df["doc_a"]) == 1_000_000]
     n_docs = pq.read_metadata(
         os.path.join(SF_DIR, "documents.parquet")).num_rows
-    assert len(planted) > 0.7 * n_docs, (len(planted), n_docs)
+
+    # local oracle for the banding-reachable planted set
+    t = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    texts = t["text"].to_pylist()
+    fp_orig = simhash64(texts).view(np.uint64)
+    fp_pert = simhash64(
+        [" ".join(x.split()[:-1]) for x in texts]).view(np.uint64)
+    ham = hamming64(fp_orig.view(np.int64), fp_pert.view(np.int64))
+    share_band = np.zeros(len(texts), dtype=bool)
+    for i in range(4):
+        mask = np.uint64(0xFFFF) << np.uint64(16 * i)
+        share_band |= (fp_orig & mask) == (fp_pert & mask)
+    reachable = set(
+        np.asarray(t["doc_id"])[share_band & (ham <= 8)].tolist())
+
+    got = set(planted["doc_a"].tolist())
+    missing = reachable - got
+    assert not missing, f"{len(missing)} banding-reachable pairs lost"
+    assert len(planted) >= 0.9 * n_docs, (len(planted), n_docs)
+
+
+def test_minhash_neardup_recovers_all_planted(ray_session):
+    """The second-level hot-bucket split (subkey = next band) must keep
+    every planted perturbed pair: 100% recall at this SF (was ~94%
+    under plain truncation)."""
+    from crawlray.pipelines.dataops import q_minhash_neardup
+
+    df = q_minhash_neardup(SF_DIR).to_pandas()
+    planted = df[(df["doc_b"] - df["doc_a"]) == 1_000_000]
+    n_docs = pq.read_metadata(
+        os.path.join(SF_DIR, "documents.parquet")).num_rows
+    assert len(planted) == n_docs, (len(planted), n_docs)
