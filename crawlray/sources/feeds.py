@@ -163,8 +163,13 @@ def discover_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-FEED_SRC_SEQ = (1 << 30) - 1  # max src_seq: a page-link discovery of the
-# same URL always wins the min-srckey dedup against a feed discovery
+FEED_SRC_SEQ = (1 << 30) - 1  # max src_seq. NOTE (ADVICE r2): feed
+# srckeys pack the URL's OWN host-part while link srckeys pack the
+# SOURCE page's part, so the "page link beats feed" min-srckey tie-break
+# only holds when both discoveries share a part; a cross-part page link
+# whose source part exceeds the URL's part loses to the feed key (which
+# then sets depth=1). Parity is preserved — the oracle packs keys
+# identically — this comment just states the real tie-break semantics.
 
 
 def feed_candidates(batch: pa.Table, n_parts: int) -> pa.Table:

@@ -66,11 +66,16 @@ def parse_robots_txt(
                 pass
 
     def specificity(agents: list[str]) -> int:
+        # RFC 9309 / urllib.robotparser: the group TOKEN must be a
+        # substring of the crawler UA — never the reverse, else a longer
+        # foreign token that merely contains our UA (e.g.
+        # 'crawlray-images') would outrank the exact 'crawlray' group
+        # (ADVICE r2).
         best = -1
         for a in agents:
             if a == "*":
                 best = max(best, 0)
-            elif a in ua or ua in a:
+            elif a in ua:
                 best = max(best, len(a))
         return best
 
@@ -93,6 +98,7 @@ class RobotsPolicy:
     def __init__(self, robots_rows: list[dict], default_delay_ms: int = 1000):
         """robots_rows: [{host, allow, deny, crawl_delay_ms}, ...]."""
         self._by_host: dict[str, tuple[list[str], list[str], int]] = {}
+        self._transient: set[str] = set()  # failed fetches: retry next wave
         self.default_delay_ms = default_delay_ms
         for r in robots_rows:
             self._by_host[r["host"]] = (
@@ -132,23 +138,34 @@ class RobotsPolicy:
 
     # ---- incremental population (S2 fetch mode) ----
     def known(self) -> set[str]:
-        return set(self._by_host)
+        """Hosts with a DURABLE policy entry. Hosts whose robots fetch
+        failed (5xx / transport error → temporary deny-all) are excluded
+        so the next wave's _ensure_robots retries them instead of caching
+        the failure forever (ADVICE r2 / RFC 9309 §2.3.1.4)."""
+        return set(self._by_host) - self._transient
 
     def add_rows(self, rows: list[dict]) -> None:
         for r in rows:
-            self._by_host[r["host"]] = (
+            host = r["host"]
+            self._by_host[host] = (
                 list(r.get("allow") or []),
                 list(r.get("deny") or []),
                 int(r.get("crawl_delay_ms") or self.default_delay_ms),
             )
+            if r.get("fetched_ok", True):
+                self._transient.discard(host)
+            else:
+                self._transient.add(host)
 
 
 class RobotsFetcher:
     """S2 fetch stage: host batches → per-host robots.txt rules, through
     the SAME pluggable transport as page fetches (actor pool: transport
-    built once per actor in ``__init__``). A missing or non-200 robots.txt
-    yields the default policy row (allow-all, default delay) with
-    fetched_ok=False — the reference's lenient behavior."""
+    built once per actor in ``__init__``). Status semantics per RFC 9309
+    §2.3.1: 200 → parsed rules; 4xx (robots definitively absent) →
+    allow-all, cached; 5xx / transport failure (robots UNREACHABLE) →
+    temporary deny-all with fetched_ok=False, which RobotsPolicy treats
+    as transient so the host is retried next wave (ADVICE r2)."""
 
     def __init__(self, transport_spec: dict, default_delay_ms: int = 1000,
                  user_agent: str = DEFAULT_UA):
@@ -174,9 +191,14 @@ class RobotsFetcher:
                 )
                 allows.append(a); denies.append(d); delays.append(ms)
                 oks.append(True)
+            elif status >= 500 or status <= 0:
+                # unreachable → temporary complete disallow, retried
+                allows.append([]); denies.append(["/"])
+                delays.append(self._default); oks.append(False)
             else:
+                # 4xx: robots definitively absent → allow-all, cacheable
                 allows.append([]); denies.append([]); delays.append(self._default)
-                oks.append(False)
+                oks.append(True)
         return pa.table({
             "host": pa.array(hosts, type=pa.string()),
             "allow": pa.array(allows, type=pa.list_(pa.string())),

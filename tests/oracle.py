@@ -142,18 +142,25 @@ def crawl_oracle(seed_urls, robots: RobotsPolicy, pages_index: dict, cfg: CrawlC
         from crawlray.state.robots import DEFAULT_UA, parse_robots_txt
 
         for h in sorted(set(hosts) - robots_known):
-            robots_known.add(h)
             status, _c, body, _l = pages_index.get(
                 f"https://{h}/robots.txt", (404, "text/html", b"", 5.0)
             )
             if status == 200 and body:
+                robots_known.add(h)
                 a, d, ms = parse_robots_txt(
                     bytes(body).decode("utf-8", errors="replace"),
                     DEFAULT_UA, cfg.default_delay_ms,
                 )
                 robots.add_rows([{"host": h, "allow": a, "deny": d,
                                   "crawl_delay_ms": ms}])
+            elif status >= 500 or status <= 0:
+                # unreachable robots (RFC 9309): temporary deny-all, NOT
+                # marked known — the next wave retries (engine mirror)
+                robots.add_rows([{"host": h, "allow": [], "deny": ["/"],
+                                  "crawl_delay_ms": cfg.default_delay_ms,
+                                  "fetched_ok": False}])
             else:
+                robots_known.add(h)
                 robots.add_rows([{"host": h, "allow": [], "deny": [],
                                   "crawl_delay_ms": cfg.default_delay_ms}])
 

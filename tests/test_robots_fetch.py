@@ -185,3 +185,56 @@ def test_robots_mode_validation():
         CrawlConfig(robots_mode="fetch")  # requires wave_start
     with pytest.raises(ValueError):
         CrawlConfig(robots_mode="nonsense")
+
+
+def test_parse_foreign_token_containing_ua_does_not_win():
+    """RFC 9309: the group token must be a substring of the crawler UA —
+    'crawlray-images' contains 'crawlray' but is NOT our group (ADVICE
+    r2: bidirectional substring matching let it outrank the exact
+    group)."""
+    txt = """User-agent: crawlray-images
+Disallow: /img/
+
+User-agent: crawlray
+Disallow: /doc/
+"""
+    _a, deny, _d = parse_robots_txt(txt, "crawlray")
+    assert deny == ["/doc/"]
+
+
+def test_robots_fetcher_5xx_is_transient_deny_all(tmp_path):
+    """5xx robots.txt → temporary deny-all that is NOT cached as known
+    (retried next wave); 4xx → allow-all, cached; 200 → parsed rules
+    (ADVICE r2 / RFC 9309 §2.3.1.4)."""
+    from crawlray.state.robots import RobotsFetcher
+
+    pages = pa.table({
+        "url": ["https://ok.nl/robots.txt", "https://down.nl/robots.txt"],
+        "status": [200, 503],
+        "content_type": ["text/plain", "text/html"],
+        "html": [b"User-agent: *\nDisallow: /x/\n", b""],
+        "latency_ms": [5.0, 5.0],
+    })
+    p = tmp_path / "pages.parquet"
+    pq.write_table(pages, str(p))
+    fetcher = RobotsFetcher({"kind": "sim", "pages_path": str(p)},
+                            default_delay_ms=700)
+    rows = fetcher(pa.table({
+        "host": ["ok.nl", "down.nl", "absent.nl"]})).to_pylist()
+    by = {r["host"]: r for r in rows}
+    assert by["ok.nl"]["fetched_ok"] and by["ok.nl"]["deny"] == ["/x/"]
+    assert not by["down.nl"]["fetched_ok"]
+    assert by["down.nl"]["deny"] == ["/"]          # temporary deny-all
+    assert by["absent.nl"]["fetched_ok"]           # 404 is definitive
+    assert by["absent.nl"]["deny"] == []
+
+    pol = RobotsPolicy([], default_delay_ms=700)
+    pol.add_rows(rows)
+    assert pol.known() == {"ok.nl", "absent.nl"}   # down.nl retried
+    assert not pol.allowed("https://down.nl/anything")
+    assert pol.allowed("https://absent.nl/anything")
+    # the retry succeeds later → host becomes durably known
+    pol.add_rows([{"host": "down.nl", "allow": [], "deny": [],
+                   "crawl_delay_ms": 700, "fetched_ok": True}])
+    assert "down.nl" in pol.known()
+    assert pol.allowed("https://down.nl/anything")
