@@ -22,6 +22,13 @@ class CrawlConfig:
     # same admission shuffle as page links (sitemap-index children are
     # re-queued for the next wave). A host without feeds costs two 404s.
     discover_feeds: bool = True
+    # M2 host allow-policy (the reference crawls a CLOSED set of news
+    # domains): when set, only exact-match hosts are ever fetched.
+    # Cross-host links to other domains are still admitted to the seen
+    # set (discovery marks, dedup stays exact) but the policy gate drops
+    # them before the frontier — the engine never walks off the list.
+    # None = open crawl (every http(s) host).
+    allowed_hosts: tuple | None = None
     # §2.10 per-site extraction rules: {host_pattern: extractor NAME}
     # (names resolved in functions/extractors.EXTRACTORS; exact host or
     # dot-suffix patterns, longest wins; unmatched hosts parse generic)
@@ -81,6 +88,10 @@ class CrawlConfig:
     transport: dict = field(default_factory=dict)  # see sources.transport.make_transport
 
     def __post_init__(self):
+        # normalize to a sorted tuple: hashable, deterministic, and
+        # cheaply serialized into every frontier-build actor
+        if self.allowed_hosts is not None:
+            self.allowed_hosts = tuple(sorted(set(self.allowed_hosts)))
         # a typo here would silently fall back to "write" behavior in the
         # wave loop — fail loudly instead (ADVICE r1)
         if self.schedule_mode not in ("write", "wave_start"):

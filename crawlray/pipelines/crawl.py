@@ -87,9 +87,12 @@ _DEDUP_COLS = ["srckey64", "url_canon", "host", "host_hash", "part"]
 def _partial_dedup(t: pa.Table) -> pa.Table:
     """Per-block combiner before the global dedup shuffle: one candidate
     row per url_hash per block (min srckey64; other cols are constant
-    within a url_hash group)."""
-    g = t.group_by("url_hash").aggregate([(c, "min") for c in _DEDUP_COLS])
-    return g.rename_columns(["url_hash"] + _DEDUP_COLS)
+    within a url_hash group; seen_only is OR-merged — if any source says
+    the url's body is already stored, the merged row only marks seen,
+    which is the same end state as processing both rows)."""
+    g = t.group_by("url_hash").aggregate(
+        [(c, "min") for c in _DEDUP_COLS] + [("seen_only", "max")])
+    return g.rename_columns(["url_hash"] + _DEDUP_COLS + ["seen_only"])
 
 
 @ray.remote
@@ -480,7 +483,8 @@ class CrawlRun:
                 batch_format="pandas",
                 fn_constructor_kwargs={"shards": self.shards,
                                        "robots_ref": self.robots_ref,
-                                       "max_depth": cfg.max_depth},
+                                       "max_depth": cfg.max_depth,
+                                       "allowed_hosts": cfg.allowed_hosts},
                 concurrency=(1, max(2, cfg.n_parts)),
                 num_cpus=cfg.seq_num_cpus,
             )
@@ -505,7 +509,8 @@ class CrawlRun:
                                        "cap": cfg.max_pages_per_host,
                                        "wave": wave + 1,
                                        "max_depth": cfg.max_depth,
-                                       "stats": self.stats},
+                                       "stats": self.stats,
+                                       "allowed_hosts": cfg.allowed_hosts},
                 concurrency=(1, max(2, cfg.n_parts)),
                 num_cpus=cfg.seq_num_cpus,
             )
@@ -521,7 +526,9 @@ class CrawlRun:
         lance_compat.finalize_fragment_dir(
             pages_dir,
             note="pages wave partition; docs view = status==200 rows, "
-                 "columns (doc_id=url_canon, spans)",
+                 "columns (doc_id=final_url — the canonical identity "
+                 "after redirects, equals url_canon for direct fetches; "
+                 "spans)",
         )
         import pyarrow.parquet as pq
 

@@ -218,4 +218,5 @@ def feed_candidates(batch: pa.Table, n_parts: int) -> pa.Table:
         "host_hash": pa.array(hh),
         "part": pa.array(part),
         "srckey64": pa.array(np.asarray(srckey, dtype=np.int64)),
+        "seen_only": pa.array(np.zeros(len(urls), dtype=np.int64)),
     })

@@ -91,6 +91,10 @@ def _page_html(
         links.append("/weg/bestaat-niet-%d" % i)      # 404
     if next(r) % 13 == 0:
         links.append("/media/foto-%d.jpg" % i)        # binary decoy (M2 filter)
+    if next(r) % 9 == 0:
+        # 301 alias of THIS page (redirect coverage): fetching it must
+        # resolve to the already-stored page and never duplicate a fetch
+        links.append("/oud/artikel-%d" % i)
     li = 0
     for p in range(n_paras):
         words = " ".join(
@@ -157,6 +161,18 @@ def synth_page(spec: dict, url: str):
     n_hosts = spec["n_hosts"]
     if not (0 <= k < n_hosts) or host != host_name(k):
         return miss
+    n_pages = spec["pages_per_host"] * (
+        spec.get("hot_factor", 1) if k == spec.get("hot_host", 0) else 1
+    )
+    if path.startswith("/oud/artikel-"):
+        # 301 alias — byte-identical to the make_web row
+        try:
+            i = int(path[len("/oud/artikel-"):])
+        except ValueError:
+            return miss
+        if not (0 <= i < n_pages) or path != f"/oud/artikel-{i}":
+            return miss
+        return (301, "text/html", f"https://{host}{page_path(i)}".encode(), 5.0)
     if path == "/":
         i = 0
     else:
@@ -169,9 +185,6 @@ def synth_page(spec: dict, url: str):
             return miss
         if i == 0 or page_path(i) != path:
             return miss
-    n_pages = spec["pages_per_host"] * (
-        spec.get("hot_factor", 1) if k == spec.get("hot_host", 0) else 1
-    )
     if i >= n_pages:
         return miss
     seed = spec.get("seed", 42)
@@ -226,6 +239,10 @@ def make_web(
             add(f"https://{host}{page_path(i)}", host, 200, "text/html",
                 _page_html(seed, k, i, n_hosts, n_pages, fanout, heft),
                 float(20 + (next(_rand(seed, k, i, 7)) % 80)))
+            # 301 alias (FIXTURES §2: redirect with target): body is the
+            # Location, followed transport-side (see transport.py)
+            add(f"https://{host}/oud/artikel-{i}", host, 301, "text/html",
+                f"https://{host}{page_path(i)}".encode(), 5.0)
         if with_robots_txt:
             delay_s = (50 + (k % 5) * 50) / 1000
             body = (

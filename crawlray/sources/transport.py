@@ -7,13 +7,43 @@ is the real-web path (requests.Session reuse per actor); it exists for
 API completeness and is guarded — untestable here.
 
 A transport maps canonical URLs → (status, content_type, body,
-latency_ms). Missing URLs are 404 with empty body.
+latency_ms, final_url). Missing URLs are 404 with empty body. 3xx
+responses are followed transport-side (≤ ``MAX_REDIRECTS`` hops, RFC
+9110 semantics: the simulated Location is the body of the 3xx row);
+``final_url`` is the URL that produced the terminal response, so the
+engine can re-canonicalize and store the page under its real identity
+(VERDICT r2 item #4 — every real news site redirects http→https/www/
+slug changes, and a crawler that keys bodies by the ALIAS re-fetches
+the same article under every alias).
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow.parquet as pq
+
+MAX_REDIRECTS = 5
+
+# terminal status for a redirect chain longer than MAX_REDIRECTS (the
+# requests lib raises TooManyRedirects; we need a deterministic row)
+TOO_MANY_REDIRECTS = 310
+
+
+def follow_redirects(fetch_one, url: str, max_hops: int = MAX_REDIRECTS):
+    """Follow a 3xx chain through ``fetch_one(url) -> (status, ctype,
+    body, latency_ms)``; the Location target is the (absolute-URL) body
+    of the 3xx response. Latency accumulates across hops. Returns the
+    5-tuple (status, ctype, body, latency_ms_total, final_url)."""
+    total = 0.0
+    cur = url
+    for _ in range(max_hops + 1):
+        status, ctype, body, lat = fetch_one(cur)
+        total += float(lat)
+        if 300 <= status < 400 and body:
+            cur = bytes(body).decode("utf-8", "replace").strip()
+            continue
+        return status, ctype, body, total, cur
+    return TOO_MANY_REDIRECTS, "text/html", b"", total, cur
 
 
 class SimTransport:
@@ -38,10 +68,11 @@ class SimTransport:
         )
 
     def fetch_many(self, urls: list[str]):
-        """[(status, content_type, body, latency_ms)] aligned with urls."""
+        """[(status, content_type, body, latency_ms, final_url)] aligned
+        with urls; 3xx rows (body = Location) are followed."""
         idx = self._index
         miss = (404, "text/html", b"", 5.0)
-        return [idx.get(u, miss) for u in urls]
+        return [follow_redirects(lambda u: idx.get(u, miss), u) for u in urls]
 
 
 class SynthTransport:
@@ -60,7 +91,7 @@ class SynthTransport:
     def fetch_many(self, urls: list[str]):
         spec = self._spec
         page = self._page
-        return [page(spec, u) for u in urls]
+        return [follow_redirects(lambda u: page(spec, u), u) for u in urls]
 
 
 class HttpTransport:
@@ -76,20 +107,32 @@ class HttpTransport:
         self._timeout = timeout_s
 
     def fetch_many(self, urls: list[str]):
+        import requests
+
         out = []
         for u in urls:
             try:
-                r = self._sess.get(u, timeout=self._timeout)
+                # requests follows redirects; surface the FINAL url so
+                # the engine re-canonicalizes instead of silently keying
+                # the body under the alias (VERDICT r2 item #4)
+                r = self._sess.get(u, timeout=self._timeout,
+                                   allow_redirects=True)
+                lat = r.elapsed.total_seconds() * 1000.0
+                for hop in r.history:
+                    lat += hop.elapsed.total_seconds() * 1000.0
                 out.append(
                     (
                         r.status_code,
                         r.headers.get("Content-Type", ""),
                         r.content,
-                        r.elapsed.total_seconds() * 1000.0,
+                        lat,
+                        str(r.url),
                     )
                 )
+            except requests.TooManyRedirects:
+                out.append((TOO_MANY_REDIRECTS, "", b"", 0.0, u))
             except Exception:
-                out.append((599, "", b"", 0.0))
+                out.append((599, "", b"", 0.0, u))
         return out
 
 

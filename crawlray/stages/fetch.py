@@ -12,10 +12,16 @@ from __future__ import annotations
 
 import pyarrow as pa
 
+from ..functions.canon import canonicalize
 from ..sources.transport import make_transport
 
 
 class Fetcher:
+    """Transports follow 3xx chains internally; this stage
+    re-canonicalizes the FINAL url (the page's real identity — stored
+    under it downstream) and flags redirected rows so the wave commit
+    can mark the final urls as seen (never re-fetched under an alias)."""
+
     def __init__(self, transport_spec: dict):
         self._transport = make_transport(transport_spec)
 
@@ -26,9 +32,16 @@ class Fetcher:
         ctype = pa.array((r[1] for r in results), type=pa.string())
         body = pa.array((r[2] for r in results), type=pa.large_binary())
         latency = pa.array((float(r[3]) for r in results), type=pa.float32())
+        finals = [
+            (canonicalize(r[4]) or u) if r[4] != u else u
+            for u, r in zip(urls, results)
+        ]
+        redirected = [f != u for u, f in zip(urls, finals)]
         return (
             batch.append_column("status", status)
             .append_column("content_type", ctype)
             .append_column("body", body)
             .append_column("latency_ms", latency)
+            .append_column("final_url", pa.array(finals, type=pa.string()))
+            .append_column("redirected", pa.array(redirected, type=pa.bool_()))
         )

@@ -48,31 +48,10 @@ def unpack_depth(srckey64):
     return np.asarray(srckey64, dtype=np.int64) & ((1 << SRCKEY_DEPTH_BITS) - 1)
 
 
-def explode_links(batch: pa.Table, n_parts: int) -> pa.Table:
-    """Parsed pages (part, seq, depth, links) → one candidate row per
-    out-link with canonical fields + packed srckey. Fully vectorized:
-    Arrow list kernels for the explode, regex kernel for host extraction,
-    numpy for hashing/packing."""
-    links = batch["links"].combine_chunks()
-    flat = pc.list_flatten(links)
-    n = len(flat)
-    if n == 0:
-        return pa.table(
-            {
-                "url_canon": pa.array([], type=pa.string()),
-                "url_hash": pa.array([], type=pa.int64()),
-                "host": pa.array([], type=pa.string()),
-                "host_hash": pa.array([], type=pa.int64()),
-                "part": pa.array([], type=pa.int64()),
-                "srckey64": pa.array([], type=pa.int64()),
-            }
-        )
-    parent = pc.list_parent_indices(links).to_numpy(zero_copy_only=False)
-    offsets = links.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-    link_idx = np.arange(n, dtype=np.int64) - offsets[parent]
-    src_part = batch["part"].to_numpy(zero_copy_only=False).astype(np.int64)[parent]
-    src_seq = batch["seq"].to_numpy(zero_copy_only=False).astype(np.int64)[parent]
-    depth = batch["depth"].to_numpy(zero_copy_only=False).astype(np.int64)[parent] + 1
+def _candidate_table(flat, src_part, src_seq, link_idx, depth, n_parts,
+                     seen_only) -> pa.Table:
+    """Canonical candidate rows from parallel url/src arrays (shared by
+    the link explode and the redirect-final mark rows)."""
     srckey = pack_srckey(src_part, src_seq, link_idx, depth)
     host = pc.struct_field(pc.extract_regex(flat, _HOST_RE), "host")
     url_hash = hash64_batch_i64(flat)
@@ -86,15 +65,73 @@ def explode_links(batch: pa.Table, n_parts: int) -> pa.Table:
             "host_hash": pa.array(host_hash),
             "part": pa.array(part),
             "srckey64": pa.array(srckey),
+            "seen_only": pa.array(
+                np.full(len(flat), seen_only, dtype=np.int64)),
         }
     )
 
 
-def policy_filter(batch: pa.Table, robots, max_depth: int) -> pa.Table:
-    """Drop candidates that are uncrawlable / robots-denied / too deep.
-    Runs AFTER seen-marking (parity: discovery admits to the seen set,
-    filters only gate the frontier). Binary-extension check is an Arrow
-    regex kernel; robots prefix match is per-row over a per-host memo."""
+_EMPTY_CANDIDATES = pa.table(
+    {
+        "url_canon": pa.array([], type=pa.string()),
+        "url_hash": pa.array([], type=pa.int64()),
+        "host": pa.array([], type=pa.string()),
+        "host_hash": pa.array([], type=pa.int64()),
+        "part": pa.array([], type=pa.int64()),
+        "srckey64": pa.array([], type=pa.int64()),
+        "seen_only": pa.array([], type=pa.int64()),
+    }
+)
+
+
+def explode_links(batch: pa.Table, n_parts: int) -> pa.Table:
+    """Parsed pages (part, seq, depth, links[, redirect_final]) → one
+    candidate row per out-link with canonical fields + packed srckey,
+    plus one ``seen_only=1`` mark row per redirect final url (the page's
+    body is already stored under that url; the frontier build inserts it
+    into the seen set WITHOUT admitting it, so no alias or later link
+    ever re-fetches it). Fully vectorized: Arrow list kernels for the
+    explode, regex kernel for host extraction, numpy for
+    hashing/packing."""
+    links = batch["links"].combine_chunks()
+    flat = pc.list_flatten(links)
+    pieces = []
+    n = len(flat)
+    if n:
+        parent = pc.list_parent_indices(links).to_numpy(zero_copy_only=False)
+        offsets = links.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        link_idx = np.arange(n, dtype=np.int64) - offsets[parent]
+        src_part = batch["part"].to_numpy(zero_copy_only=False).astype(np.int64)[parent]
+        src_seq = batch["seq"].to_numpy(zero_copy_only=False).astype(np.int64)[parent]
+        depth = batch["depth"].to_numpy(zero_copy_only=False).astype(np.int64)[parent] + 1
+        pieces.append(_candidate_table(flat, src_part, src_seq, link_idx,
+                                       depth, n_parts, 0))
+    if "redirect_final" in batch.column_names:
+        rf = batch["redirect_final"].combine_chunks()
+        mask = pc.is_valid(rf).to_numpy(zero_copy_only=False)
+        if mask.any():
+            finals = rf.filter(pa.array(mask))
+            src_part = batch["part"].to_numpy(
+                zero_copy_only=False).astype(np.int64)[mask]
+            src_seq = batch["seq"].to_numpy(
+                zero_copy_only=False).astype(np.int64)[mask]
+            depth = batch["depth"].to_numpy(
+                zero_copy_only=False).astype(np.int64)[mask] + 1
+            zeros = np.zeros(mask.sum(), dtype=np.int64)
+            pieces.append(_candidate_table(finals, src_part, src_seq,
+                                           zeros, depth, n_parts, 1))
+    if not pieces:
+        return _EMPTY_CANDIDATES
+    return pa.concat_tables(pieces) if len(pieces) > 1 else pieces[0]
+
+
+def policy_filter(batch: pa.Table, robots, max_depth: int,
+                  allowed_hosts=None) -> pa.Table:
+    """Drop candidates that are uncrawlable / robots-denied / too deep /
+    off the host allowlist. Runs AFTER seen-marking (parity: discovery
+    admits to the seen set, filters only gate the frontier).
+    Binary-extension check is an Arrow regex kernel; robots prefix match
+    is per-row over a per-host memo."""
     urls = batch["url_canon"]
     depth_ok = pa.array(unpack_depth(batch["srckey64"].to_numpy(zero_copy_only=False)) <= max_depth)
     not_binary = pc.invert(
@@ -103,7 +140,31 @@ def policy_filter(batch: pa.Table, robots, max_depth: int) -> pa.Table:
     len_ok = pc.less_equal(pc.utf8_length(urls), 2048)
     allowed = pa.array(robots.allowed_many(urls.to_pylist()))
     mask = pc.and_(pc.and_(depth_ok, not_binary), pc.and_(len_ok, allowed))
+    if allowed_hosts is not None:
+        mask = pc.and_(mask, pc.is_in(
+            batch["host"],
+            value_set=pa.array(sorted(allowed_hosts), type=pa.string())))
     return batch.filter(mask)
+
+
+def policy_mask(df: pd.DataFrame, robots, max_depth: int,
+                allowed_hosts) -> np.ndarray:
+    """The engine's M2 policy gate over a candidate frame (pandas form,
+    shared by the fused and salted frontier builders): within depth, not
+    a binary asset, sane length, robots-allowed, and — when the crawl is
+    scoped to a closed host set (the reference's news-domain allowlist) —
+    on the list. Candidates failing it were ALREADY seen-marked: the gate
+    decides fetching, not dedup identity."""
+    depth = unpack_depth(df["srckey64"].to_numpy())
+    ok = depth <= max_depth
+    ok &= ~df["url_canon"].str.contains(
+        _BINARY_EXT.pattern, case=False, regex=True
+    ).to_numpy(dtype=bool, na_value=False)
+    ok &= (df["url_canon"].str.len() <= 2048).to_numpy(dtype=bool, na_value=False)
+    ok &= np.asarray(robots.allowed_many(df["url_canon"].tolist()), dtype=bool)
+    if allowed_hosts is not None:
+        ok &= df["host"].isin(allowed_hosts).to_numpy(dtype=bool)
+    return ok
 
 
 def send_part_stats(stats, wave: int, df: pd.DataFrame) -> None:
@@ -172,6 +233,23 @@ class SeqAssigner:
         return df
 
 
+def mark_redirect_finals(df: pd.DataFrame, novelty, shards) -> pd.DataFrame:
+    """Split off ``seen_only=1`` rows (redirect final urls), insert their
+    hashes into the cuckoo shards (idempotent), and return the normal
+    candidate rows with the flag column dropped. Insertion happens
+    BEFORE the group's novelty pass, so same-wave candidates for an
+    already-stored final url are non-novel — fetched exactly once."""
+    if "seen_only" not in df.columns:
+        return df
+    flags = df["seen_only"].to_numpy()
+    if flags.any():
+        marks = df[flags == 1]
+        novelty(shards,
+                np.unique(marks["url_hash"].to_numpy().astype(np.int64)))
+        df = df[flags == 0]
+    return df.drop(columns=["seen_only"]).reset_index(drop=True)
+
+
 class PartFrontierBuilder:
     """The whole frontier build for one part group, in the engine's ONE
     per-wave shuffle (``groupby("part").map_groups`` — the mandated
@@ -189,7 +267,7 @@ class PartFrontierBuilder:
     once per wave, from exactly one group."""
 
     def __init__(self, shards, robots_ref, budget_ref, cap: int, wave: int,
-                 max_depth: int, stats=None):
+                 max_depth: int, stats=None, allowed_hosts=None):
         from ..state.seen import novelty_mask
 
         self._novelty = novelty_mask
@@ -199,6 +277,7 @@ class PartFrontierBuilder:
         self._cap = cap
         self._wave = wave
         self._max_depth = max_depth
+        self._allowed = frozenset(allowed_hosts) if allowed_hosts else None
         self._stats = stats
         self._delay_cache: dict[str, int] = {}
 
@@ -210,6 +289,12 @@ class PartFrontierBuilder:
         return d
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        # 0. redirect-final mark rows: insert into the seen set FIRST and
+        #    exclude from admission — their bodies are already stored, so
+        #    a same-wave (or any later) link to the final url must dedup
+        #    against them. part = host_hash % P, so a url's marks and its
+        #    normal candidates always meet in this one group.
+        df = mark_redirect_finals(df, self._novelty, self._shards)
         # 1. intra-wave dedup: min srckey64 wins (sorted → keep first)
         df = df.sort_values("srckey64", kind="mergesort", ignore_index=True)
         df = df.drop_duplicates("url_hash", keep="first", ignore_index=True)
@@ -217,15 +302,9 @@ class PartFrontierBuilder:
         #    cuckoo shards (admission-time seen semantics, oracle parity)
         mask = self._novelty(self._shards, df["url_hash"].to_numpy().astype(np.int64))
         df = df[mask].reset_index(drop=True)
-        # 3. policy gate (same predicates as policy_filter)
-        depth = unpack_depth(df["srckey64"].to_numpy())
-        ok = depth <= self._max_depth
-        ok &= ~df["url_canon"].str.contains(
-            _BINARY_EXT.pattern, case=False, regex=True
-        ).to_numpy(dtype=bool, na_value=False)
-        ok &= (df["url_canon"].str.len() <= 2048).to_numpy(dtype=bool, na_value=False)
-        ok &= np.asarray(self._robots.allowed_many(df["url_canon"].tolist()),
-                         dtype=bool)
+        # 3. policy gate (shared predicates: depth/binary/len/robots/
+        #    host allowlist)
+        ok = policy_mask(df, self._robots, self._max_depth, self._allowed)
         df = df[ok].reset_index(drop=True)
         # 4. per-host page-cap budget, consumed in srckey order
         within = df.groupby("host", sort=False).cumcount()
@@ -280,27 +359,26 @@ class DedupNoveltyPolicy:
     shared-budget property that keeps salted output byte-identical to
     the fused single-shuffle path (asserted in tests)."""
 
-    def __init__(self, shards, robots_ref, max_depth: int):
+    def __init__(self, shards, robots_ref, max_depth: int,
+                 allowed_hosts=None):
         from ..state.seen import novelty_mask
 
         self._novelty = novelty_mask
         self._shards = shards
         self._robots = ray.get(robots_ref)
         self._max_depth = max_depth
+        self._allowed = frozenset(allowed_hosts) if allowed_hosts else None
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        # redirect-final marks first (salt = url_hash % m keeps a url's
+        # marks and candidates in this one group — same guarantee as the
+        # unsalted path)
+        df = mark_redirect_finals(df, self._novelty, self._shards)
         df = df.sort_values("srckey64", kind="mergesort", ignore_index=True)
         df = df.drop_duplicates("url_hash", keep="first", ignore_index=True)
         mask = self._novelty(self._shards, df["url_hash"].to_numpy().astype(np.int64))
         df = df[mask].reset_index(drop=True)
-        depth = unpack_depth(df["srckey64"].to_numpy())
-        ok = depth <= self._max_depth
-        ok &= ~df["url_canon"].str.contains(
-            _BINARY_EXT.pattern, case=False, regex=True
-        ).to_numpy(dtype=bool, na_value=False)
-        ok &= (df["url_canon"].str.len() <= 2048).to_numpy(dtype=bool, na_value=False)
-        ok &= np.asarray(self._robots.allowed_many(df["url_canon"].tolist()),
-                         dtype=bool)
+        ok = policy_mask(df, self._robots, self._max_depth, self._allowed)
         return df[ok].drop(columns=["gpart"]).reset_index(drop=True)
 
 
@@ -322,8 +400,10 @@ def admit_seeds(seed_urls: list[str], robots, shards, cfg: CrawlConfig) -> pa.Ta
     hashes = np.array([hash64s(u) for u in urls], dtype=np.int64)
     new = novelty_mask(shards, hashes)
     rows = []
+    allowed = set(cfg.allowed_hosts) if cfg.allowed_hosts else None
     for u, h, isnew in zip(urls, hashes, new):
-        if not isnew or not is_crawlable(u) or not robots.allowed(u):
+        if (not isnew or not is_crawlable(u, allowed_hosts=allowed)
+                or not robots.allowed(u)):
             continue
         host = host_of(u)
         rows.append(

@@ -51,7 +51,11 @@ class PageParser:
         statuses = batch["status"].to_pylist()
         ctypes = batch["content_type"].to_pylist()
         bodies = batch["body"].to_pylist()
-        urls = batch["url_canon"].to_pylist()
+        # relative links resolve against the FINAL location of the page
+        # (RFC 9110: the content lives at the redirect target) — fall
+        # back to the requested url when the fetch stage didn't run
+        urls = (batch["final_url"] if "final_url" in batch.column_names
+                else batch["url_canon"]).to_pylist()
         hosts = batch["host"].to_pylist()
         titles: list[str | None] = []
         published: list = []
@@ -148,4 +152,14 @@ class ParseAndSink:
         os.replace(tmp, frag)
         if self._stats is not None:
             self._fold_latency(batch, name)
-        return parsed.select(["part", "seq", "depth", "links"])
+        # discovery projection: out-links + the redirect FINAL url (null
+        # for direct fetches) — the frontier build marks finals as seen
+        # without admitting them (the body is already stored under them)
+        proj = parsed.select(["part", "seq", "depth", "links"])
+        if "redirected" in parsed.column_names:
+            import pyarrow.compute as pc
+
+            finals = pc.if_else(parsed["redirected"], parsed["final_url"],
+                                pa.scalar(None, type=pa.string()))
+            proj = proj.append_column("redirect_final", finals)
+        return proj

@@ -183,7 +183,7 @@ class RobotsFetcher:
             [f"https://{h}/robots.txt" for h in hosts]
         )
         allows, denies, delays, oks = [], [], [], []
-        for status, _ctype, body, _lat in results:
+        for status, _ctype, body, _lat, _final in results:
             if status == 200 and body:
                 a, d, ms = parse_robots_txt(
                     bytes(body).decode("utf-8", errors="replace"),

@@ -48,9 +48,25 @@ class OracleResult:
 
 
 def crawl_oracle(seed_urls, robots: RobotsPolicy, pages_index: dict, cfg: CrawlConfig) -> OracleResult:
-    """pages_index: url_canon -> (status, content_type, body, latency_ms)."""
+    """pages_index: url_canon -> (status, content_type, body, latency_ms).
+    3xx rows (body = Location) are followed exactly like the engine's
+    transports (same follow_redirects helper); docs are stored under the
+    FINAL canonical url and redirect finals are marked seen at the next
+    admission before any candidate is considered."""
+    from crawlray.sources.transport import follow_redirects
+
     res = OracleResult()
     host_pages: dict[str, int] = {}  # admitted per host (cap budget)
+    # M2 host allowlist (engine: policy_mask / admit_seeds): off-list
+    # urls are seen-marked but never fetched
+    allowed_set = (set(cfg.allowed_hosts)
+                   if getattr(cfg, "allowed_hosts", None) else None)
+
+    def fetch(u):
+        """(status, ctype, body, latency_total, final_url) — redirect
+        chains followed through the raw pages index."""
+        return follow_redirects(
+            lambda x: pages_index.get(x, (404, "text/html", b"", 5.0)), u)
 
     ext_cache: dict[str, object] = {}
 
@@ -64,9 +80,14 @@ def crawl_oracle(seed_urls, robots: RobotsPolicy, pages_index: dict, cfg: CrawlC
             ext_cache[host] = fn
         return fn
 
-    def admit(candidates):
+    def admit(candidates, finals=()):
         """candidates: [(url_canon, src_part, src_seq, link_idx, depth)] →
-        next frontier rows, applying dedup/seen/robots/crawlable/budgets."""
+        next frontier rows, applying dedup/seen/robots/crawlable/budgets.
+        ``finals``: redirect final urls whose bodies are already stored —
+        marked seen FIRST (engine: mark_redirect_finals before the
+        novelty pass) so no candidate for them is ever admitted."""
+        for f in finals:
+            res.seen.add(f)
         best: dict[str, tuple] = {}
         for url, sp, ss, li, depth in candidates:
             key = (sp, ss, li)
@@ -80,7 +101,9 @@ def crawl_oracle(seed_urls, robots: RobotsPolicy, pages_index: dict, cfg: CrawlC
                 continue
             res.seen.add(url)
             key, depth = best[url]
-            if depth > cfg.max_depth or not is_crawlable(url) or not robots.allowed(url):
+            if (depth > cfg.max_depth
+                    or not is_crawlable(url, allowed_hosts=allowed_set)
+                    or not robots.allowed(url)):
                 continue
             host = host_of(url)
             if host_pages.get(host, 0) >= cfg.max_pages_per_host:
@@ -107,9 +130,7 @@ def crawl_oracle(seed_urls, robots: RobotsPolicy, pages_index: dict, cfg: CrawlC
 
         out = []
         for src in doc_urls:
-            status, ctype, body, _lat = pages_index.get(
-                src, (404, "text/html", b"", 5.0)
-            )
+            status, ctype, body, _lat, _final = fetch(src)
             rows = discover_batch(pa.table({
                 "url_canon": pa.array([src], type=pa.string()),
                 "content_type": pa.array([ctype], type=pa.string()),
@@ -142,9 +163,7 @@ def crawl_oracle(seed_urls, robots: RobotsPolicy, pages_index: dict, cfg: CrawlC
         from crawlray.state.robots import DEFAULT_UA, parse_robots_txt
 
         for h in sorted(set(hosts) - robots_known):
-            status, _c, body, _l = pages_index.get(
-                f"https://{h}/robots.txt", (404, "text/html", b"", 5.0)
-            )
+            status, _c, body, _l, _f = fetch(f"https://{h}/robots.txt")
             if status == 200 and body:
                 robots_known.add(h)
                 a, d, ms = parse_robots_txt(
@@ -186,13 +205,15 @@ def crawl_oracle(seed_urls, robots: RobotsPolicy, pages_index: dict, cfg: CrawlC
         host_j: dict[str, int] = {}
         lat_sums: dict[str, list] = {}
         candidates = []
+        redirect_finals: list[str] = []
         for r in frontier:
             j = host_j.get(r["host"], 0)
             host_j[r["host"]] = j + 1
             sched = float(j * eff_delay(r["host"]))
-            status, ctype, body, lat = pages_index.get(
-                r["url_canon"], (404, "text/html", b"", 5.0)
-            )
+            status, ctype, body, lat, final_raw = fetch(r["url_canon"])
+            final = canonicalize(final_raw) or r["url_canon"]
+            if final != r["url_canon"]:
+                redirect_finals.append(final)
             acc = lat_sums.setdefault(r["host"], [0.0, 0])
             acc[0] += float(lat)
             acc[1] += 1
@@ -210,12 +231,12 @@ def crawl_oracle(seed_urls, robots: RobotsPolicy, pages_index: dict, cfg: CrawlC
             )
             if status == 200 and str(ctype).startswith("text/html"):
                 page = extractor_for(r["host"])(body)
-                res.docs[r["url_canon"]] = [
+                res.docs[final] = [
                     (k, t, m, i) for i, (k, t, m) in enumerate(page.spans)
                 ]
                 links, seen_in_page = [], set()
                 for href, _anchor in page.links:
-                    cu = canonicalize(href, base=r["url_canon"])
+                    cu = canonicalize(href, base=final)
                     if cu and cu not in seen_in_page:
                         seen_in_page.add(cu)
                         links.append(cu)
@@ -238,7 +259,7 @@ def crawl_oracle(seed_urls, robots: RobotsPolicy, pages_index: dict, cfg: CrawlC
                 h: int(round(cfg.drift_factor * s / n))
                 for h, (s, n) in lat_sums.items() if n
             }
-        frontier = admit(candidates)
+        frontier = admit(candidates, finals=redirect_finals)
         wave += 1
     return res
 

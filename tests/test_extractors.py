@@ -86,11 +86,12 @@ def extractor_env(ray_session, tmp_path_factory):
 def _docs(run_dir):
     files = sorted(glob.glob(f"{run_dir}/pages/wave=*/*.parquet"))
     t = pa.concat_tables(
-        [pq.read_table(f, columns=["url_canon", "host", "status", "spans"])
+        [pq.read_table(f, columns=["final_url", "host", "status", "spans"])
          for f in files]
     )
+    # doc identity = final_url (equals url_canon for direct fetches)
     return {
-        r["url_canon"]: [(s["kind"], s["text"], s["media_ref"], s["offset"])
+        r["final_url"]: [(s["kind"], s["text"], s["media_ref"], s["offset"])
                          for s in r["spans"]]
         for r in t.to_pylist() if r["status"] == 200
     }
