@@ -61,32 +61,45 @@ class PageParser:
         published: list = []
         all_spans: list[list] = []
         all_links: list[list[str]] = []
+        all_anchors: list[list[str]] = []
         for url, host, st, ct, body in zip(urls, hosts, statuses, ctypes, bodies):
             if st == 200 and (ct or "").startswith("text/html") and body:
                 page = self._extractor(host)(body)
                 titles.append(page.title)
                 published.append(page.published)
                 all_spans.append(page.spans)
+                # anchors ride PARALLEL to links (same index): the
+                # reference keeps link text rows; a struct column here
+                # would force the discovery projection to re-shape, and
+                # the anchor never needs to enter the frontier shuffle —
+                # it stays in the pages sink only. First occurrence of a
+                # canonical URL keeps its anchor (same winner as dedup).
                 links: list[str] = []
+                anchors: list[str] = []
                 seen_in_page: set[str] = set()
-                for href, _anchor in page.links:
+                for href, anchor in page.links:
                     cu = canonicalize(href, base=url)
                     if cu and cu not in seen_in_page:
                         seen_in_page.add(cu)
                         links.append(cu)
+                        anchors.append(anchor)
                         if len(links) >= MAX_LINKS_PER_PAGE:
                             break
                 all_links.append(links)
+                all_anchors.append(anchors)
             else:
                 titles.append(None)
                 published.append(None)
                 all_spans.append([])
                 all_links.append([])
+                all_anchors.append([])
         out = batch.drop_columns(["body"])
         out = out.append_column("title", pa.array(titles, type=pa.string()))
         out = out.append_column("published", pa.array(published, type=pa.timestamp("us")))
         out = out.append_column("spans", spans_to_arrow(all_spans))
         out = out.append_column("links", pa.array(all_links, type=pa.list_(pa.string())))
+        out = out.append_column(
+            "link_anchors", pa.array(all_anchors, type=pa.list_(pa.string())))
         return out
 
 

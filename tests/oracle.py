@@ -44,6 +44,7 @@ class OracleResult:
     fetch_log: list = field(default_factory=list)  # dict rows
     seen: set = field(default_factory=set)         # canonical URLs
     docs: dict = field(default_factory=dict)       # url_canon -> [span tuples]
+    links: dict = field(default_factory=dict)      # url_canon -> [(href, anchor)]
     waves: list = field(default_factory=list)      # frontier size per wave
 
 
@@ -235,12 +236,15 @@ def crawl_oracle(seed_urls, robots: RobotsPolicy, pages_index: dict, cfg: CrawlC
                     (k, t, m, i) for i, (k, t, m) in enumerate(page.spans)
                 ]
                 links, seen_in_page = [], set()
-                for href, _anchor in page.links:
+                for href, anchor in page.links:
                     cu = canonicalize(href, base=final)
                     if cu and cu not in seen_in_page:
                         seen_in_page.add(cu)
-                        links.append(cu)
-                for li, cu in enumerate(links):
+                        links.append((cu, anchor))
+                # anchor text is retained per doc (first occurrence of a
+                # canonical URL keeps its anchor — same winner as dedup)
+                res.links[final] = list(links)
+                for li, (cu, _a) in enumerate(links):
                     candidates.append((cu, r["part"], r["seq"], li, r["depth"] + 1))
         if getattr(cfg, "discover_feeds", False):
             # hosts first admitted by wave ≤ k (host_pages keys) minus

@@ -304,3 +304,25 @@ def test_allowlist_cross_host_seen_but_never_fetched(ray_session, tmp_path):
     assert hashes == {hash64s(u) for u in ora.seen}
     for u in off_list:
         assert hash64s(u) in hashes
+
+
+def test_anchor_text_parity(crawl_env):
+    """VERDICT r2 item #10: anchor text is retained through the parse
+    stage into the pages sink (``link_anchors`` parallel to ``links``)
+    and matches the oracle's (href, anchor) sequence per doc — first
+    occurrence of a canonical URL keeps its anchor, same winner as the
+    in-page dedup."""
+    files = sorted(glob.glob(f"{crawl_env['run_dir']}/pages/wave=*/*.parquet"))
+    t = pa.concat_tables(
+        [pq.read_table(f, columns=["final_url", "status", "links",
+                                   "link_anchors"]) for f in files])
+    eng = {
+        r["final_url"]: list(zip(r["links"], r["link_anchors"]))
+        for r in t.to_pylist() if r["status"] == 200
+    }
+    ora = crawl_env["oracle"].links
+    assert set(eng) == set(ora)
+    for k, v in ora.items():
+        assert eng[k] == v, k
+    anchors = {a for v in eng.values() for _, a in v}
+    assert {"lees verder", "meer"} <= anchors  # fixture really varies them
