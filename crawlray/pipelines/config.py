@@ -22,6 +22,15 @@ class CrawlConfig:
     # same admission shuffle as page links (sitemap-index children are
     # re-queued for the next wave). A host without feeds costs two 404s.
     discover_feeds: bool = True
+    # Refresh / re-crawl scheduling (the reference's steady-state mode is
+    # incremental harvesting): when on, a feed/sitemap candidate whose
+    # pubDate/lastmod is STRICTLY newer than the recorded version for
+    # that URL is re-admitted even though it is in the seen set, so a
+    # refresh run (run_crawl(..., prior_run_dir=...)) re-fetches exactly
+    # the updated pages. URLs with no recorded stamp never refetch; every
+    # run records observed stamps as the next run's baseline (the
+    # versions/ store).
+    refetch_if_newer: bool = False
     # M2 host allow-policy (the reference crawls a CLOSED set of news
     # domains): when set, only exact-match hosts are ever fetched.
     # Cross-host links to other domains are still admitted to the seen
@@ -107,6 +116,11 @@ class CrawlConfig:
             raise ValueError(
                 "robots_mode='fetch' requires schedule_mode='wave_start' "
                 "(late-arriving rules re-filter at wave start)"
+            )
+        if self.refetch_if_newer and not self.discover_feeds:
+            raise ValueError(
+                "refetch_if_newer requires discover_feeds (the refresh "
+                "signal IS the feed/sitemap stamp)"
             )
         if self.politeness_drift and self.schedule_mode != "wave_start":
             raise ValueError(

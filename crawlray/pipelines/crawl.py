@@ -89,10 +89,44 @@ def _partial_dedup(t: pa.Table) -> pa.Table:
     row per url_hash per block (min srckey64; other cols are constant
     within a url_hash group; seen_only is OR-merged — if any source says
     the url's body is already stored, the merged row only marks seen,
-    which is the same end state as processing both rows)."""
+    which is the same end state as processing both rows; lastmod_us is
+    max-merged — the freshest feed stamp observed for the url wins,
+    which is exactly the refresh-crawl version semantics)."""
     g = t.group_by("url_hash").aggregate(
-        [(c, "min") for c in _DEDUP_COLS] + [("seen_only", "max")])
-    return g.rename_columns(["url_hash"] + _DEDUP_COLS + ["seen_only"])
+        [(c, "min") for c in _DEDUP_COLS]
+        + [("seen_only", "max"), ("lastmod_us", "max")])
+    return g.rename_columns(
+        ["url_hash"] + _DEDUP_COLS + ["seen_only", "lastmod_us"])
+
+
+def load_versions(run_dir: str, base: dict | None = None) -> dict[int, int]:
+    """Max-merge every committed version fragment of a run
+    (``versions/wave=*/group-*.parquet``, written by the frontier-build
+    groups via ``fold_versions``) into a url_hash → lastmod_us dict —
+    the refetch baseline a refresh run (or a resume) starts from. Size
+    is bounded by the number of DATED feed/sitemap entries ever
+    observed, not by the crawl; at a scale where that outgrows one
+    broadcast dict, shard this by ``part`` and feed each builder group
+    its slice (the fragments are already keyed to support it)."""
+    import pyarrow.parquet as pq
+
+    out = dict(base) if base else {}
+    vroot = os.path.join(run_dir, "versions")
+    if not os.path.isdir(vroot):
+        return out
+    for d in sorted(os.listdir(vroot)):
+        wdir = os.path.join(vroot, d)
+        if not (d.startswith("wave=") and os.path.isdir(wdir)):
+            continue
+        for f in sorted(os.listdir(wdir)):
+            if not f.endswith(".parquet"):
+                continue
+            t = pq.read_table(os.path.join(wdir, f))
+            for h, lm in zip(t["url_hash"].to_pylist(),
+                             t["lastmod_us"].to_pylist()):
+                if lm > out.get(h, -1):
+                    out[h] = lm
+    return out
 
 
 @ray.remote
@@ -144,6 +178,13 @@ class CrawlRun:
         # politeness drift: per-host delay floor from the previous wave's
         # measured latencies (cfg.politeness_drift)
         self.drift_ms: dict[str, int] = {}
+        # refresh crawling (S3/S4 incremental harvest): recorded feed
+        # stamps url_hash → lastmod_us, max-merged from the builder
+        # groups' version fragments after each wave; prior_hosts = hosts
+        # known to a PRIOR run whose feeds a refresh run re-probes even
+        # though nothing admitted them this run
+        self.versions: dict[int, int] = {}
+        self.prior_hosts: set[str] = set()
 
     # ---------------------------------------------------------- paths
     def _p(self, *parts) -> str:
@@ -163,9 +204,21 @@ class CrawlRun:
         return self._p("manifest.json")
 
     # ------------------------------------------------------- lifecycle
-    def start(self, seed_urls: list[str]) -> None:
+    def start(self, seed_urls: list[str], prior: dict | None = None) -> None:
         os.makedirs(self.run_dir, exist_ok=True)
-        self.shards = make_shards(self.cfg.seen_shards, self.cfg.seen_capacity)
+        if prior is not None:
+            # refresh run: chain off a prior completed run's state — the
+            # seen set (so only refreshed/new URLs are admitted), the
+            # version store (the refetch baseline), and the prior host
+            # list (whose feeds are re-probed at wave 0). Per-host page
+            # budgets start FRESH: a refresh is its own harvest session.
+            self.shards = make_shards(self.cfg.seen_shards,
+                                      self.cfg.seen_capacity,
+                                      prior["snaps"])
+            self.versions = dict(prior["versions"])
+            self.prior_hosts = set(prior["hosts"])
+        else:
+            self.shards = make_shards(self.cfg.seen_shards, self.cfg.seen_capacity)
         frontier0 = admit_seeds(seed_urls, self.robots, self.shards, self.cfg)
         fdir = self._p("frontier", "wave=0")
         os.makedirs(fdir, exist_ok=True)
@@ -205,6 +258,7 @@ class CrawlRun:
         self.disco_done = set(state.get("disco_done", []))
         self.pending_disco = list(state.get("pending_disco", []))
         self.drift_ms = dict(state.get("drift_ms", {}))
+        self.prior_hosts = set(state.get("prior_hosts", []))
         snapdir = self._p("seen", f"wave={last}")
         snaps = []
         for i in range(self.cfg.seen_shards):
@@ -212,12 +266,16 @@ class CrawlRun:
                 snaps.append(f.read())
         self.shards = make_shards(self.cfg.seen_shards, self.cfg.seen_capacity, snaps)
         # drop any partial work past the manifest (idempotent replay)
-        for sub, keep in (("pages", last), ("seen", last), ("frontier", last + 1)):
+        for sub, keep in (("pages", last), ("seen", last),
+                          ("frontier", last + 1), ("versions", last)):
             base = self._p(sub)
             if os.path.isdir(base):
                 for d in os.listdir(base):
                     if d.startswith("wave=") and int(d.split("=")[1]) > keep:
                         shutil.rmtree(os.path.join(base, d))
+        # the version store is derived state: re-merge the committed
+        # fragments (≤ last) instead of persisting a separate json
+        self.versions = load_versions(self.run_dir, base=self.versions)
         return last + 1
 
     def _commit(self, wave: int) -> None:
@@ -228,7 +286,8 @@ class CrawlRun:
             {"budgets": self.budgets, "wave_counts": self.wave_counts,
              "disco_done": sorted(self.disco_done),
              "pending_disco": list(self.pending_disco),
-             "drift_ms": self.drift_ms},
+             "drift_ms": self.drift_ms,
+             "prior_hosts": sorted(self.prior_hosts)},
         )
         snapdir = self._p("seen", f"wave={wave}")
         os.makedirs(snapdir, exist_ok=True)
@@ -290,7 +349,10 @@ class CrawlRun:
             return None
         from ..sources.feeds import discover_batch, feed_candidates
 
-        new_hosts = sorted(set(self.budgets) - self.disco_done)
+        # refresh runs re-probe the feeds of every host the PRIOR run
+        # knew, even though the seen set admits none of their seeds
+        new_hosts = sorted((set(self.budgets) | self.prior_hosts)
+                           - self.disco_done)
         self.disco_done.update(new_hosts)
         disco_urls = list(self.pending_disco) + [
             u for h in new_hosts
@@ -370,13 +432,51 @@ class CrawlRun:
         fdir = self._p("frontier", f"wave={wave}")
         pages_dir = self._p("pages", f"wave={wave}")
         n_front = self._frontier_count(wave)
-        if n_front == 0:
+        # a wave can be DISCOVERY-ONLY: empty frontier but pending
+        # discovery work — a refresh run's wave 0 (prior hosts' feeds
+        # re-probed against the carried seen set) or queued
+        # sitemap-index children outliving the link frontier
+        has_disco = cfg.discover_feeds and (
+            bool(self.pending_disco)
+            or bool((set(self.budgets) | self.prior_hosts) - self.disco_done)
+        )
+        if n_front == 0 and not has_disco:
             return {"wave": wave, "frontier": 0}
 
         t0 = time.time()
         self._ensure_robots()
         budget_ref = ray.put(dict(self.budgets))
+        # refresh-crawl version plumbing: groups always FOLD observed
+        # feed stamps (a normal run records the baseline a later refresh
+        # compares against); the refetch override only activates with
+        # cfg.refetch_if_newer
+        versions_dir = (self._p("versions", f"wave={wave}")
+                        if cfg.discover_feeds else None)
+        versions_ref = (ray.put(dict(self.versions))
+                        if cfg.refetch_if_newer else None)
         ncpu = int(ray.cluster_resources().get("CPU", 8))
+        cands = (self._page_candidates(wave, fdir, pages_dir, n_front, ncpu)
+                 if n_front else None)
+        # D1: sitemap/RSS discovery for hosts first admitted this wave —
+        # same candidate schema, same admission shuffle as page links
+        disco_cands = self._wave_discovery()
+        if disco_cands is not None:
+            cands = (cands.union(disco_cands) if cands is not None
+                     else disco_cands)
+        if cands is None:
+            # discovery-only wave that discovered nothing admittable:
+            # the probe state (disco_done) still advanced — commit it
+            self._commit(wave)
+            return {"wave": wave, "frontier": 0, "next": 0}
+        return self._admit_and_commit(wave, cands, fdir, pages_dir, n_front,
+                                      budget_ref, versions_dir, versions_ref,
+                                      t0)
+
+    def _page_candidates(self, wave: int, fdir: str, pages_dir: str,
+                         n_front: int, ncpu: int):
+        """The wave's fetch → parse+sink → link-explode pipeline over a
+        non-empty frontier, returning the candidate Dataset."""
+        cfg = self.cfg
         # Read-time block splitting replaces the round-1 hot-wave
         # repartition all-to-all: the frontier is written in
         # ≤ frontier_rows_per_file files (below), so override_num_blocks
@@ -453,16 +553,19 @@ class CrawlRun:
         # per-page batches so the explode runs parallel; everywhere else
         # few-big-blocks wins (the shuffle tail scales with B_in).
         lb = 32768 if n_front > 16 * ncpu else max(1, n_front // (2 * ncpu))
-        cands = sunk.map_batches(
+        return sunk.map_batches(
             lambda b: _partial_dedup(explode_links(b, cfg.n_parts)),
             batch_format="pyarrow", zero_copy_batch=True,
             batch_size=lb,
         )
-        # D1: sitemap/RSS discovery for hosts first admitted this wave —
-        # same candidate schema, same admission shuffle as page links
-        disco_cands = self._wave_discovery()
-        if disco_cands is not None:
-            cands = cands.union(disco_cands)
+
+    def _admit_and_commit(self, wave: int, cands, fdir: str, pages_dir: str,
+                          n_front: int, budget_ref, versions_dir,
+                          versions_ref, t0: float) -> dict:
+        """The wave's ONE admission shuffle over the unioned candidate
+        stream (links ∪ feeds ∪ redirect marks), frontier write, version
+        merge, budgets fold and commit."""
+        cfg = self.cfg
         if self.hot_hosts:
             # A6 salted-part split (SURVEY §4.2): the heavy dedup/novelty/
             # policy work for a hot host spreads over hot_salt_parts
@@ -484,7 +587,9 @@ class CrawlRun:
                 fn_constructor_kwargs={"shards": self.shards,
                                        "robots_ref": self.robots_ref,
                                        "max_depth": cfg.max_depth,
-                                       "allowed_hosts": cfg.allowed_hosts},
+                                       "allowed_hosts": cfg.allowed_hosts,
+                                       "versions_dir": versions_dir,
+                                       "versions_ref": versions_ref},
                 concurrency=(1, max(2, cfg.n_parts)),
                 num_cpus=cfg.seq_num_cpus,
             )
@@ -510,7 +615,9 @@ class CrawlRun:
                                        "wave": wave + 1,
                                        "max_depth": cfg.max_depth,
                                        "stats": self.stats,
-                                       "allowed_hosts": cfg.allowed_hosts},
+                                       "allowed_hosts": cfg.allowed_hosts,
+                                       "versions_dir": versions_dir,
+                                       "versions_ref": versions_ref},
                 concurrency=(1, max(2, cfg.n_parts)),
                 num_cpus=cfg.seq_num_cpus,
             )
@@ -523,13 +630,14 @@ class CrawlRun:
             with open(os.path.join(sdir, f"wave={wave}.txt"), "w") as f:
                 f.write(seqed.stats())
 
-        lance_compat.finalize_fragment_dir(
-            pages_dir,
-            note="pages wave partition; docs view = status==200 rows, "
-                 "columns (doc_id=final_url — the canonical identity "
-                 "after redirects, equals url_canon for direct fetches; "
-                 "spans)",
-        )
+        if os.path.isdir(pages_dir):   # absent on a discovery-only wave
+            lance_compat.finalize_fragment_dir(
+                pages_dir,
+                note="pages wave partition; docs view = status==200 rows, "
+                     "columns (doc_id=final_url — the canonical identity "
+                     "after redirects, equals url_canon for direct fetches; "
+                     "spans)",
+            )
         import pyarrow.parquet as pq
 
         n_pages = sum(
@@ -549,6 +657,11 @@ class CrawlRun:
         for h, c in self.wave_counts.items():
             self.budgets[h] = self.budgets.get(h, 0) + c
         self.hot_hosts = self._detect_hot(self.wave_counts)
+        if versions_dir is not None and os.path.isdir(versions_dir):
+            # merge this wave's observed feed stamps (written by the
+            # builder groups behind the wave barrier) so wave k+1's
+            # refetch decisions see them
+            self._merge_wave_versions(versions_dir)
         if cfg.politeness_drift:
             # next wave's delay floor = drift_factor × this wave's mean
             # measured latency per host (exact for integral-ms fixtures —
@@ -560,6 +673,18 @@ class CrawlRun:
             }
         self._commit(wave)
         return {"wave": wave, "frontier": n_front, "pages": n_pages, "next": n_next}
+
+    def _merge_wave_versions(self, versions_dir: str) -> None:
+        import pyarrow.parquet as pq
+
+        for f in sorted(os.listdir(versions_dir)):
+            if not f.endswith(".parquet"):
+                continue
+            t = pq.read_table(os.path.join(versions_dir, f))
+            for h, lm in zip(t["url_hash"].to_pylist(),
+                             t["lastmod_us"].to_pylist()):
+                if lm > self.versions.get(h, -1):
+                    self.versions[h] = lm
 
     def finish(self) -> None:
         if self.metrics:
@@ -576,12 +701,33 @@ class CrawlRun:
             )
 
 
+def load_prior_state(prior_run_dir: str, cfg: CrawlConfig) -> dict:
+    """State a refresh run chains from: the prior completed run's seen
+    snapshots, version store, and host list (feeds re-probed). Shard
+    count must match — snapshots are shard-aligned."""
+    with open(os.path.join(prior_run_dir, "manifest.json")) as f:
+        last = json.load(f)["last_wave"]
+    with open(os.path.join(prior_run_dir, "state", f"wave={last}.json")) as f:
+        state = json.load(f)
+    snaps = []
+    snapdir = os.path.join(prior_run_dir, "seen", f"wave={last}")
+    for i in range(cfg.seen_shards):
+        with open(os.path.join(snapdir, f"shard-{i}.bin"), "rb") as f:
+            snaps.append(f.read())
+    return {
+        "snaps": snaps,
+        "versions": load_versions(prior_run_dir),
+        "hosts": set(state["budgets"]) | set(state.get("prior_hosts", [])),
+    }
+
+
 def run_crawl(
     run_dir: str,
     seed_urls: list[str],
     robots_table,
     cfg: CrawlConfig,
     resume: bool = False,
+    prior_run_dir: str | None = None,
 ) -> dict:
     """Entry point B/C (SURVEY §3.2/§3.3). Returns a run summary.
 
@@ -594,17 +740,25 @@ def run_crawl(
     candidate stream into few, large blocks before the groupby."""
     robots = RobotsPolicy.from_arrow(robots_table, cfg.default_delay_ms)
     run = CrawlRun(run_dir, cfg, robots)
+    prior = (load_prior_state(prior_run_dir, cfg)
+             if prior_run_dir is not None else None)
     if resume and os.path.exists(run._manifest_path()):
+        if prior is not None:
+            # the refresh baseline precedes this run's own fragments —
+            # resume() max-merges the latter on top
+            run.versions = dict(prior["versions"])
         start = run.resume()
     else:
         if os.path.isdir(run_dir):
             shutil.rmtree(run_dir)
-        run.start(seed_urls)
+        run.start(seed_urls, prior=prior)
         start = 0
     waves = []
     for wave in range(start, cfg.max_waves):
         w = run.run_wave(wave)
-        if w.get("frontier", 0) == 0:
+        # a wave can fetch nothing yet still discover (refresh wave 0 /
+        # queued sitemap-index children): stop only when BOTH are empty
+        if w.get("frontier", 0) == 0 and w.get("next", 0) == 0:
             break
         waves.append(w)
     run.finish()

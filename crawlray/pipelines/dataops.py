@@ -1222,6 +1222,91 @@ def q_crawl_mini(sf_dir: str):
     return result
 
 
+def q_crawl_refresh_mini(sf_dir: str):
+    """Refresh-crawl demo (rows-only): crawl a tiny feed-driven site,
+    then chain a second run (run_crawl(prior_run_dir=...)) over a
+    version of the site where ONE article's pubDate was bumped (changed
+    body) and one article is new. The result lists what each run
+    fetched — the refresh run fetches exactly the updated + new pages
+    (config.refetch_if_newer: feed stamps strictly newer than the
+    recorded version re-admit seen URLs). Full engine≡oracle parity
+    lives in tests/test_refresh_crawl.py."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from ..pipelines.config import CrawlConfig
+    from ..pipelines.crawl import run_crawl
+
+    host = "refresh-demo.nl"
+
+    def html(links, marker):
+        body = "".join(f'<a href="{u}">l</a>' for u in links)
+        return (f"<html><head><title>{marker}</title></head><body>"
+                f"<p>tekst {marker}.</p>{body}</body></html>").encode()
+
+    def rss(items):
+        rows = "".join(
+            f"<item><title>t</title><link>https://{host}{p}</link>"
+            f"<pubDate>{d}</pubDate></item>" for p, d in items)
+        return (f"<?xml version='1.0'?><rss version='2.0'><channel>{rows}"
+                f"</channel></rss>").encode()
+
+    d_old = "Mon, 05 Feb 2024 10:00:00 GMT"
+    d_new = "Wed, 07 Feb 2024 09:30:00 GMT"
+
+    def web(version):
+        arts = ["/a-1", "/a-2", "/a-3"] + (["/a-4"] if version == 2 else [])
+        stamps = [(p, d_old) for p in arts[:3]]
+        if version == 2:
+            stamps[1] = ("/a-2", d_new)
+            stamps.append(("/a-4", d_new))
+        urls = [f"https://{host}/", f"https://{host}/rss.xml"] + [
+            f"https://{host}{p}" for p in arts]
+        bodies = [html(arts[:3], "root"), rss(stamps)] + [
+            html([], f"{p[1:]}-v{2 if version == 2 and p in ('/a-2', '/a-4') else 1}")
+            for p in arts]
+        n = len(urls)
+        return pa.table({
+            "url": urls, "host": [host] * n,
+            "status": pa.array([200] * n, type=pa.int16()),
+            "content_type": (["text/html", "application/rss+xml"]
+                             + ["text/html"] * (n - 2)),
+            "html": pa.array(bodies, type=pa.large_binary()),
+            "latency_ms": pa.array([10.0] * n, type=pa.float32()),
+        })
+
+    scratch = f"/tmp/crawlray_refresh_demo_{os.getpid()}"
+    os.makedirs(scratch, exist_ok=True)
+    p1, p2 = os.path.join(scratch, "v1.parquet"), os.path.join(scratch, "v2.parquet")
+    pq.write_table(web(1), p1)
+    pq.write_table(web(2), p2)
+    robots_t = pa.table({"host": [host], "allow": [[]], "deny": [[]],
+                         "crawl_delay_ms": pa.array([10], type=pa.int32())})
+
+    def cfg(pages_path):
+        return CrawlConfig(
+            n_parts=2, seen_shards=2, max_depth=3, max_waves=4,
+            refetch_if_newer=True, fetch_concurrency=(1, 2),
+            parse_concurrency=(1, 2),
+            transport={"kind": "sim", "pages_path": pages_path},
+        )
+
+    run1, run2 = os.path.join(scratch, "run1"), os.path.join(scratch, "run2")
+    seeds = [f"https://{host}/"]
+    run_crawl(run1, seeds, robots_t, cfg(p1))
+    run_crawl(run2, seeds, robots_t, cfg(p2), prior_run_dir=run1)
+    rows = []
+    for name, rdir in (("initial", run1), ("refresh", run2)):
+        pages = rd.read_parquet(os.path.join(rdir, "pages"),
+                                columns=["url_canon", "title"])
+        for r in sorted(pages.take_all(), key=lambda r: r["url_canon"]):
+            rows.append({"run": name, "url_canon": r["url_canon"],
+                         "title": r["title"]})
+    shutil.rmtree(scratch, ignore_errors=True)
+    return pa.Table.from_pylist(rows)
+
+
 # =====================================================================
 # registry: name -> (ray_fn, sql_or_None)
 # =====================================================================
@@ -1250,4 +1335,5 @@ DATAOPS_QUERIES = {
     "qa_sample": (q_sample, None),
     "crawl_mini": (q_crawl_mini, None),
     "crawl_feeds_mini": (q_crawl_feeds_mini, None),
+    "crawl_refresh_mini": (q_crawl_refresh_mini, None),
 }

@@ -172,6 +172,19 @@ FEED_SRC_SEQ = (1 << 30) - 1  # max src_seq. NOTE (ADVICE r2): feed
 # identically — this comment just states the real tie-break semantics.
 
 
+_EPOCH = datetime(1970, 1, 1)
+
+
+def lastmod_to_us(dt) -> int:
+    """lastmod/pubDate datetime (naive UTC, _parse_dt output) → int64
+    microseconds since epoch; -1 when absent. The refresh-crawl version
+    store compares these ints — shared by engine and oracle so both
+    round identically."""
+    if dt is None:
+        return -1
+    return int((dt - _EPOCH).total_seconds() * 1_000_000)
+
+
 def feed_candidates(batch: pa.Table, n_parts: int) -> pa.Table:
     """Discovery rows (discover_batch output) → frontier candidate rows
     in the SAME schema as the link-explode stream, so both discovery
@@ -189,10 +202,11 @@ def feed_candidates(batch: pa.Table, n_parts: int) -> pa.Table:
     from ..functions.murmur3 import hash64s
     from ..stages.frontier import pack_srckey
 
-    urls, hosts, idxs = [], [], []
-    for url, via, src, idx in zip(
+    urls, hosts, idxs, lastmods = [], [], [], []
+    for url, via, src, idx, lm in zip(
         batch["url"].to_pylist(), batch["via"].to_pylist(),
         batch["src"].to_pylist(), batch["idx"].to_pylist(),
+        batch["lastmod"].to_pylist(),
     ):
         if via not in ("sitemap", "feed"):
             continue
@@ -205,6 +219,7 @@ def feed_candidates(batch: pa.Table, n_parts: int) -> pa.Table:
         urls.append(cu)
         hosts.append(h)
         idxs.append(min(int(idx), 65535))
+        lastmods.append(lastmod_to_us(lm))
     uh = np.array([hash64s(u) for u in urls], dtype=np.int64)
     hh = np.array([hash64s(h) for h in hosts], dtype=np.int64)
     part = (hh.view(np.uint64) % np.uint64(n_parts)).astype(np.int64)
@@ -219,4 +234,8 @@ def feed_candidates(batch: pa.Table, n_parts: int) -> pa.Table:
         "part": pa.array(part),
         "srckey64": pa.array(np.asarray(srckey, dtype=np.int64)),
         "seen_only": pa.array(np.zeros(len(urls), dtype=np.int64)),
+        # feed-entry publish/lastmod stamp (µs; -1 absent) — the refresh
+        # crawl's version signal: strictly-newer than the recorded
+        # version re-admits an already-seen URL (config.refetch_if_newer)
+        "lastmod_us": pa.array(np.asarray(lastmods, dtype=np.int64)),
     })

@@ -67,6 +67,9 @@ def _candidate_table(flat, src_part, src_seq, link_idx, depth, n_parts,
             "srckey64": pa.array(srckey),
             "seen_only": pa.array(
                 np.full(len(flat), seen_only, dtype=np.int64)),
+            # link/mark discoveries carry no publish stamp — only feed
+            # candidates (feeds.feed_candidates) can trigger a refresh
+            "lastmod_us": pa.array(np.full(len(flat), -1, dtype=np.int64)),
         }
     )
 
@@ -80,6 +83,7 @@ _EMPTY_CANDIDATES = pa.table(
         "part": pa.array([], type=pa.int64()),
         "srckey64": pa.array([], type=pa.int64()),
         "seen_only": pa.array([], type=pa.int64()),
+        "lastmod_us": pa.array([], type=pa.int64()),
     }
 )
 
@@ -233,6 +237,60 @@ class SeqAssigner:
         return df
 
 
+_NO_VERSION = np.int64(1 << 62)  # absent version: never "older than" a stamp
+
+
+def fold_versions(df: pd.DataFrame, versions_dir, group_id: int) -> None:
+    """Refresh-crawl version fold: persist this group's observed feed
+    stamps — max ``lastmod_us`` per url_hash over ALL candidate rows
+    (pre-dedup, pre-novelty: observing an entry defines the known
+    version whether or not the URL is admitted). One fragment per group
+    with a DETERMINISTIC name (+ atomic rename), so a retried group task
+    overwrites rather than duplicates — the same idempotence contract as
+    the pages sink. The driver max-merges the wave's fragments after the
+    wave barrier; a LATER refresh run loads them as its baseline."""
+    if versions_dir is None:
+        return
+    obs = df[df["lastmod_us"] >= 0]
+    if not len(obs):
+        return
+    import os
+    import uuid
+
+    g = obs.groupby("url_hash", sort=True)["lastmod_us"].max()
+    t = pa.table({
+        "url_hash": pa.array(g.index.to_numpy().astype(np.int64)),
+        "lastmod_us": pa.array(g.to_numpy().astype(np.int64)),
+    })
+    os.makedirs(versions_dir, exist_ok=True)
+    frag = os.path.join(versions_dir, f"group-{int(group_id)}.parquet")
+    tmp = f"{frag}.tmp-{uuid.uuid4().hex[:8]}"
+    import pyarrow.parquet as pq
+
+    pq.write_table(t, tmp)
+    os.replace(tmp, frag)
+
+
+def refetch_overrides(df: pd.DataFrame, novel: np.ndarray,
+                      versions: dict | None) -> np.ndarray:
+    """Refresh admission (config.refetch_if_newer): a non-novel URL whose
+    wave-max feed stamp is STRICTLY newer than its recorded version is
+    re-admitted. URLs with no recorded baseline never refetch (their
+    "last fetch" stamp is unknowable); the observation itself becomes the
+    baseline for the next run (fold_versions)."""
+    if versions is None:
+        return novel
+    lm = df["lastmod_us"].to_numpy()
+    uh = df["url_hash"].to_numpy()
+    # dict lookup row-wise (NOT Series.map + fillna: missing keys would
+    # round the int64 hashes through float64). Rows with no stamp skip
+    # the lookup entirely — the common case costs nothing.
+    recorded = np.full(len(uh), _NO_VERSION, dtype=np.int64)
+    for i in np.flatnonzero(lm >= 0):
+        recorded[i] = versions.get(int(uh[i]), _NO_VERSION)
+    return novel | ((~novel) & (lm > recorded))
+
+
 def mark_redirect_finals(df: pd.DataFrame, novelty, shards) -> pd.DataFrame:
     """Split off ``seen_only=1`` rows (redirect final urls), insert their
     hashes into the cuckoo shards (idempotent), and return the normal
@@ -267,7 +325,8 @@ class PartFrontierBuilder:
     once per wave, from exactly one group."""
 
     def __init__(self, shards, robots_ref, budget_ref, cap: int, wave: int,
-                 max_depth: int, stats=None, allowed_hosts=None):
+                 max_depth: int, stats=None, allowed_hosts=None,
+                 versions_dir=None, versions_ref=None):
         from ..state.seen import novelty_mask
 
         self._novelty = novelty_mask
@@ -278,6 +337,11 @@ class PartFrontierBuilder:
         self._wave = wave
         self._max_depth = max_depth
         self._allowed = frozenset(allowed_hosts) if allowed_hosts else None
+        self._versions_dir = versions_dir
+        # recorded feed-stamp baseline (url_hash → lastmod_us) through the
+        # PREVIOUS wave — None unless refetch_if_newer is on
+        self._versions = (ray.get(versions_ref)
+                          if versions_ref is not None else None)
         self._stats = stats
         self._delay_cache: dict[str, int] = {}
 
@@ -295,17 +359,32 @@ class PartFrontierBuilder:
         #    against them. part = host_hash % P, so a url's marks and its
         #    normal candidates always meet in this one group.
         df = mark_redirect_finals(df, self._novelty, self._shards)
+        # 0b. refresh-crawl version fold: record observed feed stamps
+        #     (pre-dedup — observation defines the version) and merge
+        #     each url's wave-max stamp onto its rows so the min-srckey
+        #     dedup winner carries it into the refetch decision
+        if self._versions_dir is not None and len(df):
+            fold_versions(df, self._versions_dir, int(df["part"].iat[0]))
+        if self._versions is not None and len(df):
+            df = df.assign(lastmod_us=df.groupby("url_hash")["lastmod_us"]
+                           .transform("max"))
         # 1. intra-wave dedup: min srckey64 wins (sorted → keep first)
         df = df.sort_values("srckey64", kind="mergesort", ignore_index=True)
         df = df.drop_duplicates("url_hash", keep="first", ignore_index=True)
         # 2. cross-wave novelty: offer the wave-unique hashes to the
         #    cuckoo shards (admission-time seen semantics, oracle parity)
+        #    — plus refresh re-admission for strictly-newer feed stamps
         mask = self._novelty(self._shards, df["url_hash"].to_numpy().astype(np.int64))
+        mask = refetch_overrides(df, mask, self._versions)
         df = df[mask].reset_index(drop=True)
         # 3. policy gate (shared predicates: depth/binary/len/robots/
         #    host allowlist)
         ok = policy_mask(df, self._robots, self._max_depth, self._allowed)
         df = df[ok].reset_index(drop=True)
+        # the stamp's job (version fold + refetch) is done — keep the
+        # frontier parquet lean
+        if "lastmod_us" in df.columns:
+            df = df.drop(columns=["lastmod_us"])
         # 4. per-host page-cap budget, consumed in srckey order
         within = df.groupby("host", sort=False).cumcount()
         prior = df["host"].map(self._prior).fillna(0).astype(np.int64)
@@ -360,7 +439,7 @@ class DedupNoveltyPolicy:
     the fused single-shuffle path (asserted in tests)."""
 
     def __init__(self, shards, robots_ref, max_depth: int,
-                 allowed_hosts=None):
+                 allowed_hosts=None, versions_dir=None, versions_ref=None):
         from ..state.seen import novelty_mask
 
         self._novelty = novelty_mask
@@ -368,18 +447,29 @@ class DedupNoveltyPolicy:
         self._robots = ray.get(robots_ref)
         self._max_depth = max_depth
         self._allowed = frozenset(allowed_hosts) if allowed_hosts else None
+        self._versions_dir = versions_dir
+        self._versions = (ray.get(versions_ref)
+                          if versions_ref is not None else None)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         # redirect-final marks first (salt = url_hash % m keeps a url's
         # marks and candidates in this one group — same guarantee as the
-        # unsalted path)
+        # unsalted path; ditto the version fold / refetch below)
         df = mark_redirect_finals(df, self._novelty, self._shards)
+        if self._versions_dir is not None and len(df):
+            fold_versions(df, self._versions_dir, int(df["gpart"].iat[0]))
+        if self._versions is not None and len(df):
+            df = df.assign(lastmod_us=df.groupby("url_hash")["lastmod_us"]
+                           .transform("max"))
         df = df.sort_values("srckey64", kind="mergesort", ignore_index=True)
         df = df.drop_duplicates("url_hash", keep="first", ignore_index=True)
         mask = self._novelty(self._shards, df["url_hash"].to_numpy().astype(np.int64))
+        mask = refetch_overrides(df, mask, self._versions)
         df = df[mask].reset_index(drop=True)
         ok = policy_mask(df, self._robots, self._max_depth, self._allowed)
-        return df[ok].drop(columns=["gpart"]).reset_index(drop=True)
+        df = df[ok].reset_index(drop=True)
+        drop = [c for c in ("gpart", "lastmod_us") if c in df.columns]
+        return df.drop(columns=drop).reset_index(drop=True)
 
 
 def admit_seeds(seed_urls: list[str], robots, shards, cfg: CrawlConfig) -> pa.Table:

@@ -46,18 +46,33 @@ class OracleResult:
     docs: dict = field(default_factory=dict)       # url_canon -> [span tuples]
     links: dict = field(default_factory=dict)      # url_canon -> [(href, anchor)]
     waves: list = field(default_factory=list)      # frontier size per wave
+    versions: dict = field(default_factory=dict)   # url_canon -> lastmod_us
+    hosts: set = field(default_factory=set)        # hosts ever admitted
 
 
-def crawl_oracle(seed_urls, robots: RobotsPolicy, pages_index: dict, cfg: CrawlConfig) -> OracleResult:
+def crawl_oracle(seed_urls, robots: RobotsPolicy, pages_index: dict,
+                 cfg: CrawlConfig, prior: OracleResult | None = None) -> OracleResult:
     """pages_index: url_canon -> (status, content_type, body, latency_ms).
     3xx rows (body = Location) are followed exactly like the engine's
     transports (same follow_redirects helper); docs are stored under the
     FINAL canonical url and redirect finals are marked seen at the next
-    admission before any candidate is considered."""
+    admission before any candidate is considered.
+
+    ``prior``: a previous run's OracleResult — the refresh-crawl mirror
+    (engine: run_crawl(prior_run_dir=...)): its seen set, version store
+    and host list carry over; with cfg.refetch_if_newer a feed candidate
+    whose stamp is strictly newer than the recorded version re-admits."""
+    from crawlray.sources.feeds import lastmod_to_us
     from crawlray.sources.transport import follow_redirects
 
     res = OracleResult()
     host_pages: dict[str, int] = {}  # admitted per host (cap budget)
+    refetch_on = bool(getattr(cfg, "refetch_if_newer", False))
+    prior_hosts: set[str] = set()
+    if prior is not None:
+        res.seen = set(prior.seen)
+        res.versions = dict(prior.versions)
+        prior_hosts = set(prior.hosts)
     # M2 host allowlist (engine: policy_mask / admit_seeds): off-list
     # urls are seen-marked but never fetched
     allowed_set = (set(cfg.allowed_hosts)
@@ -82,24 +97,36 @@ def crawl_oracle(seed_urls, robots: RobotsPolicy, pages_index: dict, cfg: CrawlC
         return fn
 
     def admit(candidates, finals=()):
-        """candidates: [(url_canon, src_part, src_seq, link_idx, depth)] →
-        next frontier rows, applying dedup/seen/robots/crawlable/budgets.
-        ``finals``: redirect final urls whose bodies are already stored —
-        marked seen FIRST (engine: mark_redirect_finals before the
-        novelty pass) so no candidate for them is ever admitted."""
+        """candidates: [(url_canon, src_part, src_seq, link_idx, depth,
+        lastmod_us)] → next frontier rows, applying dedup/seen/robots/
+        crawlable/budgets. ``finals``: redirect final urls whose bodies
+        are already stored — marked seen FIRST (engine:
+        mark_redirect_finals before the novelty pass) so no candidate
+        for them is ever admitted. Refresh mirror: decisions use the
+        versions recorded through the PREVIOUS wave; this wave's
+        observed stamps update the store only at the end (engine:
+        builder groups read versions_ref, the driver merges fragments
+        after the wave barrier)."""
         for f in finals:
             res.seen.add(f)
         best: dict[str, tuple] = {}
-        for url, sp, ss, li, depth in candidates:
+        stamps: dict[str, int] = {}  # wave-max observed stamp per url
+        for url, sp, ss, li, depth, lm in candidates:
             key = (sp, ss, li)
             if url not in best or key < best[url][0]:
                 best[url] = (key, depth)
+            if lm >= 0 and lm > stamps.get(url, -1):
+                stamps[url] = lm
         rows = []
         # admission iterates in srckey order — the per-host page cap must
         # consume budget deterministically (engine sorts by srckey too)
         for url in sorted(best, key=lambda u: best[u][0]):
             if url in res.seen:
-                continue
+                # refresh re-admission: strictly-newer stamp than the
+                # RECORDED version (urls without a baseline never refetch)
+                if not (refetch_on and url in res.versions
+                        and stamps.get(url, -1) > res.versions[url]):
+                    continue
             res.seen.add(url)
             key, depth = best[url]
             if (depth > cfg.max_depth
@@ -113,6 +140,12 @@ def crawl_oracle(seed_urls, robots: RobotsPolicy, pages_index: dict, cfg: CrawlC
             part = part_of(hash64s(host) & 0xFFFFFFFFFFFFFFFF, cfg.n_parts)
             rows.append({"url_canon": url, "host": host, "part": part,
                          "depth": depth, "srckey": key})
+        # observation defines the version — recorded for EVERY candidate
+        # with a stamp (admitted or not), AFTER all decisions (engine:
+        # fold_versions pre-dedup, driver merge post-wave)
+        for url, lm in stamps.items():
+            if lm > res.versions.get(url, -1):
+                res.versions[url] = lm
         # seq: rank within part by srckey
         rows.sort(key=lambda r: (r["part"], r["srckey"]))
         seq_in_part: dict[int, int] = {}
@@ -148,7 +181,8 @@ def crawl_oracle(seed_urls, robots: RobotsPolicy, pages_index: dict, cfg: CrawlC
                 if not h:
                     continue
                 p = part_of(hash64s(h) & 0xFFFFFFFFFFFFFFFF, cfg.n_parts)
-                out.append((cu, p, FEED_SRC_SEQ, min(int(r["idx"]), 65535), 1))
+                out.append((cu, p, FEED_SRC_SEQ, min(int(r["idx"]), 65535), 1,
+                            lastmod_to_us(r["lastmod"])))
         return out
 
     disco_done: set[str] = set()
@@ -184,8 +218,8 @@ def crawl_oracle(seed_urls, robots: RobotsPolicy, pages_index: dict, cfg: CrawlC
                 robots.add_rows([{"host": h, "allow": [], "deny": [],
                                   "crawl_delay_ms": cfg.default_delay_ms}])
 
-    frontier = admit([(canonicalize(u), 0, 0, i, 0) for i, u in enumerate(seed_urls)
-                      if canonicalize(u)])
+    frontier = admit([(canonicalize(u), 0, 0, i, 0, -1)
+                      for i, u in enumerate(seed_urls) if canonicalize(u)])
     drift_ms: dict[str, int] = {}
 
     def eff_delay(host: str) -> int:
@@ -194,13 +228,22 @@ def crawl_oracle(seed_urls, robots: RobotsPolicy, pages_index: dict, cfg: CrawlC
         return max(robots.crawl_delay_ms(host), drift_ms.get(host, 0))
 
     wave = 0
-    while frontier and wave < cfg.max_waves:
+    feeds_on = getattr(cfg, "discover_feeds", False)
+
+    def disco_pending() -> bool:
+        """Engine's has_disco mirror: queued sitemap-index children, or
+        hosts (admitted OR carried from a prior run) not yet probed."""
+        return bool(feeds_on and (
+            pending_disco or ((set(host_pages) | prior_hosts) - disco_done)))
+
+    while wave < cfg.max_waves:
+        if not frontier and not disco_pending():
+            break
         if getattr(cfg, "robots_mode", "table") == "fetch":
             ensure_robots({r["host"] for r in frontier})
             frontier = [r for r in frontier if robots.allowed(r["url_canon"])]
-            if not frontier:
+            if not frontier and not disco_pending():
                 break
-        res.waves.append(len(frontier))
         # politeness virtual clock per wave, per host, in (part, seq) order
         frontier.sort(key=lambda r: (r["part"], r["seq"]))
         host_j: dict[str, int] = {}
@@ -245,12 +288,14 @@ def crawl_oracle(seed_urls, robots: RobotsPolicy, pages_index: dict, cfg: CrawlC
                 # canonical URL keeps its anchor — same winner as dedup)
                 res.links[final] = list(links)
                 for li, (cu, _a) in enumerate(links):
-                    candidates.append((cu, r["part"], r["seq"], li, r["depth"] + 1))
-        if getattr(cfg, "discover_feeds", False):
-            # hosts first admitted by wave ≤ k (host_pages keys) minus
-            # those already probed == hosts first admitted at wave k —
-            # identical to the engine's budgets-vs-disco_done difference
-            new_hosts = sorted(set(host_pages) - disco_done)
+                    candidates.append(
+                        (cu, r["part"], r["seq"], li, r["depth"] + 1, -1))
+        if feeds_on:
+            # hosts first admitted by wave ≤ k (host_pages keys, plus a
+            # prior run's carried hosts) minus those already probed ==
+            # hosts first probed at wave k — identical to the engine's
+            # (budgets ∪ prior_hosts) - disco_done difference
+            new_hosts = sorted((set(host_pages) | prior_hosts) - disco_done)
             disco_done.update(new_hosts)
             doc_urls = list(pending_disco) + [
                 u for h in new_hosts
@@ -258,6 +303,12 @@ def crawl_oracle(seed_urls, robots: RobotsPolicy, pages_index: dict, cfg: CrawlC
             ]
             pending_disco = []
             candidates.extend(discover(doc_urls, pending_disco))
+        if not frontier and not candidates:
+            # discovery-only wave that discovered nothing admittable —
+            # engine: _wave_discovery returned None, no admission
+            # shuffle, no wave metric
+            break
+        res.waves.append(len(frontier))
         if getattr(cfg, "politeness_drift", False):
             drift_ms = {
                 h: int(round(cfg.drift_factor * s / n))
@@ -265,6 +316,7 @@ def crawl_oracle(seed_urls, robots: RobotsPolicy, pages_index: dict, cfg: CrawlC
             }
         frontier = admit(candidates, finals=redirect_finals)
         wave += 1
+    res.hosts = set(host_pages) | prior_hosts
     return res
 
 

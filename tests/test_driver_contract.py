@@ -93,7 +93,8 @@ def test_oracled_query(ray_session, name):
 
 @pytest.mark.parametrize(
     "name",
-    [n for n in _ROWS_ONLY if n not in ("crawl_mini", "crawl_feeds_mini")],
+    [n for n in _ROWS_ONLY
+     if n not in ("crawl_mini", "crawl_feeds_mini", "crawl_refresh_mini")],
 )
 def test_rows_only_query_runs(ray_session, name):
     fn, _ = _REG[name]
@@ -123,6 +124,19 @@ def test_crawl_feeds_mini_query(ray_session):
     assert df.get("sitemap_only", 0) > 0
     assert df.get("feed_only", 0) > 0
     assert df.get("linked", 0) > 10
+
+
+def test_crawl_refresh_mini_query(ray_session):
+    fn, _ = _REG["crawl_refresh_mini"]
+    df = _to_pandas(fn(SF_DIR))
+    initial = set(df[df["run"] == "initial"]["url_canon"])
+    refresh = set(df[df["run"] == "refresh"]["url_canon"])
+    assert len(initial) == 4                       # root + a-1..3
+    # the refresh run fetched exactly the bumped page and the new page
+    assert refresh == {"https://refresh-demo.nl/a-2",
+                       "https://refresh-demo.nl/a-4"}
+    titles = df[df["run"] == "refresh"].set_index("url_canon")["title"]
+    assert titles["https://refresh-demo.nl/a-2"] == "a-2-v2"
 
 
 def test_minhash_finds_planted_neardups(ray_session):
