@@ -170,9 +170,17 @@ class ParseAndSink:
         # without admitting them (the body is already stored under them)
         proj = parsed.select(["part", "seq", "depth", "links"])
         if "redirected" in parsed.column_names:
-            import pyarrow.compute as pc
-
-            finals = pc.if_else(parsed["redirected"], parsed["final_url"],
-                                pa.scalar(None, type=pa.string()))
+            # build the column as a FRESH contiguous array, not a
+            # pc.if_else view: Ray 2.49's optimized Arrow serializer
+            # rejects the if_else output's buffer layout and falls back
+            # to an IPC path that corrupts the block ("Read out of
+            # bounds" on deserialize — observed, deterministic). One
+            # value per PAGE row, so the python pass is trivial.
+            finals = pa.array(
+                [f if r else None
+                 for r, f in zip(parsed["redirected"].to_pylist(),
+                                 parsed["final_url"].to_pylist())],
+                type=pa.string(),
+            )
             proj = proj.append_column("redirect_final", finals)
         return proj
