@@ -50,11 +50,13 @@ def entry() -> Any:
 
 
 def _registry():
+    from crawlray.pipelines.analytics import ANALYTICS_QUERIES
     from crawlray.pipelines.dataops import DATAOPS_QUERIES
     from crawlray.pipelines.relational import RELATIONAL_QUERIES
 
     merged: dict[str, tuple] = {}
     merged.update(RELATIONAL_QUERIES)
+    merged.update(ANALYTICS_QUERIES)
     merged.update(DATAOPS_QUERIES)
     return merged
 

@@ -1,0 +1,334 @@
+"""Windowed / OLAP analytics surface (round 3 widening of SURVEY §2.8–2.9):
+window functions (LAG / ROW_NUMBER), ROLLUP hierarchies, pivot
+(conditional aggregation), exact-integer correlation statistics,
+deterministic hash sampling, and a regex (BPE-ish) tokenizer — each with
+a DuckDB oracle.
+
+Same exact-match discipline as relational.py: every aggregate is summed
+as int64 (cents / plain ints) so distributed summation order can never
+produce a last-ulp mismatch; float finals are computed with the IDENTICAL
+IEEE expression on both sides (each double op is correctly rounded, so
+identical operands + identical expression tree = identical bits).
+
+Ray is pre-initialised by the caller — nothing here calls ray.init().
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+
+def _t(sf_dir: str, table: str, columns=None):
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                           columns=columns)
+
+
+def _cents(arr, scale: int = 100) -> pa.Array:
+    return pc.round(pc.multiply(arr, pa.scalar(float(scale)))).cast(pa.int64())
+
+
+# =====================================================================
+# window functions (§2.9): LAG + ROW_NUMBER per partition
+# =====================================================================
+
+def q_window_lag(sf_dir: str):
+    """Per-customer order sequence: ROW_NUMBER and the microsecond gap
+    to the previous order (LAG). Scale shape: one groupby(o_custkey)
+    shuffle carrying only 3 small columns; the window itself is a
+    vectorized per-group numpy pass (partitioning assumption: one
+    customer's orders fit in a worker — the same assumption every
+    PARTITION BY engine makes per partition). First row's gap is -1 on
+    both sides (avoids nullable-int round-trip ambiguity)."""
+    import pyarrow.dataset as pads
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderkey", "o_orderdate"],
+        filter=pads.field("o_custkey") < 300,
+    )
+
+    def per_cust(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_orderdate", "o_orderkey"], kind="mergesort")
+        ts = g["o_orderdate"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        gap = np.empty(len(ts), dtype=np.int64)
+        gap[0] = -1
+        gap[1:] = ts[1:] - ts[:-1]
+        return pd.DataFrame({
+            "o_custkey": g["o_custkey"].to_numpy(),
+            "o_orderkey": g["o_orderkey"].to_numpy(),
+            "rn": np.arange(1, len(ts) + 1, dtype=np.int64),
+            "gap_us": gap,
+        })
+
+    return ds.groupby("o_custkey").map_groups(per_cust, batch_format="pandas")
+
+
+SQL_WINDOW_LAG = """
+SELECT o_custkey, o_orderkey,
+  ROW_NUMBER() OVER w AS rn,
+  COALESCE(date_diff('microsecond',
+                     LAG(o_orderdate) OVER w, o_orderdate), -1) AS gap_us
+FROM orders WHERE o_custkey < 300
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+# =====================================================================
+# ROLLUP (§2.5): hierarchical aggregation
+# =====================================================================
+
+def q_rollup_agg(sf_dir: str):
+    """GROUP BY ROLLUP(o_orderpriority, o_orderstatus): the finest level
+    is ONE distributed groupby; the coarser levels re-aggregate the
+    already-aggregated table, which is bounded by |priorities| ×
+    |statuses| (≤ 15 rows at any data scale) — so the driver-side fold is
+    O(groups), never O(rows). Rollup null cells are the literal 'ALL' on
+    both sides (COALESCE in the oracle) to keep the hash compare free of
+    null-ordering ambiguity."""
+    ds = _t(sf_dir, "orders", ["o_orderpriority", "o_orderstatus", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "priority": b["o_orderpriority"],
+            "status": b["o_orderstatus"],
+            "price_c": _cents(b["o_totalprice"]),
+        })
+
+    base = (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["priority", "status"])
+        .aggregate(Count(alias_name="n"), Sum("price_c", alias_name="price_c"))
+        .take_all()  # bounded: ≤ |priorities|·|statuses| rows
+    )
+    fine = pd.DataFrame(base)
+    lvl1 = (fine.groupby("priority", as_index=False)[["n", "price_c"]].sum()
+            .assign(status="ALL"))
+    lvl0 = pd.DataFrame({
+        "priority": ["ALL"], "status": ["ALL"],
+        "n": [fine["n"].sum()], "price_c": [fine["price_c"].sum()],
+    })
+    out = pd.concat([fine, lvl1, lvl0], ignore_index=True)
+    return pa.table({
+        "priority": pa.array(out["priority"], type=pa.string()),
+        "status": pa.array(out["status"], type=pa.string()),
+        "n": pa.array(out["n"].astype(np.int64)),
+        "total": pa.array((out["price_c"].astype(np.int64) / 100.0)
+                          .astype(np.float64)),
+    })
+
+
+SQL_ROLLUP_AGG = """
+SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+  COALESCE(o_orderstatus, 'ALL') AS status,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS total
+FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+"""
+
+
+# =====================================================================
+# pivot (§2.5): conditional aggregation to a wide layout
+# =====================================================================
+
+def q_pivot_status(sf_dir: str):
+    """Pivot order totals by status into columns: one masked-cents column
+    per status inside the SAME map (no extra scans), one groupby — the
+    classic SUM(CASE WHEN …) pivot, fully streaming."""
+    ds = _t(sf_dir, "orders", ["o_orderpriority", "o_orderstatus", "o_totalprice"])
+    statuses = ["F", "O", "P"]
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = _cents(b["o_totalprice"])
+        cols = {"priority": b["o_orderpriority"]}
+        for s in statuses:
+            mask = pc.equal(b["o_orderstatus"], pa.scalar(s))
+            cols[f"c_{s}"] = pc.if_else(mask, cents, pa.scalar(0, pa.int64()))
+        return pa.table(cols)
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("priority")
+        .aggregate(*[Sum(f"c_{s}", alias_name=f"c_{s}") for s in statuses])
+    )
+    return agg.map_batches(
+        lambda b: pa.table({
+            "priority": b["priority"],
+            **{f"total_{s.lower()}": pc.divide(b[f"c_{s}"].cast(pa.float64()),
+                                               pa.scalar(100.0))
+               for s in statuses},
+        }),
+        batch_format="pyarrow",
+    )
+
+
+SQL_PIVOT_STATUS = """
+SELECT o_orderpriority AS priority,
+  CAST(SUM(CASE WHEN o_orderstatus='F' THEN CAST(ROUND(o_totalprice*100) AS BIGINT) ELSE 0 END) AS DOUBLE)/100.0 AS total_f,
+  CAST(SUM(CASE WHEN o_orderstatus='O' THEN CAST(ROUND(o_totalprice*100) AS BIGINT) ELSE 0 END) AS DOUBLE)/100.0 AS total_o,
+  CAST(SUM(CASE WHEN o_orderstatus='P' THEN CAST(ROUND(o_totalprice*100) AS BIGINT) ELSE 0 END) AS DOUBLE)/100.0 AS total_p
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# =====================================================================
+# correlation / covariance (§2.5 statistical aggregates)
+# =====================================================================
+
+def q_corr_stats(sf_dir: str):
+    """Pearson correlation + population covariance of (quantity, price)
+    per returnflag from EXACT integer moment sums (n, Σx, Σy, Σx², Σxy,
+    Σy² as int64 — x=rounded qty ≤ 50, y=rounded dollars ≤ ~10⁶, so Σy²
+    stays < 2⁵³ through sf≈10; the partial+final pattern G4 demands). The
+    float finale uses the identical expression tree on both sides, so
+    correctly-rounded IEEE ops give bit-equal results with no rounding
+    fudge."""
+    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        # half_towards_infinity = DuckDB ROUND's half-away-from-zero on
+        # positive values; Arrow's default half_to_even would diverge on
+        # exact .5-dollar prices (cents never hit halves, dollars do)
+        x = pc.round(b["l_quantity"],
+                     round_mode="half_towards_infinity").cast(pa.int64())
+        y = pc.round(b["l_extendedprice"],
+                     round_mode="half_towards_infinity").cast(pa.int64())
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "x": x, "y": y,
+            "xx": pc.multiply(x, x), "xy": pc.multiply(x, y),
+            "yy": pc.multiply(y, y),
+        })
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_returnflag")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("x", alias_name="sx"), Sum("y", alias_name="sy"),
+            Sum("xx", alias_name="sxx"), Sum("xy", alias_name="sxy"),
+            Sum("yy", alias_name="syy"),
+        )
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        n = b["n"].cast(pa.float64()).to_numpy()
+        sx = b["sx"].cast(pa.float64()).to_numpy()
+        sy = b["sy"].cast(pa.float64()).to_numpy()
+        sxx = b["sxx"].cast(pa.float64()).to_numpy()
+        sxy = b["sxy"].cast(pa.float64()).to_numpy()
+        syy = b["syy"].cast(pa.float64()).to_numpy()
+        mx, my = sx / n, sy / n
+        cov = sxy / n - mx * my
+        vx = sxx / n - mx * mx
+        vy = syy / n - my * my
+        corr = cov / np.sqrt(vx * vy)
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "n": b["n"],
+            "cov_qty_price": pa.array(cov),
+            "corr_qty_price": pa.array(corr),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_CORR_STATS = """
+WITH m AS (
+  SELECT l_returnflag,
+    CAST(COUNT(*) AS DOUBLE) AS n, COUNT(*) AS n_i,
+    CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(ROUND(l_extendedprice) AS BIGINT)) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT) * CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT) * CAST(ROUND(l_extendedprice) AS BIGINT)) AS DOUBLE) AS sxy,
+    CAST(SUM(CAST(ROUND(l_extendedprice) AS BIGINT) * CAST(ROUND(l_extendedprice) AS BIGINT)) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n_i AS n,
+  (sxy/n - (sx/n)*(sy/n)) AS cov_qty_price,
+  (sxy/n - (sx/n)*(sy/n)) /
+    sqrt((sxx/n - (sx/n)*(sx/n)) * (syy/n - (sy/n)*(sy/n))) AS corr_qty_price
+FROM m
+"""
+
+
+# =====================================================================
+# deterministic hash sampling (O4 with an EXACT oracle)
+# =====================================================================
+
+def q_hash_sample(sf_dir: str):
+    """1-in-8 deterministic sample of documents by a Knuth multiplicative
+    hash of doc_id — unlike random sampling this is reproducible,
+    partition-independent, AND exactly SQL-expressible, so it is the
+    oracled counterpart of qa_sample (whose membership is block-dependent
+    by design). At 100 TB this is the sampling you actually want: any
+    worker can decide membership locally with no coordination or RNG
+    state."""
+    ds = _t(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def pick(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (did * np.uint64(2654435761)) % np.uint64(1 << 32)
+        return b.filter(pa.array(h % np.uint64(8) == np.uint64(3)))
+
+    return ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_HASH_SAMPLE = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE ((doc_id * 2654435761) % 4294967296) % 8 = 3
+"""
+
+
+# =====================================================================
+# BPE-ish regex tokenizer (training-data op, oracled)
+# =====================================================================
+
+_TOKEN_RE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+
+def q_regex_tokens(sf_dir: str):
+    """Token counting with a BPE-ish segmentation regex (letter runs |
+    single digits | lone punctuation — the GPT-2 pre-tokenizer family),
+    counted by Arrow's RE2 kernel per block and aggregated per source.
+    DuckDB also uses RE2, so len(regexp_extract_all(...)) is an exact
+    oracle for the same pattern. Complements token_count (whitespace
+    tokens)."""
+    ds = _t(sf_dir, "documents", ["source", "text"])
+
+    def count(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": b["source"],
+            "n_tok": pc.count_substring_regex(b["text"], _TOKEN_RE)
+                       .cast(pa.int64()),
+        })
+
+    agg = (
+        ds.map_batches(count, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_tok", alias_name="sum_tokens"))
+    )
+    return agg
+
+
+SQL_REGEX_TOKENS = f"""
+SELECT source, COUNT(*) AS n_docs,
+  SUM(len(regexp_extract_all(text, '{_TOKEN_RE}'))) AS sum_tokens
+FROM documents GROUP BY source
+"""
+
+
+ANALYTICS_QUERIES = {
+    "window_lag": (q_window_lag, SQL_WINDOW_LAG),
+    "rollup_agg": (q_rollup_agg, SQL_ROLLUP_AGG),
+    "pivot_status": (q_pivot_status, SQL_PIVOT_STATUS),
+    "corr_stats": (q_corr_stats, SQL_CORR_STATS),
+    "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
+    "regex_tokens": (q_regex_tokens, SQL_REGEX_TOKENS),
+}
