@@ -2,7 +2,8 @@
 window functions (LAG / ROW_NUMBER), ROLLUP hierarchies, pivot
 (conditional aggregation), exact-integer correlation statistics,
 deterministic hash sampling, and a regex (BPE-ish) tokenizer — each with
-a DuckDB oracle.
+a DuckDB oracle — plus a rows-only mergeable approximate-quantile sketch
+(tolerance-pinned in tests/test_analytics_ops.py).
 
 Same exact-match discipline as relational.py: every aggregate is summed
 as int64 (cents / plain ints) so distributed summation order can never
@@ -324,6 +325,75 @@ FROM documents GROUP BY source
 """
 
 
+# =====================================================================
+# approximate quantiles (mergeable sketch — the scale path where exact
+# distributed quantiles' O(distinct-values-per-group) final merge breaks)
+# =====================================================================
+
+_AQ_CENTROIDS = 512  # sketch size; rank error ≤ total_weight/_AQ_CENTROIDS
+
+
+def _aq_compress(vals: np.ndarray, wts: np.ndarray, c: int = _AQ_CENTROIDS):
+    """Compress (sorted values, weights) to ≤ c equal-weight centroids —
+    a t-digest-lite with uniform buckets: deterministic, mergeable, and
+    rank error bounded by W/c per quantile. Vectorized (bincount)."""
+    if len(vals) <= c:
+        return vals, wts
+    total = float(wts.sum())
+    cum = np.cumsum(wts) - wts / 2.0
+    idx = np.minimum((cum * (c / total)).astype(np.int64), c - 1)
+    wsum = np.bincount(idx, weights=wts, minlength=c)
+    vsum = np.bincount(idx, weights=vals * wts, minlength=c)
+    keep = wsum > 0
+    return vsum[keep] / wsum[keep], wsum[keep]
+
+
+def q_approx_quantiles(sf_dir: str, qs=(0.5, 0.9, 0.99)):
+    """Per-returnflag approximate quantiles of l_extendedprice via the
+    partial+final mergeable-sketch pattern (G4): every block compresses
+    its values to ≤512 weighted centroids (so the groupby shuffle carries
+    O(blocks·512) rows, never the data), the final map_groups merges the
+    centroid sets and interpolates the quantiles. Rows-only entry — the
+    companion exact operator is q_quantiles; the tolerance is pinned by
+    tests/test_scale_shapes.py."""
+    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        flags_out, vals_out, wts_out = [], [], []
+        flags = b["l_returnflag"].to_numpy(zero_copy_only=False)
+        prices = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        for f in np.unique(flags):
+            v = np.sort(prices[flags == f], kind="mergesort")
+            cv, cw = _aq_compress(v, np.ones(len(v)))
+            flags_out.append(np.full(len(cv), f))
+            vals_out.append(cv)
+            wts_out.append(cw)
+        return pa.table({
+            "l_returnflag": pa.array(np.concatenate(flags_out)),
+            "centroid": pa.array(np.concatenate(vals_out)),
+            "weight": pa.array(np.concatenate(wts_out)),
+        })
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(g["centroid"].to_numpy(), kind="mergesort")
+        v = g["centroid"].to_numpy()[order]
+        w = g["weight"].to_numpy()[order]
+        v, w = _aq_compress(v, w)
+        cum = np.cumsum(w) - w / 2.0
+        total = float(w.sum())
+        est = np.interp([q * total for q in qs], cum, v)
+        row = {"l_returnflag": [g["l_returnflag"].iloc[0]]}
+        for q, e in zip(qs, est):
+            row[f"p{int(q * 100)}"] = [float(e)]
+        return pd.DataFrame(row)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_returnflag")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
 ANALYTICS_QUERIES = {
     "window_lag": (q_window_lag, SQL_WINDOW_LAG),
     "rollup_agg": (q_rollup_agg, SQL_ROLLUP_AGG),
@@ -331,4 +401,5 @@ ANALYTICS_QUERIES = {
     "corr_stats": (q_corr_stats, SQL_CORR_STATS),
     "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
     "regex_tokens": (q_regex_tokens, SQL_REGEX_TOKENS),
+    "approx_quantiles": (q_approx_quantiles, None),
 }

@@ -833,6 +833,163 @@ def q_ann_lsh(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------
+# IVF ANN: coarse-quantizer index (the classic inverted-file scale path
+# next to the LSH-bucketed one — nprobe trades recall for scan cost)
+# ---------------------------------------------------------------------
+
+_IVF_K = 16         # coarse centroids (lists)
+_IVF_NPROBE = 4     # lists scanned per query
+_IVF_SEED = 7       # k-means init seed
+_IVF_ITERS = 8      # Lloyd iterations on the training sample
+_IVF_SAMPLE = 1024  # training-sample cap (bounded driver-side k-means)
+_IVF_VERSION = 1    # bump on any quantizer-scheme change
+
+
+def _ivf_train(path: str) -> np.ndarray:
+    """Deterministic spherical k-means on a BOUNDED sample (≤_IVF_SAMPLE
+    vectors picked by a fixed vec_id stride — any worker/driver computes
+    the same set with no RNG state): seeded init, _IVF_ITERS Lloyd steps,
+    assign by max dot over unit vectors, re-normalized means. The sample
+    and the (K, d) centroid matrix are tiny at any data scale; training
+    never touches more than _IVF_SAMPLE rows."""
+    import pyarrow.dataset as pads
+
+    n_total = pads.dataset(path).count_rows()
+    stride = max(1, n_total // _IVF_SAMPLE)
+    sample_ids = list(range(0, n_total, stride))[:_IVF_SAMPLE]
+    tbl = pads.dataset(path).to_table(
+        columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id").isin(sample_ids))
+    emb = _embedding_matrix(tbl["embedding"])
+    norms = np.linalg.norm(emb, axis=1, keepdims=True)
+    unit = emb / np.where(norms == 0, 1.0, norms)
+    rng = np.random.default_rng(_IVF_SEED)
+    cent = unit[rng.choice(len(unit), size=min(_IVF_K, len(unit)),
+                           replace=False)]
+    for _ in range(_IVF_ITERS):
+        assign = np.argmax(unit @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = unit[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cent[c] = m / n
+    return cent
+
+
+def _ivf_index(sf_dir: str) -> str:
+    """Build (once; cached under ``_ann_index_root()``) the IVF index:
+    vectors parquet-partitioned by nearest-centroid list id, with a
+    manifest.json carrying the centroids AND the list→files map — same
+    shared-storage / manifest-probe / atomic-rename discipline as
+    ``_ann_lsh_index`` (no filesystem enumeration on the probe path;
+    cache key covers the quantizer scheme so a config change can never
+    silently reuse a stale index)."""
+    import hashlib
+    import json
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(path)
+    key = hashlib.blake2b(
+        f"{os.path.abspath(path)}:{st.st_mtime_ns}:{st.st_size}"
+        f":{_IVF_K}:{_IVF_SEED}:{_IVF_ITERS}:{_IVF_SAMPLE}:{_IVF_VERSION}"
+        .encode(), digest_size=8,
+    ).hexdigest()
+    root = _ann_index_root()
+    idx_dir = os.path.join(root, f"annivf_{key}")
+    if os.path.isfile(os.path.join(idx_dir, "manifest.json")):
+        return idx_dir
+    os.makedirs(root, exist_ok=True)
+    cent = _ivf_train(path)
+    cent_ref = ray.put(cent)
+
+    def with_list(b: pa.Table) -> pa.Table:
+        import ray as _r
+
+        emb = _embedding_matrix(b["embedding"])
+        norms = np.linalg.norm(emb, axis=1, keepdims=True)
+        unit = emb / np.where(norms == 0, 1.0, norms)
+        lid = np.argmax(unit @ _r.get(cent_ref).T, axis=1).astype(np.int64)
+        return b.append_column("list_id", pa.array(lid))
+
+    tmp = f"{idx_dir}.build-{os.getpid()}"
+    (
+        rd.read_parquet(path, columns=["vec_id", "embedding"])
+        .map_batches(with_list, batch_format="pyarrow")
+        .write_parquet(tmp, partition_cols=["list_id"])
+    )
+    lists: dict[str, list[str]] = {}
+    for d in sorted(os.listdir(tmp)):  # build-time single-writer walk
+        if d.startswith("list_id="):
+            lists[d.split("=")[1]] = sorted(
+                os.path.join(d, f)
+                for f in os.listdir(os.path.join(tmp, d))
+                if f.endswith(".parquet")
+            )
+    with open(os.path.join(tmp, "manifest.json"), "w") as fh:
+        json.dump({"k": _IVF_K, "seed": _IVF_SEED, "version": _IVF_VERSION,
+                   "centroids": cent.tolist(), "lists": lists}, fh)
+    try:
+        os.rename(tmp, idx_dir)
+    except OSError:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return idx_dir
+
+
+def q_ann_ivf(sf_dir: str, nprobe: int = _IVF_NPROBE, k: int = 10):
+    """IVF ANN (rows-only): probe the ``nprobe`` inverted lists whose
+    centroids are nearest the query, brute-cosine ONLY those lists'
+    files (per manifest — never a directory listing), per-block partial
+    top-k, tiny driver merge. nprobe=_IVF_K degrades gracefully to the
+    exact brute-force answer (asserted in tests/test_scale_shapes.py)."""
+    import json
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    q = _query_vector(path)
+    qn = q / np.linalg.norm(q)
+    idx_dir = _ivf_index(sf_dir)
+    with open(os.path.join(idx_dir, "manifest.json")) as fh:
+        manifest = json.load(fh)
+    cent = np.asarray(manifest["centroids"])
+    order = np.argsort(-(cent @ qn), kind="stable")[:nprobe]
+    lists = manifest["lists"]
+    probe_files = [
+        os.path.join(idx_dir, rel)
+        for lid in order
+        for rel in lists.get(str(int(lid)), [])
+    ]
+    if not probe_files:
+        return pa.table({"vec_id": pa.array([], type=pa.int64()),
+                         "cos": pa.array([], type=pa.float64())})
+    q_ref = ray.put(qn)
+
+    def score_topk(b: pa.Table) -> pa.Table:
+        import ray as _r
+
+        qv = _r.get(q_ref)
+        vid = b["vec_id"].to_numpy(zero_copy_only=False)
+        keep = vid > 0
+        emb = _embedding_matrix(b["embedding"])[keep]
+        vid = vid[keep]
+        if len(vid) == 0:
+            return pa.table({"vec_id": pa.array([], type=pa.int64()),
+                             "cos": pa.array([], type=pa.float64())})
+        norms = np.linalg.norm(emb, axis=1)
+        cos = np.round((emb @ qv) / np.where(norms == 0, 1.0, norms), 6)
+        order = np.lexsort((vid, -cos))[:k]
+        return pa.table({"vec_id": pa.array(vid[order]),
+                         "cos": pa.array(cos[order])})
+
+    probed = rd.read_parquet(probe_files, columns=["vec_id", "embedding"])
+    return _topk_merge(
+        probed.map_batches(score_topk, batch_format="pyarrow").take_all(), k
+    )
+
+
 def q_embedding_norms(sf_dir: str):
     """Vector math surface (oracled): per-row L2 norm, rounded 6. The
     vec_id < 100 demo slice is pushed into the parquet scan."""
@@ -1323,6 +1480,7 @@ DATAOPS_QUERIES = {
     "char_jaccard": (q_char_jaccard, SQL_CHAR_JACCARD),
     "ann_cosine": (q_ann_cosine, SQL_ANN_COSINE),
     "ann_lsh": (q_ann_lsh, None),
+    "ann_ivf": (q_ann_ivf, None),
     "embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),

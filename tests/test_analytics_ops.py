@@ -1,0 +1,126 @@
+"""Tests for the round-3 analytics additions: IVF ANN (exactness at
+nprobe=K, recall and subset-probing at small nprobe, manifest-only probe)
+and the mergeable approximate-quantile sketch (tolerance vs numpy exact).
+The six oracled analytics queries are covered by test_driver_contract.
+"""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.test_scale_shapes import SF_DIR, _brute_cos
+
+
+def test_ann_ivf_full_probe_matches_brute(ray_session):
+    """nprobe = K scans every list → must equal exact brute-force top-k
+    (same ids, same rounded scores, same deterministic order)."""
+    from crawlray.pipelines.dataops import _IVF_K, q_ann_ivf
+
+    out = q_ann_ivf(SF_DIR, nprobe=_IVF_K).to_pandas()
+    truth = _brute_cos(SF_DIR)
+    ranked = sorted(((round(c, 6), vid) for vid, c in truth.items()
+                     if vid != 0), key=lambda t: (-t[0], t[1]))[:10]
+    assert len(out) == 10
+    assert [int(v) for v in out["vec_id"]] == [vid for _c, vid in ranked]
+    for got, (want_c, _vid) in zip(out["cos"], ranked):
+        assert got == pytest.approx(want_c, abs=1e-9)
+
+
+def test_ann_ivf_small_nprobe_recall_and_exact_scores(ray_session):
+    """At nprobe < K the probe is approximate in WHICH ids it returns,
+    but every reported score must be the exact cosine. The testdata
+    embeddings are ISOTROPIC (within-label cosine ≈ across ≈ 0 — the
+    worst case for a coarse quantizer), so recall@10 grows roughly
+    linearly with the probed fraction rather than saturating early; pin
+    the curve's two honest properties: partial recall at nprobe=4 and
+    ≥0.8 by nprobe=12/16. On clustered real embeddings a small nprobe
+    saturates instead."""
+    from crawlray.pipelines.dataops import q_ann_ivf
+
+    truth = _brute_cos(SF_DIR)
+    top10 = {vid for _c, vid in
+             sorted(((c, vid) for vid, c in truth.items() if vid != 0),
+                    key=lambda t: (-t[0], t[1]))[:10]}
+
+    out = q_ann_ivf(SF_DIR, nprobe=4).to_pandas()
+    assert len(out) == 10
+    assert (out["cos"].to_numpy()[:-1] >= out["cos"].to_numpy()[1:]).all()
+    for vid, cos in zip(out["vec_id"], out["cos"]):
+        assert int(vid) != 0
+        assert cos == pytest.approx(round(truth[int(vid)], 6), abs=1e-9)
+    recall4 = len(top10 & {int(v) for v in out["vec_id"]}) / 10
+    assert recall4 >= 0.3, recall4
+
+    out12 = q_ann_ivf(SF_DIR, nprobe=12).to_pandas()
+    recall12 = len(top10 & {int(v) for v in out12["vec_id"]}) / 10
+    assert recall12 >= 0.8, recall12
+    assert recall12 >= recall4
+
+
+def test_ann_ivf_probes_subset_only(ray_session):
+    """nprobe < K must read strictly fewer vectors than the corpus, and
+    the probe path must never list directories (manifest-only)."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from crawlray.pipelines import dataops as d
+
+    idx = d._ivf_index(SF_DIR)
+    with open(os.path.join(idx, "manifest.json")) as fh:
+        manifest = json.load(fh)
+    lists = manifest["lists"]
+    assert len(lists) > d._IVF_NPROBE  # index actually fans out
+    total = sum(
+        pq.ParquetFile(os.path.join(idx, f)).metadata.num_rows
+        for fs in lists.values() for f in fs
+    )
+    corpus = pq.ParquetFile(
+        os.path.join(SF_DIR, "embeddings.parquet")).metadata.num_rows
+    assert total == corpus  # the index covers everything exactly once
+
+    real_listdir = os.listdir
+
+    def guarded(path="."):  # noqa: ANN001
+        raise AssertionError(f"os.listdir({path!r}) during IVF probe")
+
+    os.listdir = guarded
+    try:
+        out = d.q_ann_ivf(SF_DIR, nprobe=2).to_pandas()
+    finally:
+        os.listdir = real_listdir
+    assert len(out) == 10
+
+
+def test_aq_compress_bounds_and_determinism():
+    from crawlray.pipelines.analytics import _AQ_CENTROIDS, _aq_compress
+
+    rng = np.random.default_rng(11)
+    vals = np.sort(rng.normal(size=40_000))
+    w = np.ones(len(vals))
+    cv, cw = _aq_compress(vals, w)
+    cv2, cw2 = _aq_compress(vals, w)
+    assert len(cv) <= _AQ_CENTROIDS
+    assert np.array_equal(cv, cv2) and np.array_equal(cw, cw2)
+    assert cw.sum() == len(vals)          # weight conserved
+    assert (np.diff(cv) >= 0).all()       # centroids stay sorted
+
+
+@pytest.mark.parametrize("sf_dir", [SF_DIR])
+def test_approx_quantiles_tolerance(ray_session, sf_dir):
+    """Sketch estimates within 1% relative of the exact numpy quantile
+    per group (rank error ≤ W/512 per block by construction)."""
+    import pyarrow.parquet as pq
+
+    from crawlray.pipelines.analytics import q_approx_quantiles
+
+    out = q_approx_quantiles(sf_dir).to_pandas().set_index("l_returnflag")
+    t = pq.read_table(os.path.join(sf_dir, "lineitem.parquet"),
+                      columns=["l_returnflag", "l_extendedprice"]).to_pandas()
+    for flag, g in t.groupby("l_returnflag"):
+        for q, col in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]:
+            want = float(np.quantile(g["l_extendedprice"].to_numpy(), q))
+            got = float(out.loc[flag, col])
+            assert abs(got - want) <= 0.01 * abs(want), (flag, col, got, want)
