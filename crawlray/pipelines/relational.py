@@ -139,7 +139,14 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-0
 
 
 def q_revenue_by_nation(sf_dir: str):
-    """J5 hash-join chain: lineitem ⨝ orders ⨝ customer ⨝ nation → agg."""
+    """J5 join chain: lineitem ⨝ orders stays the ONE genuine big-big
+    hash-join shuffle (both sides scale with the data); the
+    customer→nation dimension hop is a broadcast lookup (sorted-key
+    searchsorted per batch) behind the same ``_BROADCAST_KEY_LIMIT``
+    guard as semi/anti join — two of the three all-to-alls disappear.
+    An oversized customer table falls back to the full join chain."""
+    import ray
+
     li = _t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
     def rev(b: pa.Table) -> pa.Table:
@@ -152,12 +159,48 @@ def q_revenue_by_nation(sf_dir: str):
     nation = _t(sf_dir, "nation", ["n_nationkey", "n_name"])
     j = li.join(orders, join_type="inner", num_partitions=join_parts(),
                 on=("l_orderkey",), right_on=("o_orderkey",))
-    j = j.join(cust, join_type="inner", num_partitions=join_parts(),
-               on=("o_custkey",), right_on=("c_custkey",))
-    j = j.join(nation, join_type="inner", num_partitions=join_parts(),
-               on=("c_nationkey",), right_on=("n_nationkey",))
-    agg = j.groupby("n_name").aggregate(Sum("rev_c4", alias_name="rev_c4"),
-                                        Count(alias_name="n_items"))
+    if cust.count() > _BROADCAST_KEY_LIMIT:
+        j = j.join(cust, join_type="inner", num_partitions=join_parts(),
+                   on=("o_custkey",), right_on=("c_custkey",))
+        j = j.join(nation, join_type="inner", num_partitions=join_parts(),
+                   on=("c_nationkey",), right_on=("n_nationkey",))
+        agg = j.groupby("n_name").aggregate(Sum("rev_c4", alias_name="rev_c4"),
+                                            Count(alias_name="n_items"))
+        return agg.map_batches(
+            lambda b: pa.table({
+                "n_name": b["n_name"],
+                "revenue": pc.divide(b["rev_c4"].cast(pa.float64()),
+                                     pa.scalar(10000.0)),
+                "n_items": b["n_items"],
+            }),
+            batch_format="pyarrow",
+        )
+    nation_of = {r["n_nationkey"]: r["n_name"] for r in nation.take_all()}
+    ct = cust.to_pandas()  # guarded small side — bounded materialization
+    ck = ct["c_custkey"].to_numpy()
+    order_ck = np.argsort(ck, kind="mergesort")
+    ck_sorted = ck[order_ck]
+    names_sorted = np.array(
+        [nation_of[k] for k in ct["c_nationkey"].to_numpy()[order_ck]],
+        dtype=object)
+    lut_ref = ray.put((ck_sorted, names_sorted))
+
+    def tag_nation(b: pa.Table) -> pa.Table:
+        import ray as _r
+
+        keys, names = _r.get(lut_ref)
+        idx = np.searchsorted(keys, b["o_custkey"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "n_name": pa.array(names[idx], type=pa.string()),
+            "rev_c4": b["rev_c4"],
+        })
+
+    agg = (
+        j.map_batches(tag_nation, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("rev_c4", alias_name="rev_c4"),
+                   Count(alias_name="n_items"))
+    )
     return agg.map_batches(
         lambda b: pa.table({
             "n_name": b["n_name"],
