@@ -247,10 +247,19 @@ SQL_DISTINCT_SEGMENTS = "SELECT DISTINCT c_mktsegment FROM customer"
 
 
 def q_count_distinct_parts(sf_dir: str):
-    """COUNT(DISTINCT) = two-level groupby (exact, shuffle-pruned by the
-    first level's partial aggregation)."""
+    """COUNT(DISTINCT) = per-block Arrow distinct (combiner — shrinks the
+    all-to-all to each block's unique pairs before it ships) → one
+    groupby shuffle on the surviving pairs → tiny per-flag count."""
     ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_partkey"])
-    pairs = ds.groupby(["l_returnflag", "l_partkey"]).count()
+
+    def block_distinct(b: pa.Table) -> pa.Table:
+        return b.group_by(["l_returnflag", "l_partkey"]).aggregate([])
+
+    pairs = (
+        ds.map_batches(block_distinct, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_partkey"]).count()
+    )
     out = pairs.groupby("l_returnflag").aggregate(Count(alias_name="n_parts"))
     return out
 
