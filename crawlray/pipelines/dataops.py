@@ -348,7 +348,11 @@ def q_minhash_neardup(sf_dir: str):
             "text": pa.array(texts, type=pa.string()),
         })
 
-    both = ds.union(ds.map_batches(perturb, batch_format="pyarrow"))
+    # materialize ONCE: `both` is consumed three times (banding + the two
+    # verification joins); left lazy, Ray re-executes read→perturb per
+    # consumer (the simhash lesson, VERDICT r2 item #1). The cost is the
+    # same blocks the join shuffle would pin in the object store anyway.
+    both = ds.union(ds.map_batches(perturb, batch_format="pyarrow")).materialize()
 
     def bands(b: pa.Table) -> pa.Table:
         sig = minhash_signature(b["text"].to_pylist(), n_perm=64, k=3)
