@@ -326,6 +326,50 @@ FROM documents GROUP BY source
 
 
 # =====================================================================
+# ordered list / string aggregation (§2.5 array-agg family)
+# =====================================================================
+
+def q_string_agg_topn(sf_dir: str):
+    """Per-nation ordered string_agg of the top-3 customers by balance:
+    per-block partial top-3 prunes the shuffle (same trick as
+    topk_per_group), the per-group final sorts and joins — the ordered
+    list-aggregation family with a deterministic tie-break."""
+    ds = _t(sf_dir, "customer", ["c_nationkey", "c_name", "c_acctbal",
+                                 "c_custkey"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["c_nationkey", "c_acctbal", "c_custkey"],
+                            ascending=[True, False, True], kind="mergesort")
+        return df.groupby("c_nationkey", sort=False).head(3)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["c_acctbal", "c_custkey"],
+                          ascending=[False, True], kind="mergesort").head(3)
+        return pd.DataFrame({
+            "c_nationkey": [int(g["c_nationkey"].iloc[0])],
+            "top3": [",".join(g["c_name"])],
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("c_nationkey")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+SQL_STRING_AGG_TOPN = """
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+  string_agg(c_name, ',' ORDER BY c_acctbal DESC, c_custkey) AS top3
+FROM (
+  SELECT c_nationkey, c_name, c_acctbal, c_custkey,
+    ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                       ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM customer
+) WHERE rn <= 3 GROUP BY c_nationkey
+"""
+
+
+# =====================================================================
 # approximate quantiles (mergeable sketch — the scale path where exact
 # distributed quantiles' O(distinct-values-per-group) final merge breaks)
 # =====================================================================
@@ -401,5 +445,6 @@ ANALYTICS_QUERIES = {
     "corr_stats": (q_corr_stats, SQL_CORR_STATS),
     "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
     "regex_tokens": (q_regex_tokens, SQL_REGEX_TOKENS),
+    "string_agg_topn": (q_string_agg_topn, SQL_STRING_AGG_TOPN),
     "approx_quantiles": (q_approx_quantiles, None),
 }

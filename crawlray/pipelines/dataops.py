@@ -1092,7 +1092,11 @@ FROM documents GROUP BY source
 
 
 def q_lang_id(sf_dir: str):
-    """Language-ID heuristic (rows-only: the heuristic IS the spec)."""
+    """Language-ID heuristic, DuckDB-oracled (r3 upgrade from rows-only):
+    the stopword-overlap spec is mechanically mirrored into SQL from the
+    SAME stopword table (``_lang_id_oracle_sql`` below) — both engines
+    run RE2, so per-word containment and the sorted-language strict-max
+    tie-break agree exactly."""
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def fn(b: pa.Table) -> pa.Table:
@@ -1105,6 +1109,36 @@ def q_lang_id(sf_dir: str):
         .groupby("lang_pred")
         .aggregate(Count(alias_name="n"))
     )
+
+
+def _lang_id_oracle_sql() -> str:
+    """Generate the lang_id oracle from functions/textstats._STOPWORDS so
+    the two sides can never drift: score per language = count of DISTINCT
+    stopwords present (regexp_matches, RE2 — same engine as Arrow), winner
+    = first language in sorted order reaching the strict max, 'und' when
+    the max is 0 (mirrors the Python iteration exactly)."""
+    from ..functions.textstats import _STOPWORDS
+
+    langs = sorted(_STOPWORDS)
+    score_cols = []
+    for lang in langs:
+        terms = " + ".join(
+            f"CASE WHEN regexp_matches(lower(text), '(^|\\s){w}(\\s|$)') "
+            f"THEN 1 ELSE 0 END"
+            for w in sorted(_STOPWORDS[lang])
+        )
+        score_cols.append(f"({terms}) AS s_{lang}")
+    greatest = "GREATEST(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    case = [f"WHEN {greatest} = 0 THEN 'und'"]
+    case += [f"WHEN s_{lang} = {greatest} THEN '{lang}'" for lang in langs]
+    return f"""
+WITH s AS (SELECT {', '.join(score_cols)} FROM documents)
+SELECT CASE {' '.join(case)} END AS lang_pred, COUNT(*) AS n
+FROM s GROUP BY 1
+"""
+
+
+SQL_LANG_ID = _lang_id_oracle_sql()
 
 
 def q_fingerprint(sf_dir: str):
@@ -1488,7 +1522,7 @@ DATAOPS_QUERIES = {
     "embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
-    "lang_id": (q_lang_id, None),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
     "fingerprint_docs": (q_fingerprint, None),
     "hll_distinct": (q_hll_distinct, None),
     "media_decode": (q_media_decode, None),
