@@ -1205,6 +1205,100 @@ class MediaDecoder:
         )
 
 
+class MediaTransformer:
+    """Actor-pool stage 2 of the multimodal chain: resize (images) and
+    frame-sample (video) over OPAQUE binary payloads. Target dims and
+    frame stride are per-actor state (``__init__`` once per actor, the
+    stateful-stage discipline); the transform is deterministic, so a
+    real PIL/ffmpeg drop-in changes ``_resize``/``_frames`` and nothing
+    else. Output is one row per image / per SAMPLED frame, each with a
+    fixed-width feature fingerprint — the layout a downstream embedding
+    or training-shard writer consumes."""
+
+    def __init__(self, target=(64, 64), frame_stride: int = 4):
+        self._target = target
+        self._stride = frame_stride
+
+    @staticmethod
+    def _payload_frames(payload: bytes, stride: int) -> list[int]:
+        # fake container: 1 "frame" per 256 payload bytes, sample every
+        # `stride`-th — a real decoder asks the container for keyframes
+        n_frames = max(1, len(payload) // 256)
+        return list(range(0, n_frames, stride))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.murmur3 import hash64
+
+        kinds, refs, frames, ws, hs, feats = [], [], [], [], [], []
+        for kind, ref, payload in zip(batch["kind"].to_pylist(),
+                                      batch["media_ref"].to_pylist(),
+                                      batch["payload"].to_pylist()):
+            if kind == "video":
+                sampled = self._payload_frames(payload, self._stride)
+            else:
+                sampled = [0]
+            for fr in sampled:
+                kinds.append(kind)
+                refs.append(ref)
+                frames.append(fr)
+                ws.append(self._target[0])
+                hs.append(self._target[1])
+                # feature stub: 64-bit fingerprint of (payload, frame) —
+                # stands in for a model embedding, deterministic
+                feats.append(hash64(payload[fr % max(1, len(payload)):]
+                                    [:64] + bytes([fr & 0xFF])))
+        return pa.table({
+            "kind": pa.array(kinds, type=pa.string()),
+            "media_ref": pa.array(refs, type=pa.string()),
+            "frame": pa.array(frames, type=pa.int32()),
+            "width": pa.array(ws, type=pa.int32()),
+            "height": pa.array(hs, type=pa.int32()),
+            # uint64 → int64 bit-reinterpret (uint64 columns break Ray's
+            # aggregate paths — the repo-wide hash-column rule)
+            "feat64": pa.array(np.array(feats, dtype=np.uint64)
+                               .view(np.int64)),
+        })
+
+
+def q_media_pipeline(sf_dir: str):
+    """Full multimodal chain (rows-only): explode media spans → attach
+    an opaque BINARY payload column (synthesized deterministically from
+    the ref — the schema/plumbing a real fetch would fill) → actor-pool
+    decode (MediaDecoder) → actor-pool resize + frame-sample + feature
+    stub (MediaTransformer) → per-kind stats. Batches stay small (64)
+    because payloads are wide — the memory-aware sizing rule for binary
+    columns."""
+    from ..sources.miniweb import make_docs
+
+    docs = rd.from_arrow(make_docs(400))
+
+    def explode_media(b: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(b["spans"].combine_chunks())
+        kinds = pc.struct_field(flat, "kind")
+        refs = pc.struct_field(flat, "media_ref")
+        t = pa.table({"kind": kinds, "media_ref": refs})
+        t = t.filter(pc.invert(pc.is_null(t["media_ref"])))
+        # opaque binary payload: deterministic bytes from the ref (a real
+        # crawl stores the fetched body here); length varies per ref so
+        # video frame counts differ
+        payloads = []
+        for r in t["media_ref"].to_pylist():
+            seed = abs(hash64_batch_i64(pa.array([r]))[0])
+            payloads.append(bytes((seed >> (8 * (i % 8))) & 0xFF
+                                  for i in range(256 + seed % 4096)))
+        return t.append_column("payload", pa.array(payloads, type=pa.binary()))
+
+    media = docs.map_batches(explode_media, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    frames = media.map_batches(MediaTransformer, batch_format="pyarrow",
+                               batch_size=64, concurrency=(1, 4))
+    return frames.groupby("kind").aggregate(
+        Count(alias_name="n_rows"),
+        Sum("frame", alias_name="frame_sum"),
+        Min("feat64", alias_name="feat_min"),
+    )
+
+
 def q_media_decode(sf_dir: str):
     """Multimodal pipeline (rows-only): interleaved fixture docs →
     explode media spans → actor-pool decode stub → per-kind stats."""
@@ -1526,6 +1620,7 @@ DATAOPS_QUERIES = {
     "fingerprint_docs": (q_fingerprint, None),
     "hll_distinct": (q_hll_distinct, None),
     "media_decode": (q_media_decode, None),
+    "media_pipeline": (q_media_pipeline, None),
     "sitemap_discovery": (q_sitemap_discovery, SQL_SITEMAP_DISCOVERY),
     "feed_titles": (q_feed_titles, SQL_FEED_TITLES),
     "qa_sample": (q_sample, None),

@@ -94,6 +94,25 @@ def test_ann_ivf_probes_subset_only(ray_session):
     assert len(out) == 10
 
 
+def test_media_pipeline_frame_fanout_and_determinism(ray_session):
+    """The multimodal chain: videos fan out to one row per SAMPLED frame
+    (frame_sum > 0 only for video), non-video kinds stay 1 row per item,
+    and the whole pipeline is deterministic run-over-run (the property a
+    real decoder drop-in must preserve)."""
+    from crawlray.pipelines.dataops import q_media_pipeline
+
+    a = q_media_pipeline(SF_DIR).to_pandas().sort_values(
+        "kind", ignore_index=True)
+    b = q_media_pipeline(SF_DIR).to_pandas().sort_values(
+        "kind", ignore_index=True)
+    assert a.equals(b)
+    byk = a.set_index("kind")
+    assert byk.loc["video", "frame_sum"] > 0          # sampled frames > #0
+    for kind in set(byk.index) - {"video"}:
+        assert byk.loc[kind, "frame_sum"] == 0        # single frame 0
+    assert byk.loc["video", "n_rows"] > byk.loc["image", "n_rows"]
+
+
 def test_aq_compress_bounds_and_determinism():
     from crawlray.pipelines.analytics import _AQ_CENTROIDS, _aq_compress
 
