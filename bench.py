@@ -52,6 +52,18 @@ CRAWL_WAVES = 6
 CRAWL_PARTS = 32
 
 
+def _cpu_jiffies() -> int:
+    """Container-wide consumed CPU (user+nice+system jiffies from
+    /proc/stat). Steal time is EXCLUDED by construction — stolen cycles
+    never appear in these columns — so the ratio cpu₄/cpu₁₆ over the
+    measured crawl is a contention-immune intrinsic-scaling ceiling
+    (BASELINE.md: the round-2 'packing-independent ceiling' evidence,
+    now measured automatically)."""
+    with open("/proc/stat") as fh:
+        parts = fh.readline().split()
+    return int(parts[1]) + int(parts[2]) + int(parts[3])
+
+
 def run_crawl_bench(num_cpus: int, run_dir: str, warmup: bool = False) -> dict:
     import pyarrow as pa
 
@@ -98,8 +110,10 @@ def run_crawl_bench(num_cpus: int, run_dir: str, warmup: bool = False) -> dict:
         transport={"kind": "synth", **CRAWL_SHAPE},
     )
     t0 = time.time()
+    j0 = _cpu_jiffies()
     summary = run_crawl(run_dir, seeds["url"].to_pylist(), robots, cfg)
     wall = time.time() - t0
+    jiffies = _cpu_jiffies() - j0
     fetched = summary["pages_fetched"]
     seen = summary["urls_seen"]
     processed = fetched + seen
@@ -109,6 +123,7 @@ def run_crawl_bench(num_cpus: int, run_dir: str, warmup: bool = False) -> dict:
         "urls_seen": seen,
         "waves": len(summary["waves"]),
         "throughput_urls_per_s": round(processed / wall, 1),
+        "cpu_jiffies": jiffies,
     }
 
 
@@ -185,7 +200,9 @@ def main() -> None:
         # swing between leg batches. All pairs are reported; the judged
         # number is the median paired E.
         thr: dict[int, list] = {lo: [], hi: []}
+        jif: dict[int, list] = {lo: [], hi: []}
         pair_e: list[float] = []
+        pair_ceiling: list[float] = []
         last: dict[int, dict] = {}
         for _ in range(max(1, args.trials)):
             r_lo = child(lo)
@@ -195,6 +212,15 @@ def main() -> None:
             thr[lo].append(t_lo)
             thr[hi].append(t_hi)
             pair_e.append(round(t_hi / (4 * t_lo), 3))
+            # contention-immune intrinsic ceiling: consumed-CPU ratio of
+            # the two legs (steal never lands in these jiffies). Under
+            # ideal packing E = cpu_lo/cpu_hi; wall-clock E can't beat it
+            j_lo = r_lo["crawl"].get("cpu_jiffies")
+            j_hi = r_hi["crawl"].get("cpu_jiffies")
+            if j_lo and j_hi:
+                jif[lo].append(j_lo)
+                jif[hi].append(j_hi)
+                pair_ceiling.append(round(j_lo / j_hi, 3))
             last[lo], last[hi] = r_lo, r_hi
         e_sorted = sorted(pair_e)
         e_median = e_sorted[len(e_sorted) // 2]
@@ -210,6 +236,9 @@ def main() -> None:
             "efficiency_median": e_median,
             "efficiency_min": min(pair_e),
             "efficiency_max": max(pair_e),
+            "intrinsic_ceiling_pairs": pair_ceiling,
+            f"cpu_jiffies_{lo}cpu": jif[lo],
+            f"cpu_jiffies_{hi}cpu": jif[hi],
             "pages_fetched": last[hi]["crawl"]["pages_fetched"],
             "urls_seen": last[hi]["crawl"]["urls_seen"],
             "sf": sf,
