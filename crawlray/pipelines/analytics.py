@@ -438,6 +438,261 @@ def q_approx_quantiles(sf_dir: str, qs=(0.5, 0.9, 0.99)):
     )
 
 
+# =====================================================================
+# LEFT OUTER join (J5 family: preserve-unmatched side)
+# =====================================================================
+
+def q_left_join(sf_dir: str):
+    """Customers LEFT JOIN their urgent-order aggregate: the right side
+    is pre-shrunk by ONE groupby (o_custkey → count + cents sum, bounded
+    by |customers| regardless of order volume) before the single
+    left-outer hash join, so the join's right side never scales with
+    fact-table rows — the aggregate-then-outer-join shape. Unmatched
+    customers surface with n_urgent=0 / spend=0.0 (COALESCE on both
+    sides keeps the hash compare free of null ambiguity)."""
+    import pyarrow.dataset as pads
+
+    from .sizing import join_parts
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name"],
+        filter=pads.field("c_custkey") < 400,
+    )
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_orderpriority", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        m = pc.equal(b["o_orderpriority"], pa.scalar("1-URGENT"))
+        b = b.filter(m)
+        return pa.table({
+            "o_custkey": b["o_custkey"],
+            "price_c": _cents(b["o_totalprice"]),
+        })
+
+    agg = (
+        orders.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n_urgent"), Sum("price_c", alias_name="spend_c"))
+    )
+    j = cust.join(agg, join_type="left_outer", num_partitions=join_parts(),
+                  on=("c_custkey",), right_on=("o_custkey",))
+
+    def finalize(b: pa.Table) -> pa.Table:
+        zero = pa.scalar(0, pa.int64())
+        n = pc.coalesce(b["n_urgent"], zero)
+        s = pc.coalesce(b["spend_c"], zero)
+        return pa.table({
+            "c_custkey": b["c_custkey"],
+            "c_name": b["c_name"],
+            "n_urgent": n,
+            "urgent_spend": pc.divide(s.cast(pa.float64()), pa.scalar(100.0)),
+        })
+
+    return j.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_LEFT_JOIN = """
+SELECT c_custkey, c_name,
+  COALESCE(a.n_urgent, 0) AS n_urgent,
+  CAST(COALESCE(a.spend_c, 0) AS DOUBLE)/100.0 AS urgent_spend
+FROM customer LEFT JOIN (
+  SELECT o_custkey, COUNT(*) AS n_urgent,
+    SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS spend_c
+  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey
+) a ON c_custkey = a.o_custkey
+WHERE c_custkey < 400
+"""
+
+
+# =====================================================================
+# window frame aggregate (§2.9): moving average, ROWS 2 PRECEDING
+# =====================================================================
+
+def q_moving_avg(sf_dir: str):
+    """Per-customer 3-order moving average of order totals (the framed
+    window-aggregate family: ROWS BETWEEN 2 PRECEDING AND CURRENT ROW).
+    Same scale shape as q_window_lag: one groupby shuffle of 3 small
+    columns, then a vectorized prefix-sum pass per partition. Exactness:
+    the frame sum is int64 cents; the single float division
+    sum/(n_frame*100) uses the identical expression on both sides."""
+    import pyarrow.dataset as pads
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+        filter=pads.field("o_custkey") < 300,
+    )
+
+    def per_cust(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_orderdate", "o_orderkey"], kind="mergesort")
+        c = np.round(g["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
+        s = np.cumsum(c)
+        win = s.copy()
+        win[3:] = s[3:] - s[:-3]
+        n_frame = np.minimum(np.arange(1, len(c) + 1, dtype=np.int64), 3)
+        return pd.DataFrame({
+            "o_custkey": g["o_custkey"].to_numpy(),
+            "o_orderkey": g["o_orderkey"].to_numpy(),
+            "mavg": win.astype(np.float64) / (n_frame * 100),
+        })
+
+    return ds.groupby("o_custkey").map_groups(per_cust, batch_format="pandas")
+
+
+SQL_MOVING_AVG = """
+SELECT o_custkey, o_orderkey,
+  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER w AS DOUBLE)
+    / (COUNT(*) OVER w * 100) AS mavg
+FROM orders WHERE o_custkey < 300
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+# =====================================================================
+# ranking window functions (§2.9): NTILE + PERCENT_RANK
+# =====================================================================
+
+def q_window_rank(sf_dir: str):
+    """NTILE(4) quartiles and PERCENT_RANK per market segment over
+    account balance (ORDER BY c_acctbal DESC, c_custkey — fully
+    deterministic, no rank ties). NTILE follows the SQL spec: the first
+    n % k buckets get one extra row. percent_rank = (rn-1)/(n-1) as one
+    float division (0.0 for a single-row partition, per spec)."""
+    import pyarrow.dataset as pads
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_mktsegment", "c_custkey", "c_acctbal"],
+        filter=pads.field("c_custkey") < 500,
+    )
+
+    def per_seg(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["c_acctbal", "c_custkey"],
+                          ascending=[False, True], kind="mergesort")
+        n = len(g)
+        rn = np.arange(1, n + 1, dtype=np.int64)
+        q, r = divmod(n, 4)
+        boundary = (q + 1) * r
+        tile = np.where(
+            rn <= boundary,
+            (rn - 1) // (q + 1) + 1,
+            r + (rn - boundary - 1) // max(q, 1) + 1,
+        ).astype(np.int64)
+        pr = ((rn - 1).astype(np.float64) / (n - 1)
+              if n > 1 else np.zeros(1, dtype=np.float64))
+        return pd.DataFrame({
+            "c_mktsegment": g["c_mktsegment"].to_numpy(),
+            "c_custkey": g["c_custkey"].to_numpy(),
+            "quartile": tile,
+            "pct_rank": pr,
+        })
+
+    return ds.groupby("c_mktsegment").map_groups(per_seg, batch_format="pandas")
+
+
+SQL_WINDOW_RANK = """
+SELECT c_mktsegment, c_custkey,
+  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+  PERCENT_RANK() OVER w AS pct_rank
+FROM customer WHERE c_custkey < 500
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+"""
+
+
+# =====================================================================
+# CUBE (§2.5): all grouping-set combinations
+# =====================================================================
+
+def q_cube_agg(sf_dir: str):
+    """GROUP BY CUBE(o_orderpriority, o_orderstatus): one distributed
+    groupby computes the finest level; the other three grouping sets
+    re-aggregate that bounded table (≤ |priorities|·|statuses| rows at
+    any data scale) on the driver — the same O(groups) fold as ROLLUP
+    plus the (ALL, status) set."""
+    ds = _t(sf_dir, "orders", ["o_orderpriority", "o_orderstatus", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "priority": b["o_orderpriority"],
+            "status": b["o_orderstatus"],
+            "price_c": _cents(b["o_totalprice"]),
+        })
+
+    base = (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["priority", "status"])
+        .aggregate(Count(alias_name="n"), Sum("price_c", alias_name="price_c"))
+        .take_all()  # bounded: ≤ |priorities|·|statuses| rows
+    )
+    fine = pd.DataFrame(base)
+    by_p = (fine.groupby("priority", as_index=False)[["n", "price_c"]].sum()
+            .assign(status="ALL"))
+    by_s = (fine.groupby("status", as_index=False)[["n", "price_c"]].sum()
+            .assign(priority="ALL"))
+    grand = pd.DataFrame({
+        "priority": ["ALL"], "status": ["ALL"],
+        "n": [fine["n"].sum()], "price_c": [fine["price_c"].sum()],
+    })
+    out = pd.concat([fine, by_p, by_s, grand], ignore_index=True)
+    return pa.table({
+        "priority": pa.array(out["priority"], type=pa.string()),
+        "status": pa.array(out["status"], type=pa.string()),
+        "n": pa.array(out["n"].astype(np.int64)),
+        "total": pa.array((out["price_c"].astype(np.int64) / 100.0)
+                          .astype(np.float64)),
+    })
+
+
+SQL_CUBE_AGG = """
+SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+  COALESCE(o_orderstatus, 'ALL') AS status,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS total
+FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+"""
+
+
+# =====================================================================
+# scalar-subquery filter (§2.4): compare every row to a global aggregate
+# =====================================================================
+
+def q_above_avg(sf_dir: str):
+    """Parts priced strictly above the global average retail price — the
+    scalar-subquery pattern (TPC-H Q17 family). Two streaming passes:
+    pass 1 reduces to ONE (sum_cents, count) row; pass 2 filters with the
+    EXACT integer cross-multiplication price_c · n > sum_c, so no float
+    average ever exists to disagree about. The scalar broadcast is two
+    int64s — free at any cluster size."""
+    cols = ["p_partkey", "p_name", "p_retailprice"]
+    stats = (
+        _t(sf_dir, "part", ["p_retailprice"])
+        .map_batches(
+            lambda b: pa.table({"price_c": _cents(b["p_retailprice"])}),
+            batch_format="pyarrow", zero_copy_batch=True)
+        .aggregate(Count(alias_name="n"), Sum("price_c", alias_name="sum_c"))
+    )
+    n_total = int(stats["n"])
+    sum_c = int(stats["sum_c"])
+
+    def pick(b: pa.Table) -> pa.Table:
+        price_c = _cents(b["p_retailprice"])
+        keep = pc.greater(pc.multiply(price_c, pa.scalar(n_total, pa.int64())),
+                          pa.scalar(sum_c, pa.int64()))
+        return b.filter(keep)
+
+    return _t(sf_dir, "part", cols).map_batches(
+        pick, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_ABOVE_AVG = """
+SELECT p_partkey, p_name, p_retailprice FROM part
+WHERE CAST(ROUND(p_retailprice*100) AS BIGINT)
+      * (SELECT COUNT(*) FROM part)
+    > (SELECT SUM(CAST(ROUND(p_retailprice*100) AS BIGINT)) FROM part)
+"""
+
+
 ANALYTICS_QUERIES = {
     "window_lag": (q_window_lag, SQL_WINDOW_LAG),
     "rollup_agg": (q_rollup_agg, SQL_ROLLUP_AGG),
@@ -447,4 +702,9 @@ ANALYTICS_QUERIES = {
     "regex_tokens": (q_regex_tokens, SQL_REGEX_TOKENS),
     "string_agg_topn": (q_string_agg_topn, SQL_STRING_AGG_TOPN),
     "approx_quantiles": (q_approx_quantiles, None),
+    "left_join": (q_left_join, SQL_LEFT_JOIN),
+    "moving_avg": (q_moving_avg, SQL_MOVING_AVG),
+    "window_rank": (q_window_rank, SQL_WINDOW_RANK),
+    "cube_agg": (q_cube_agg, SQL_CUBE_AGG),
+    "above_avg": (q_above_avg, SQL_ABOVE_AVG),
 }
