@@ -457,7 +457,16 @@ def q_simhash_neardup(sf_dir: str):
         })
 
     both = ds.union(ds.map_batches(perturb, batch_format="pyarrow"))
+    return _simhash_pairs(both)
 
+
+def _simhash_pairs(corpus, ham_max: int = 8):
+    """SimHash-banded candidate pairs over a (doc_id, text) Dataset:
+    64-bit simhash → 4×16-bit bands → bucket-partitioned pair stage with
+    the fingerprint riding on each band row (hamming ≤ ``ham_max``
+    verification fused into pair emission — no join, no second corpus
+    pass). Returns (doc_a, doc_b, hamming), a < b, deduped. Shared by
+    q_simhash_neardup and the connected-components dedup grouping."""
     def bands(b: pa.Table) -> pa.Table:
         sh = simhash64(b["text"].to_pylist())  # (n,) int64
         shu = sh.view(np.uint64)
@@ -481,9 +490,10 @@ def q_simhash_neardup(sf_dir: str):
             "bpart": pa.array(bpart),
         })
 
-    banded = both.map_batches(bands, batch_format="pyarrow")
+    banded = corpus.map_batches(bands, batch_format="pyarrow")
     cand = banded.groupby("bpart").map_groups(
-        partial(bucket_pairs, fp_col="fp", ham_max=8), batch_format="pandas")
+        partial(bucket_pairs, fp_col="fp", ham_max=ham_max),
+        batch_format="pandas")
     # a pair can surface from several bands — partition-routed vectorized
     # dedup (see dedup_pairs); hamming rides along (identical for every
     # occurrence of a pair)
@@ -1600,6 +1610,256 @@ def q_crawl_refresh_mini(sf_dir: str):
 # registry: name -> (ray_fn, sql_or_None)
 # =====================================================================
 
+# =====================================================================
+# token frequency (text analysis, oracled): the classic wordcount
+# =====================================================================
+
+def q_word_freq(sf_dir: str, k: int = 40):
+    """Top-k most frequent lowercase word tokens across the corpus. Scale
+    shape: each block pre-aggregates with ONE Arrow value_counts (the
+    combiner — the groupby shuffle carries per-block-distinct (token,
+    count) rows, never the token stream), the global groupby reduces per
+    token, and the top-k is a per-block partial top-k merged on the
+    driver (≤ k·blocks rows) — no global sort. Tokenization is RE2 on
+    both sides (Arrow and DuckDB), so the oracle is exact; ties at the
+    cut are broken by token order on both sides."""
+    ds = _docs(sf_dir, ["text"])
+
+    def counts(b: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(b["text"].combine_chunks())
+        flat = pc.list_flatten(pc.split_pattern_regex(low, "[^a-z]+"))
+        flat = flat.filter(pc.not_equal(flat, pa.scalar("")))
+        vc = pc.value_counts(flat)
+        return pa.table({"token": vc.field("values"),
+                         "n": vc.field("counts")})
+
+    agg = (
+        ds.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def partial_top(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().sort_values(
+            ["n", "token"], ascending=[False, True], kind="mergesort")
+        return pa.Table.from_pandas(df.head(k), preserve_index=False)
+
+    rows = agg.map_batches(partial_top, batch_format="pyarrow").take_all()
+    out = (pd.DataFrame(rows)
+           .sort_values(["n", "token"], ascending=[False, True],
+                        kind="mergesort").head(k))
+    return pa.table({"token": pa.array(out["token"], type=pa.string()),
+                     "n": pa.array(out["n"].to_numpy().astype(np.int64))})
+
+
+SQL_WORD_FREQ = """
+SELECT token, COUNT(*) AS n FROM (
+  SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS token
+  FROM documents)
+WHERE token <> '' GROUP BY token
+ORDER BY n DESC, token LIMIT 40
+"""
+
+
+# =====================================================================
+# edit distance (string similarity, oracled against DuckDB levenshtein)
+# =====================================================================
+
+def _levenshtein(a: str, b: str) -> int:
+    """Unit-cost Levenshtein distance (two-row DP)."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def q_edit_distance(sf_dir: str, probe: str = "Brand#33"):
+    """Distribution of Levenshtein distances from every part's brand to a
+    probe string. The DP runs once per DISTINCT value per block (brands
+    are low-cardinality; the per-row work is a vectorized gather), then
+    one tiny groupby — the memoize-by-unique pattern for any expensive
+    scalar function over a categorical column."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_brand"])
+
+    def dists(b: pa.Table) -> pa.Table:
+        brands = b["p_brand"].combine_chunks()
+        enc = brands.dictionary_encode()
+        uniq = enc.dictionary.to_pylist()
+        d_per_uniq = np.array([_levenshtein(u, probe) for u in uniq],
+                              dtype=np.int64)
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        return pa.table({"d": pa.array(d_per_uniq[idx])})
+
+    return (
+        ds.map_batches(dists, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("d")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+SQL_EDIT_DISTANCE = """
+SELECT levenshtein(p_brand, 'Brand#33') AS d, COUNT(*) AS n
+FROM part GROUP BY d
+"""
+
+
+# =====================================================================
+# dedup grouping: connected components over near-dup pairs (rows-only)
+# =====================================================================
+
+_CC_DRIVER_LIMIT = 5_000_000  # pairs; ~80 MB of 2×int64 — the same
+# guarded-small-side discipline as _BROADCAST_KEY_LIMIT: a near-dup pair
+# list is ~dup_rate × corpus (orders of magnitude below row count), so
+# the driver union-find is the common case; past the guard the
+# distributed pointer-doubling loop below takes over.
+
+
+def connected_components(edges, max_rounds: int = 20,
+                         driver_limit: int = _CC_DRIVER_LIMIT):
+    """Connected components over a (u, v) pair Dataset (undirected, one
+    direction suffices). Returns (node, label), label = component min.
+
+    Two paths behind a size guard:
+    - pairs ≤ ``driver_limit``: path-compressed union-find on the driver
+      (the pair list is the SMALL side of a dedup problem — bounded
+      materialization, same pattern as the broadcast-join guard);
+    - else: distributed min-label propagation WITH pointer doubling —
+      per round each node takes the min of its neighbors' labels (one
+      hash join + one groupby-min carrying two int64s per row), then
+      shortcuts through its label's label (labels ⨝ labels — path
+      compression), so convergence needs O(log diameter) rounds; a
+      1000-node chain resolves in ~10. Convergence is detected by the
+      monotonically-decreasing global label sum; ``max_rounds`` is a
+      backstop, not a bound the data is trusted to meet silently. Each
+      round's labels are materialized: iterative algorithms must cut
+      lineage or Ray re-executes the whole prefix per round."""
+    edges = edges.materialize()
+    if edges.count() <= driver_limit:
+        t = pa.concat_tables(
+            [pa.table(b) for b in
+             edges.iter_batches(batch_format="pyarrow", batch_size=None)]
+        ) if edges.count() else pa.table(
+            {"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(t["u"].to_pylist(), t["v"].to_pylist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = np.array(sorted(parent), dtype=np.int64)
+        lbls = np.array([find(int(n)) for n in nodes], dtype=np.int64)
+        return rd.from_arrow(pa.table({"node": pa.array(nodes),
+                                       "label": pa.array(lbls)}))
+    both_dirs = edges.map_batches(
+        lambda b: pa.table({
+            "u": pa.concat_arrays([b["u"].combine_chunks(),
+                                   b["v"].combine_chunks()]),
+            "v": pa.concat_arrays([b["v"].combine_chunks(),
+                                   b["u"].combine_chunks()]),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+
+    # round 0: label(n) = min(n, min over neighbors)
+    labels = both_dirs.groupby("u").aggregate(Min("v", alias_name="nmin"))
+    labels = labels.map_batches(
+        lambda b: pa.table({
+            "node": b["u"],
+            "label": pc.min_element_wise(b["u"], b["nmin"]),
+        }),
+        batch_format="pyarrow",
+    ).materialize()
+    prev_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
+
+    for _ in range(max_rounds):
+        msgs = both_dirs.join(
+            labels, join_type="inner", num_partitions=join_parts(),
+            on=("u",), right_on=("node",),
+        ).map_batches(
+            lambda b: pa.table({"node": b["v"], "label": b["label"]}),
+            batch_format="pyarrow",
+        )
+        labels = labels.union(msgs).groupby("node").aggregate(
+            Min("label", alias_name="label"))
+        # pointer doubling: label(n) ← label(label(n)). Every label value
+        # is itself a node present in `labels` (labels hold only edge-
+        # endpoint ids and min() preserves that), so the left join below
+        # always hits; label(label) ≤ label keeps the sum monotone.
+        hop = labels.map_batches(
+            lambda b: pa.table({"node2": b["node"], "label2": b["label"]}),
+            batch_format="pyarrow",
+        )
+        labels = labels.join(
+            hop, join_type="inner", num_partitions=join_parts(),
+            on=("label",), right_on=("node2",),
+        ).map_batches(
+            lambda b: pa.table({"node": b["node"], "label": b["label2"]}),
+            batch_format="pyarrow",
+        ).materialize()
+        cur_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+def q_dedup_groups(sf_dir: str):
+    """Near-duplicate CLUSTERS (rows-only): documents plus two levels of
+    perturbed copies (last word dropped → +10⁶, last two words → 2·10⁶)
+    form chains A–A′–A″; SimHash banding emits the near-dup pairs
+    (``_simhash_pairs`` — fingerprints ride the band rows, no text in
+    the shuffle) and ``connected_components`` folds the pair list into
+    components. Returns one row per multi-member component: (component =
+    min doc_id, size) — the table a dedup pass keeps one representative
+    per row of. Pinned by tests/test_analytics_ops.py against a
+    driver-side union-find over the identical pair list."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def perturb(n_words: int, offset: int):
+        def fn(b: pa.Table) -> pa.Table:
+            texts = [" ".join(t.split()[:-n_words])
+                     for t in b["text"].to_pylist()]
+            return pa.table({
+                "doc_id": pc.add(b["doc_id"],
+                                 pa.scalar(offset, type=pa.int64())),
+                "text": pa.array(texts, type=pa.string()),
+            })
+        return fn
+
+    corpus = ds.union(
+        ds.map_batches(perturb(1, 1_000_000), batch_format="pyarrow"),
+        ds.map_batches(perturb(2, 2_000_000), batch_format="pyarrow"),
+    )
+    # ham_max=3 keeps edges to genuine near-dups: at 8 the short-doc
+    # tail of the synthetic corpus chains into one giant component whose
+    # diameter (not size) drives the propagation round count
+    pairs = _simhash_pairs(corpus, ham_max=3).map_batches(
+        lambda b: pa.table({"u": b["doc_a"], "v": b["doc_b"]}),
+        batch_format="pyarrow",
+    )
+    labels = connected_components(pairs)
+    return labels.groupby("label").aggregate(
+        Count(alias_name="size")
+    ).map_batches(
+        lambda b: pa.table({"component": b["label"], "size": b["size"]})
+                  .filter(pc.greater_equal(b["size"], pa.scalar(2, pa.int64()))),
+        batch_format="pyarrow",
+    )
+
+
 DATAOPS_QUERIES = {
     "url_canonicalize": (q_url_canonicalize, SQL_URL_CANONICALIZE),
     "murmur3_hash": (q_murmur3, None),
@@ -1627,4 +1887,7 @@ DATAOPS_QUERIES = {
     "crawl_mini": (q_crawl_mini, None),
     "crawl_feeds_mini": (q_crawl_feeds_mini, None),
     "crawl_refresh_mini": (q_crawl_refresh_mini, None),
+    "word_freq": (q_word_freq, SQL_WORD_FREQ),
+    "edit_distance": (q_edit_distance, SQL_EDIT_DISTANCE),
+    "dedup_groups": (q_dedup_groups, None),
 }

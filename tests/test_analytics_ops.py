@@ -143,3 +143,79 @@ def test_approx_quantiles_tolerance(ray_session, sf_dir):
             want = float(np.quantile(g["l_extendedprice"].to_numpy(), q))
             got = float(out.loc[flag, col])
             assert abs(got - want) <= 0.01 * abs(want), (flag, col, got, want)
+
+
+def test_connected_components_both_paths(ray_session):
+    """Driver union-find and the distributed pointer-doubling loop give
+    identical labels on a graph with a long chain (diameter 40 — would
+    need 40 rounds without doubling), two cliques, and singleton-free
+    bookkeeping (nodes only enter via edges)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawlray.pipelines.dataops import connected_components
+
+    chain = [(i, i + 1) for i in range(100, 140)]
+    clique_a = [(1, 2), (2, 3), (1, 3)]
+    clique_b = [(50, 60), (60, 70)]
+    edges_py = chain + clique_a + clique_b
+    edges = rd.from_arrow(pa.table({
+        "u": pa.array([a for a, _ in edges_py], pa.int64()),
+        "v": pa.array([b for _, b in edges_py], pa.int64()),
+    }))
+    drv = connected_components(edges).to_pandas().sort_values(
+        "node", ignore_index=True)
+    dist = connected_components(edges, driver_limit=0).to_pandas().sort_values(
+        "node", ignore_index=True)
+    assert drv.equals(dist)
+    by = drv.set_index("node")["label"]
+    assert (by.loc[100:140] == 100).all()      # chain collapsed to its min
+    assert (by.loc[[1, 2, 3]] == 1).all()
+    assert (by.loc[[50, 60, 70]] == 50).all()
+
+
+def test_dedup_groups_matches_union_find(ray_session):
+    """q_dedup_groups (simhash pairs → connected components) equals a
+    driver-side union-find over the identical pair list."""
+    import collections
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from crawlray.pipelines.dataops import (_docs, _simhash_pairs,
+                                            q_dedup_groups)
+
+    sf = "/root/testdata/sf0.001"
+    got = {(int(r.component), int(r.size))
+           for r in q_dedup_groups(sf).to_pandas().itertuples()}
+
+    ds = _docs(sf, ["doc_id", "text"])
+
+    def pert(nw, off):
+        def fn(b):
+            texts = [" ".join(t.split()[:-nw]) for t in b["text"].to_pylist()]
+            return pa.table({
+                "doc_id": pc.add(b["doc_id"], pa.scalar(off, type=pa.int64())),
+                "text": pa.array(texts, type=pa.string()),
+            })
+        return fn
+
+    corpus = ds.union(ds.map_batches(pert(1, 1_000_000), batch_format="pyarrow"),
+                      ds.map_batches(pert(2, 2_000_000), batch_format="pyarrow"))
+    pairs = _simhash_pairs(corpus, ham_max=3).to_pandas()
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = collections.Counter(find(n) for n in parent)
+    want = {(c, s) for c, s in comp.items() if s >= 2}
+    assert got == want
+    assert all(s >= 2 for _, s in got)
