@@ -693,6 +693,61 @@ WHERE CAST(ROUND(p_retailprice*100) AS BIGINT)
 """
 
 
+# =====================================================================
+# hopping (sliding) window (§2.9): overlapping event-time windows
+# =====================================================================
+
+def q_hopping_window(sf_dir: str):
+    """2-hour windows hopping every hour: each event lands in exactly
+    two windows (starts floor(ts,1h) and floor(ts,1h)−1h), emitted by
+    ONE vectorized map that duplicates rows into their window
+    assignments before a single groupby — the fan-out-then-aggregate
+    shape every overlapping-window engine uses; the shuffle carries
+    (type, window_start, cents), never the event payload."""
+    ds = _t(sf_dir, "events", ["event_type", "ts", "value"])
+    hour = pa.scalar(3_600_000_000, pa.duration("us"))
+
+    def fan_out(b: pa.Table) -> pa.Table:
+        def arr(x):
+            return x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
+
+        w0 = arr(pc.floor_temporal(b["ts"], unit="hour"))
+        w1 = arr(pc.subtract(w0, hour))
+        cents = arr(_cents(b["value"], 10000))
+        et = arr(b["event_type"])
+        return pa.table({
+            "event_type": pa.concat_arrays([et, et]),
+            "w": pa.concat_arrays([w0, w1]),
+            "value_c": pa.concat_arrays([cents, cents]),
+        })
+
+    agg = (
+        ds.map_batches(fan_out, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "w"])
+        .aggregate(Count(alias_name="n"), Sum("value_c", alias_name="value_c"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table({
+            "event_type": b["event_type"], "w": b["w"], "n": b["n"],
+            "sum_value": pc.divide(b["value_c"].cast(pa.float64()),
+                                   pa.scalar(10000.0)),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+SQL_HOPPING_WINDOW = """
+SELECT event_type, w, COUNT(*) AS n,
+  CAST(SUM(CAST(ROUND(value*10000) AS BIGINT)) AS DOUBLE)/10000.0 AS sum_value
+FROM (
+  SELECT event_type, value,
+    unnest([date_trunc('hour', ts),
+            date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS w
+  FROM events)
+GROUP BY event_type, w
+"""
+
+
 ANALYTICS_QUERIES = {
     "window_lag": (q_window_lag, SQL_WINDOW_LAG),
     "rollup_agg": (q_rollup_agg, SQL_ROLLUP_AGG),
@@ -707,4 +762,5 @@ ANALYTICS_QUERIES = {
     "window_rank": (q_window_rank, SQL_WINDOW_RANK),
     "cube_agg": (q_cube_agg, SQL_CUBE_AGG),
     "above_avg": (q_above_avg, SQL_ABOVE_AVG),
+    "hopping_window": (q_hopping_window, SQL_HOPPING_WINDOW),
 }

@@ -1860,6 +1860,92 @@ def q_dedup_groups(sf_dir: str):
     )
 
 
+# =====================================================================
+# TF-IDF top terms per source (text analysis, oracled)
+# =====================================================================
+
+def q_tfidf_topterms(sf_dir: str, k: int = 5):
+    """Top-k tokens per source by TF-IDF. Scale shape: term counts use
+    the same per-block value_counts combiner as word_freq (the shuffle
+    carries per-block-distinct (source, token, n) rows); document
+    frequency is a second groupby over the ALREADY-aggregated
+    (source, token) table (bounded by vocab × sources, not corpus
+    rows) and is broadcast as a token→df lookup — the partitioning
+    assumption is vocab × sources fits one worker, the same bound any
+    TF-IDF vocabulary table carries; an oversized vocab would swap the
+    broadcast for a token hash join. tfidf = tf · ln(n_sources/df) is
+    rounded to 6 decimals BEFORE ranking on both sides, so libm-vs-
+    DuckDB ln() ulp noise can neither flip values nor the top-k cut."""
+    ds = _docs(sf_dir, ["source", "text"])
+
+    def counts(b: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(b["text"].combine_chunks())
+        toks = pc.split_pattern_regex(low, "[^a-z]+")
+        flat = pc.list_flatten(toks)
+        src = pa.concat_arrays([
+            pa.array(np.repeat(s, n))
+            for s, n in zip(b["source"].to_pylist(),
+                            pc.list_value_length(toks).to_pylist())
+        ]) if b.num_rows else pa.array([], pa.string())
+        t = pa.table({"source": src, "token": flat}).filter(
+            pc.not_equal(flat, pa.scalar("")))
+        g = t.group_by(["source", "token"]).aggregate([([], "count_all")])
+        return g.rename_columns(["source", "token", "n"])
+
+    tc = (
+        ds.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "token"])
+        .aggregate(Sum("n", alias_name="tf"))
+    ).materialize()  # consumed twice: df aggregation + scoring
+
+    n_sources = _docs(sf_dir, ["source"]).unique("source")
+    ns = float(len(n_sources))
+    df_rows = tc.groupby("token").aggregate(Count(alias_name="df")).take_all()
+    df_lut = {r["token"]: float(r["df"]) for r in df_rows}
+    lut_ref = ray.put(df_lut)
+
+    def score(b: pa.Table) -> pa.Table:
+        import ray as _r
+
+        lut = _r.get(lut_ref)
+        tf = b["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        df = np.array([lut[t] for t in b["token"].to_pylist()])
+        return pa.table({
+            "source": b["source"], "token": b["token"], "tf": b["tf"],
+            "tfidf": pa.array(np.round(tf * np.log(ns / df), 6)),
+        })
+
+    def top_per_source(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["tfidf", "token"], ascending=[False, True],
+                             kind="mergesort").head(k)
+
+    return (
+        tc.map_batches(score, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(top_per_source, batch_format="pandas")
+    )
+
+
+SQL_TFIDF_TOPTERMS = """
+WITH tc AS (
+  SELECT source, token, COUNT(*) AS tf FROM (
+    SELECT source,
+      unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS token
+    FROM documents)
+  WHERE token <> '' GROUP BY source, token
+), d AS (SELECT token, COUNT(*) AS df FROM tc GROUP BY token),
+s AS (SELECT CAST(COUNT(DISTINCT source) AS DOUBLE) AS ns FROM documents),
+scored AS (
+  SELECT tc.source, tc.token, tf,
+    ROUND(tf * ln(ns / df), 6) AS tfidf
+  FROM tc JOIN d USING (token) CROSS JOIN s)
+SELECT source, token, tf, tfidf FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY tfidf DESC, token) AS rn
+  FROM scored) WHERE rn <= 5
+"""
+
+
 DATAOPS_QUERIES = {
     "url_canonicalize": (q_url_canonicalize, SQL_URL_CANONICALIZE),
     "murmur3_hash": (q_murmur3, None),
@@ -1888,6 +1974,7 @@ DATAOPS_QUERIES = {
     "crawl_feeds_mini": (q_crawl_feeds_mini, None),
     "crawl_refresh_mini": (q_crawl_refresh_mini, None),
     "word_freq": (q_word_freq, SQL_WORD_FREQ),
+    "tfidf_topterms": (q_tfidf_topterms, SQL_TFIDF_TOPTERMS),
     "edit_distance": (q_edit_distance, SQL_EDIT_DISTANCE),
     "dedup_groups": (q_dedup_groups, None),
 }
