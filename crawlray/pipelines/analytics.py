@@ -505,6 +505,70 @@ WHERE c_custkey < 400
 
 
 # =====================================================================
+# FULL OUTER join (J5 family: preserve both unmatched sides)
+# =====================================================================
+
+def q_full_join(sf_dir: str):
+    """Urgent-order counts (custkey < 200) FULL OUTER JOIN low-priority
+    counts (100 ≤ custkey < 300): the key ranges only half-overlap, so
+    left-only, right-only, and matched rows all genuinely occur. Both
+    sides are groupby-aggregated BEFORE the join (each bounded by
+    |customers|), keys are coalesced into one output column and counts
+    null-filled on both sides — completing the inner/left/full join-type
+    surface over the same aggregate-then-join shape."""
+    from .sizing import join_parts
+
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def side(prio: str, lo: int, hi: int, key: str, cnt: str):
+        def prep(b: pa.Table) -> pa.Table:
+            m = pc.and_(
+                pc.equal(b["o_orderpriority"], pa.scalar(prio)),
+                pc.and_(pc.greater_equal(b["o_custkey"], pa.scalar(lo)),
+                        pc.less(b["o_custkey"], pa.scalar(hi))))
+            return pa.table({key: b["o_custkey"].filter(m)})
+
+        return (
+            orders.map_batches(prep, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .groupby(key).aggregate(Count(alias_name=cnt))
+        )
+
+    a = side("1-URGENT", 0, 200, "ka", "n_urgent")
+    b = side("5-LOW", 100, 300, "kb", "n_low")
+    j = a.join(b, join_type="full_outer", num_partitions=join_parts(),
+               on=("ka",), right_on=("kb",))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        # Ray's full_outer join coalesces the key into the LEFT key
+        # column (verified: right-only rows carry ka, zero nulls)
+        zero = pa.scalar(0, pa.int64())
+        return pa.table({
+            "custkey": t["ka"],
+            "n_urgent": pc.coalesce(t["n_urgent"], zero),
+            "n_low": pc.coalesce(t["n_low"], zero),
+        })
+
+    return j.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_FULL_JOIN = """
+SELECT COALESCE(a.ka, b.kb) AS custkey,
+  COALESCE(a.n_urgent, 0) AS n_urgent,
+  COALESCE(b.n_low, 0) AS n_low
+FROM (
+  SELECT o_custkey AS ka, COUNT(*) AS n_urgent FROM orders
+  WHERE o_orderpriority = '1-URGENT' AND o_custkey < 200
+  GROUP BY o_custkey
+) a FULL JOIN (
+  SELECT o_custkey AS kb, COUNT(*) AS n_low FROM orders
+  WHERE o_orderpriority = '5-LOW' AND o_custkey >= 100 AND o_custkey < 300
+  GROUP BY o_custkey
+) b ON a.ka = b.kb
+"""
+
+
+# =====================================================================
 # window frame aggregate (§2.9): moving average, ROWS 2 PRECEDING
 # =====================================================================
 
@@ -763,4 +827,5 @@ ANALYTICS_QUERIES = {
     "cube_agg": (q_cube_agg, SQL_CUBE_AGG),
     "above_avg": (q_above_avg, SQL_ABOVE_AVG),
     "hopping_window": (q_hopping_window, SQL_HOPPING_WINDOW),
+    "full_join": (q_full_join, SQL_FULL_JOIN),
 }
