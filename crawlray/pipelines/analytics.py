@@ -812,6 +812,494 @@ GROUP BY event_type, w
 """
 
 
+# =====================================================================
+# cumulative window aggregate (§2.9): running total per partition
+# =====================================================================
+
+def q_running_total(sf_dir: str):
+    """Per-customer running spend (SUM ... ROWS UNBOUNDED PRECEDING):
+    one groupby(o_custkey) shuffle carrying 3 small columns, then a
+    vectorized cumsum over int cents per group — the cumulative-frame
+    sibling of q_moving_avg's bounded frame. The division to float
+    happens once per row on identical int64 operands, so the hash
+    compare is exact."""
+    import pyarrow.dataset as pads
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+        filter=pads.field("o_custkey") < 300,
+    )
+
+    def per_cust(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_orderdate", "o_orderkey"], kind="mergesort")
+        cents = np.round(g["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
+        run = np.cumsum(cents)
+        return pd.DataFrame({
+            "o_custkey": g["o_custkey"].to_numpy(),
+            "o_orderkey": g["o_orderkey"].to_numpy(),
+            "running_spend": run.astype(np.float64) / 100.0,
+        })
+
+    return ds.groupby("o_custkey").map_groups(per_cust, batch_format="pandas")
+
+
+SQL_RUNNING_TOTAL = """
+SELECT o_custkey, o_orderkey,
+  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))
+       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS UNBOUNDED PRECEDING) AS DOUBLE)/100.0 AS running_spend
+FROM orders WHERE o_custkey < 300
+"""
+
+
+# =====================================================================
+# arg-extreme aggregation (§2.5): the row that holds the group maximum
+# =====================================================================
+
+def q_arg_extremes(sf_dir: str):
+    """Per nation: the customer holding the MAX balance (arg_max with a
+    deterministic min-custkey tie-break). Distributed shape: every block
+    reduces to ≤ |nations| candidate rows (per-block partial arg-max),
+    so the groupby shuffle carries O(blocks·25) rows regardless of
+    customer count; the final pick re-applies the same ordering. The
+    balance column is compared only (never recomputed), so floats pass
+    through bit-exact."""
+    ds = _t(sf_dir, "customer",
+            ["c_nationkey", "c_custkey", "c_name", "c_acctbal"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["c_nationkey", "c_acctbal", "c_custkey"],
+                            ascending=[True, False, True], kind="mergesort")
+        return df.groupby("c_nationkey", sort=False).head(1)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["c_acctbal", "c_custkey"],
+                          ascending=[False, True], kind="mergesort").head(1)
+        return pd.DataFrame({
+            "c_nationkey": [int(g["c_nationkey"].iloc[0])],
+            "top_name": [g["c_name"].iloc[0]],
+            "top_bal": [float(g["c_acctbal"].iloc[0])],
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("c_nationkey")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+SQL_ARG_EXTREMES = """
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+  c_name AS top_name, c_acctbal AS top_bal
+FROM (
+  SELECT c_nationkey, c_name, c_acctbal,
+    ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                       ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM customer
+) WHERE rn = 1
+"""
+
+
+# =====================================================================
+# percent-of-total (§2.5): group share of a global aggregate
+# =====================================================================
+
+def q_pct_of_total(sf_dir: str):
+    """Revenue share per returnflag: ONE distributed groupby produces
+    the per-flag cent sums (≤ |flags| rows); the global total is the sum
+    of those group sums (O(groups) on the driver, same discipline as
+    rollup/cube), and the share is a single float division on identical
+    int64 operands on both sides — the broadcast-the-scalar window
+    pattern (SUM() OVER ()) without a second pass over the data."""
+    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "rev_c": _cents(b["l_extendedprice"]),
+        })
+
+    rows = (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_returnflag")
+        .aggregate(Sum("rev_c", alias_name="rev_c"))
+        .take_all()  # bounded: one row per returnflag
+    )
+    total = sum(r["rev_c"] for r in rows)
+    return pa.table({
+        "l_returnflag": pa.array([r["l_returnflag"] for r in rows],
+                                 type=pa.string()),
+        "revenue": pa.array([r["rev_c"] / 100.0 for r in rows],
+                            type=pa.float64()),
+        "share": pa.array([r["rev_c"] / total for r in rows],
+                          type=pa.float64()),
+    })
+
+
+SQL_PCT_OF_TOTAL = """
+WITH g AS (
+  SELECT l_returnflag,
+    SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS rev_c
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag,
+  CAST(rev_c AS DOUBLE)/100.0 AS revenue,
+  CAST(rev_c AS DOUBLE) / CAST((SELECT SUM(rev_c) FROM g) AS DOUBLE) AS share
+FROM g
+"""
+
+
+# =====================================================================
+# multiway join (J5): TPC-H Q3-shaped shipping-priority top-k
+# =====================================================================
+
+def q_shipping_priority(sf_dir: str):
+    """customer ⨝ orders ⨝ lineitem with date predicates and a top-10 by
+    revenue (TPC-H Q3 shape). Scale plan: (1) lineitem pre-aggregates to
+    (l_orderkey, rev_c4) behind its shipdate filter — the ONE
+    fact-sized shuffle carries two int64 columns; (2) the BUILDING
+    customer keys are a broadcast semi-filter on orders (no shuffle);
+    (3) the bounded orders side joins the aggregate; (4) top-10 is
+    per-block partial top-k + an O(10·blocks) driver merge — no global
+    sort. Ties broken by o_orderkey on both sides."""
+    import ray
+    import pyarrow.dataset as pads
+
+    from .sizing import join_parts
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=pads.field("l_shipdate") > np.datetime64("1995-03-15", "us"),
+    )
+
+    def rev(b: pa.Table) -> pa.Table:
+        r = pc.multiply(b["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "rev_c4": _cents(r, 10000)})
+
+    li_agg = (
+        li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev_c4", alias_name="rev_c4"))
+    )
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"],
+        filter=pads.field("c_mktsegment") == "BUILDING",
+    )
+    keys = np.sort(np.array(
+        [r["c_custkey"] for r in cust.take_all()], dtype=np.int64))
+    keys_ref = ray.put(keys)
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=pads.field("o_orderdate") < np.datetime64("1995-03-15", "us"),
+    )
+
+    def semi(b: pa.Table) -> pa.Table:
+        import ray as _r
+
+        ks = _r.get(keys_ref)
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(ks, ck)
+        idx[idx >= len(ks)] = 0
+        hit = ks[idx] == ck if len(ks) else np.zeros(len(ck), bool)
+        return b.filter(pa.array(hit)).select(["o_orderkey", "o_orderdate"])
+
+    orders = orders.map_batches(semi, batch_format="pyarrow")
+    j = li_agg.join(orders, join_type="inner", num_partitions=join_parts(),
+                    on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial_top(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["rev_c4", "l_orderkey"],
+                              ascending=[False, True], kind="mergesort").head(10)
+
+    merged = pd.concat(
+        [b for b in j.map_batches(partial_top, batch_format="pandas")
+                     .iter_batches(batch_format="pandas")],
+        ignore_index=True,
+    ).sort_values(["rev_c4", "l_orderkey"],
+                  ascending=[False, True], kind="mergesort").head(10)
+    return pa.table({
+        "l_orderkey": pa.array(merged["l_orderkey"].to_numpy()),
+        "revenue": pa.array(merged["rev_c4"].to_numpy().astype(np.float64)
+                            / 10000.0),
+        "o_orderdate": pa.array(
+            merged["o_orderdate"].to_numpy().astype("datetime64[us]")),
+    })
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT l_orderkey,
+  CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*10000) AS BIGINT))
+       AS DOUBLE)/10000.0 AS revenue,
+  o_orderdate
+FROM customer JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < DATE '1995-03-15' AND l_shipdate > DATE '1995-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*10000) AS BIGINT)) DESC,
+         l_orderkey
+LIMIT 10
+"""
+
+
+# =====================================================================
+# range (non-equi) join (J6 family): value-band lookup
+# =====================================================================
+
+_BANDS = [(0, 0.0, 50.0), (1, 50.0, 150.0), (2, 150.0, 300.0),
+          (3, 300.0, 1000.0)]
+
+
+def q_range_join(sf_dir: str):
+    """events ⨝ bands ON value ∈ [lo, hi) — a genuine non-equi range
+    join executed as the broadcast-small-side plan every engine picks
+    when one side is an interval dimension: the band edges ship once
+    (they are constants here; `ray.put` once for a real dimension
+    table), each block does ONE vectorized searchsorted, and the only
+    shuffle is the final bounded groupby. Half-open bands mirror the SQL
+    `>= lo AND < hi` predicate exactly."""
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+    edges = np.array([b[1] for b in _BANDS] + [_BANDS[-1][2]])
+
+    def tag(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        band = np.searchsorted(edges, v, side="right").astype(np.int64) - 1
+        ok = (band >= 0) & (band < len(_BANDS)) & (v < edges[-1])
+        return pa.table({
+            "band_id": pa.array(band[ok]),
+            "event_type": pc.array_filter(b["event_type"], pa.array(ok)),
+            "value_c": pc.array_filter(_cents(b["value"]), pa.array(ok)),
+        })
+
+    agg = (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["band_id", "event_type"])
+        .aggregate(Count(alias_name="n"), Sum("value_c", alias_name="value_c"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table({
+            "band_id": b["band_id"], "event_type": b["event_type"],
+            "n": b["n"],
+            "sum_value": pc.divide(b["value_c"].cast(pa.float64()),
+                                   pa.scalar(100.0)),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+SQL_RANGE_JOIN = f"""
+WITH bands(band_id, lo, hi) AS (VALUES
+  {", ".join(f"({i}, {lo}, {hi})" for i, lo, hi in _BANDS)})
+SELECT CAST(band_id AS BIGINT) AS band_id, event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+FROM events JOIN bands ON value >= lo AND value < hi
+GROUP BY band_id, event_type
+"""
+
+
+# =====================================================================
+# stratified sampling (O4): exactly k rows per group, deterministic
+# =====================================================================
+
+def q_stratified_sample(sf_dir: str):
+    """Exactly 5 events per event_type, picked by ascending Knuth
+    multiplicative hash of event_id — a coordination-free stratified
+    sample: any worker ranks its own rows locally (per-block partial
+    top-5 per group prunes the shuffle to O(blocks·types·5) rows), the
+    per-group final re-ranks, and the whole selection is exactly
+    SQL-expressible so the oracle is exact, unlike RNG sampling."""
+    ds = _t(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def with_hash(df: pd.DataFrame) -> pd.DataFrame:
+        h = (df["event_id"].to_numpy().astype(np.uint64)
+             * np.uint64(2654435761)) % np.uint64(1 << 32)
+        df = df.assign(h=h.astype(np.int64))
+        df = df.sort_values(["event_type", "h", "event_id"], kind="mergesort")
+        return df.groupby("event_type", sort=False).head(5)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "event_id"], kind="mergesort").head(5)
+        return g[["event_type", "event_id", "value"]]
+
+    return (
+        ds.map_batches(with_hash, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT event_type, event_id, value FROM (
+  SELECT event_type, event_id, value,
+    ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY (event_id * 2654435761) % 4294967296,
+                                event_id) AS rn
+  FROM events
+) WHERE rn <= 5
+"""
+
+
+# =====================================================================
+# sketch-accelerated semi join (J5 × G5): cuckoo pre-filter + verify
+# =====================================================================
+
+def q_cuckoo_semi_join(sf_dir: str):
+    """lineitem ⋉ part(p_brand='Brand#2') with the engine's own cuckoo
+    filter (state/cuckoo.py — the north rule's seen-set sketch) as a
+    broadcast pre-filter: the dim side builds one filter + sorted key
+    array, ships them once via ray.put, and every fact block drops
+    non-candidates with a vectorized membership probe BEFORE the exact
+    searchsorted verify — the bloom-join pattern that keeps a 100-TB
+    fact scan from shuffling rows that can never match. False positives
+    are removed by the verify, so the result is exact (and oracled)."""
+    import ray
+
+    from crawlray.functions.murmur3 import hash64_batch_i64
+    from crawlray.state.cuckoo import CuckooFilter
+
+    import pyarrow.dataset as pads
+
+    dim = rd.read_parquet(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey"],
+        filter=pads.field("p_brand") == "Brand#2",
+    )
+    keys = np.sort(np.array([r["p_partkey"] for r in dim.take_all()],
+                            dtype=np.int64))
+    cf = CuckooFilter(capacity=max(1 << 10, 4 * len(keys)))
+    key_hashes = hash64_batch_i64([str(k) for k in keys])
+    cf.add_batch(key_hashes)
+    side_ref = ray.put((cf.dump(), keys))
+
+    class Probe:
+        def __init__(self):
+            dump, ks = ray.get(side_ref)
+            self.cf = CuckooFilter.restore(dump)
+            self.keys = ks
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+            h = hash64_batch_i64(pk.astype(str))
+            cand = self.cf.contains_batch(h)  # no false negatives
+            idx = np.searchsorted(self.keys, pk[cand])
+            idx[idx >= len(self.keys)] = 0
+            exact = (self.keys[idx] == pk[cand]) if len(self.keys) else \
+                np.zeros(int(cand.sum()), bool)
+            mask = np.zeros(len(pk), bool)
+            mask[np.flatnonzero(cand)[exact]] = True
+            t = b.filter(pa.array(mask))
+            return pa.table({
+                "l_returnflag": t["l_returnflag"],
+                "qty": pc.round(t["l_quantity"]).cast(pa.int64()),
+            })
+
+    fact = _t(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_returnflag"])
+    return (
+        fact.map_batches(Probe, batch_format="pyarrow", zero_copy_batch=True,
+                         concurrency=(1, 4))
+        .groupby("l_returnflag")
+        .aggregate(Count(alias_name="n"), Sum("qty", alias_name="sum_qty"))
+    )
+
+
+SQL_CUCKOO_SEMI_JOIN = """
+SELECT l_returnflag, COUNT(*) AS n,
+  SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sum_qty
+FROM lineitem
+WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#2')
+GROUP BY l_returnflag
+"""
+
+
+# =====================================================================
+# exact distributed median by 2-pass selection (closes the
+# O(distinct-per-group) gap the exact-quantile histogram merge carries)
+# =====================================================================
+
+_SEL_BUCKET = 4096  # cents per coarse bucket in pass 1
+
+
+def q_median_selection(sf_dir: str):
+    """Exact per-returnflag median (quantile_disc 0.5) of
+    l_extendedprice by TWO bounded passes — the multi-pass selection
+    q_quantiles' docstring defers to when per-group distinct counts are
+    unbounded: pass 1 histograms cents into fixed-width coarse buckets
+    (shuffle carries (flag, bucket, count) — O(blocks × buckets), never
+    the data) and locates the bucket holding the target rank; pass 2
+    re-reads ONLY rows in that one bucket per flag (expected n/buckets
+    of the data) and selects the exact rank within it. Driver holds
+    O(buckets) counts + O(n/buckets) candidate values — both bounded at
+    any scale. Cents are an exact monotonic recode of 2-decimal prices,
+    so selecting on cents and dividing back is bit-exact."""
+    import ray
+
+    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(df["l_extendedprice"].to_numpy() * 100.0).astype(np.int64)
+        bucket = cents // _SEL_BUCKET
+        g = pd.DataFrame({"l_returnflag": df["l_returnflag"], "bucket": bucket})
+        out = g.groupby(["l_returnflag", "bucket"], sort=False).size()
+        out = out.reset_index(name="cnt")
+        return out
+
+    counts = (
+        ds.map_batches(hist, batch_format="pandas")
+        .groupby(["l_returnflag", "bucket"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .take_all()  # bounded: ≤ flags × (price_range/_SEL_BUCKET) rows
+    )
+    cdf = pd.DataFrame(counts).sort_values(["l_returnflag", "bucket"])
+    want = {}  # flag -> (bucket, rank_within_bucket 1-based)
+    for flag, g in cdf.groupby("l_returnflag", sort=False):
+        n = int(g["cnt"].sum())
+        k = (n - 1) // 2 + 1  # quantile_disc(0.5) rank, 1-based
+        cum = g["cnt"].cumsum().to_numpy()
+        i = int(np.searchsorted(cum, k))
+        below = int(cum[i - 1]) if i else 0
+        want[str(flag)] = (int(g["bucket"].iloc[i]), k - below)
+    want_ref = ray.put(want)
+
+    def candidates(b: pa.Table) -> pa.Table:
+        w = ray.get(want_ref)
+        cents = pc.round(pc.multiply(b["l_extendedprice"], pa.scalar(100.0))) \
+                  .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        flags = b["l_returnflag"].to_numpy(zero_copy_only=False)
+        bucket = cents // _SEL_BUCKET
+        mask = np.zeros(len(cents), bool)
+        for f, (bk, _r) in w.items():
+            mask |= (flags == f) & (bucket == bk)
+        return pa.table({
+            "l_returnflag": pa.array(flags[mask], type=pa.string()),
+            "cents": pa.array(cents[mask], type=pa.int64()),
+        })
+
+    cand = pd.DataFrame(
+        ds.map_batches(candidates, batch_format="pyarrow",
+                       zero_copy_batch=True).take_all()
+    )  # bounded: expected n/buckets rows per flag
+    rows = []
+    for f, (bk, r) in sorted(want.items()):
+        vals = np.sort(cand.loc[cand["l_returnflag"] == f, "cents"].to_numpy())
+        rows.append((f, vals[r - 1] / 100.0))
+    return pa.table({
+        "l_returnflag": pa.array([f for f, _ in rows], type=pa.string()),
+        "median_price": pa.array([m for _, m in rows], type=pa.float64()),
+    })
+
+
+SQL_MEDIAN_SELECTION = """
+SELECT l_returnflag,
+  quantile_disc(l_extendedprice, 0.5) AS median_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 ANALYTICS_QUERIES = {
     "window_lag": (q_window_lag, SQL_WINDOW_LAG),
     "rollup_agg": (q_rollup_agg, SQL_ROLLUP_AGG),
@@ -828,4 +1316,12 @@ ANALYTICS_QUERIES = {
     "above_avg": (q_above_avg, SQL_ABOVE_AVG),
     "hopping_window": (q_hopping_window, SQL_HOPPING_WINDOW),
     "full_join": (q_full_join, SQL_FULL_JOIN),
+    "running_total": (q_running_total, SQL_RUNNING_TOTAL),
+    "arg_extremes": (q_arg_extremes, SQL_ARG_EXTREMES),
+    "pct_of_total": (q_pct_of_total, SQL_PCT_OF_TOTAL),
+    "shipping_priority": (q_shipping_priority, SQL_SHIPPING_PRIORITY),
+    "range_join": (q_range_join, SQL_RANGE_JOIN),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "cuckoo_semi_join": (q_cuckoo_semi_join, SQL_CUCKOO_SEMI_JOIN),
+    "median_selection": (q_median_selection, SQL_MEDIAN_SELECTION),
 }
