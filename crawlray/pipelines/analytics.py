@@ -1300,6 +1300,329 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+# =====================================================================
+# GROUPING SETS (§2.5): arbitrary grouping-set list, one fine pass
+# =====================================================================
+
+def q_grouping_sets(sf_dir: str):
+    """GROUP BY GROUPING SETS ((priority), (status)): like rollup/cube,
+    ONE distributed groupby computes the finest (priority, status) level
+    and each requested set is an O(groups) fold of that bounded table —
+    no second pass over the data for any number of sets."""
+    ds = _t(sf_dir, "orders", ["o_orderpriority", "o_orderstatus", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "priority": b["o_orderpriority"],
+            "status": b["o_orderstatus"],
+            "price_c": _cents(b["o_totalprice"]),
+        })
+
+    fine = pd.DataFrame(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["priority", "status"])
+        .aggregate(Count(alias_name="n"), Sum("price_c", alias_name="price_c"))
+        .take_all()
+    )
+    by_p = (fine.groupby("priority", as_index=False)[["n", "price_c"]].sum()
+            .assign(status="ALL"))
+    by_s = (fine.groupby("status", as_index=False)[["n", "price_c"]].sum()
+            .assign(priority="ALL"))
+    out = pd.concat([by_p, by_s], ignore_index=True)
+    return pa.table({
+        "priority": pa.array(out["priority"], type=pa.string()),
+        "status": pa.array(out["status"], type=pa.string()),
+        "n": pa.array(out["n"].astype(np.int64)),
+        "total": pa.array((out["price_c"].astype(np.int64) / 100.0)
+                          .astype(np.float64)),
+    })
+
+
+SQL_GROUPING_SETS = """
+SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+  COALESCE(o_orderstatus, 'ALL') AS status,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+"""
+
+
+# =====================================================================
+# weighted average (§2.5): ratio of two distributed integer sums
+# =====================================================================
+
+def q_weighted_avg(sf_dir: str):
+    """Quantity-weighted mean unit price per returnflag: both numerator
+    (Σ price_cents·qty) and denominator (Σ qty) are exact int64 sums, so
+    the distributed summation order cannot perturb the final single
+    float division — the ratio-of-sums pattern that makes weighted
+    means safe to compute across thousands of blocks."""
+    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice", "l_quantity"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        qty = pc.round(b["l_quantity"]).cast(pa.int64())
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "pq": pc.multiply(_cents(b["l_extendedprice"]), qty),
+            "qty": qty,
+        })
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_returnflag")
+        .aggregate(Sum("pq", alias_name="pq"), Sum("qty", alias_name="qty"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "w_avg_price": pc.divide(
+                pc.divide(b["pq"].cast(pa.float64()), pa.scalar(100.0)),
+                b["qty"].cast(pa.float64())),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+SQL_WEIGHTED_AVG = """
+SELECT l_returnflag,
+  (CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+            * CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE)/100.0)
+  / CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE) AS w_avg_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# =====================================================================
+# funnel / sequence pattern (§2.9): ordered event milestones per user
+# =====================================================================
+
+def q_funnel(sf_dir: str):
+    """Users whose FIRST view precedes their FIRST click precedes their
+    FIRST purchase — sequence-pattern matching as three conditional-min
+    aggregates in ONE groupby(user_id) shuffle (each row ships one
+    int64 timestamp into at most one of three columns), then a bounded
+    vectorized filter. No per-user event list is ever materialized —
+    the shape that survives a 10^9-user event log."""
+    from ray.data.aggregate import Min
+
+    ds = _t(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts = b["ts"].cast(pa.int64())
+        et = b["event_type"]
+
+        def only(kind):
+            return pc.if_else(pc.equal(et, pa.scalar(kind)), ts,
+                              pa.scalar(None, pa.int64()))
+
+        return pa.table({
+            "user_id": b["user_id"],
+            "tv": only("view"), "tc": only("click"), "tp": only("purchase"),
+        })
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(Min("tv", alias_name="tv"), Min("tc", alias_name="tc"),
+                   Min("tp", alias_name="tp"))
+    )
+
+    def ok(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.and_(pc.less(b["tv"], b["tc"]),
+                            pc.less(b["tc"], b["tp"])),
+                    pc.is_valid(b["tv"]))
+        m = pc.fill_null(m, False)
+        return pa.table({"user_id": pc.array_filter(b["user_id"], m)})
+
+    n = agg.map_batches(ok, batch_format="pyarrow").count()
+    return pa.table({"n_users": pa.array([n], type=pa.int64())})
+
+
+SQL_FUNNEL = """
+SELECT COUNT(*) AS n_users FROM (
+  SELECT user_id,
+    min(CASE WHEN event_type='view' THEN ts END) AS tv,
+    min(CASE WHEN event_type='click' THEN ts END) AS tc,
+    min(CASE WHEN event_type='purchase' THEN ts END) AS tp
+  FROM events GROUP BY user_id)
+WHERE tv IS NOT NULL AND tc IS NOT NULL AND tp IS NOT NULL
+  AND tv < tc AND tc < tp
+"""
+
+
+# =====================================================================
+# INTERSECT / EXCEPT (D5) as one membership-vector groupby
+# =====================================================================
+
+def q_intersect_except(sf_dir: str):
+    """(custkeys ordering in January ∩ February) ∖ March — the set-op
+    chain as ONE groupby over conditional-max membership bits instead of
+    three scans + two shuffles: each row ships (custkey, m1, m2, m3)
+    where the bits are 0/1, Max folds them, and a vectorized filter
+    applies the whole INTERSECT/EXCEPT expression at once."""
+    from ray.data.aggregate import Max
+
+    ds = _t(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        m = pc.month(b["o_orderdate"])
+
+        def bit(mm):
+            return pc.cast(pc.equal(m, pa.scalar(mm)), pa.int64())
+
+        return pa.table({
+            "o_custkey": b["o_custkey"],
+            "m1": bit(1), "m2": bit(2), "m3": bit(3),
+        })
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_custkey")
+        .aggregate(Max("m1", alias_name="m1"), Max("m2", alias_name="m2"),
+                   Max("m3", alias_name="m3"))
+    )
+
+    def pick(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.and_(pc.equal(b["m1"], pa.scalar(1)),
+                            pc.equal(b["m2"], pa.scalar(1))),
+                    pc.equal(b["m3"], pa.scalar(0)))
+        return pa.table({"o_custkey": pc.array_filter(b["o_custkey"], m)})
+
+    return agg.map_batches(pick, batch_format="pyarrow")
+
+
+SQL_INTERSECT_EXCEPT = """
+SELECT o_custkey FROM orders WHERE month(o_orderdate) = 1
+INTERSECT
+SELECT o_custkey FROM orders WHERE month(o_orderdate) = 2
+EXCEPT
+SELECT o_custkey FROM orders WHERE month(o_orderdate) = 3
+"""
+
+
+# =====================================================================
+# CROSS JOIN (J5 family): keyless product with a broadcast small side
+# =====================================================================
+
+def q_cross_join(sf_dir: str):
+    """region × nation: the keyless product is a broadcast fan-out —
+    the 5-row side ships once (ray.put for a real dimension) and each
+    nation block emits |block|·5 rows locally; no shuffle at all. The
+    only sane cross-join plan when one side is bounded."""
+    import ray
+
+    regions = sorted(
+        r["r_name"] for r in _t(sf_dir, "region", ["r_name"]).take_all()
+    )
+    r_ref = ray.put(regions)
+
+    def fan(b: pa.Table) -> pa.Table:
+        import ray as _r
+
+        rs = _r.get(r_ref)
+        n = b["n_name"].combine_chunks() if isinstance(b["n_name"], pa.ChunkedArray) \
+            else b["n_name"]
+        return pa.table({
+            "r_name": pa.array([r for r in rs for _ in range(len(n))],
+                               type=pa.string()),
+            "n_name": pa.concat_arrays([n] * len(rs)),
+        })
+
+    return _t(sf_dir, "nation", ["n_name"]).map_batches(
+        fan, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_CROSS_JOIN = """
+SELECT r_name, n_name FROM region CROSS JOIN nation
+"""
+
+
+# =====================================================================
+# UNPIVOT (M13 family): wide → long without a shuffle
+# =====================================================================
+
+def q_unpivot(sf_dir: str):
+    """part(size, retail cents) unpivoted to (p_partkey, attr, val)
+    long rows — the inverse of pivot_status, done as a purely local
+    per-block fan-out (concat of column-tagged arrays); row order is
+    irrelevant under the driver's sorted compare."""
+    import pyarrow.dataset as pads
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_size", "p_retailprice"],
+        filter=pads.field("p_partkey") < 100,
+    )
+
+    def fan(b: pa.Table) -> pa.Table:
+        def arr(x):
+            return x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
+
+        pk = arr(b["p_partkey"])
+        size = arr(b["p_size"].cast(pa.int64()))
+        retail = arr(_cents(b["p_retailprice"]))
+        n = len(pk)
+        return pa.table({
+            "p_partkey": pa.concat_arrays([pk, pk]),
+            "attr": pa.array(["size"] * n + ["retail_c"] * n,
+                             type=pa.string()),
+            "val": pa.concat_arrays([size, retail]),
+        })
+
+    return ds.map_batches(fan, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_UNPIVOT = """
+SELECT p_partkey, 'size' AS attr, CAST(p_size AS BIGINT) AS val
+FROM part WHERE p_partkey < 100
+UNION ALL
+SELECT p_partkey, 'retail_c' AS attr,
+  CAST(ROUND(p_retailprice*100) AS BIGINT) AS val
+FROM part WHERE p_partkey < 100
+"""
+
+
+# =====================================================================
+# date-part extraction (§2.8 date/time family)
+# =====================================================================
+
+def q_date_parts(sf_dir: str):
+    """year / quarter / month / ISO day-of-week / ISO week per order —
+    the calendar-kernel family over Arrow's temporal compute functions,
+    pinned against DuckDB's isodow/weekofyear conventions."""
+    import pyarrow.dataset as pads
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate"],
+        filter=pads.field("o_orderkey") < 600,
+    )
+
+    def parts(b: pa.Table) -> pa.Table:
+        d = b["o_orderdate"]
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "y": pc.year(d).cast(pa.int64()),
+            "q": pc.quarter(d).cast(pa.int64()),
+            "m": pc.month(d).cast(pa.int64()),
+            "isodow": pc.day_of_week(d, count_from_zero=False,
+                                     week_start=1).cast(pa.int64()),
+            "isoweek": pc.iso_week(d).cast(pa.int64()),
+        })
+
+    return ds.map_batches(parts, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_DATE_PARTS = """
+SELECT o_orderkey,
+  year(o_orderdate) AS y, quarter(o_orderdate) AS q,
+  month(o_orderdate) AS m, isodow(o_orderdate) AS isodow,
+  weekofyear(o_orderdate) AS isoweek
+FROM orders WHERE o_orderkey < 600
+"""
+
+
 ANALYTICS_QUERIES = {
     "window_lag": (q_window_lag, SQL_WINDOW_LAG),
     "rollup_agg": (q_rollup_agg, SQL_ROLLUP_AGG),
@@ -1324,4 +1647,11 @@ ANALYTICS_QUERIES = {
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "cuckoo_semi_join": (q_cuckoo_semi_join, SQL_CUCKOO_SEMI_JOIN),
     "median_selection": (q_median_selection, SQL_MEDIAN_SELECTION),
+    "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
+    "weighted_avg": (q_weighted_avg, SQL_WEIGHTED_AVG),
+    "funnel": (q_funnel, SQL_FUNNEL),
+    "intersect_except": (q_intersect_except, SQL_INTERSECT_EXCEPT),
+    "cross_join": (q_cross_join, SQL_CROSS_JOIN),
+    "unpivot": (q_unpivot, SQL_UNPIVOT),
+    "date_parts": (q_date_parts, SQL_DATE_PARTS),
 }
