@@ -1301,6 +1301,134 @@ FROM lineitem GROUP BY l_returnflag
 
 
 # =====================================================================
+# exact interpolated percentiles (quantile_cont) by 2-pass selection
+# =====================================================================
+
+def q_quantile_cont(sf_dir: str, qs=(0.25, 0.75)):
+    """Exact PERCENTILE_CONT(0.25 / 0.75) per returnflag with the same
+    two bounded passes as q_median_selection, generalized to multiple
+    quantiles and to the interpolated definition: pass 1's coarse
+    histogram locates BOTH neighbor ranks ⌊(n-1)q⌋+1 and +2 for every q,
+    pass 2 re-reads only those buckets, and the final value is
+    lo + frac·(hi−lo) computed with the IDENTICAL double expression the
+    oracle uses (every operand is exactly reproducible: cents/100.0 and
+    (n−1)·q), so interpolation is bit-equal. Driver state stays
+    O(buckets) + O(n/buckets) at any scale."""
+    import ray
+
+    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(df["l_extendedprice"].to_numpy() * 100.0).astype(np.int64)
+        g = pd.DataFrame({"l_returnflag": df["l_returnflag"],
+                          "bucket": cents // _SEL_BUCKET})
+        return g.groupby(["l_returnflag", "bucket"], sort=False).size() \
+                .reset_index(name="cnt")
+
+    counts = (
+        ds.map_batches(hist, batch_format="pandas")
+        .groupby(["l_returnflag", "bucket"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .take_all()  # bounded: ≤ flags × (price_range/_SEL_BUCKET)
+    )
+    cdf = pd.DataFrame(counts).sort_values(["l_returnflag", "bucket"])
+    need = {}   # flag -> {bucket: count_below}
+    ranks = {}  # flag -> list of (q, k1, k2, frac)
+    for flag, g in cdf.groupby("l_returnflag", sort=False):
+        n = int(g["cnt"].sum())
+        cum = g["cnt"].cumsum().to_numpy()
+        buckets = g["bucket"].to_numpy()
+        fneed, franks = {}, []
+        for q in qs:
+            r = (n - 1) * float(q)          # exact same double as SQL
+            k1 = int(np.floor(r)) + 1
+            frac = r - np.floor(r)
+            k2 = k1 + 1 if (frac > 0.0 and k1 < n) else k1
+            for k in (k1, k2):
+                i = int(np.searchsorted(cum, k))
+                below = int(cum[i - 1]) if i else 0
+                fneed[int(buckets[i])] = below
+            franks.append((float(q), k1, k2, float(frac)))
+        need[str(flag)] = fneed
+        ranks[str(flag)] = franks
+    need_ref = ray.put(need)
+
+    def candidates(b: pa.Table) -> pa.Table:
+        w = ray.get(need_ref)
+        cents = pc.round(pc.multiply(b["l_extendedprice"], pa.scalar(100.0))) \
+                  .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        flags = b["l_returnflag"].to_numpy(zero_copy_only=False)
+        bucket = cents // _SEL_BUCKET
+        mask = np.zeros(len(cents), bool)
+        for f, bks in w.items():
+            fm = flags == f
+            for bk in bks:
+                mask |= fm & (bucket == bk)
+        return pa.table({
+            "l_returnflag": pa.array(flags[mask], type=pa.string()),
+            "bucket": pa.array(bucket[mask], type=pa.int64()),
+            "cents": pa.array(cents[mask], type=pa.int64()),
+        })
+
+    cand = pd.DataFrame(
+        ds.map_batches(candidates, batch_format="pyarrow",
+                       zero_copy_batch=True).take_all()
+    )
+    out = {"l_returnflag": []}
+    for q in qs:
+        out[f"p{int(q * 100)}"] = []
+    for f in sorted(ranks):
+        pools = {
+            bk: np.sort(cand.loc[(cand["l_returnflag"] == f)
+                                 & (cand["bucket"] == bk), "cents"].to_numpy())
+            for bk in need[f]
+        }
+
+        def value_at(k: int) -> float:
+            for bk, below in need[f].items():
+                vals = pools[bk]
+                if below < k <= below + len(vals):
+                    return vals[k - below - 1] / 100.0
+            raise AssertionError(f"rank {k} not in fetched buckets")
+
+        out["l_returnflag"].append(f)
+        for q, k1, k2, frac in ranks[f]:
+            lo, hi = value_at(k1), value_at(k2)
+            out[f"p{int(q * 100)}"].append(lo + frac * (hi - lo))
+    return pa.table({
+        "l_returnflag": pa.array(out["l_returnflag"], type=pa.string()),
+        **{c: pa.array(out[c], type=pa.float64())
+           for c in out if c != "l_returnflag"},
+    })
+
+
+SQL_QUANTILE_CONT = """
+WITH r AS (
+  SELECT l_returnflag AS f, l_extendedprice AS v,
+    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem),
+k AS (
+  SELECT f, n,
+    MIN(CASE WHEN rn = CAST(floor((n-1)*CAST(0.25 AS DOUBLE)) AS BIGINT)+1
+             THEN v END) AS lo25,
+    MIN(CASE WHEN rn = CAST(floor((n-1)*CAST(0.25 AS DOUBLE)) AS BIGINT)+2
+             THEN v END) AS hi25,
+    MIN(CASE WHEN rn = CAST(floor((n-1)*CAST(0.75 AS DOUBLE)) AS BIGINT)+1
+             THEN v END) AS lo75,
+    MIN(CASE WHEN rn = CAST(floor((n-1)*CAST(0.75 AS DOUBLE)) AS BIGINT)+2
+             THEN v END) AS hi75
+  FROM r GROUP BY f, n)
+SELECT f AS l_returnflag,
+  lo25 + ((n-1)*CAST(0.25 AS DOUBLE) - floor((n-1)*CAST(0.25 AS DOUBLE)))
+         * (COALESCE(hi25, lo25) - lo25) AS p25,
+  lo75 + ((n-1)*CAST(0.75 AS DOUBLE) - floor((n-1)*CAST(0.75 AS DOUBLE)))
+         * (COALESCE(hi75, lo75) - lo75) AS p75
+FROM k
+"""
+
+
+# =====================================================================
 # GROUPING SETS (§2.5): arbitrary grouping-set list, one fine pass
 # =====================================================================
 
@@ -1654,4 +1782,5 @@ ANALYTICS_QUERIES = {
     "cross_join": (q_cross_join, SQL_CROSS_JOIN),
     "unpivot": (q_unpivot, SQL_UNPIVOT),
     "date_parts": (q_date_parts, SQL_DATE_PARTS),
+    "quantile_cont": (q_quantile_cont, SQL_QUANTILE_CONT),
 }
