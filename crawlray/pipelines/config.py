@@ -22,6 +22,13 @@ class CrawlConfig:
     # same admission shuffle as page links (sitemap-index children are
     # re-queued for the next wave). A host without feeds costs two 404s.
     discover_feeds: bool = True
+    # discovery execution switch: waves probing ≤ this many feed URLs
+    # run as chunked plain tasks (cheap); bigger waves run the full
+    # Dataset pipeline whose parsed rows go through a wave-scoped
+    # parquet SIDE-WRITE (manifest sink) instead of an object-store
+    # materialize — the 10^9-feed-entries shape. 0 forces the side-write
+    # path (used by parity tests).
+    disco_inline_limit: int = 4096
     # Refresh / re-crawl scheduling (the reference's steady-state mode is
     # incremental harvesting): when on, a feed/sitemap candidate whose
     # pubDate/lastmod is STRICTLY newer than the recorded version for

@@ -331,7 +331,7 @@ class CrawlRun:
         self.robots_ref = ray.put(self.robots)
 
     # ------------------------------------------------------ discovery
-    def _wave_discovery(self):
+    def _wave_discovery(self, wave: int):
         """D1: fetch+parse the wave's discovery documents (feeds of hosts
         first admitted this wave, plus sitemap-index children queued by
         the previous wave) and return their frontier candidates as a
@@ -339,11 +339,14 @@ class CrawlRun:
         the wave's ONE admission shuffle. Returns None when there is
         nothing to discover.
 
-        The parsed discovery rows (url/via/src/idx — no bodies) are
-        materialized so the tiny sitemap-index-children pass does not
-        re-execute the fetches; at extreme scale (10^9 feed entries per
-        wave) this object-store working set spills — the alternative is a
-        wave-scoped parquet side-write like the pages sink."""
+        The parsed discovery rows (url/via/src/idx — no bodies) must be
+        pinned so the tiny sitemap-index-children pass does not
+        re-execute the fetches. Small waves (≤ cfg.disco_inline_limit
+        probe URLs) run as chunked plain tasks; bigger waves stream the
+        parsed rows through a wave-scoped parquet SIDE-WRITE (the
+        manifest sink, delete+rewrite idempotent under wave replay) so a
+        10^9-feed-entries wave never holds its discovery output in the
+        object store."""
         cfg = self.cfg
         if not cfg.discover_feeds:
             return None
@@ -361,7 +364,7 @@ class CrawlRun:
         self.pending_disco = []
         if not disco_urls:
             return None
-        if len(disco_urls) <= 4096:
+        if len(disco_urls) <= cfg.disco_inline_limit:
             # small-batch fast path: chunked plain tasks instead of a
             # full Dataset pipeline (saves actor-pool spinup + an extra
             # materialize/take_all execution per wave)
@@ -379,7 +382,12 @@ class CrawlRun:
             if not tables:
                 return None
             return rd.from_arrow(pa.concat_tables(tables))
+        import json as _json
+        import shutil
+
         import pyarrow.compute as pc_
+
+        from ..sources.ray_io import ManifestParquetDatasink
 
         src = rd.from_arrow(
             pa.table({"url_canon": pa.array(disco_urls, type=pa.string())})
@@ -392,17 +400,30 @@ class CrawlRun:
                 fn_constructor_kwargs={"transport_spec": cfg.transport},
             )
             .map_batches(discover_batch, batch_format="pyarrow")
-            .materialize()
         )
+        # wave-scoped side-write: discovery output streams to disk with
+        # backpressure (never held whole in the object store); a wave
+        # replay after a crash deletes and rewrites — idempotent
+        disco_dir = self._p("disco", f"wave={wave}")
+        if os.path.isdir(disco_dir):
+            shutil.rmtree(disco_dir)
+        parsed.write_datasink(ManifestParquetDatasink(disco_dir))
+        with open(os.path.join(disco_dir, "manifest.json")) as fh:
+            frags = _json.load(fh)["fragments"]
+        files = [os.path.join(disco_dir, f["file"]) for f in frags
+                 if f["rows"]]
+        if not files:
+            return None
+        back = rd.read_parquet(files)
         self.pending_disco = [
-            r["url"] for r in parsed.map_batches(
+            r["url"] for r in back.map_batches(
                 lambda b: b.filter(
                     pc_.equal(b["via"], pa.scalar("sitemap_index"))
                 ).select(["url"]),
                 batch_format="pyarrow",
             ).take_all()
         ]
-        return parsed.map_batches(
+        return back.map_batches(
             lambda b: _partial_dedup(feed_candidates(b, cfg.n_parts)),
             batch_format="pyarrow",
         )
@@ -459,7 +480,7 @@ class CrawlRun:
                  if n_front else None)
         # D1: sitemap/RSS discovery for hosts first admitted this wave —
         # same candidate schema, same admission shuffle as page links
-        disco_cands = self._wave_discovery()
+        disco_cands = self._wave_discovery(wave)
         if disco_cands is not None:
             cands = (cands.union(disco_cands) if cands is not None
                      else disco_cands)

@@ -132,3 +132,29 @@ def test_discovery_off_means_feeds_unreachable(feed_env, ray_session):
     )
     assert eng == sorted(_key(r) for r in oracle.fetch_log)
     assert not any("/archief/" in k[4] or "/feed/item" in k[4] for k in eng)
+
+
+def test_sidewrite_discovery_parity(feed_env, ray_session):
+    """disco_inline_limit=0 forces every discovery wave through the
+    parquet SIDE-WRITE path (the 10^9-feed-entries shape: parsed rows
+    stream to a wave-scoped manifest-sink directory instead of an
+    object-store materialize). The fetch log must be byte-identical to
+    the inline-tasks run, and the side-write dirs must exist with
+    committed manifests."""
+    import dataclasses
+    import json
+    import os
+
+    from crawlray.pipelines.crawl import run_crawl
+
+    cfg = dataclasses.replace(feed_env["cfg"], disco_inline_limit=0)
+    run_dir = str(feed_env["root"] / "run_sidewrite")
+    run_crawl(run_dir, feed_env["seeds"], feed_env["robots_t"], cfg)
+    eng = sorted(_key(r) for r in _engine_log(run_dir))
+    ora = sorted(_key(r) for r in feed_env["oracle"].fetch_log)
+    assert eng == ora
+    disco_dirs = sorted(glob.glob(f"{run_dir}/disco/wave=*"))
+    assert disco_dirs, "side-write path was not taken"
+    for d in disco_dirs:
+        man = json.load(open(os.path.join(d, "manifest.json")))
+        assert man["rows"] == sum(f["rows"] for f in man["fragments"])
