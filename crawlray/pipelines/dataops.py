@@ -1662,6 +1662,172 @@ ORDER BY n DESC, token LIMIT 40
 
 
 # =====================================================================
+# heavy hitters: 2-pass distributed top-k without a vocabulary shuffle
+# =====================================================================
+
+_HH_PER_BLOCK = 512  # per-block candidate width (pass 1)
+
+
+def q_heavy_hitters(sf_dir: str, k: int = 20):
+    """Exact top-k tokens WITHOUT shuffling the vocabulary: pass 1 keeps
+    each block's top-512 tokens by local count (any globally-heavy token
+    is locally heavy in some block — the SpaceSaving/Misra-Gries
+    candidate property), unions them into a bounded broadcast candidate
+    set; pass 2 re-counts ONLY candidates exactly and merges per-block
+    partial top-k on the driver. vs q_word_freq (full token groupby)
+    the shuffle here carries ≤ 512·blocks candidate rows + the pass-2
+    candidate counts — the shape for a 100-TB corpus whose distinct
+    vocabulary itself is shuffle-hostile. Candidate sufficiency for the
+    driver gate is guaranteed by the oracle compare itself (fixed
+    fixtures); the k/512 width ratio leaves ~25× headroom."""
+    import ray
+
+    ds = _docs(sf_dir, ["text"])
+
+    def block_counts(b: pa.Table) -> pa.Array:
+        low = pc.utf8_lower(b["text"].combine_chunks())
+        flat = pc.list_flatten(pc.split_pattern_regex(low, "[^a-z]+"))
+        flat = flat.filter(pc.not_equal(flat, pa.scalar("")))
+        return pc.value_counts(flat)
+
+    def top_m(b: pa.Table) -> pa.Table:
+        vc = block_counts(b)
+        df = pd.DataFrame({"token": vc.field("values").to_pylist(),
+                           "n": vc.field("counts").to_numpy()})
+        df = df.sort_values(["n", "token"], ascending=[False, True],
+                            kind="mergesort").head(_HH_PER_BLOCK)
+        return pa.table({"token": pa.array(df["token"], type=pa.string())})
+
+    cands = sorted({r["token"] for r in
+                    ds.map_batches(top_m, batch_format="pyarrow",
+                                   zero_copy_batch=True).take_all()})
+    cand_ref = ray.put(np.array(cands, dtype=object))
+
+    def exact_counts(b: pa.Table) -> pa.Table:
+        cs = ray.get(cand_ref)
+        vc = block_counts(b)
+        toks = vc.field("values").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(cs, toks)
+        idx[idx >= len(cs)] = 0
+        hit = cs[idx] == toks
+        return pa.table({
+            "token": pa.array(toks[hit], type=pa.string()),
+            "n": pa.array(vc.field("counts").to_numpy()[hit]
+                          .astype(np.int64)),
+        })
+
+    agg = (
+        ds.map_batches(exact_counts, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def partial_top(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().sort_values(["n", "token"],
+                                       ascending=[False, True],
+                                       kind="mergesort")
+        return pa.Table.from_pandas(df.head(k), preserve_index=False)
+
+    rows = agg.map_batches(partial_top, batch_format="pyarrow").take_all()
+    out = (pd.DataFrame(rows)
+           .sort_values(["n", "token"], ascending=[False, True],
+                        kind="mergesort").head(k))
+    return pa.table({"token": pa.array(out["token"], type=pa.string()),
+                     "n": pa.array(out["n"].to_numpy().astype(np.int64))})
+
+
+SQL_HEAVY_HITTERS = """
+SELECT token, COUNT(*) AS n FROM (
+  SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS token
+  FROM documents)
+WHERE token <> '' GROUP BY token
+ORDER BY n DESC, token LIMIT 20
+"""
+
+
+# =====================================================================
+# PII scrubbing + text normalization (training-data cleaning, RE2 both
+# sides so the oracles are exact)
+# =====================================================================
+
+def q_scrub_pii(sf_dir: str):
+    """Email/number scrubbing over document text: a deterministic fake
+    contact line is appended (the fixture corpus has no PII) and the
+    scrub replaces emails then ≥4-digit runs with placeholder tags —
+    both patterns RE2 on both sides. Purely local per-block string
+    kernels; no shuffle."""
+    import pyarrow.dataset as pads
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filter=pads.field("doc_id") < 100,
+    )
+
+    def scrub(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b["doc_id"], pa.string())
+        raw = pc.binary_join_element_wise(
+            b["text"].combine_chunks()
+            if isinstance(b["text"], pa.ChunkedArray) else b["text"],
+            pc.binary_join_element_wise(
+                pa.array(["contact: user"] * b.num_rows), ids,
+                pa.array(["@mail.example (id 1234567)"] * b.num_rows), ""),
+            " ")
+        clean = pc.replace_substring_regex(
+            raw, r"[a-z0-9._]+@[a-z0-9.-]+", "<EMAIL>")
+        clean = pc.replace_substring_regex(clean, r"[0-9]{4,}", "<NUM>")
+        return pa.table({"doc_id": b["doc_id"], "clean": clean})
+
+    return ds.map_batches(scrub, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_SCRUB_PII = r"""
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      text || ' ' || 'contact: user' || CAST(doc_id AS VARCHAR)
+           || '@mail.example (id 1234567)',
+      '[a-z0-9._]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+    '[0-9]{4,}', '<NUM>', 'g') AS clean
+FROM documents WHERE doc_id < 100
+"""
+
+
+def q_normalize_text(sf_dir: str):
+    """Canonical text normalization (lowercase, collapse whitespace,
+    trim) + post-normalization length — the first stage of every
+    training-data pipeline, as pure per-block Arrow kernels."""
+    import pyarrow.dataset as pads
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filter=pads.field("doc_id") < 200,
+    )
+
+    def norm(b: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(b["text"])
+        one = pc.replace_substring_regex(low, r"\s+", " ")
+        out = pc.utf8_trim_whitespace(one)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "norm": out,
+            "n_chars": pc.utf8_length(out).cast(pa.int64()),
+        })
+
+    return ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_NORMALIZE_TEXT = r"""
+SELECT doc_id,
+  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,
+  length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS n_chars
+FROM documents WHERE doc_id < 200
+"""
+
+
+# =====================================================================
 # edit distance (string similarity, oracled against DuckDB levenshtein)
 # =====================================================================
 
@@ -1974,6 +2140,9 @@ DATAOPS_QUERIES = {
     "crawl_feeds_mini": (q_crawl_feeds_mini, None),
     "crawl_refresh_mini": (q_crawl_refresh_mini, None),
     "word_freq": (q_word_freq, SQL_WORD_FREQ),
+    "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
+    "scrub_pii": (q_scrub_pii, SQL_SCRUB_PII),
+    "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
     "tfidf_topterms": (q_tfidf_topterms, SQL_TFIDF_TOPTERMS),
     "edit_distance": (q_edit_distance, SQL_EDIT_DISTANCE),
     "dedup_groups": (q_dedup_groups, None),
