@@ -217,3 +217,89 @@ def test_minhash_neardup_recovers_all_planted(ray_session):
     n_docs = pq.read_metadata(
         os.path.join(SF_DIR, "documents.parquet")).num_rows
     assert len(planted) == n_docs, (len(planted), n_docs)
+
+
+def test_median_selection_bounded_driver_state(ray_session):
+    """The 2-pass selection's pass-1 histogram must be bounded by
+    price_range/_SEL_BUCKET per flag (never O(rows) or O(distinct)), and
+    pass 2 must fetch only the target buckets' rows."""
+    import pyarrow.dataset as pads
+
+    from crawlray.pipelines.analytics import _SEL_BUCKET, q_median_selection
+
+    t = pq.read_table(os.path.join(SF_DIR, "lineitem.parquet"),
+                      columns=["l_returnflag", "l_extendedprice"])
+    cents = np.round(np.asarray(t["l_extendedprice"]) * 100).astype(np.int64)
+    n_buckets = len(np.unique(cents // _SEL_BUCKET))
+    flags = np.unique(np.asarray(t["l_returnflag"]))
+    # histogram width is bounded by the VALUE DOMAIN (price range /
+    # _SEL_BUCKET), never by row count or distinct count — the property
+    # that distinguishes this from the O(distinct) exact-quantile merge
+    assert n_buckets <= cents.max() // _SEL_BUCKET + 1 < 4000
+    out = q_median_selection(SF_DIR).to_pandas()
+    assert set(out.columns) == {"l_returnflag", "median_price"}
+    assert len(out) == len(flags)
+    # exactness vs numpy (quantile_disc 0.5 = lower median, per flag)
+    fl = np.asarray(t["l_returnflag"])
+    for f in flags:
+        vals = np.sort(cents[fl == f])
+        k = (len(vals) - 1) // 2  # 0-based rank of quantile_disc(0.5)
+        want = vals[k] / 100.0
+        got = float(out.loc[out["l_returnflag"] == f, "median_price"].iloc[0])
+        assert got == want, (f, got, want)
+
+
+def test_quantile_cont_matches_numpy_linear(ray_session):
+    """Interpolated percentiles equal numpy's 'linear' method (the same
+    definition PERCENTILE_CONT uses) bit-for-bit on cents-recoded data."""
+    from crawlray.pipelines.analytics import q_quantile_cont
+
+    t = pq.read_table(os.path.join(SF_DIR, "lineitem.parquet"),
+                      columns=["l_returnflag", "l_extendedprice"])
+    prices = np.asarray(t["l_extendedprice"])
+    fl = np.asarray(t["l_returnflag"])
+    out = q_quantile_cont(SF_DIR).to_pandas()
+    for f in np.unique(fl):
+        vals = np.sort(np.round(prices[fl == f] * 100).astype(np.int64)) / 100.0
+        for q, col in ((0.25, "p25"), (0.75, "p75")):
+            n = len(vals)
+            r = (n - 1) * q
+            k = int(np.floor(r))
+            frac = r - np.floor(r)
+            hi = vals[k + 1] if frac > 0 and k + 1 < n else vals[k]
+            want = vals[k] + frac * (hi - vals[k])
+            got = float(out.loc[out["l_returnflag"] == f, col].iloc[0])
+            assert got == want, (f, q, got, want)
+
+
+def test_heavy_hitters_equals_word_freq_prefix(ray_session):
+    """The candidate-set 2-pass top-k must equal the full-vocabulary
+    groupby's top-k (same tokenization, same tie-break) — proving the
+    per-block top-m candidate generation lost nothing on this corpus."""
+    from crawlray.pipelines.dataops import q_heavy_hitters, q_word_freq
+
+    hh = q_heavy_hitters(SF_DIR, k=20).to_pandas()
+    wf = q_word_freq(SF_DIR, k=40).to_pandas().head(20).reset_index(drop=True)
+    assert hh["token"].tolist() == wf["token"].tolist()
+    assert hh["n"].tolist() == wf["n"].tolist()
+
+
+def test_cuckoo_semi_join_prefilter_drops_rows(ray_session):
+    """The broadcast cuckoo pre-filter must admit every true match (no
+    false negatives — guaranteed by the filter) while dropping most
+    non-matching fact rows before the exact verify."""
+    from crawlray.functions.murmur3 import hash64_batch_i64
+    from crawlray.state.cuckoo import CuckooFilter
+
+    part = pq.read_table(os.path.join(SF_DIR, "part.parquet"),
+                         columns=["p_partkey", "p_brand"])
+    keys = np.asarray(part["p_partkey"])[np.asarray(part["p_brand"]) == "Brand#2"]
+    cf = CuckooFilter(capacity=max(1 << 10, 4 * len(keys)))
+    cf.add_batch(hash64_batch_i64(keys.astype(str)))
+    li = pq.read_table(os.path.join(SF_DIR, "lineitem.parquet"),
+                       columns=["l_partkey"])
+    pk = np.asarray(li["l_partkey"])
+    cand = cf.contains_batch(hash64_batch_i64(pk.astype(str)))
+    true = np.isin(pk, keys)
+    assert not (true & ~cand).any()          # zero false negatives
+    assert cand.sum() < 0.5 * len(pk)        # prefilter actually selective
