@@ -699,6 +699,95 @@ ORDER BY cos DESC, vec_id LIMIT 10
 """
 
 
+def q_ann_filtered(sf_dir: str):
+    """Filtered vector search: brute cosine top-10 restricted to
+    label = 2 — the metadata-predicate + similarity combination every
+    retrieval stack needs. The label filter is PUSHED TO THE READ
+    (parquet row-group pruning), so non-matching vectors never enter a
+    block; the rest is q_ann_cosine's per-block partial top-k + driver
+    merge. Same 4-decimal rounding discipline as the other cosine
+    oracles (libm ulp noise must not flip the cut)."""
+    import pyarrow.dataset as pads
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    k = 10
+    q = _query_vector(path)
+    q_ref = ray.put(q / np.linalg.norm(q))
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"],
+                         filter=pads.field("label") == 2)
+
+    def score_topk(b: pa.Table) -> pa.Table:
+        import ray as _r
+
+        qv = _r.get(q_ref)
+        vid = b["vec_id"].to_numpy(zero_copy_only=False)
+        keep = vid > 0
+        emb = _embedding_matrix(b["embedding"])[keep]
+        vid = vid[keep]
+        if len(vid) == 0:
+            return pa.table({"vec_id": pa.array([], type=pa.int64()),
+                             "cos": pa.array([], type=pa.float64())})
+        norms = np.linalg.norm(emb, axis=1)
+        cos = np.round((emb @ qv) / np.where(norms == 0, 1.0, norms), 4)
+        order = np.lexsort((vid, -cos))[:k]
+        return pa.table({"vec_id": pa.array(vid[order]),
+                         "cos": pa.array(cos[order])})
+
+    return _topk_merge(
+        ds.map_batches(score_topk, batch_format="pyarrow").take_all(), k
+    )
+
+
+SQL_ANN_FILTERED = """
+SELECT vec_id,
+  ROUND(CAST(list_cosine_similarity(embedding,
+    (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS DOUBLE), 4) AS cos
+FROM embeddings WHERE vec_id > 0 AND label = 2
+ORDER BY cos DESC, vec_id LIMIT 10
+"""
+
+
+def q_embedding_pca(sf_dir: str, top: int = 5):
+    """Distributed PCA over the embedding column: every block reduces to
+    one (d×d Gram, column-sum, count) partial — O(d²) per block,
+    NEVER the vectors themselves — the driver (or, past ~10⁵ blocks, a
+    tree of combiners: the partials are associative) sums the partials,
+    forms the exact covariance, and takes the top eigenvalues of the
+    64×64 system locally. Rows-only entry (eigensolves aren't
+    SQL-expressible); pinned against a single-machine numpy PCA to
+    1e-8 relative in tests/test_scale_shapes.py."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = rd.read_parquet(path, columns=["embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        emb = _embedding_matrix(b["embedding"]).astype(np.float64)
+        gram = emb.T @ emb
+        return pa.table({
+            "n": pa.array([emb.shape[0]], type=pa.int64()),
+            "colsum": pa.array([emb.sum(axis=0).tobytes()], type=pa.binary()),
+            "gram": pa.array([gram.tobytes()], type=pa.binary()),
+            "d": pa.array([emb.shape[1]], type=pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    d = int(parts[0]["d"])
+    n = sum(int(p["n"]) for p in parts)
+    colsum = np.zeros(d)
+    gram = np.zeros((d, d))
+    for p in parts:
+        colsum += np.frombuffer(p["colsum"], dtype=np.float64)
+        gram += np.frombuffer(p["gram"], dtype=np.float64).reshape(d, d)
+    mean = colsum / n
+    cov = gram / n - np.outer(mean, mean)
+    evals = np.linalg.eigvalsh(cov)[::-1][:top]
+    total = float(np.trace(cov))
+    return pa.table({
+        "component": pa.array(np.arange(1, top + 1, dtype=np.int64)),
+        "eigenvalue": pa.array(evals.astype(np.float64)),
+        "explained_ratio": pa.array((evals / total).astype(np.float64)),
+    })
+
+
 _ANN_LSH_BITS = 8  # 256 buckets; probe = hamming ball around the query sig
 
 
@@ -2123,6 +2212,8 @@ DATAOPS_QUERIES = {
     "simhash": (q_simhash, None),
     "char_jaccard": (q_char_jaccard, SQL_CHAR_JACCARD),
     "ann_cosine": (q_ann_cosine, SQL_ANN_COSINE),
+    "ann_filtered": (q_ann_filtered, SQL_ANN_FILTERED),
+    "embedding_pca": (q_embedding_pca, None),
     "ann_lsh": (q_ann_lsh, None),
     "ann_ivf": (q_ann_ivf, None),
     "embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS),

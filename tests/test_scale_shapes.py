@@ -303,3 +303,21 @@ def test_cuckoo_semi_join_prefilter_drops_rows(ray_session):
     true = np.isin(pk, keys)
     assert not (true & ~cand).any()          # zero false negatives
     assert cand.sum() < 0.5 * len(pk)        # prefilter actually selective
+
+
+def test_embedding_pca_matches_numpy(ray_session):
+    """The per-block Gram-partial PCA must equal a single-machine numpy
+    PCA on the same data to float tolerance (the partials are exact
+    sums; only association order differs)."""
+    from crawlray.pipelines.dataops import q_embedding_pca
+
+    t = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"),
+                      columns=["embedding"])
+    emb = np.stack([np.asarray(e, dtype=np.float64)
+                    for e in t["embedding"].to_pylist()])
+    cov = np.cov(emb, rowvar=False, bias=True)
+    want = np.linalg.eigvalsh(cov)[::-1][:5]
+    got = q_embedding_pca(SF_DIR).to_pandas()
+    assert np.allclose(got["eigenvalue"].to_numpy(), want, rtol=1e-8)
+    assert np.allclose(got["explained_ratio"].to_numpy(),
+                       want / np.trace(cov), rtol=1e-8)
