@@ -989,6 +989,18 @@ def q_shipping_priority(sf_dir: str):
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"],
         filter=pads.field("c_mktsegment") == "BUILDING",
     )
+    from .relational import _BROADCAST_KEY_LIMIT
+
+    if cust.count() > _BROADCAST_KEY_LIMIT:
+        # oversized segment: real semi join instead of a broadcast set
+        orders = rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+            filter=pads.field("o_orderdate") < np.datetime64("1995-03-15", "us"),
+        ).join(cust, join_type="inner", num_partitions=join_parts(),
+               on=("o_custkey",), right_on=("c_custkey",)) \
+         .select_columns(["o_orderkey", "o_orderdate"])
+        return _ship_prio_topk(li_agg, orders)
     keys = np.sort(np.array(
         [r["c_custkey"] for r in cust.take_all()], dtype=np.int64))
     keys_ref = ray.put(keys)
@@ -1010,6 +1022,15 @@ def q_shipping_priority(sf_dir: str):
         return b.filter(pa.array(hit)).select(["o_orderkey", "o_orderdate"])
 
     orders = orders.map_batches(semi, batch_format="pyarrow")
+    return _ship_prio_topk(li_agg, orders)
+
+
+def _ship_prio_topk(li_agg, orders) -> pa.Table:
+    """Shared tail of q_shipping_priority's broadcast and join paths:
+    bounded join + per-block partial top-10 + O(10·blocks) driver
+    merge."""
+    from .sizing import join_parts
+
     j = li_agg.join(orders, join_type="inner", num_partitions=join_parts(),
                     on=("l_orderkey",), right_on=("o_orderkey",))
 
@@ -1169,6 +1190,24 @@ def q_cuckoo_semi_join(sf_dir: str):
         os.path.join(sf_dir, "part.parquet"), columns=["p_partkey"],
         filter=pads.field("p_brand") == "Brand#2",
     )
+    from .relational import _BROADCAST_KEY_LIMIT
+    from .sizing import join_parts
+
+    fact = _t(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_returnflag"])
+    if dim.count() > _BROADCAST_KEY_LIMIT:
+        # dim side too big even for a sketch broadcast: real semi join
+        j = fact.join(dim, join_type="inner", num_partitions=join_parts(),
+                      on=("l_partkey",), right_on=("p_partkey",))
+        return (
+            j.map_batches(
+                lambda b: pa.table({
+                    "l_returnflag": b["l_returnflag"],
+                    "qty": pc.round(b["l_quantity"]).cast(pa.int64()),
+                }),
+                batch_format="pyarrow")
+            .groupby("l_returnflag")
+            .aggregate(Count(alias_name="n"), Sum("qty", alias_name="sum_qty"))
+        )
     keys = np.sort(np.array([r["p_partkey"] for r in dim.take_all()],
                             dtype=np.int64))
     cf = CuckooFilter(capacity=max(1 << 10, 4 * len(keys)))
@@ -1198,7 +1237,6 @@ def q_cuckoo_semi_join(sf_dir: str):
                 "qty": pc.round(t["l_quantity"]).cast(pa.int64()),
             })
 
-    fact = _t(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_returnflag"])
     return (
         fact.map_batches(Probe, batch_format="pyarrow", zero_copy_batch=True,
                          concurrency=(1, 4))
@@ -1756,6 +1794,119 @@ FROM orders WHERE o_orderkey < 600
 """
 
 
+# =====================================================================
+# RANK() with ties (O2 variant: tie-inclusive top-k per group)
+# =====================================================================
+
+def q_rank_ties(sf_dir: str):
+    """Customers with RANK() ≤ 3 per nation by balance — the
+    tie-INCLUSIVE top-k (groups can exceed 3 rows on equal balances),
+    complementing topk_per_group's ROW_NUMBER semantics. Per-block
+    pruning stays safe under ties: a row with ≤2 strictly-greater rows
+    globally has ≤2 strictly-greater rows in its own block, so keeping
+    each block's rank-≤3 rows is a superset; the per-group final
+    recomputes the exact rank. Balances are compared only, never
+    recomputed — floats pass through bit-exact."""
+    ds = _t(sf_dir, "customer", ["c_nationkey", "c_custkey", "c_acctbal"])
+
+    def rank_le3(df: pd.DataFrame, grp: str) -> pd.DataFrame:
+        df = df.sort_values([grp, "c_acctbal"], ascending=[True, False],
+                            kind="mergesort")
+        # rank = 1 + #strictly-greater within the group (dense over
+        # duplicates): competition rank via cumcount of value changes
+        out = []
+        for _, g in df.groupby(grp, sort=False):
+            vals = g["c_acctbal"].to_numpy()
+            first_idx = np.flatnonzero(np.r_[True, vals[1:] != vals[:-1]])
+            rk = np.zeros(len(vals), dtype=np.int64)
+            rk[first_idx] = first_idx + 1
+            rk = np.maximum.accumulate(rk)
+            keep = rk <= 3
+            gg = g.iloc[keep].copy()
+            gg["rk"] = rk[keep]
+            out.append(gg)
+        return pd.concat(out) if out else df.head(0).assign(rk=0)
+
+    partial = ds.map_batches(lambda df: rank_le3(df, "c_nationkey")
+                             .drop(columns=["rk"]),
+                             batch_format="pandas")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = rank_le3(g, "c_nationkey")
+        g = g.sort_values(["rk", "c_custkey"], kind="mergesort")
+        return pd.DataFrame({
+            "c_nationkey": g["c_nationkey"].to_numpy().astype(np.int64),
+            "c_custkey": g["c_custkey"].to_numpy(),
+            "c_acctbal": g["c_acctbal"].to_numpy(),
+            "rk": g["rk"].to_numpy(),
+        })
+
+    return partial.groupby("c_nationkey").map_groups(
+        final, batch_format="pandas")
+
+
+SQL_RANK_TIES = """
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_custkey, c_acctbal,
+  rk
+FROM (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+    RANK() OVER (PARTITION BY c_nationkey
+                 ORDER BY c_acctbal DESC) AS rk
+  FROM customer
+) WHERE rk <= 3
+"""
+
+
+# =====================================================================
+# multi-column COUNT(DISTINCT) in ONE fused shuffle
+# =====================================================================
+
+def q_multi_distinct(sf_dir: str):
+    """COUNT(DISTINCT partkey) AND COUNT(DISTINCT suppkey) per
+    returnflag through ONE shuffle: each block emits its distinct
+    (flag, channel, key) triples for both channels (the combiner), the
+    single groupby dedups the union, and a bounded per-flag fold counts
+    each channel — two distinct-aggregations for the price of one
+    all-to-all."""
+    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_partkey", "l_suppkey"])
+
+    def channels(b: pa.Table) -> pa.Table:
+        def arr(x):
+            return x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
+
+        p = b.group_by(["l_returnflag", "l_partkey"]).aggregate([])
+        s = b.group_by(["l_returnflag", "l_suppkey"]).aggregate([])
+        np_, ns = p.num_rows, s.num_rows
+        return pa.table({
+            "flag": pa.concat_arrays([arr(p["l_returnflag"]),
+                                      arr(s["l_returnflag"])]),
+            "chan": pa.array(["p"] * np_ + ["s"] * ns, type=pa.string()),
+            "key": pa.concat_arrays([arr(p["l_partkey"]),
+                                     arr(s["l_suppkey"])]),
+        })
+
+    uniq = (
+        ds.map_batches(channels, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["flag", "chan", "key"]).count()
+        .groupby(["flag", "chan"]).aggregate(Count(alias_name="n"))
+        .take_all()  # bounded: flags × 2 rows
+    )
+    df = pd.DataFrame(uniq).pivot(index="flag", columns="chan",
+                                  values="n").reset_index()
+    return pa.table({
+        "l_returnflag": pa.array(df["flag"], type=pa.string()),
+        "n_parts": pa.array(df["p"].to_numpy().astype(np.int64)),
+        "n_supps": pa.array(df["s"].to_numpy().astype(np.int64)),
+    })
+
+
+SQL_MULTI_DISTINCT = """
+SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+  COUNT(DISTINCT l_suppkey) AS n_supps
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 ANALYTICS_QUERIES = {
     "window_lag": (q_window_lag, SQL_WINDOW_LAG),
     "rollup_agg": (q_rollup_agg, SQL_ROLLUP_AGG),
@@ -1788,4 +1939,6 @@ ANALYTICS_QUERIES = {
     "unpivot": (q_unpivot, SQL_UNPIVOT),
     "date_parts": (q_date_parts, SQL_DATE_PARTS),
     "quantile_cont": (q_quantile_cont, SQL_QUANTILE_CONT),
+    "rank_ties": (q_rank_ties, SQL_RANK_TIES),
+    "multi_distinct": (q_multi_distinct, SQL_MULTI_DISTINCT),
 }

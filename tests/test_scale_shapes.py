@@ -321,3 +321,23 @@ def test_embedding_pca_matches_numpy(ray_session):
     assert np.allclose(got["eigenvalue"].to_numpy(), want, rtol=1e-8)
     assert np.allclose(got["explained_ratio"].to_numpy(),
                        want / np.trace(cov), rtol=1e-8)
+
+
+def test_broadcast_fallbacks_match_fast_paths(ray_session, monkeypatch):
+    """shipping_priority and cuckoo_semi_join must produce identical
+    results through their oversized-dim join fallbacks (the 100-TB
+    branch) as through the broadcast fast paths."""
+    import crawlray.pipelines.analytics as an
+    import crawlray.pipelines.relational as rel
+
+    fast_sp = an.q_shipping_priority(SF_DIR).to_pandas()
+    fast_cj = an.q_cuckoo_semi_join(SF_DIR).to_pandas()
+    monkeypatch.setattr(rel, "_BROADCAST_KEY_LIMIT", 1)
+    slow_sp = an.q_shipping_priority(SF_DIR).to_pandas()
+    slow_cj = an.q_cuckoo_semi_join(SF_DIR).to_pandas()
+
+    def norm(df):
+        return df.sort_values(list(df.columns), ignore_index=True)
+
+    pd.testing.assert_frame_equal(norm(fast_sp), norm(slow_sp))
+    pd.testing.assert_frame_equal(norm(fast_cj), norm(slow_cj))
