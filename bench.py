@@ -51,6 +51,12 @@ CRAWL_SHAPE = dict(
 CRAWL_WAVES = 6
 CRAWL_PARTS = 32
 
+# --stress multiplies pages_per_host by CRAWLRAY_STRESS (default 3 →
+# ~1.06M pages): the would-it-still-work-at-bigger-N probe. Same engine
+# path, same shape otherwise; run it when you need headroom evidence,
+# not in the per-round BENCH (which must stay comparable across rounds).
+STRESS_FACTOR = int(os.environ.get("CRAWLRAY_STRESS", "3"))
+
 
 def _cpu_jiffies() -> int:
     """Container-wide consumed CPU (user+nice+system jiffies from
@@ -64,12 +70,17 @@ def _cpu_jiffies() -> int:
     return int(parts[1]) + int(parts[2]) + int(parts[3])
 
 
-def run_crawl_bench(num_cpus: int, run_dir: str, warmup: bool = False) -> dict:
+def run_crawl_bench(num_cpus: int, run_dir: str, warmup: bool = False,
+                    stress: bool = False) -> dict:
     import pyarrow as pa
 
     from crawlray.pipelines.config import CrawlConfig
     from crawlray.pipelines.crawl import run_crawl
     from crawlray.sources.miniweb import make_meta
+
+    shape = (dict(CRAWL_SHAPE,
+                  pages_per_host=CRAWL_SHAPE["pages_per_host"] * STRESS_FACTOR)
+             if stress else CRAWL_SHAPE)
 
     if warmup:
         # steady-state measurement: a small throwaway crawl first spawns
@@ -93,7 +104,7 @@ def run_crawl_bench(num_cpus: int, run_dir: str, warmup: bool = False) -> dict:
 
         shutil.rmtree(run_dir + "_warm", ignore_errors=True)
 
-    seeds, robots = make_meta(CRAWL_SHAPE["n_hosts"])
+    seeds, robots = make_meta(shape["n_hosts"])
     cfg = CrawlConfig(
         n_parts=CRAWL_PARTS,
         seen_shards=8,
@@ -107,7 +118,7 @@ def run_crawl_bench(num_cpus: int, run_dir: str, warmup: bool = False) -> dict:
         fetch_concurrency=(max(2, num_cpus // 2), num_cpus),
         parse_concurrency=(max(2, num_cpus // 2), num_cpus),
         fetch_num_cpus=0.25,
-        transport={"kind": "synth", **CRAWL_SHAPE},
+        transport={"kind": "synth", **shape},
     )
     t0 = time.time()
     j0 = _cpu_jiffies()
@@ -158,6 +169,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--crawl-only", action="store_true")
+    ap.add_argument("--stress", action="store_true",
+                    help="crawl a CRAWLRAY_STRESS× bigger web (headroom "
+                         "probe; implies --crawl-only)")
     ap.add_argument("--warmup", action="store_true",
                     help="run a small throwaway crawl first (steady-state "
                          "measurement; used by --scaling children)")
@@ -253,8 +267,10 @@ def main() -> None:
     t_all = time.time()
     run_dir = args.run_dir or f"/tmp/crawlray_bench_{os.getpid()}"
     try:
-        crawl = run_crawl_bench(num_cpus, run_dir, warmup=args.warmup)
-        queries = {} if args.crawl_only else run_query_bench(sf_dir)
+        crawl = run_crawl_bench(num_cpus, run_dir, warmup=args.warmup,
+                                stress=args.stress)
+        queries = ({} if (args.crawl_only or args.stress)
+                   else run_query_bench(sf_dir))
         total = round(time.time() - t_all, 2)
         _one_json_line({
             "metric": "crawl flagship + query suite wall time",
