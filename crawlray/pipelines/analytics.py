@@ -1907,6 +1907,51 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+# =====================================================================
+# partitioned parquet sink round-trip (S-family: resumable output)
+# =====================================================================
+
+def q_partitioned_sink(sf_dir: str):
+    """Hive-partitioned parquet sink round-trip: lineitem (3 pruned
+    columns) writes with ``partition_cols=["l_returnflag"]`` — one
+    directory per key, the resumable-output layout where a failed run
+    skips finished partitions — then ONLY the ``l_returnflag=R``
+    directory is read back (partition pruning: the other flags' files
+    never open) and aggregated. Oracle = the same aggregate over the
+    source table WHERE l_returnflag='R'."""
+    import shutil
+    import tempfile
+
+    ds = _t(sf_dir, "lineitem",
+            ["l_returnflag", "l_linestatus", "l_quantity"])
+    out_dir = tempfile.mkdtemp(prefix="crawlray_psink_")
+    try:
+        ds.write_parquet(out_dir, partition_cols=["l_returnflag"])
+        back = rd.read_parquet(os.path.join(out_dir, "l_returnflag=R"))
+
+        def prep(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "l_linestatus": b["l_linestatus"],
+                "qty": pc.round(b["l_quantity"]).cast(pa.int64()),
+            })
+
+        return pa.Table.from_pylist(
+            back.map_batches(prep, batch_format="pyarrow")
+            .groupby("l_linestatus")
+            .aggregate(Count(alias_name="n"), Sum("qty", alias_name="sum_qty"))
+            .take_all()  # bounded: one row per linestatus
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+SQL_PARTITIONED_SINK = """
+SELECT l_linestatus, COUNT(*) AS n,
+  SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sum_qty
+FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_linestatus
+"""
+
+
 ANALYTICS_QUERIES = {
     "window_lag": (q_window_lag, SQL_WINDOW_LAG),
     "rollup_agg": (q_rollup_agg, SQL_ROLLUP_AGG),
@@ -1941,4 +1986,5 @@ ANALYTICS_QUERIES = {
     "quantile_cont": (q_quantile_cont, SQL_QUANTILE_CONT),
     "rank_ties": (q_rank_ties, SQL_RANK_TIES),
     "multi_distinct": (q_multi_distinct, SQL_MULTI_DISTINCT),
+    "partitioned_sink": (q_partitioned_sink, SQL_PARTITIONED_SINK),
 }
