@@ -1952,6 +1952,237 @@ FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_linestatus
 """
 
 
+# =====================================================================
+# salted two-stage aggregate (the hot-key shuffle discipline, §4.2,
+# as a reusable query-surface op)
+# =====================================================================
+
+def q_salted_groupby(sf_dir: str):
+    """SUM/COUNT per event_type via the SALTED two-stage plan: stage 1
+    groups by (event_type, salt = event_id % 16) so a hot key's rows
+    spread over 16 reducers instead of serializing on one; stage 2
+    re-aggregates the ≤ |types|·16 partials. With only 5 event types,
+    the UNSALTED plan caps reduce parallelism at 5 no matter how many
+    cores exist — the same skew law the crawl engine's hot-host salting
+    handles, here as a generic aggregate. Integer cents make both
+    stages' sums order-independent, so the result is bit-equal to the
+    plain GROUP BY oracle."""
+    ds = _t(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": b["event_type"],
+            "salt": pa.array((eid % 16).astype(np.int64)),
+            "value_c": _cents(b["value"]),
+        })
+
+    partial = (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "salt"])
+        .aggregate(Count(alias_name="n"), Sum("value_c", alias_name="value_c"))
+    )
+    final = (
+        partial.groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"), Sum("value_c", alias_name="value_c"))
+    )
+    return final.map_batches(
+        lambda b: pa.table({
+            "event_type": b["event_type"], "n": b["n"],
+            "sum_value": pc.divide(b["value_c"].cast(pa.float64()),
+                                   pa.scalar(100.0)),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+SQL_SALTED_GROUPBY = """
+SELECT event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+# =====================================================================
+# inverted index build (IR / training-data op)
+# =====================================================================
+
+def q_inverted_index(sf_dir: str):
+    """Posting lists: token → ordered list of the doc_ids containing it
+    (docs < 50; tokens with ≥ 3 postings). Each block emits its DISTINCT
+    (token, doc_id) pairs (the combiner — duplicate occurrences inside a
+    doc never shuffle), one groupby builds the lists, and the postings
+    are sorted + comma-joined so the oracle compare is a plain string
+    equality. The per-token map_groups assumes one token's postings fit
+    a worker — the same bound every postings builder has; a 100-TB build
+    shards giant tokens by doc-range into list segments."""
+    import pyarrow.dataset as pads
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filter=pads.field("doc_id") < 50,
+    )
+
+    def pairs(b: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(b["text"].combine_chunks()
+                            if isinstance(b["text"], pa.ChunkedArray)
+                            else b["text"])
+        toks = pc.split_pattern_regex(low, "[^a-z]+")
+        flat = pc.list_flatten(toks)
+        reps = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        dids = np.repeat(b["doc_id"].to_numpy(zero_copy_only=False), reps)
+        tnp = flat.to_numpy(zero_copy_only=False)
+        keep = tnp != ""
+        df = pd.DataFrame({"token": tnp[keep], "doc_id": dids[keep]})
+        df = df.drop_duplicates()
+        return pa.table({
+            "token": pa.array(df["token"], type=pa.string()),
+            "doc_id": pa.array(df["doc_id"].to_numpy().astype(np.int64)),
+        })
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g["doc_id"].to_numpy())
+        if len(ids) < 3:
+            return pd.DataFrame({"token": [], "df": [], "postings": []})
+        return pd.DataFrame({
+            "token": [g["token"].iloc[0]],
+            "df": [np.int64(len(ids))],
+            "postings": [",".join(str(i) for i in ids)],
+        })
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .map_groups(build, batch_format="pandas")
+    )
+
+
+SQL_INVERTED_INDEX = """
+SELECT token, COUNT(DISTINCT doc_id) AS df,
+  string_agg(DISTINCT CAST(doc_id AS VARCHAR), ',' ORDER BY
+             CAST(doc_id AS BIGINT)) AS postings
+FROM (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS token
+  FROM documents WHERE doc_id < 50)
+WHERE token <> ''
+GROUP BY token HAVING COUNT(DISTINCT doc_id) >= 3
+"""
+
+
+# =====================================================================
+# windowed self-join (stream-stream join within a time bound)
+# =====================================================================
+
+def q_window_self_join(sf_dir: str):
+    """Per user: how many ordered event pairs lie within 30 minutes of
+    each other — the bounded-interval stream-stream self-join. One
+    groupby(user_id) shuffle; inside each partition a sorted
+    two-pointer (searchsorted) counts each row's forward window in
+    O(n log n), versus the O(n²) blow-up of a literal self-join. Pair
+    order is (ts, event_id) so equal timestamps count exactly once,
+    mirrored in the oracle's join condition."""
+    ds = _t(sf_dir, "events", ["user_id", "event_id", "ts"])
+    half_hour = np.int64(30 * 60 * 1_000_000)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        # forward neighbors with ts_j <= ts_i + 30min, j > i in the sort
+        hi = np.searchsorted(ts, ts + half_hour, side="right")
+        n_pairs = int((hi - np.arange(1, len(ts) + 1)).sum())
+        if n_pairs == 0:  # the inner self-join has no row for this user
+            return pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
+                                 "n_pairs": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({"user_id": [int(g["user_id"].iloc[0])],
+                             "n_pairs": [np.int64(n_pairs)]})
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+SQL_WINDOW_SELF_JOIN = """
+SELECT e1.user_id, COUNT(*) AS n_pairs
+FROM events e1 JOIN events e2
+  ON e1.user_id = e2.user_id
+ AND (e2.ts > e1.ts OR (e2.ts = e1.ts AND e2.event_id > e1.event_id))
+ AND e2.ts <= e1.ts + INTERVAL 30 MINUTE
+GROUP BY e1.user_id
+"""
+
+
+# =====================================================================
+# PageRank (iterative graph algorithm; rows-only, numpy-pinned)
+# =====================================================================
+
+_PR_DAMPING = 0.85
+_PR_ITERS = 10
+
+
+def q_pagerank(sf_dir: str, iters: int = _PR_ITERS):
+    """PageRank over the part→supplier co-occurrence graph (distinct
+    (l_partkey, l_suppkey) edges, both directions, so the chain is
+    connected): the second iterative-algorithm family next to
+    connected_components. Per iteration: ONE map over the edge dataset
+    (ranks broadcast via ray.put — the node table is dimension-sized;
+    a web-scale node set swaps the broadcast for a join on src, same
+    loop) emits (dst, contribution), one groupby sums them, and the
+    driver folds the bounded node table. Deterministic: fixed iteration
+    count, float64 throughout. Pinned against a numpy power iteration
+    at 1e-10 (tests/test_analytics_ops.py)."""
+    import ray
+
+    li = _t(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def edge_pairs(b: pa.Table) -> pa.Table:
+        p = b["l_partkey"].to_numpy(zero_copy_only=False)
+        s = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        src = np.concatenate([2 * p, 2 * s + 1])      # part=even, supp=odd
+        dst = np.concatenate([2 * s + 1, 2 * p])
+        df = pd.DataFrame({"src": src, "dst": dst}).drop_duplicates()
+        return pa.table({"src": pa.array(df["src"].to_numpy()),
+                         "dst": pa.array(df["dst"].to_numpy())})
+
+    edges = (
+        li.map_batches(edge_pairs, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby(["src", "dst"]).count()
+        .select_columns(["src", "dst"])
+        .materialize()  # reused every iteration — never re-read parquet
+    )
+    deg_rows = edges.groupby("src").count().take_all()  # bounded: |nodes|
+    outdeg = {int(r["src"]): int(r["count()"]) for r in deg_rows}
+    nodes = np.array(sorted(outdeg), dtype=np.int64)
+    n = len(nodes)
+    rank = {int(v): 1.0 / n for v in nodes}
+
+    for _ in range(iters):
+        ref = ray.put((rank, outdeg))
+
+        def contrib(b: pa.Table) -> pa.Table:
+            import ray as _r
+
+            rk, od = _r.get(ref)
+            src = b["src"].to_numpy(zero_copy_only=False)
+            w = np.array([rk[int(s)] / od[int(s)] for s in src])
+            return pa.table({"dst": b["dst"], "w": pa.array(w)})
+
+        sums = (
+            edges.map_batches(contrib, batch_format="pyarrow")
+            .groupby("dst").aggregate(Sum("w", alias_name="w"))
+            .take_all()  # bounded: |nodes|
+        )
+        base = (1.0 - _PR_DAMPING) / n
+        rank = {int(v): base for v in nodes}
+        for r in sums:
+            rank[int(r["dst"])] = base + _PR_DAMPING * float(r["w"])
+
+    top = sorted(rank.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    return pa.table({
+        "node": pa.array([k for k, _ in top], type=pa.int64()),
+        "rank": pa.array([v for _, v in top], type=pa.float64()),
+    })
+
+
 ANALYTICS_QUERIES = {
     "window_lag": (q_window_lag, SQL_WINDOW_LAG),
     "rollup_agg": (q_rollup_agg, SQL_ROLLUP_AGG),
@@ -1987,4 +2218,8 @@ ANALYTICS_QUERIES = {
     "rank_ties": (q_rank_ties, SQL_RANK_TIES),
     "multi_distinct": (q_multi_distinct, SQL_MULTI_DISTINCT),
     "partitioned_sink": (q_partitioned_sink, SQL_PARTITIONED_SINK),
+    "salted_groupby": (q_salted_groupby, SQL_SALTED_GROUPBY),
+    "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
+    "window_self_join": (q_window_self_join, SQL_WINDOW_SELF_JOIN),
+    "pagerank": (q_pagerank, None),
 }

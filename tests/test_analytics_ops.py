@@ -219,3 +219,37 @@ def test_dedup_groups_matches_union_find(ray_session):
     want = {(c, s) for c, s in comp.items() if s >= 2}
     assert got == want
     assert all(s >= 2 for _, s in got)
+
+
+def test_pagerank_matches_numpy_power_iteration(ray_session):
+    """The distributed PageRank loop (broadcast ranks → per-edge
+    contributions → one groupby per iteration) must match a dense numpy
+    power iteration over the identical edge set to 1e-10."""
+    import pyarrow.parquet as pq
+
+    from crawlray.pipelines.analytics import (_PR_DAMPING, _PR_ITERS,
+                                              q_pagerank)
+
+    t = pq.read_table(os.path.join(SF_DIR, "lineitem.parquet"),
+                      columns=["l_partkey", "l_suppkey"])
+    p = np.asarray(t["l_partkey"], dtype=np.int64)
+    s = np.asarray(t["l_suppkey"], dtype=np.int64)
+    edges = set(zip((2 * p).tolist(), (2 * s + 1).tolist()))
+    edges |= set(zip((2 * s + 1).tolist(), (2 * p).tolist()))
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    outdeg = np.zeros(n)
+    for u, _ in edges:
+        outdeg[idx[u]] += 1
+    rank = np.full(n, 1.0 / n)
+    for _ in range(_PR_ITERS):
+        nxt = np.full(n, (1.0 - _PR_DAMPING) / n)
+        contrib = rank / outdeg
+        for u, v in edges:
+            nxt[idx[v]] += _PR_DAMPING * contrib[idx[u]]
+        rank = nxt
+    order = np.lexsort((nodes, -rank))[:10]
+    got = q_pagerank(SF_DIR).to_pandas()
+    assert got["node"].tolist() == [nodes[i] for i in order]
+    assert np.allclose(got["rank"].to_numpy(), rank[order], atol=1e-10)
