@@ -2116,6 +2116,8 @@ GROUP BY e1.user_id
 
 _PR_DAMPING = 0.85
 _PR_ITERS = 10
+_PR_DRIVER_FOLD_LIMIT = 1_000_000  # nodes; beyond this each iteration
+# runs a groupby(dst) all-to-all instead of the driver partial-fold
 
 
 def q_pagerank(sf_dir: str, iters: int = _PR_ITERS):
@@ -2142,44 +2144,61 @@ def q_pagerank(sf_dir: str, iters: int = _PR_ITERS):
         return pa.table({"src": pa.array(df["src"].to_numpy()),
                          "dst": pa.array(df["dst"].to_numpy())})
 
+    from .sizing import cluster_cpus
+
     edges = (
         li.map_batches(edge_pairs, batch_format="pyarrow",
                        zero_copy_batch=True)
         .groupby(["src", "dst"]).count()
         .select_columns(["src", "dst"])
+        # coalesce the dedup-groupby's many small output blocks ONCE so
+        # the 10 iteration passes don't each pay ~200 task dispatches
+        .repartition(cluster_cpus())
         .materialize()  # reused every iteration — never re-read parquet
     )
     deg_rows = edges.groupby("src").count().take_all()  # bounded: |nodes|
-    outdeg = {int(r["src"]): int(r["count()"]) for r in deg_rows}
-    nodes = np.array(sorted(outdeg), dtype=np.int64)
+    nodes = np.array(sorted(int(r["src"]) for r in deg_rows), dtype=np.int64)
     n = len(nodes)
-    rank = {int(v): 1.0 / n for v in nodes}
+    outdeg = np.empty(n, dtype=np.float64)
+    for r in deg_rows:
+        outdeg[np.searchsorted(nodes, int(r["src"]))] = float(r["count()"])
+    rank = np.full(n, 1.0 / n)
+    base = (1.0 - _PR_DAMPING) / n
 
     for _ in range(iters):
-        ref = ray.put((rank, outdeg))
+        ref = ray.put((nodes, rank / outdeg))
 
         def contrib(b: pa.Table) -> pa.Table:
+            """Per-block PARTIAL: vectorized gather of src weights +
+            bincount fold per dst — each block ships ≤ min(|block|,
+            |nodes|) partial rows."""
             import ray as _r
 
-            rk, od = _r.get(ref)
+            ns, w = _r.get(ref)
             src = b["src"].to_numpy(zero_copy_only=False)
-            w = np.array([rk[int(s)] / od[int(s)] for s in src])
-            return pa.table({"dst": b["dst"], "w": pa.array(w)})
+            dst = b["dst"].to_numpy(zero_copy_only=False)
+            wi = w[np.searchsorted(ns, src)]
+            uk, inv = np.unique(dst, return_inverse=True)
+            return pa.table({
+                "dst": pa.array(uk),
+                "w": pa.array(np.bincount(inv, weights=wi)),
+            })
 
-        sums = (
-            edges.map_batches(contrib, batch_format="pyarrow")
-            .groupby("dst").aggregate(Sum("w", alias_name="w"))
-            .take_all()  # bounded: |nodes|
-        )
-        base = (1.0 - _PR_DAMPING) / n
-        rank = {int(v): base for v in nodes}
-        for r in sums:
-            rank[int(r["dst"])] = base + _PR_DAMPING * float(r["w"])
+        mapped = edges.map_batches(contrib, batch_format="pyarrow")
+        if n > _PR_DRIVER_FOLD_LIMIT:
+            # web-scale node set: one groupby(dst) per iteration
+            mapped = mapped.groupby("dst").aggregate(Sum("w", alias_name="w"))
+        # fold the bounded partials (O(blocks × nodes) rows) vectorized
+        acc = np.zeros(n)
+        folded = mapped.to_pandas()
+        np.add.at(acc, np.searchsorted(nodes, folded["dst"].to_numpy()),
+                  folded["w"].to_numpy())
+        rank = base + _PR_DAMPING * acc
 
-    top = sorted(rank.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    order = np.lexsort((nodes, -rank))[:10]
     return pa.table({
-        "node": pa.array([k for k, _ in top], type=pa.int64()),
-        "rank": pa.array([v for _, v in top], type=pa.float64()),
+        "node": pa.array(nodes[order], type=pa.int64()),
+        "rank": pa.array(rank[order], type=pa.float64()),
     })
 
 
