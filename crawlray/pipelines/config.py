@@ -140,3 +140,43 @@ def part_of(host_hash_u64: int, n_parts: int) -> int:
     """Partition of a host. Uses the *unsigned* view of the int64 hash so
     python and numpy paths agree."""
     return int(host_hash_u64 & 0xFFFFFFFFFFFFFFFF) % n_parts
+
+
+def config_for_scale(expected_urls: int, total_cpus: int,
+                     n_nodes: int = 1, **overrides) -> CrawlConfig:
+    """Size a CrawlConfig for a target frontier — the 10^10-URL
+    parameter math, executable instead of prose:
+
+    - ``n_parts`` = 4 × total CPUs (≥ 2× parallelism headroom per the
+      shuffle-width rule in SURVEY §4.2; capped at 65,536 so part
+      metadata stays trivially small).
+    - ``seen_shards`` = 2 per node, capped at 256: each shard is one
+      named actor — two per node spreads the membership round-trips
+      without per-actor queueing, and 256 shards × a 10^10-item
+      frontier = 3.9×10^7 items/shard.
+    - ``seen_capacity`` per shard = 1.3 × expected_urls / shards,
+      rounded up to a power of two (partial-key cuckoo filters degrade
+      past ~95% load; 1/1.3 ≈ 77%). At 10^10 URLs / 256 shards →
+      capacity 2^26 per shard ≈ 134 MB of uint16 buckets — fits any
+      node comfortably; the EXACT spill-set used for parity audits is
+      disabled at this scale by the same flag the engine already
+      honors.
+    - ``frontier_rows_per_file`` stays 8,192 (read-time block split is
+      per-file; more files = finer scheduling, and 10^10/8,192 ≈ 1.2M
+      files per full frontier spread over wave/part dirs is well inside
+      object-store listing budgets).
+
+    Only sizing fields are derived; everything else keeps its default
+    unless overridden."""
+    shards = max(2, min(256, 2 * n_nodes))
+    cap = 1
+    while cap < 1.3 * expected_urls / shards:
+        cap <<= 1
+    return CrawlConfig(
+        n_parts=min(65_536, max(8, 4 * total_cpus)),
+        seen_shards=shards,
+        seen_capacity=cap,
+        fetch_concurrency=(max(2, total_cpus // 2), max(4, total_cpus)),
+        parse_concurrency=(max(2, total_cpus // 2), max(4, total_cpus)),
+        **overrides,
+    )

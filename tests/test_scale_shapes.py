@@ -341,3 +341,21 @@ def test_broadcast_fallbacks_match_fast_paths(ray_session, monkeypatch):
 
     pd.testing.assert_frame_equal(norm(fast_sp), norm(slow_sp))
     pd.testing.assert_frame_equal(norm(fast_cj), norm(slow_cj))
+
+
+def test_config_for_scale_10e10():
+    """The 10^10-URL sizing math must produce parameters that fit real
+    nodes: shard capacity a power of two with ≤ ~77% projected load,
+    uint16 bucket memory ≤ 512 MB per shard, parts ≥ 2× CPUs."""
+    from crawlray.pipelines.config import config_for_scale
+
+    cfg = config_for_scale(10**10, total_cpus=256 * 32, n_nodes=256)
+    assert cfg.seen_shards == 256
+    per_shard = 10**10 / cfg.seen_shards
+    assert cfg.seen_capacity >= 1.3 * per_shard * 0.999
+    assert cfg.seen_capacity & (cfg.seen_capacity - 1) == 0  # power of 2
+    assert cfg.seen_capacity * 2 <= 512 * 2**20  # uint16 fingerprints
+    assert cfg.n_parts >= 2 * 256 * 32
+    # and a laptop-sized call stays sane
+    small = config_for_scale(100_000, total_cpus=8)
+    assert small.seen_shards == 2 and small.n_parts >= 32
