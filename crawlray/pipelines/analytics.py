@@ -2202,6 +2202,162 @@ def q_pagerank(sf_dir: str, iters: int = _PR_ITERS):
     })
 
 
+# =====================================================================
+# equi-width histogram — the zero-shuffle aggregate
+# =====================================================================
+
+def q_histogram(sf_dir: str, hi: float = 600000.0, nbins: int = 24):
+    """Equi-width histogram of order totals. Scale shape: each block
+    folds into a fixed (nbins+2)-slot count/cents pair (np.bincount /
+    np.add.at over integer cents), the driver merges ≤ nbins+2 rows per
+    block — NO groupby/shuffle exists at any data size, the histogram
+    width is a constant independent of row count. Bucket ids use the
+    identical IEEE expression on both sides (floor(x*nbins/hi)+1, CASE
+    for x ≥ hi) so boundary ulp can never disagree; empty buckets are
+    dropped on both sides (GROUP BY only yields non-empty groups)."""
+    ds = _t(sf_dir, "orders", ["o_totalprice"])
+
+    def fold(b: pa.Table) -> pa.Table:
+        x = b["o_totalprice"].combine_chunks().to_numpy(zero_copy_only=False)
+        bucket = (np.floor(x * float(nbins) / hi) + 1.0).astype(np.int64)
+        bucket[x >= hi] = nbins + 1
+        cents = _cents(b["o_totalprice"]).to_numpy(zero_copy_only=False)
+        n = np.bincount(bucket, minlength=nbins + 2)
+        tot = np.zeros(nbins + 2, dtype=np.int64)
+        np.add.at(tot, bucket, cents)
+        nz = np.nonzero(n > 0)[0]
+        return pa.table({"bucket": pa.array(nz.astype(np.int64)),
+                         "n": pa.array(n[nz].astype(np.int64)),
+                         "cents": pa.array(tot[nz])})
+
+    rows = ds.map_batches(fold, batch_format="pyarrow",
+                          zero_copy_batch=True).take_all()
+    df = (pd.DataFrame(rows).groupby("bucket", as_index=False).sum()
+          .sort_values("bucket"))
+    return pa.table({
+        "bucket": pa.array(df["bucket"].to_numpy().astype(np.int64)),
+        "n": pa.array(df["n"].to_numpy().astype(np.int64)),
+        "total": pa.array(df["cents"].to_numpy().astype(np.float64) / 100.0),
+    })
+
+
+SQL_HISTOGRAM = """
+SELECT CASE WHEN o_totalprice >= 600000.0 THEN 25
+            ELSE CAST(FLOOR(o_totalprice * 24.0 / 600000.0) AS BIGINT) + 1
+       END AS bucket,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0
+         AS total
+FROM orders GROUP BY bucket
+"""
+
+
+# =====================================================================
+# deterministic MODE per group (most frequent value, ties → smallest)
+# =====================================================================
+
+def q_mode_per_group(sf_dir: str):
+    """Most frequent event_type per user (users < 40): per-block
+    (user, type) pandas size() combiner shrinks the shuffle to
+    block-distinct pairs, ONE multi-key groupby reduces exactly, and
+    the per-user arg-max (ties broken to the lexicographically
+    smallest type, same ORDER BY as the SQL window) folds over the
+    ≤ |users|·|types| aggregate on the driver."""
+    import pyarrow.dataset as pads
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type"],
+                         filter=pads.field("user_id") < 40)
+
+    def counts(b: pa.Table) -> pa.Table:
+        g = (b.to_pandas().groupby(["user_id", "event_type"], sort=False)
+             .size().reset_index(name="n"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (ds.map_batches(counts, batch_format="pyarrow")
+           .groupby(["user_id", "event_type"])
+           .aggregate(Sum("n", alias_name="n")))
+    df = agg.to_pandas().sort_values(
+        ["user_id", "n", "event_type"], ascending=[True, False, True],
+        kind="mergesort")
+    top = df.groupby("user_id", as_index=False).head(1)
+    return pa.table({
+        "user_id": pa.array(top["user_id"].to_numpy().astype(np.int64)),
+        "top_type": pa.array(top["event_type"], type=pa.string()),
+        "n": pa.array(top["n"].to_numpy().astype(np.int64)),
+    })
+
+
+SQL_MODE_PER_GROUP = """
+SELECT user_id, event_type AS top_type, n FROM (
+  SELECT user_id, event_type, COUNT(*) AS n,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY COUNT(*) DESC, event_type) AS rn
+  FROM events WHERE user_id < 40 GROUP BY user_id, event_type)
+WHERE rn = 1
+"""
+
+
+# =====================================================================
+# skyline / Pareto front (multi-criteria NOT EXISTS dominance)
+# =====================================================================
+
+def _pareto_front(df: pd.DataFrame) -> pd.DataFrame:
+    """Non-dominated rows under (maximize p_size, minimize
+    p_retailprice); duplicates of a front point are all kept (identical
+    points never strictly dominate each other — matching NOT EXISTS
+    semantics). Sorted scan: one pass over the ≤|distinct sizes| groups."""
+    df = df.sort_values(["p_size", "p_retailprice"],
+                        ascending=[False, True], kind="mergesort")
+    sizes = df["p_size"].to_numpy()
+    prices = df["p_retailprice"].to_numpy()
+    keep = np.zeros(len(df), dtype=bool)
+    best = np.inf
+    i = 0
+    while i < len(df):
+        j = i
+        while j < len(sizes) and sizes[j] == sizes[i]:
+            j += 1
+        m = prices[i]  # min price within this size (sorted asc)
+        if m < best:
+            keep[i:j] = prices[i:j] == m
+            best = m
+        i = j
+    return df[keep]
+
+
+def q_skyline(sf_dir: str):
+    """Pareto-optimal parts (maximize size, minimize price). Scale
+    shape: pareto(∪ of per-block paretos) = global pareto, so every
+    block prunes locally (sorted scan over its ≤|distinct sizes|
+    groups) and the driver finalizes over ≤ front×blocks survivors —
+    the classic NOT-EXISTS self-join (O(n²)) never runs and nothing
+    shuffles."""
+    ds = _t(sf_dir, "part", ["p_partkey", "p_size", "p_retailprice"])
+
+    def prune(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(_pareto_front(b.to_pandas()),
+                                    preserve_index=False)
+
+    rows = ds.map_batches(prune, batch_format="pyarrow").take_all()
+    front = _pareto_front(pd.DataFrame(rows)).sort_values("p_partkey")
+    return pa.table({
+        "p_partkey": pa.array(front["p_partkey"].to_numpy().astype(np.int64)),
+        "p_size": pa.array(front["p_size"].to_numpy().astype(np.int32),
+                           type=pa.int32()),
+        "p_retailprice": pa.array(
+            front["p_retailprice"].to_numpy().astype(np.float64)),
+    })
+
+
+SQL_SKYLINE = """
+SELECT p.p_partkey, p.p_size, p.p_retailprice FROM part p
+WHERE NOT EXISTS (SELECT 1 FROM part q
+  WHERE q.p_size >= p.p_size AND q.p_retailprice <= p.p_retailprice
+    AND (q.p_size > p.p_size OR q.p_retailprice < p.p_retailprice))
+"""
+
+
 ANALYTICS_QUERIES = {
     "window_lag": (q_window_lag, SQL_WINDOW_LAG),
     "rollup_agg": (q_rollup_agg, SQL_ROLLUP_AGG),
@@ -2241,4 +2397,7 @@ ANALYTICS_QUERIES = {
     "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
     "window_self_join": (q_window_self_join, SQL_WINDOW_SELF_JOIN),
     "pagerank": (q_pagerank, None),
+    "histogram": (q_histogram, SQL_HISTOGRAM),
+    "mode_per_group": (q_mode_per_group, SQL_MODE_PER_GROUP),
+    "skyline": (q_skyline, SQL_SKYLINE),
 }

@@ -1766,9 +1766,17 @@ def q_heavy_hitters(sf_dir: str, k: int = 20):
     partial top-k on the driver. vs q_word_freq (full token groupby)
     the shuffle here carries ≤ 512·blocks candidate rows + the pass-2
     candidate counts — the shape for a 100-TB corpus whose distinct
-    vocabulary itself is shuffle-hostile. Candidate sufficiency for the
-    driver gate is guaranteed by the oracle compare itself (fixed
-    fixtures); the k/512 width ratio leaves ~25× headroom."""
+    vocabulary itself is shuffle-hostile.
+
+    Exactness is PROVEN at runtime, not assumed: pass 1 also returns
+    each block's m-th-largest count cap_b (0 when the block has ≤ m
+    distinct tokens — nothing was dropped there). A token missed by
+    every block's top-m has total count ≤ T = Σ_b cap_b, so whenever
+    the k-th candidate count is > T the candidate set provably contains
+    the true top-k; otherwise (adversarially flat distribution) the
+    query falls back to the full-vocabulary groupby — still exact, just
+    paying the vocabulary shuffle. The Misra-Gries candidate property
+    thus degrades to a slower exact plan instead of a wrong answer."""
     import ray
 
     ds = _docs(sf_dir, ["text"])
@@ -1784,12 +1792,20 @@ def q_heavy_hitters(sf_dir: str, k: int = 20):
         df = pd.DataFrame({"token": vc.field("values").to_pylist(),
                            "n": vc.field("counts").to_numpy()})
         df = df.sort_values(["n", "token"], ascending=[False, True],
-                            kind="mergesort").head(_HH_PER_BLOCK)
-        return pa.table({"token": pa.array(df["token"], type=pa.string())})
+                            kind="mergesort")
+        kept = df.head(_HH_PER_BLOCK)
+        # cap_b: ceiling on any token this block dropped (0 = dropped none)
+        cap = int(kept["n"].iloc[-1]) if len(df) > _HH_PER_BLOCK else 0
+        caps = np.zeros(len(kept), dtype=np.int64)
+        if len(caps):
+            caps[0] = cap
+        return pa.table({"token": pa.array(kept["token"], type=pa.string()),
+                         "cap": pa.array(caps)})
 
-    cands = sorted({r["token"] for r in
-                    ds.map_batches(top_m, batch_format="pyarrow",
-                                   zero_copy_batch=True).take_all()})
+    cand_rows = ds.map_batches(top_m, batch_format="pyarrow",
+                               zero_copy_batch=True).take_all()
+    missed_ceiling = int(sum(r["cap"] for r in cand_rows))
+    cands = sorted({r["token"] for r in cand_rows})
     cand_ref = ray.put(np.array(cands, dtype=object))
 
     def exact_counts(b: pa.Table) -> pa.Table:
@@ -1822,6 +1838,12 @@ def q_heavy_hitters(sf_dir: str, k: int = 20):
     out = (pd.DataFrame(rows)
            .sort_values(["n", "token"], ascending=[False, True],
                         kind="mergesort").head(k))
+    proven_exact = missed_ceiling == 0 or (
+        len(out) == k and int(out["n"].iloc[k - 1]) > missed_ceiling)
+    if not proven_exact:
+        # Adversarially flat counts: the candidate property can't certify
+        # the cut, so pay the full vocabulary shuffle (word_freq shape).
+        return q_word_freq(sf_dir, k=k)
     return pa.table({"token": pa.array(out["token"], type=pa.string()),
                      "n": pa.array(out["n"].to_numpy().astype(np.int64))})
 
@@ -2201,6 +2223,112 @@ SELECT source, token, tf, tfidf FROM (
 """
 
 
+# =====================================================================
+# repetition-based quality stats (Gopher-style rules, per document)
+# =====================================================================
+
+def q_repetition_stats(sf_dir: str):
+    """Per-document repetition quality signals (the Gopher filter
+    family adapted to space-tokenized text): fraction of tokens taken
+    by the most frequent token, distinct-token ratio, and fraction of
+    bigrams taken by the most frequent bigram. Scale shape: purely
+    block-local — tokens are dictionary-encoded once per block (Arrow),
+    per-doc counting is one np.unique over packed (doc, token) /
+    (doc, tok_i, tok_i+1) int64 keys + maximum.reduceat; nothing
+    shuffles and no per-row Python runs. Fractions are single int/int
+    IEEE divisions, identical expression to the SQL, so the oracle is
+    bit-exact. Packing assumes docs_per_block·V² < 2^63 (holds for any
+    sane block: 10k docs × 1M-token vocab); docs with < 2 tokens are
+    excluded on both sides (no bigram denominator)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def stats(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b["text"].combine_chunks(), " ")
+        nt = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        enc = toks.flatten().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = len(enc.dictionary)
+        ndoc = len(nt)
+        doc_of = np.repeat(np.arange(ndoc, dtype=np.int64), nt)
+
+        # unigrams: packed (doc, code) → counts → per-doc max / distinct
+        ukeys, ucnt = np.unique(doc_of * v + codes, return_counts=True)
+        udoc = ukeys // v
+        starts = np.nonzero(np.r_[True, udoc[1:] != udoc[:-1]])[0]
+        max_tok = np.zeros(ndoc, dtype=np.int64)
+        n_distinct = np.zeros(ndoc, dtype=np.int64)
+        max_tok[udoc[starts]] = np.maximum.reduceat(ucnt, starts)
+        n_distinct[udoc[starts]] = np.diff(np.r_[starts, len(ukeys)])
+
+        # bigrams: positions that are not a doc's last token
+        ends = np.cumsum(nt)
+        valid = np.ones(len(codes), dtype=bool)
+        if len(codes):
+            valid[ends - 1] = False
+        bg = (doc_of[:-1] * v + codes[:-1]) * v + codes[1:] \
+            if len(codes) > 1 else np.empty(0, dtype=np.int64)
+        bg = bg[valid[:-1]] if len(codes) > 1 else bg
+        max_bg = np.zeros(ndoc, dtype=np.int64)
+        if len(bg):
+            bkeys, bcnt = np.unique(bg, return_counts=True)
+            bdoc = bkeys // (v * v)
+            bstarts = np.nonzero(np.r_[True, bdoc[1:] != bdoc[:-1]])[0]
+            max_bg[bdoc[bstarts]] = np.maximum.reduceat(bcnt, bstarts)
+
+        ok = nt >= 2
+        ntf = nt.astype(np.float64)
+        return pa.table({
+            "doc_id": b["doc_id"].combine_chunks().take(
+                pa.array(np.nonzero(ok)[0])),
+            "n_tokens": pa.array(nt[ok]),
+            "top_tok_frac": pa.array(
+                max_tok[ok].astype(np.float64) / ntf[ok]),
+            "distinct_frac": pa.array(
+                n_distinct[ok].astype(np.float64) / ntf[ok]),
+            "top_bigram_frac": pa.array(
+                max_bg[ok].astype(np.float64)
+                / (nt[ok] - 1).astype(np.float64)),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+SQL_REPETITION_STATS = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(text,' ')) AS tok,
+         generate_subscripts(string_split(text,' '), 1) AS i,
+         len(string_split(text,' ')) AS nt
+  FROM documents
+),
+uni AS (
+  SELECT doc_id, nt,
+         CAST(MAX(c) AS DOUBLE)/CAST(nt AS DOUBLE) AS top_tok_frac,
+         CAST(COUNT(*) AS DOUBLE)/CAST(nt AS DOUBLE) AS distinct_frac
+  FROM (SELECT doc_id, nt, tok, COUNT(*) AS c
+        FROM tok GROUP BY doc_id, nt, tok)
+  GROUP BY doc_id, nt
+),
+big AS (
+  SELECT doc_id,
+         CAST(MAX(c) AS DOUBLE)/CAST(ANY_VALUE(nt2)-1 AS DOUBLE)
+           AS top_bigram_frac
+  FROM (SELECT t1.doc_id, t1.nt AS nt2, t1.tok || ' ' || t2.tok AS bg,
+               COUNT(*) AS c
+        FROM tok t1 JOIN tok t2
+          ON t1.doc_id = t2.doc_id AND t2.i = t1.i + 1
+        GROUP BY t1.doc_id, t1.nt, bg)
+  GROUP BY doc_id
+)
+SELECT uni.doc_id, nt AS n_tokens, top_tok_frac, distinct_frac,
+       top_bigram_frac
+FROM uni JOIN big ON uni.doc_id = big.doc_id
+WHERE nt >= 2
+"""
+
+
 DATAOPS_QUERIES = {
     "url_canonicalize": (q_url_canonicalize, SQL_URL_CANONICALIZE),
     "murmur3_hash": (q_murmur3, None),
@@ -2232,6 +2360,7 @@ DATAOPS_QUERIES = {
     "crawl_refresh_mini": (q_crawl_refresh_mini, None),
     "word_freq": (q_word_freq, SQL_WORD_FREQ),
     "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
+    "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "scrub_pii": (q_scrub_pii, SQL_SCRUB_PII),
     "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
     "tfidf_topterms": (q_tfidf_topterms, SQL_TFIDF_TOPTERMS),

@@ -284,6 +284,21 @@ def test_heavy_hitters_equals_word_freq_prefix(ray_session):
     assert hh["n"].tolist() == wf["n"].tolist()
 
 
+def test_heavy_hitters_uncertifiable_cut_falls_back_exactly(
+        ray_session, monkeypatch):
+    """With the candidate width squeezed to 1 the missed-token ceiling
+    T = Σ cap_b exceeds the k-th count, the runtime proof fails, and
+    the query must fall back to the full-vocabulary plan — returning
+    the exact answer anyway (wrong answers are never an option)."""
+    import crawlray.pipelines.dataops as d
+
+    monkeypatch.setattr(d, "_HH_PER_BLOCK", 1)
+    hh = d.q_heavy_hitters(SF_DIR, k=20).to_pandas()
+    wf = d.q_word_freq(SF_DIR, k=40).to_pandas().head(20).reset_index(drop=True)
+    assert hh["token"].tolist() == wf["token"].tolist()
+    assert hh["n"].tolist() == wf["n"].tolist()
+
+
 def test_cuckoo_semi_join_prefilter_drops_rows(ray_session):
     """The broadcast cuckoo pre-filter must admit every true match (no
     false negatives — guaranteed by the filter) while dropping most
