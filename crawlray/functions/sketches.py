@@ -209,3 +209,55 @@ class HLL:
         h = cls(p)
         h.registers = np.frombuffer(blob, dtype=np.uint8).copy()
         return h
+
+
+class CountMin:
+    """Count-min sketch (Cormode & Muthukrishnan 2005): depth×width
+    int64 counters; point estimate = min over rows; merge = elementwise
+    SUM (the sketch is linear, so per-block partials combine exactly
+    like any partial aggregate). Row indices derive from one 64-bit
+    murmur hash via Kirsch–Mitzenmacher double hashing
+    (idx_i = h1 + i·h2 mod width) — no per-row rehash. Guarantees:
+    estimate ≥ true count always; estimate ≤ true + ε·N with
+    probability 1 − δ for width = ⌈e/ε⌉, depth = ⌈ln 1/δ⌉."""
+
+    def __init__(self, depth: int = 4, width: int = 2048):
+        self.depth = depth
+        self.width = width
+        self.table = np.zeros((depth, width), dtype=np.int64)
+
+    def _indices(self, h_i64: np.ndarray) -> np.ndarray:
+        h = np.asarray(h_i64, dtype=np.int64).view(np.uint64)
+        h1 = h & np.uint64(0xFFFFFFFF)
+        h2 = (h >> np.uint64(32)) | np.uint64(1)
+        rows = np.arange(self.depth, dtype=np.uint64)[:, None]
+        with np.errstate(over="ignore"):
+            return ((h1[None, :] + rows * h2[None, :])
+                    % np.uint64(self.width)).astype(np.int64)
+
+    def add_hashes(self, h_i64: np.ndarray, counts: np.ndarray) -> None:
+        idx = self._indices(h_i64)
+        c = np.asarray(counts, dtype=np.int64)
+        for i in range(self.depth):
+            np.add.at(self.table[i], idx[i], c)
+
+    def query_hashes(self, h_i64: np.ndarray) -> np.ndarray:
+        idx = self._indices(h_i64)
+        ests = np.stack([self.table[i, idx[i]] for i in range(self.depth)])
+        return ests.min(axis=0)
+
+    def merge(self, other: "CountMin") -> "CountMin":
+        assert (self.depth, self.width) == (other.depth, other.width)
+        self.table += other.table
+        return self
+
+    def dump(self) -> bytes:
+        return self.table.tobytes()
+
+    @classmethod
+    def restore(cls, blob: bytes, depth: int = 4,
+                width: int = 2048) -> "CountMin":
+        s = cls(depth, width)
+        s.table = np.frombuffer(blob, dtype=np.int64) \
+            .reshape(depth, width).copy()
+        return s

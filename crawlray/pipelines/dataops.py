@@ -2224,6 +2224,49 @@ SELECT source, token, tf, tfidf FROM (
 
 
 # =====================================================================
+# count-min sketch frequency estimation (mergeable, linear)
+# =====================================================================
+
+_CMS_PROBES = ["the", "data", "merge", "spark", "row", "window",
+               "zz-never-a-token"]
+
+
+def q_cms_freq(sf_dir: str):
+    """Approximate token frequencies from a count-min sketch: one
+    depth×width sketch per block (built over the block's Arrow
+    value_counts — the token stream never leaves the block), merged on
+    the driver by elementwise SUM (CMS is linear, so this is the same
+    partial+final shape as any distributed aggregate — a fixed
+    4×2048×8-byte payload per block regardless of corpus size), then
+    point-probed for a fixed token list. Estimates are always ≥ the
+    true count (one-sided error ≤ ε·N w.h.p.); the unit test pins both
+    bounds against the exact counts. Rows-only by design (approximate)."""
+    from ..functions.murmur3 import hash64_batch_i64
+    from ..functions.sketches import CountMin
+
+    ds = _docs(sf_dir, ["text"])
+
+    def sketch(b: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(b["text"].combine_chunks())
+        flat = pc.list_flatten(pc.split_pattern_regex(low, "[^a-z]+"))
+        flat = flat.filter(pc.not_equal(flat, pa.scalar("")))
+        vc = pc.value_counts(flat)
+        s = CountMin()
+        s.add_hashes(hash64_batch_i64(vc.field("values")),
+                     vc.field("counts").to_numpy())
+        return pa.table({"sketch": pa.array([s.dump()],
+                                            type=pa.large_binary())})
+
+    merged = CountMin()
+    for row in ds.map_batches(sketch, batch_format="pyarrow",
+                              zero_copy_batch=True).take_all():
+        merged.merge(CountMin.restore(row["sketch"]))
+    probes = pa.array(_CMS_PROBES, type=pa.string())
+    est = merged.query_hashes(hash64_batch_i64(probes))
+    return pa.table({"token": probes, "est_n": pa.array(est)})
+
+
+# =====================================================================
 # repetition-based quality stats (Gopher-style rules, per document)
 # =====================================================================
 
@@ -2361,6 +2404,7 @@ DATAOPS_QUERIES = {
     "word_freq": (q_word_freq, SQL_WORD_FREQ),
     "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
+    "cms_freq": (q_cms_freq, None),
     "scrub_pii": (q_scrub_pii, SQL_SCRUB_PII),
     "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
     "tfidf_topterms": (q_tfidf_topterms, SQL_TFIDF_TOPTERMS),

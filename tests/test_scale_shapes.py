@@ -284,6 +284,29 @@ def test_heavy_hitters_equals_word_freq_prefix(ray_session):
     assert hh["n"].tolist() == wf["n"].tolist()
 
 
+def test_cms_freq_bounds(ray_session):
+    """Count-min estimates must dominate the exact counts (one-sided
+    error) and stay within ε·N of them (ε = e/width); the absent probe
+    token's estimate is bounded the same way (true count 0)."""
+    import duckdb
+
+    from crawlray.pipelines.dataops import _CMS_PROBES, q_cms_freq
+
+    est = {r["token"]: r["est_n"] for r in q_cms_freq(SF_DIR).to_pylist()}
+    con = duckdb.connect()
+    exact = dict(con.execute(f"""
+        SELECT token, COUNT(*) FROM (
+          SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS token
+          FROM read_parquet('{SF_DIR}/documents.parquet'))
+        WHERE token <> '' GROUP BY token""").fetchall())
+    n_total = sum(exact.values())
+    eps_n = (2.718281828 / 2048) * n_total
+    for tok in _CMS_PROBES:
+        true = exact.get(tok, 0)
+        assert est[tok] >= true, (tok, est[tok], true)
+        assert est[tok] <= true + eps_n, (tok, est[tok], true, eps_n)
+
+
 def test_heavy_hitters_uncertifiable_cut_falls_back_exactly(
         ray_session, monkeypatch):
     """With the candidate width squeezed to 1 the missed-token ceiling
