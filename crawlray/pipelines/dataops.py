@@ -2224,6 +2224,90 @@ SELECT source, token, tf, tfidf FROM (
 
 
 # =====================================================================
+# unigram language-model scoring (avg token log-probability per doc)
+# =====================================================================
+
+def q_unigram_logprob(sf_dir: str):
+    """Average unigram log-probability per document — the classic
+    cheap LM-quality score for training-data filtering. Scale shape:
+    pass 1 builds the corpus unigram model with the word_freq combiner
+    (per-block Arrow value_counts → ONE token groupby; the shuffle
+    carries block-distinct tokens, never the stream); the model is
+    broadcast once via ray.put (vocab-bounded — the same assumption as
+    tfidf's df lookup; an oversized vocab would swap to a token hash
+    join); pass 2 is block-local — dictionary-encode the block's
+    tokens, one searchsorted over the dictionary (not the stream),
+    per-doc sums via bincount. ln() is rounded to 6dp on both sides
+    (the tfidf convention) so libm ulp noise cannot flip the compare."""
+    import ray
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def counts(b: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(b["text"].combine_chunks())
+        flat = pc.list_flatten(pc.split_pattern_regex(low, "[^a-z]+"))
+        flat = flat.filter(pc.not_equal(flat, pa.scalar("")))
+        vc = pc.value_counts(flat)
+        return pa.table({"token": vc.field("values"),
+                         "n": vc.field("counts")})
+
+    vocab_rows = (
+        ds.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token").aggregate(Sum("n", alias_name="n")).take_all())
+    vdf = pd.DataFrame(vocab_rows).sort_values("token")
+    toks_sorted = vdf["token"].to_numpy()
+    cnts_sorted = vdf["n"].to_numpy().astype(np.int64)
+    n_total = float(cnts_sorted.sum())
+    model_ref = ray.put((toks_sorted, cnts_sorted))
+
+    def score(b: pa.Table) -> pa.Table:
+        toks_s, cnts = ray.get(model_ref)
+        low = pc.utf8_lower(b["text"].combine_chunks())
+        lists = pc.split_pattern_regex(low, "[^a-z]+")
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        flat = pc.list_flatten(lists)
+        keep = pc.not_equal(flat, pa.scalar(""))
+        doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        doc_of = doc_of[keep.to_numpy(zero_copy_only=False)]
+        enc = flat.filter(keep).dictionary_encode()
+        dict_np = enc.dictionary.to_numpy(zero_copy_only=False)
+        lp_dict = np.log(
+            cnts[np.searchsorted(toks_s, dict_np)].astype(np.float64)
+            / n_total)
+        lp = lp_dict[enc.indices.to_numpy(zero_copy_only=False)]
+        ndoc = len(lens)
+        nt = np.bincount(doc_of, minlength=ndoc)
+        sums = np.bincount(doc_of, weights=lp, minlength=ndoc)
+        ok = nt > 0
+        return pa.table({
+            "doc_id": b["doc_id"].combine_chunks().take(
+                pa.array(np.nonzero(ok)[0])),
+            "n_tokens": pa.array(nt[ok].astype(np.int64)),
+            "avg_logprob": pa.array(np.round(sums[ok] / nt[ok], 6)),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+SQL_UNIGRAM_LOGPROB = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS tok
+  FROM documents
+),
+tok2 AS (SELECT doc_id, tok FROM tok WHERE tok <> ''),
+vocab AS (SELECT tok, COUNT(*) AS c FROM tok2 GROUP BY tok),
+tot AS (SELECT COUNT(*) AS n FROM tok2)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       ROUND(AVG(ln(CAST(c AS DOUBLE)/CAST(n AS DOUBLE))), 6) AS avg_logprob
+FROM tok2 JOIN vocab USING (tok), tot
+GROUP BY doc_id
+"""
+
+
+# =====================================================================
 # count-min sketch frequency estimation (mergeable, linear)
 # =====================================================================
 
@@ -2405,6 +2489,7 @@ DATAOPS_QUERIES = {
     "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "cms_freq": (q_cms_freq, None),
+    "unigram_logprob": (q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
     "scrub_pii": (q_scrub_pii, SQL_SCRUB_PII),
     "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
     "tfidf_topterms": (q_tfidf_topterms, SQL_TFIDF_TOPTERMS),
