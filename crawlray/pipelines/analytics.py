@@ -2203,6 +2203,118 @@ def q_pagerank(sf_dir: str, iters: int = _PR_ITERS):
 
 
 # =====================================================================
+# bucketed co-partitioned join (pre-bucketed storage ⇒ no join shuffle)
+# =====================================================================
+
+def q_bucketed_join(sf_dir: str, nbuckets: int = 8):
+    """Join + aggregate over CO-PARTITIONED bucketed tables — the
+    pattern the brief's \"pick ONE partitioning key and reuse it\"
+    rule turns into storage: both orders and customer are written once
+    as Hive-partitioned parquet on bucket = custkey % nbuckets, after
+    which the per-customer aggregate AND the customer join run
+    independently inside each bucket (a custkey lives in exactly one
+    bucket, so per-bucket results are globally correct with NO
+    cross-bucket exchange — on a real cluster each bucket's shuffle is
+    node-local and the dimension bucket is a bounded broadcast). The
+    driver folds nothing; results stream as the union of per-bucket
+    pipelines. spend is integer cents, so the oracle is bit-exact."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as papq
+    import ray
+
+    root = tempfile.mkdtemp(prefix="crawlray_bucketed_")
+    try:
+        # ETL: one bucketed write per table, SAME bucket key both sides
+        def o_prep(b: pa.Table) -> pa.Table:
+            ck = b["o_custkey"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            return pa.table({
+                "o_custkey": b["o_custkey"],
+                "cents": _cents(b["o_totalprice"]),
+                "bucket": pa.array(ck % nbuckets),
+            })
+
+        def c_prep(b: pa.Table) -> pa.Table:
+            ck = b["c_custkey"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            return pa.table({
+                "c_custkey": b["c_custkey"],
+                "c_mktsegment": b["c_mktsegment"],
+                "bucket": pa.array(ck % nbuckets),
+            })
+
+        _t(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
+            .map_batches(o_prep, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+            .write_parquet(os.path.join(root, "orders"),
+                           partition_cols=["bucket"])
+        _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+            .map_batches(c_prep, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+            .write_parquet(os.path.join(root, "customer"),
+                           partition_cols=["bucket"])
+
+        outs = []
+        for bkt in range(nbuckets):
+            odir = os.path.join(root, "orders", f"bucket={bkt}")
+            cdir = os.path.join(root, "customer", f"bucket={bkt}")
+            if not (os.path.isdir(odir) and os.path.isdir(cdir)):
+                continue
+            cust = papq.read_table(cdir)  # dimension bucket: bounded
+            order_key = np.argsort(np.asarray(cust["c_custkey"]))
+            dim_ref = ray.put((
+                np.asarray(cust["c_custkey"])[order_key],
+                np.asarray(cust["c_mktsegment"]).astype(object)[order_key]))
+
+            def attach(b: pa.Table, ref=dim_ref) -> pa.Table:
+                keys, segs = ray.get(ref)
+                ck = b["o_custkey"].combine_chunks() \
+                    .to_numpy(zero_copy_only=False)
+                idx = np.clip(np.searchsorted(keys, ck), 0,
+                              max(len(keys) - 1, 0))
+                # inner-join gate: drop custkeys with no customer row
+                hit = (keys[idx] == ck if len(keys)
+                       else np.zeros(len(ck), dtype=bool))
+                return pa.table({
+                    "c_custkey": pa.array(ck[hit]),
+                    "c_mktsegment": pa.array(segs[idx[hit]],
+                                             type=pa.string()),
+                    "spend": pa.array(
+                        b["cents"].combine_chunks()
+                        .to_numpy(zero_copy_only=False)[hit]
+                        .astype(np.float64) / 100.0),
+                })
+
+            agg_b = (rd.read_parquet(odir)
+                     .groupby("o_custkey")
+                     .aggregate(Sum("cents", alias_name="cents"))
+                     .map_batches(attach, batch_format="pyarrow"))
+            outs.append(agg_b)
+
+        rows = outs[0].union(*outs[1:]).take_all()
+        df = pd.DataFrame(rows).sort_values("c_custkey")
+        return pa.table({
+            "c_custkey": pa.array(df["c_custkey"].to_numpy()
+                                  .astype(np.int64)),
+            "c_mktsegment": pa.array(df["c_mktsegment"], type=pa.string()),
+            "spend": pa.array(df["spend"].to_numpy().astype(np.float64)),
+        })
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_BUCKETED_JOIN = """
+SELECT o_custkey AS c_custkey, c_mktsegment,
+  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0
+    AS spend
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY o_custkey, c_mktsegment
+"""
+
+
+# =====================================================================
 # equi-width histogram — the zero-shuffle aggregate
 # =====================================================================
 
@@ -2398,6 +2510,7 @@ ANALYTICS_QUERIES = {
     "window_self_join": (q_window_self_join, SQL_WINDOW_SELF_JOIN),
     "pagerank": (q_pagerank, None),
     "histogram": (q_histogram, SQL_HISTOGRAM),
+    "bucketed_join": (q_bucketed_join, SQL_BUCKETED_JOIN),
     "mode_per_group": (q_mode_per_group, SQL_MODE_PER_GROUP),
     "skyline": (q_skyline, SQL_SKYLINE),
 }
