@@ -2224,6 +2224,199 @@ SELECT source, token, tf, tfidf FROM (
 
 
 # =====================================================================
+# document chunking (flat_map 1→N explode with overlap) + packing
+# =====================================================================
+
+def q_chunk_docs(sf_dir: str, size: int = 32, stride: int = 24):
+    """Split documents into overlapping fixed-token-budget chunks (the
+    context-window chunking every training/RAG pipeline runs): chunk c
+    covers tokens [c·stride, c·stride+size). Scale shape: a pure
+    block-local 1→N explode — each chunk ordinal is ONE vectorized
+    pass (pc.list_slice + pc.binary_join over the whole block, no
+    per-row Python), ≤ ⌈max_tokens/stride⌉ passes total; output rows
+    stream straight to the consumer, nothing shuffles."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(b["text"].combine_chunks(), " ")
+        nt = pc.list_value_length(lists).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        doc_ids = b["doc_id"].combine_chunks()
+        parts = []
+        c = 0
+        while True:
+            start = c * stride
+            mask_np = nt > start
+            if not mask_np.any():
+                break
+            mask = pa.array(mask_np)
+            sl = pc.list_slice(lists.filter(mask), start, start + size)
+            parts.append(pa.table({
+                "doc_id": doc_ids.filter(mask),
+                "chunk_id": pa.array(
+                    np.full(int(mask_np.sum()), c, dtype=np.int64)),
+                "n_tokens_chunk": pc.list_value_length(sl).cast(pa.int64()),
+                "chunk_text": pc.binary_join(sl, " "),
+            }))
+            c += 1
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(explode, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+SQL_CHUNK_DOCS = """
+SELECT doc_id,
+       (start-1)//24 AS chunk_id,
+       least(start+31, nt) - start + 1 AS n_tokens_chunk,
+       array_to_string(l[start:least(start+31, nt)], ' ') AS chunk_text
+FROM (SELECT doc_id, string_split(text,' ') AS l,
+             len(string_split(text,' ')) AS nt
+      FROM documents),
+     UNNEST(generate_series(1, nt, 24)) AS t(start)
+"""
+
+
+def q_pack_sequences(sf_dir: str, budget: int = 256):
+    """Sample packing: assign documents to fixed-token-budget bins
+    (first-fit-decreasing) so training batches waste minimal padding.
+    Packing is inherently order-dependent, so it runs PER BLOCK — each
+    block packs its own docs independently (parallel across blocks,
+    sequential FFD inside, ~n log n per block), and bin ids are
+    namespaced by the block's smallest doc_id so they never collide
+    across blocks. Rows-only by design (bin assignment depends on
+    block boundaries); the pytest invariants pin what must hold at ANY
+    parallelism: every doc assigned exactly once, every bin ≤ budget,
+    fill factor ≥ the FFD guarantee."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def pack(b: pa.Table) -> pa.Table:
+        text = b["text"].combine_chunks()
+        nt = pc.add(pc.count_substring(text, " "), 1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ids = b["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -nt))  # FFD: longest first, ties by id
+        caps: list[int] = []  # remaining capacity per open bin
+        bin_of = np.empty(len(ids), dtype=np.int64)
+        for row in order:
+            need = int(nt[row])
+            for bi, cap in enumerate(caps):
+                if cap >= need:
+                    caps[bi] = cap - need
+                    bin_of[row] = bi
+                    break
+            else:
+                bin_of[row] = len(caps)
+                caps.append(max(budget - need, 0))
+        base = int(ids.min()) * 100_000 if len(ids) else 0
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "bin_id": pa.array(bin_of + base),
+            "n_tokens": pa.array(nt),
+        })
+
+    return ds.map_batches(pack, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+# =====================================================================
+# benchmark decontamination (token n-gram overlap vs an eval set)
+# =====================================================================
+
+def q_decontaminate(sf_dir: str, n: int = 8, bench_max_doc: int = 10):
+    """Test-set contamination check — the op every LLM training corpus
+    runs before training: count, per candidate document, the DISTINCT
+    token 8-grams it shares with a benchmark/eval set (here: docs with
+    doc_id < 10). Scale shape: the benchmark's distinct gram set is
+    bounded (eval sets are small), built once and broadcast via
+    ray.put; each probe block hashes its own grams with a vectorized
+    rolling polynomial over murmur token hashes (windows never cross
+    doc boundaries — one slide over the flat token-hash array, no
+    strings are materialized and nothing shuffles), dedups (doc, gram)
+    pairs with one np.unique, and counts membership via searchsorted.
+    The oracle joins on literal gram STRINGS; the engine matches on
+    64-bit gram hashes — collision probability ~1e-9 at these corpus
+    sizes (documented, not hidden). Only docs with ≥1 shared gram
+    return (inner-join semantics)."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    powers = np.empty(n, dtype=np.uint64)
+    b = np.uint64(0x100000001B3)  # FNV-ish odd multiplier
+    powers[n - 1] = np.uint64(1)
+    for i in range(n - 2, -1, -1):
+        with np.errstate(over="ignore"):
+            powers[i] = powers[i + 1] * b
+
+    def gram_hashes(texts: pa.ChunkedArray | pa.Array):
+        """(doc-local) rolling gram hashes + per-window doc index."""
+        lists = pc.split_pattern(texts, " ")
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        flat = pc.list_flatten(lists)
+        hh = hash64_batch_i64(flat).view(np.uint64)
+        doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        if len(hh) < n:
+            return np.empty(0, np.uint64), np.empty(0, np.int64)
+        win = np.lib.stride_tricks.sliding_window_view(hh, n)
+        with np.errstate(over="ignore"):
+            gh = (win * powers[None, :]).sum(axis=1, dtype=np.uint64)
+        valid = doc_of[:len(gh)] == doc_of[n - 1:]
+        return gh[valid], doc_of[:len(gh)][valid]
+
+    bench = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "<", bench_max_doc)])
+    bench_set = np.unique(gram_hashes(bench["text"].combine_chunks())[0])
+    bench_ref = ray.put(bench_set)
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"],
+                         filter=pads.field("doc_id") >= bench_max_doc)
+
+    def overlap(t: pa.Table) -> pa.Table:
+        bset = ray.get(bench_ref)
+        gh, doc_of = gram_hashes(t["text"].combine_chunks())
+        # distinct (doc, gram) then membership
+        if len(gh) == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "n_overlap": pa.array([], type=pa.int64())})
+        order = np.lexsort((gh, doc_of))
+        gh, doc_of = gh[order], doc_of[order]
+        first = np.r_[True, (gh[1:] != gh[:-1]) | (doc_of[1:] != doc_of[:-1])]
+        gh, doc_of = gh[first], doc_of[first]
+        idx = np.searchsorted(bset, gh)
+        idx[idx >= len(bset)] = 0
+        hit = len(bset) > 0
+        hits = (bset[idx] == gh) if hit else np.zeros(len(gh), dtype=bool)
+        cnt = np.bincount(doc_of[hits], minlength=t.num_rows)
+        nz = cnt > 0
+        return pa.table({
+            "doc_id": t["doc_id"].combine_chunks().take(
+                pa.array(np.nonzero(nz)[0])),
+            "n_overlap": pa.array(cnt[nz].astype(np.int64)),
+        })
+
+    return ds.map_batches(overlap, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+SQL_DECONTAMINATE = """
+WITH g AS (
+  SELECT doc_id, array_to_string(l[i:i+7], ' ') AS gram
+  FROM (SELECT doc_id, string_split(text,' ') AS l FROM documents),
+       UNNEST(generate_series(1, len(l) - 7)) AS t(i)
+),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < 10)
+SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_overlap
+FROM g JOIN bench USING (gram)
+WHERE g.doc_id >= 10
+GROUP BY g.doc_id
+"""
+
+
+# =====================================================================
 # unigram language-model scoring (avg token log-probability per doc)
 # =====================================================================
 
@@ -2490,6 +2683,9 @@ DATAOPS_QUERIES = {
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "cms_freq": (q_cms_freq, None),
     "unigram_logprob": (q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "chunk_docs": (q_chunk_docs, SQL_CHUNK_DOCS),
+    "pack_sequences": (q_pack_sequences, None),
     "scrub_pii": (q_scrub_pii, SQL_SCRUB_PII),
     "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
     "tfidf_topterms": (q_tfidf_topterms, SQL_TFIDF_TOPTERMS),

@@ -284,6 +284,28 @@ def test_heavy_hitters_equals_word_freq_prefix(ray_session):
     assert hh["n"].tolist() == wf["n"].tolist()
 
 
+def test_pack_sequences_invariants(ray_session):
+    """Sample-packing invariants that must hold at ANY block
+    partitioning: every document assigned to exactly one bin, no bin
+    exceeds the token budget, and the overall fill factor beats the
+    trivial one-doc-per-bin packing by a wide margin."""
+    import duckdb
+
+    from crawlray.pipelines.dataops import q_pack_sequences
+
+    budget = 256
+    df = q_pack_sequences(SF_DIR, budget=budget).to_pandas()
+    n_docs = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchone()[0]
+    assert len(df) == n_docs
+    assert df["doc_id"].is_unique
+    per_bin = df.groupby("bin_id")["n_tokens"].sum()
+    assert (per_bin <= budget).all(), per_bin.max()
+    fill = df["n_tokens"].sum() / (len(per_bin) * budget)
+    assert fill >= 0.5, fill  # docs are ≤99 tokens; FFD packs ≥2 per bin
+
+
 def test_cms_freq_bounds(ray_session):
     """Count-min estimates must dominate the exact counts (one-sided
     error) and stay within ε·N of them (ε = e/width); the absent probe
