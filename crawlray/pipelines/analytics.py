@@ -2203,6 +2203,83 @@ def q_pagerank(sf_dir: str, iters: int = _PR_ITERS):
 
 
 # =====================================================================
+# JSONL sink/source round-trip (the training-data interchange format)
+# =====================================================================
+
+def q_jsonl_roundtrip(sf_dir: str):
+    """Write documents metadata as JSONL (one object per line — the
+    de-facto LLM training-data interchange format), read it back with
+    the distributed JSON reader, and aggregate. Ray writes one .json
+    fragment per block and reads them back as parallel tasks, so both
+    directions stream; the oracle aggregates the source table
+    directly, proving the sink→source hop is lossless."""
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="crawlray_jsonl_")
+    try:
+        _t(sf_dir, "documents", ["doc_id", "lang", "n_chars"]) \
+            .write_json(out)
+        back = rd.read_json(out)
+        agg = (back.groupby("lang")
+               .aggregate(Count(alias_name="n"),
+                          Sum("n_chars", alias_name="sum_chars")))
+        return pa.Table.from_pylist(agg.take_all())  # one row per lang
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+SQL_JSONL_ROUNDTRIP = """
+SELECT lang, COUNT(*) AS n, SUM(n_chars) AS sum_chars
+FROM documents GROUP BY lang
+"""
+
+
+# =====================================================================
+# right outer join (aggregate-then-outer-join, mirror of left_join)
+# =====================================================================
+
+def q_right_join(sf_dir: str):
+    """RIGHT OUTER: every customer appears even with zero orders.
+    Same discipline as left_join — the fact side pre-shrinks to one
+    row per custkey before the outer join, COALESCE fills the
+    no-orders side with 0 on both sides."""
+    orders = (
+        _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(
+            lambda b: pa.table({"o_custkey": b["o_custkey"],
+                                "cents": _cents(b["o_totalprice"])}),
+            batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_custkey").aggregate(Sum("cents", alias_name="cents")))
+    from .sizing import join_parts
+
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = orders.join(cust, join_type="right_outer",
+                         num_partitions=join_parts(),
+                         on=("o_custkey",), right_on=("c_custkey",))
+
+    def fill(b: pa.Table) -> pa.Table:
+        cents = b["cents"].combine_chunks() \
+            .fill_null(0).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "c_custkey": b["c_custkey"],
+            "c_mktsegment": b["c_mktsegment"],
+            "spend": pa.array(cents.astype(np.float64) / 100.0),
+        })
+
+    return joined.map_batches(fill, batch_format="pyarrow")
+
+
+SQL_RIGHT_JOIN = """
+SELECT c_custkey, c_mktsegment,
+  CAST(COALESCE(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)), 0)
+       AS DOUBLE)/100.0 AS spend
+FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_mktsegment
+"""
+
+
+# =====================================================================
 # bucketed co-partitioned join (pre-bucketed storage ⇒ no join shuffle)
 # =====================================================================
 
@@ -2511,6 +2588,8 @@ ANALYTICS_QUERIES = {
     "pagerank": (q_pagerank, None),
     "histogram": (q_histogram, SQL_HISTOGRAM),
     "bucketed_join": (q_bucketed_join, SQL_BUCKETED_JOIN),
+    "jsonl_roundtrip": (q_jsonl_roundtrip, SQL_JSONL_ROUNDTRIP),
+    "right_join": (q_right_join, SQL_RIGHT_JOIN),
     "mode_per_group": (q_mode_per_group, SQL_MODE_PER_GROUP),
     "skyline": (q_skyline, SQL_SKYLINE),
 }

@@ -2224,6 +2224,51 @@ SELECT source, token, tf, tfidf FROM (
 
 
 # =====================================================================
+# compression-ratio quality signal (zlib; the FineWeb/Gopher heuristic)
+# =====================================================================
+
+class CompressionScorer:
+    """Actor-pool stage: per-document zlib compression ratio
+    (compressed/raw bytes) — highly repetitive (low-quality) text
+    compresses far better than diverse text, making this a standard
+    training-data quality gate. The compressobj template lives in
+    actor state (__init__, once per actor); __call__ runs per batch.
+    zlib itself is per-row C code (no Arrow kernel exists) — the loop
+    is over ~batch_size compress() calls, each releasing the GIL."""
+
+    def __init__(self, level: int = 6):
+        self.level = level
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        import zlib
+
+        texts = b["text"].combine_chunks()
+        raw = pc.binary_length(texts).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        comp = np.fromiter(
+            (len(zlib.compress(t.as_py().encode(), self.level))
+             for t in texts),
+            dtype=np.int64, count=len(texts))
+        safe_raw = np.where(raw == 0, 1, raw)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "raw_bytes": pa.array(raw),
+            "ratio": pa.array(np.round(comp / safe_raw, 4)),
+        })
+
+
+def q_compression_ratio(sf_dir: str):
+    """Per-doc zlib compression ratio via an actor-pool map_batches
+    stage (state in __init__, concurrency sized small for the demo).
+    Rows-only (SQL has no zlib); the pytest assertion pins the
+    discriminative property: a planted all-same-token document scores
+    a strictly lower ratio than every natural-text document."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(CompressionScorer, batch_format="pyarrow",
+                          concurrency=2, batch_size=256)
+
+
+# =====================================================================
 # document chunking (flat_map 1→N explode with overlap) + packing
 # =====================================================================
 
@@ -2686,6 +2731,7 @@ DATAOPS_QUERIES = {
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "chunk_docs": (q_chunk_docs, SQL_CHUNK_DOCS),
     "pack_sequences": (q_pack_sequences, None),
+    "compression_ratio": (q_compression_ratio, None),
     "scrub_pii": (q_scrub_pii, SQL_SCRUB_PII),
     "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
     "tfidf_topterms": (q_tfidf_topterms, SQL_TFIDF_TOPTERMS),

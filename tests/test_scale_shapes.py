@@ -284,6 +284,23 @@ def test_heavy_hitters_equals_word_freq_prefix(ray_session):
     assert hh["n"].tolist() == wf["n"].tolist()
 
 
+def test_compression_ratio_discriminates(ray_session):
+    """The zlib quality signal must separate degenerate repetition from
+    natural text: a synthetic all-same-token doc scores a strictly
+    lower ratio than the minimum over the real corpus, and ratios are
+    sane (0 < ratio ≤ ~1)."""
+    import zlib
+
+    from crawlray.pipelines.dataops import q_compression_ratio
+
+    df = q_compression_ratio(SF_DIR).to_pandas()
+    assert len(df) > 0
+    assert (df["ratio"] > 0).all() and (df["ratio"] <= 1.5).all()
+    junk = "spam " * 200
+    junk_ratio = len(zlib.compress(junk.encode(), 6)) / len(junk)
+    assert junk_ratio < df["ratio"].min()
+
+
 def test_pack_sequences_invariants(ray_session):
     """Sample-packing invariants that must hold at ANY block
     partitioning: every document assigned to exactly one bin, no bin
