@@ -2203,6 +2203,72 @@ def q_pagerank(sf_dir: str, iters: int = _PR_ITERS):
 
 
 # =====================================================================
+# schema-evolution union (heterogeneous shards aligned by name)
+# =====================================================================
+
+def q_schema_union(sf_dir: str):
+    """Union of two shards with DIFFERENT schemas — the ingestion
+    reality when a field was added mid-collection: the old shard
+    (even event_ids) lacks ``value``; alignment adds it as typed
+    nulls block-locally (no shuffle, no driver pass), the union
+    streams, and the aggregate distinguishes row count from valued
+    count. Mirrors DuckDB's UNION ALL BY NAME semantics."""
+    old = _t(sf_dir, "events", ["event_id", "event_type"])
+    new = _t(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def align_old(b: pa.Table) -> pa.Table:
+        ev = b["event_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        keep = pa.array(ev % 2 == 0)
+        b = b.filter(keep)
+        return pa.table({
+            "event_type": b["event_type"],
+            "value_c": pa.nulls(b.num_rows, pa.int64()),
+            "valued": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+        })
+
+    def align_new(b: pa.Table) -> pa.Table:
+        ev = b["event_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        keep = pa.array(ev % 2 == 1)
+        b = b.filter(keep)
+        return pa.table({
+            "event_type": b["event_type"],
+            "value_c": _cents(b["value"]),
+            "valued": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+        })
+
+    u = old.map_batches(align_old, batch_format="pyarrow",
+                        zero_copy_batch=True) \
+        .union(new.map_batches(align_new, batch_format="pyarrow",
+                               zero_copy_batch=True))
+    agg = u.groupby("event_type").aggregate(
+        Count(alias_name="n"),
+        Sum("valued", alias_name="n_valued"),
+        Sum("value_c", alias_name="sum_c"))
+
+    def finalize(b: pa.Table) -> pa.Table:
+        s = pc.coalesce(b["sum_c"], pa.scalar(0, pa.int64()))
+        return pa.table({
+            "event_type": b["event_type"],
+            "n": b["n"],
+            "n_valued": b["n_valued"],
+            "sum_value": pc.divide(s.cast(pa.float64()), pa.scalar(100.0)),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_SCHEMA_UNION = """
+WITH old AS (SELECT event_id, event_type FROM events WHERE event_id % 2 = 0),
+new AS (SELECT event_id, event_type, value FROM events WHERE event_id % 2 = 1),
+u AS (SELECT * FROM old UNION ALL BY NAME SELECT * FROM new)
+SELECT event_type, COUNT(*) AS n, COUNT(value) AS n_valued,
+  CAST(COALESCE(SUM(CAST(ROUND(value*100) AS BIGINT)), 0) AS DOUBLE)/100.0
+    AS sum_value
+FROM u GROUP BY event_type
+"""
+
+
+# =====================================================================
 # JSONL sink/source round-trip (the training-data interchange format)
 # =====================================================================
 
@@ -2590,6 +2656,7 @@ ANALYTICS_QUERIES = {
     "bucketed_join": (q_bucketed_join, SQL_BUCKETED_JOIN),
     "jsonl_roundtrip": (q_jsonl_roundtrip, SQL_JSONL_ROUNDTRIP),
     "right_join": (q_right_join, SQL_RIGHT_JOIN),
+    "schema_union": (q_schema_union, SQL_SCHEMA_UNION),
     "mode_per_group": (q_mode_per_group, SQL_MODE_PER_GROUP),
     "skyline": (q_skyline, SQL_SKYLINE),
 }

@@ -284,6 +284,27 @@ def test_heavy_hitters_equals_word_freq_prefix(ray_session):
     assert hh["n"].tolist() == wf["n"].tolist()
 
 
+def test_hll_by_group_error_bound(ray_session):
+    """Per-group HLL distinct-token estimates must land within 5% of
+    the exact per-source distinct counts (p=12 → ~1.6% std error)."""
+    import duckdb
+
+    from crawlray.pipelines.dataops import q_hll_by_group
+
+    est = {r["source"]: r["approx_distinct_tokens"]
+           for r in q_hll_by_group(SF_DIR).take_all()}
+    exact = dict(duckdb.sql(f"""
+        SELECT source, COUNT(DISTINCT token) FROM (
+          SELECT source,
+                 unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS token
+          FROM read_parquet('{SF_DIR}/documents.parquet'))
+        WHERE token <> '' GROUP BY source""").fetchall())
+    assert set(est) == set(exact)
+    for src, true in exact.items():
+        assert abs(est[src] - true) <= max(0.05 * true, 2), \
+            (src, est[src], true)
+
+
 def test_compression_ratio_discriminates(ray_session):
     """The zlib quality signal must separate degenerate repetition from
     natural text: a synthetic all-same-token doc scores a strictly
