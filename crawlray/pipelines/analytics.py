@@ -2203,6 +2203,60 @@ def q_pagerank(sf_dir: str, iters: int = _PR_ITERS):
 
 
 # =====================================================================
+# event-time watermark / late-data detection (§2.9 streaming semantics)
+# =====================================================================
+
+def q_late_events(sf_dir: str, tolerance_us: int = 3_600_000_000):
+    """Out-of-order (late) event detection — the watermark primitive of
+    every streaming engine: an event is LATE when its event time trails
+    the user's running event-time watermark (max ts among
+    earlier-ARRIVING events) by more than the tolerance. The fixture's
+    events arrive exactly in event-time order (zero late rows), so
+    arrival order is a deterministic Lehmer permutation of event_id —
+    (event_id·48271) mod 1000003 — identical on both sides, which
+    makes ~6% of events late and actually exercises the path. Scale
+    shape: ONE groupby(user) shuffle carrying 3 small columns, then a
+    vectorized per-group pass (sort by arrival, shifted running max
+    via np.maximum.accumulate) — the same partitioning every
+    PARTITION BY engine assumes; late rows are a trickle, so the
+    output is tiny."""
+    ds = _t(sf_dir, "events", ["user_id", "event_id", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        eid = g["event_id"].to_numpy()
+        g = g.iloc[np.lexsort((eid, (eid * 48271) % 1000003))]
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        wm = np.empty(len(ts), dtype=np.int64)
+        if len(ts):
+            wm[0] = ts[0]  # no predecessor → lateness 0, never late
+        if len(ts) > 1:
+            np.maximum.accumulate(ts[:-1], out=wm[1:])
+        late = (wm - ts) > tolerance_us
+        return pd.DataFrame({
+            "user_id": g["user_id"].to_numpy()[late],
+            "event_id": g["event_id"].to_numpy()[late],
+            "lateness_us": (wm - ts)[late],
+        })
+
+    return ds.groupby("user_id").map_groups(per_user,
+                                            batch_format="pandas")
+
+
+SQL_LATE_EVENTS = """
+SELECT user_id, event_id,
+       date_diff('microsecond', ts, wm) AS lateness_us
+FROM (
+  SELECT user_id, event_id, ts,
+         MAX(ts) OVER (PARTITION BY user_id
+                       ORDER BY (event_id * 48271) % 1000003, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS wm
+  FROM events)
+WHERE wm IS NOT NULL AND date_diff('microsecond', ts, wm) > 3600000000
+"""
+
+
+# =====================================================================
 # schema-evolution union (heterogeneous shards aligned by name)
 # =====================================================================
 
@@ -2657,6 +2711,7 @@ ANALYTICS_QUERIES = {
     "jsonl_roundtrip": (q_jsonl_roundtrip, SQL_JSONL_ROUNDTRIP),
     "right_join": (q_right_join, SQL_RIGHT_JOIN),
     "schema_union": (q_schema_union, SQL_SCHEMA_UNION),
+    "late_events": (q_late_events, SQL_LATE_EVENTS),
     "mode_per_group": (q_mode_per_group, SQL_MODE_PER_GROUP),
     "skyline": (q_skyline, SQL_SKYLINE),
 }
