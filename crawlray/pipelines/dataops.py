@@ -2224,6 +2224,163 @@ SELECT source, token, tf, tfidf FROM (
 
 
 # =====================================================================
+# flagship composition: the end-to-end training-data pipeline
+# =====================================================================
+
+def q_training_pipeline(sf_dir: str):
+    """The composition this engine exists for, end to end: corpus →
+    repetition quality gate → exact dedup → benchmark decontamination →
+    context-window chunking → sample packing, returning per-stage
+    lineage counts (the numbers a data-curation run reports). Stage
+    shapes are the individual operators': the quality gate and
+    decontamination are block-local (broadcast bench set), dedup is one
+    (hash, doc_id) groupby with the min-doc winner and a broadcast
+    keep-set semi-filter (bounded here; the cuckoo prefilter of
+    J9/cuckoo_semi_join is the 100-TB swap), chunk/pack are block-local
+    explodes. Intermediate stages materialize ONLY because each stage's
+    count is part of the result — a production run would stream to the
+    sink and take counts from metrics folds like the crawl engine does.
+    Rows-only: a multi-stage pipeline has no single SQL mirror; the
+    pytest asserts monotone lineage and that the planted duplicates /
+    contaminated docs actually drop."""
+    import ray
+
+    # corpus ∪ shifted-id copy: planted exact duplicates (the base
+    # fixture has none), so the dedup stage demonstrably halves it
+    base = _docs(sf_dir, ["doc_id", "text"])
+
+    def shift(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": pc.add(b["doc_id"],
+                                          pa.scalar(100_000, pa.int64())),
+                         "text": b["text"]})
+
+    docs = base.union(base.map_batches(shift, batch_format="pyarrow",
+                                       zero_copy_batch=True))
+    n_in = docs.count()
+
+    # --- stage 1: Gopher-style quality gate (block-local) ------------
+    def quality_gate(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b["text"].combine_chunks(), " ")
+        nt = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        enc = toks.flatten().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = max(len(enc.dictionary), 1)
+        doc_of = np.repeat(np.arange(len(nt), dtype=np.int64), nt)
+        ukeys, ucnt = np.unique(doc_of * v + codes, return_counts=True)
+        udoc = ukeys // v
+        starts = np.nonzero(np.r_[True, udoc[1:] != udoc[:-1]])[0]
+        max_tok = np.zeros(len(nt), dtype=np.int64)
+        max_tok[udoc[starts]] = np.maximum.reduceat(ucnt, starts)
+        ok = (nt >= 10) & (max_tok * 25 < nt * 2)  # top-token frac < 8%
+        return b.filter(pa.array(ok))
+
+    gated = docs.map_batches(quality_gate, batch_format="pyarrow",
+                             zero_copy_batch=True).materialize()
+    n_quality = gated.count()
+
+    # --- stage 2: exact dedup (hash groupby, min-doc winner) ----------
+    def hash_ids(b: pa.Table) -> pa.Table:
+        h = np.asarray(hash64_batch_i64(b["text"].combine_chunks()))
+        return pa.table({"text_hash": pa.array(h), "doc_id": b["doc_id"],
+                         "hpart": pa.array(_pair_part(h))})
+
+    winners = (gated.map_batches(hash_ids, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+               .groupby("hpart").map_groups(
+                   lambda df: df.groupby("text_hash", sort=False,
+                                         as_index=False)
+                   .agg(doc_id=("doc_id", "min")),
+                   batch_format="pandas"))
+    keep_ids = np.sort(np.array(
+        [r["doc_id"] for r in winners.select_columns(["doc_id"])
+         .take_all()], dtype=np.int64))
+    keep_ref = ray.put(keep_ids)
+
+    def keep_only(b: pa.Table) -> pa.Table:
+        keep = ray.get(keep_ref)
+        ids = b["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        idx = np.clip(np.searchsorted(keep, ids), 0,
+                      max(len(keep) - 1, 0))
+        return b.filter(pa.array(keep[idx] == ids if len(keep)
+                                 else np.zeros(len(ids), bool)))
+
+    deduped = gated.map_batches(keep_only, batch_format="pyarrow",
+                                zero_copy_batch=True).materialize()
+    n_dedup = deduped.count()
+
+    # --- stage 3: decontamination (broadcast bench grams) -------------
+    # drop the eval set itself (doc_id < 10) plus every doc sharing an
+    # 8-gram with it
+    contaminated = {r["doc_id"]
+                    for r in q_decontaminate(sf_dir).take_all()}
+    contaminated.update(range(10))
+    bad_ref = ray.put(np.sort(np.array(sorted(contaminated),
+                                       dtype=np.int64)))
+
+    def drop_contaminated(b: pa.Table) -> pa.Table:
+        bad = ray.get(bad_ref)
+        ids = b["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        if len(bad) == 0:
+            return b
+        idx = np.clip(np.searchsorted(bad, ids), 0, len(bad) - 1)
+        return b.filter(pa.array(bad[idx] != ids))
+
+    clean = deduped.map_batches(drop_contaminated, batch_format="pyarrow",
+                                zero_copy_batch=True).materialize()
+    n_clean = clean.count()
+
+    # --- stage 4+5: chunk then pack (block-local explodes) ------------
+    def chunk(b: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(b["text"].combine_chunks(), " ")
+        nt = pc.list_value_length(lists).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ids = b["doc_id"].combine_chunks()
+        parts, c = [], 0
+        while True:
+            start = c * 24
+            m = nt > start
+            if not m.any():
+                break
+            sl = pc.list_slice(lists.filter(pa.array(m)), start, start + 32)
+            parts.append(pa.table({
+                "doc_id": ids.filter(pa.array(m)),
+                "n_tokens": pc.list_value_length(sl).cast(pa.int64()),
+            }))
+            c += 1
+        return pa.concat_tables(parts)
+
+    chunks = clean.map_batches(chunk, batch_format="pyarrow",
+                               zero_copy_batch=True).materialize()
+    n_chunks = chunks.count()
+
+    def pack(b: pa.Table) -> pa.Table:
+        nt = b["n_tokens"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(-nt, kind="stable")
+        caps: list[int] = []
+        for row in order:
+            need = int(nt[row])
+            for bi, cap in enumerate(caps):
+                if cap >= need:
+                    caps[bi] = cap - need
+                    break
+            else:
+                caps.append(max(256 - need, 0))
+        return pa.table({"bins": pa.array([len(caps)], type=pa.int64())})
+
+    n_bins = int(sum(r["bins"] for r in
+                     chunks.map_batches(pack, batch_format="pyarrow")
+                     .take_all()))
+
+    return pa.table({
+        "stage": pa.array(["input", "quality_gate", "exact_dedup",
+                           "decontaminate", "chunks", "packed_bins"]),
+        "n": pa.array([n_in, n_quality, n_dedup, n_clean, n_chunks,
+                       n_bins], type=pa.int64()),
+    })
+
+
+# =====================================================================
 # per-group HLL (sketch-valued aggregate: the shuffle carries sketches)
 # =====================================================================
 
@@ -2777,6 +2934,7 @@ DATAOPS_QUERIES = {
     "pack_sequences": (q_pack_sequences, None),
     "compression_ratio": (q_compression_ratio, None),
     "hll_by_group": (q_hll_by_group, None),
+    "training_pipeline": (q_training_pipeline, None),
     "scrub_pii": (q_scrub_pii, SQL_SCRUB_PII),
     "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
     "tfidf_topterms": (q_tfidf_topterms, SQL_TFIDF_TOPTERMS),

@@ -284,7 +284,21 @@ def test_heavy_hitters_equals_word_freq_prefix(ray_session):
     assert hh["n"].tolist() == wf["n"].tolist()
 
 
-def test_hll_by_group_error_bound(ray_session):
+def test_training_pipeline_lineage(ray_session):
+    """The end-to-end curation pipeline must show honest lineage:
+    doc counts monotonically non-increasing through quality→dedup→
+    decontaminate, the planted exact duplicates halved away, the
+    eval set gone, and packing compressing chunks into fewer bins."""
+    from crawlray.pipelines.dataops import q_training_pipeline
+
+    t = {r["stage"]: r["n"]
+         for r in q_training_pipeline(SF_DIR).to_pylist()}
+    assert t["input"] == 1000  # 500 docs + planted duplicate copy
+    assert t["quality_gate"] < t["input"]  # the 8% gate really filters
+    assert t["exact_dedup"] == t["quality_gate"] // 2  # dups halved
+    assert t["decontaminate"] < t["exact_dedup"]  # eval set dropped
+    assert t["chunks"] >= t["decontaminate"]  # explode, ≥1 chunk/doc
+    assert 0 < t["packed_bins"] < t["chunks"]  # packing compresses
     """Per-group HLL distinct-token estimates must land within 5% of
     the exact per-source distinct counts (p=12 → ~1.6% std error)."""
     import duckdb
