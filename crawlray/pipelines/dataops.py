@@ -2224,6 +2224,42 @@ SELECT source, token, tf, tfidf FROM (
 
 
 # =====================================================================
+# deterministic epoch shuffle (training-ingest order randomization)
+# =====================================================================
+
+def q_epoch_shuffle(sf_dir: str, epoch: int = 1):
+    """Per-epoch global shuffle for training ingest, made DETERMINISTIC
+    and infrastructure-independent: instead of ds.random_shuffle (whose
+    order depends on block layout), every row gets a shuffle key
+    murmur3(doc_id ⊕ epoch-salt) and ONE distributed sort orders the
+    epoch — the same order at any parallelism, any block size, any
+    cluster, so a resumed/re-run epoch sees the identical stream (the
+    property samplers and curriculum debugging need). Different epochs
+    permute independently (different salt). Output: the first 30
+    (position, doc_id) pairs of the epoch stream; positions come from a
+    bounded take, not a full materialization."""
+    ds = _docs(sf_dir, ["doc_id"])
+
+    def key(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].combine_chunks()
+        salted = pc.binary_join_element_wise(
+            pc.cast(ids, pa.string()),
+            pa.array([f"epoch-{epoch}"] * b.num_rows), ":")
+        return pa.table({
+            "doc_id": ids,
+            "shuffle_key": pa.array(np.asarray(hash64_batch_i64(salted))),
+        })
+
+    head = (ds.map_batches(key, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .sort(["shuffle_key", "doc_id"]).take(30))
+    return pa.table({
+        "position": pa.array(np.arange(len(head), dtype=np.int64)),
+        "doc_id": pa.array([r["doc_id"] for r in head], type=pa.int64()),
+    })
+
+
+# =====================================================================
 # flagship composition: the end-to-end training-data pipeline
 # =====================================================================
 
@@ -2935,6 +2971,7 @@ DATAOPS_QUERIES = {
     "compression_ratio": (q_compression_ratio, None),
     "hll_by_group": (q_hll_by_group, None),
     "training_pipeline": (q_training_pipeline, None),
+    "epoch_shuffle": (q_epoch_shuffle, None),
     "scrub_pii": (q_scrub_pii, SQL_SCRUB_PII),
     "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
     "tfidf_topterms": (q_tfidf_topterms, SQL_TFIDF_TOPTERMS),

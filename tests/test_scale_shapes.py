@@ -284,6 +284,21 @@ def test_heavy_hitters_equals_word_freq_prefix(ray_session):
     assert hh["n"].tolist() == wf["n"].tolist()
 
 
+def test_epoch_shuffle_deterministic_and_epoch_dependent(ray_session):
+    """The epoch stream must be identical across re-runs (resumable
+    ingest) and differ between epochs; every position maps to a real
+    doc and no doc repeats within the head."""
+    from crawlray.pipelines.dataops import q_epoch_shuffle
+
+    a1 = q_epoch_shuffle(SF_DIR, epoch=1).to_pandas()
+    a2 = q_epoch_shuffle(SF_DIR, epoch=1).to_pandas()
+    b = q_epoch_shuffle(SF_DIR, epoch=2).to_pandas()
+    assert a1["doc_id"].tolist() == a2["doc_id"].tolist()
+    assert a1["doc_id"].tolist() != b["doc_id"].tolist()
+    assert a1["doc_id"].is_unique
+    assert a1["position"].tolist() == list(range(len(a1)))
+
+
 def test_training_pipeline_lineage(ray_session):
     """The end-to-end curation pipeline must show honest lineage:
     doc counts monotonically non-increasing through quality→dedup→
