@@ -16,14 +16,16 @@ Ray is pre-initialised by the caller — nothing here calls ray.init().
 
 from __future__ import annotations
 
+import math
 import os
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count, Max, Sum
 
 
 def _t(sf_dir: str, table: str, columns=None):
@@ -2667,6 +2669,354 @@ WHERE NOT EXISTS (SELECT 1 FROM part q
 """
 
 
+# =====================================================================
+# CDC compaction: latest record per key (upsert semantics)
+# =====================================================================
+
+def q_upsert_latest(sf_dir: str):
+    """Change-data-capture compaction — collapse an append-only change
+    stream to the LATEST record per key (the upsert/SCD-1 materialize
+    every lakehouse table maintenance job runs). Key = (user_id,
+    event_type); latest = max (ts, event_id). Scale shape: per-block
+    partial latest first (each block reduces to ≤ |keys touched| rows),
+    so the ONE groupby shuffle carries at most blocks×keys candidate
+    rows — never the stream; the final pick re-applies the identical
+    ordering. ``value`` is carried, never recomputed, so floats pass
+    through bit-exact (arg_extremes discipline)."""
+    ds = _t(sf_dir, "events", ["user_id", "event_type", "event_id",
+                               "ts", "value"])
+
+    def latest(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"], ascending=[False, False],
+                            kind="mergesort")
+        return df.groupby(["user_id", "event_type"], sort=False).head(1)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], ascending=[False, False],
+                          kind="mergesort").head(1)
+        return pd.DataFrame({
+            "user_id": g["user_id"].to_numpy(),
+            "event_type": g["event_type"].to_numpy(),
+            "last_event_id": g["event_id"].to_numpy(),
+            "last_value": g["value"].to_numpy(),
+        })
+
+    return (
+        ds.map_batches(latest, batch_format="pandas")
+          .groupby(["user_id", "event_type"])
+          .map_groups(final, batch_format="pandas")
+    )
+
+
+SQL_UPSERT_LATEST = """
+SELECT user_id, event_type, event_id AS last_event_id,
+       value AS last_value
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
+# =====================================================================
+# snapshot diff (added / removed / changed between two table versions)
+# =====================================================================
+
+def q_dataset_diff(sf_dir: str):
+    """Delta between two snapshots of a table — the reconciliation op
+    behind every incremental-ingest audit: classify each key as added
+    (v2 only), removed (v1 only) or changed (both, different value);
+    unchanged keys never leave the pipeline. Fixture versions derive
+    deterministically from orders: v1 drops keys %97==0, v2 drops
+    %89==0 and bumps the price by 1.00 on keys %11==0. Scale shape:
+    each side tags (key, present-bit, cents) block-locally, the union
+    makes ONE groupby(key) shuffle carrying 3 ints per row, and the
+    classification is a vectorized filter over the aggregate — no
+    full outer join materializes, and matching-and-unchanged keys
+    (the overwhelming majority in a real diff) are dropped inside the
+    aggregate pass."""
+    base_cols = ["o_orderkey", "o_totalprice"]
+
+    def v1(b: pa.Table) -> pa.Table:
+        k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        b = b.filter(pa.array(k % 97 != 0))
+        c = _cents(b["o_totalprice"])
+        z = pa.nulls(b.num_rows, pa.int64())
+        return pa.table({"k": b["o_orderkey"], "c1": c, "c2": z})
+
+    def v2(b: pa.Table) -> pa.Table:
+        k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        b = b.filter(pa.array(k % 89 != 0))
+        k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        bump = np.where(k % 11 == 0, 100, 0).astype(np.int64)
+        c = pc.add(_cents(b["o_totalprice"]), pa.array(bump))
+        z = pa.nulls(b.num_rows, pa.int64())
+        return pa.table({"k": b["o_orderkey"], "c1": z, "c2": c})
+
+    u = _t(sf_dir, "orders", base_cols) \
+        .map_batches(v1, batch_format="pyarrow", zero_copy_batch=True) \
+        .union(_t(sf_dir, "orders", base_cols)
+               .map_batches(v2, batch_format="pyarrow", zero_copy_batch=True))
+    agg = u.groupby("k").aggregate(Max("c1", alias_name="c1"),
+                                   Max("c2", alias_name="c2"))
+
+    def classify(b: pa.Table) -> pa.Table:
+        c1 = b["c1"].to_numpy(zero_copy_only=False)
+        c2 = b["c2"].to_numpy(zero_copy_only=False)
+        in1, in2 = ~pd.isna(c1), ~pd.isna(c2)
+        status = np.where(~in1, "added", np.where(~in2, "removed", "changed"))
+        keep = ~in1 | ~in2 | (c1 != c2)
+        b = b.filter(pa.array(keep))
+        old_p = pc.divide(pc.cast(b["c1"], pa.float64()), pa.scalar(100.0))
+        new_p = pc.divide(pc.cast(b["c2"], pa.float64()), pa.scalar(100.0))
+        return pa.table({
+            "o_orderkey": b["k"],
+            "status": pa.array(status[keep], type=pa.string()),
+            "old_price": old_p,
+            "new_price": new_p,
+        })
+
+    return agg.map_batches(classify, batch_format="pyarrow")
+
+
+SQL_DATASET_DIFF = """
+WITH v1 AS (SELECT o_orderkey AS k,
+                   CAST(ROUND(o_totalprice*100) AS BIGINT) AS c
+            FROM orders WHERE o_orderkey % 97 <> 0),
+v2 AS (SELECT o_orderkey AS k,
+              CAST(ROUND(o_totalprice*100) AS BIGINT)
+              + CASE WHEN o_orderkey % 11 = 0 THEN 100 ELSE 0 END AS c
+       FROM orders WHERE o_orderkey % 89 <> 0)
+SELECT COALESCE(v1.k, v2.k) AS o_orderkey,
+       CASE WHEN v1.k IS NULL THEN 'added'
+            WHEN v2.k IS NULL THEN 'removed'
+            ELSE 'changed' END AS status,
+       CAST(v1.c AS DOUBLE)/100.0 AS old_price,
+       CAST(v2.c AS DOUBLE)/100.0 AS new_price
+FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+WHERE v1.k IS NULL OR v2.k IS NULL OR v1.c <> v2.c
+"""
+
+
+# =====================================================================
+# skew join (hot-key broadcast + cold hash join hybrid)
+# =====================================================================
+
+def q_skew_join(sf_dir: str):
+    """Skew-aware join — the hybrid plan for a fact table whose join
+    key is heavy-tailed (one key here carries ~25% of all rows, the
+    shape that makes a plain hash join's hottest partition the whole
+    job's wall clock). Plan: (1) a cheap key-count pass (per-block
+    Arrow value_counts, key-bounded fold) finds hot keys; (2) hot fact
+    rows join via the BROADCAST dim rows of those few keys (bounded by
+    |hot|, however big the dim table is); (3) cold rows take the
+    normal hash join, where no partition can explode by construction;
+    (4) union → final aggregate. Result is provably identical to the
+    plain join (the oracle IS the plain join). Key: jk = partkey%100,
+    except 25% of rows (orderkey%4==0) collapse onto jk=0."""
+    fact = _t(sf_dir, "lineitem",
+              ["l_orderkey", "l_partkey", "l_extendedprice"])
+    dim = _t(sf_dir, "part", ["p_partkey"])
+
+    def mk_fact(b: pa.Table) -> pa.Table:
+        ok = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        jk = np.where(ok % 4 == 0, 0, pk % 100).astype(np.int64)
+        return pa.table({"jk": pa.array(jk),
+                         "c": _cents(b["l_extendedprice"])})
+
+    def mk_dim(b: pa.Table) -> pa.Table:
+        pk = b["p_partkey"].to_numpy(zero_copy_only=False)
+        return pa.table({"jk": pa.array((pk % 100).astype(np.int64)),
+                         "one": pa.array(np.ones(len(pk), dtype=np.int64))})
+
+    f = fact.map_batches(mk_fact, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    d = dim.map_batches(mk_dim, batch_format="pyarrow",
+                        zero_copy_batch=True) \
+        .groupby("jk").aggregate(Sum("one", alias_name="n_parts"))
+
+    # pass 1: per-key fact counts (key-bounded; the hot set is tiny)
+    def key_counts(b: pa.Table) -> pa.Table:
+        vc = b["jk"].value_counts()
+        return pa.table({"jk": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    counts: dict[int, int] = {}
+    for row in f.map_batches(key_counts, batch_format="pyarrow") \
+                .take_all():
+        counts[int(row["jk"])] = counts.get(int(row["jk"]), 0) + int(row["n"])
+    total = sum(counts.values()) or 1
+    hot = {k for k, n in counts.items() if n > 0.05 * total}
+
+    d_mat = d.materialize()
+    hot_rows = {int(r["jk"]): int(r["n_parts"])
+                for r in d_mat.take_all() if int(r["jk"]) in hot}
+    hot_ref = ray.put(hot_rows)
+
+    def split_hot(b: pa.Table) -> pa.Table:
+        jk = b["jk"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(np.isin(jk, list(hot))))
+
+    def split_cold(b: pa.Table) -> pa.Table:
+        jk = b["jk"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(~np.isin(jk, list(hot))))
+
+    def bcast_join(b: pa.Table) -> pa.Table:
+        rows = ray.get(hot_ref)
+        keys = np.fromiter(rows.keys(), dtype=np.int64, count=len(rows))
+        vals = np.fromiter(rows.values(), dtype=np.int64, count=len(rows))
+        order = np.argsort(keys)
+        keys, vals = keys[order], vals[order]
+        jk = b["jk"].to_numpy(zero_copy_only=False)
+        b = b.filter(pa.array(np.isin(jk, keys)))  # inner-join semantics
+        jk = b["jk"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "jk": b["jk"], "c": b["c"],
+            "n_parts": pa.array(vals[np.searchsorted(keys, jk)]),
+        })
+
+    f_mat = f.materialize()
+    hot_joined = f_mat.map_batches(split_hot, batch_format="pyarrow") \
+        .map_batches(bcast_join, batch_format="pyarrow")
+    from .sizing import join_parts
+    cold_joined = f_mat.map_batches(split_cold, batch_format="pyarrow") \
+        .join(d_mat, join_type="inner", num_partitions=join_parts(),
+              on=("jk",))
+
+    agg = hot_joined.union(cold_joined).groupby("jk").aggregate(
+        Count(alias_name="n"),
+        Sum("c", alias_name="sum_c"),
+        Max("n_parts", alias_name="n_parts"))
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "jk": b["jk"], "n_parts": b["n_parts"], "n": b["n"],
+            "revenue": pc.divide(pc.cast(b["sum_c"], pa.float64()),
+                                 pa.scalar(100.0)),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_SKEW_JOIN = """
+WITH fact AS (SELECT CASE WHEN l_orderkey % 4 = 0 THEN 0
+                          ELSE l_partkey % 100 END AS jk,
+                     CAST(ROUND(l_extendedprice*100) AS BIGINT) AS c
+              FROM lineitem),
+dim AS (SELECT p_partkey % 100 AS jk, COUNT(*) AS n_parts
+        FROM part GROUP BY 1)
+SELECT f.jk, dim.n_parts, COUNT(*) AS n,
+       CAST(SUM(f.c) AS DOUBLE)/100.0 AS revenue
+FROM fact f JOIN dim USING (jk)
+GROUP BY 1, 2
+"""
+
+
+# =====================================================================
+# retention cohorts (cohort month × activity month)
+# =====================================================================
+
+def q_retention_cohorts(sf_dir: str):
+    """Cohort retention — the product-analytics staple: users grouped
+    by first-active month, counted in every month they return. Scale
+    shape: a per-block DISTINCT (user, month) combiner shrinks the
+    stream before the ONE groupby(user) shuffle (each user's partials
+    meet in one group, which re-distincts and emits (cohort=min,
+    month) pairs); the second groupby is bounded by months² — both
+    shuffles carry 2 small ints per row, never events."""
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+
+    def months(b: pa.Table) -> pa.Table:
+        ts = b["ts"].to_numpy(zero_copy_only=False)
+        y = ts.astype("datetime64[Y]").astype(np.int64) + 1970
+        m = (ts.astype("datetime64[M]").astype(np.int64) % 12) + 1
+        ym = y * 100 + m
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        pairs = np.unique(np.stack([uid, ym], axis=1), axis=0)
+        return pa.table({"user_id": pa.array(pairs[:, 0]),
+                         "ym": pa.array(pairs[:, 1])})
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        ym = np.unique(g["ym"].to_numpy())
+        return pd.DataFrame({
+            "cohort": np.full(len(ym), ym.min(), dtype=np.int64),
+            "ym": ym,
+        })
+
+    pairs = ds.map_batches(months, batch_format="pyarrow",
+                           zero_copy_batch=True) \
+        .groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return pairs.groupby(["cohort", "ym"]).aggregate(
+        Count(alias_name="n_users"))
+
+
+SQL_RETENTION_COHORTS = """
+WITH act AS (SELECT DISTINCT user_id,
+                    year(ts)*100 + month(ts) AS ym FROM events),
+coh AS (SELECT user_id, MIN(ym) AS cohort FROM act GROUP BY 1)
+SELECT cohort, ym, COUNT(*) AS n_users
+FROM act JOIN coh USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+# =====================================================================
+# z-score outlier detection (exact global moments → broadcast)
+# =====================================================================
+
+def q_outlier_docs(sf_dir: str):
+    """Length-outlier detection — the z-score quality gate of training
+    -data curation: docs whose |z| over n_chars exceeds 1.8. Scale
+    shape: pass 1 is an exact (n, Σx, Σx²) int64 reduction (3 numbers
+    per block, no shuffle); mean/std derive from those integers with
+    the IDENTICAL IEEE expression on both sides, so the rounded z and
+    the cut agree bit-for-bit; pass 2 is a block-local filter. No
+    per-row float ever aggregates — the corr_stats discipline."""
+    ds = _t(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def moments(b: pa.Table) -> pa.Table:
+        x = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"n": pa.array([len(x)], type=pa.int64()),
+                         "sx": pa.array([int(x.sum())], type=pa.int64()),
+                         "sxx": pa.array([int((x * x).sum())],
+                                         type=pa.int64())})
+
+    parts = ds.map_batches(moments, batch_format="pyarrow").take_all()
+    n = sum(int(p["n"]) for p in parts)
+    sx = sum(int(p["sx"]) for p in parts)
+    sxx = sum(int(p["sxx"]) for p in parts)
+    # identical expression tree to the SQL: each double op is correctly
+    # rounded, so identical operands ⇒ identical bits
+    mean = float(sx) / n
+    std = math.sqrt((float(sxx) - float(sx) * sx / n) / n)
+
+    def zfilter(b: pa.Table) -> pa.Table:
+        x = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        z = pc.round(pa.array((x - mean) / std), ndigits=4,
+                     round_mode="half_towards_infinity")
+        zn = z.to_numpy(zero_copy_only=False)
+        keep = pa.array(np.abs(zn) >= 1.8)
+        return pa.table({"doc_id": b["doc_id"].filter(keep),
+                         "n_chars": b["n_chars"].filter(keep),
+                         "z": z.filter(keep)})
+
+    return ds.map_batches(zfilter, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+SQL_OUTLIER_DOCS = """
+WITH m AS (SELECT COUNT(*) AS n, SUM(n_chars) AS sx,
+                  SUM(n_chars*n_chars) AS sxx FROM documents),
+z AS (SELECT doc_id, n_chars,
+             ROUND((n_chars - CAST(sx AS DOUBLE)/n)
+                   / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*sx/n)/n),
+                   4) AS z
+      FROM documents, m)
+SELECT doc_id, n_chars, z FROM z WHERE ABS(z) >= 1.8
+"""
+
+
 ANALYTICS_QUERIES = {
     "window_lag": (q_window_lag, SQL_WINDOW_LAG),
     "rollup_agg": (q_rollup_agg, SQL_ROLLUP_AGG),
@@ -2714,4 +3064,9 @@ ANALYTICS_QUERIES = {
     "late_events": (q_late_events, SQL_LATE_EVENTS),
     "mode_per_group": (q_mode_per_group, SQL_MODE_PER_GROUP),
     "skyline": (q_skyline, SQL_SKYLINE),
+    "upsert_latest": (q_upsert_latest, SQL_UPSERT_LATEST),
+    "dataset_diff": (q_dataset_diff, SQL_DATASET_DIFF),
+    "skew_join": (q_skew_join, SQL_SKEW_JOIN),
+    "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
+    "outlier_docs": (q_outlier_docs, SQL_OUTLIER_DOCS),
 }

@@ -2931,6 +2931,247 @@ WHERE nt >= 2
 """
 
 
+# =====================================================================
+# deterministic source mixing (training-data mixture weights)
+# =====================================================================
+
+def q_source_mix(sf_dir: str):
+    """Deterministic weighted source mixing — the data-mixture step of
+    LLM training: down-sample each source (here: language) to its
+    mixture weight with a Knuth multiplicative hash of doc_id, so
+    membership is reproducible, partition-independent, coordination-
+    free, AND exactly SQL-expressible (the hash_sample discipline with
+    per-group rates). Thresholds are exact integers (weight × 2³²) —
+    no float comparison exists on either side."""
+    ds = _docs(sf_dir, ["doc_id", "lang"])
+    thr = {"en": 1 << 31, "de": 1 << 30, "zh": 1 << 30,
+           "fr": 1 << 29, "es": 1 << 28}
+
+    def pick(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (did * np.uint64(2654435761)) % np.uint64(1 << 32)
+        lim = np.array([thr.get(l, 0) for l in b["lang"].to_pylist()],
+                       dtype=np.uint64)
+        return b.filter(pa.array(h < lim))
+
+    return ds.map_batches(pick, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+SQL_SOURCE_MIX = """
+SELECT doc_id, lang FROM documents
+WHERE (doc_id * 2654435761) % 4294967296 <
+      CASE lang WHEN 'en' THEN 2147483648 WHEN 'de' THEN 1073741824
+                WHEN 'zh' THEN 1073741824 WHEN 'fr' THEN 536870912
+                WHEN 'es' THEN 268435456 ELSE 0 END
+"""
+
+
+# =====================================================================
+# cross-document duplicated n-grams (exact-substring-dedup primitive)
+# =====================================================================
+
+def q_dup_ngrams(sf_dir: str, n: int = 8):
+    """Per-document duplicated-substring exposure — the primitive of
+    exact substring deduplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): for each doc, how
+    many of its distinct token 8-grams also occur in ANOTHER doc.
+    Docs with doc_id % 10 == 0 are unioned back in as near-copies
+    (id+1e6, last token dropped) so the duplicated-gram path is
+    actually exercised — mirrored exactly in the SQL. Scale shape:
+    blocks emit DISTINCT (gram-hash, doc) pairs via the decontaminate
+    rolling-polynomial kernel (no gram strings exist engine-side; a
+    doc never spans blocks, so block-distinct pairs are globally
+    distinct); ONE groupby(gram) Count shuffle carrying 2 ints per
+    row yields per-gram doc counts, the DUPLICATED gram set (the rare
+    tail — far smaller than the gram stream, the same boundedness
+    decontaminate assumes of its bench set) broadcasts once via
+    ray.put, and a doc-keyed groupby folds the per-doc fraction via
+    searchsorted membership — no per-gram Python, no join. The oracle
+    joins literal gram strings (hash-collision odds ~1e-9 at these
+    sizes — documented, not hidden)."""
+    powers = np.empty(n, dtype=np.uint64)
+    mult = np.uint64(0x100000001B3)
+    powers[n - 1] = np.uint64(1)
+    for i in range(n - 2, -1, -1):
+        with np.errstate(over="ignore"):
+            powers[i] = powers[i + 1] * mult
+
+    def gram_hashes(texts):
+        lists = pc.split_pattern(texts, " ")
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        flat = pc.list_flatten(lists)
+        hh = hash64_batch_i64(flat).view(np.uint64)
+        doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        if len(hh) < n:
+            return np.empty(0, np.uint64), np.empty(0, np.int64)
+        win = np.lib.stride_tricks.sliding_window_view(hh, n)
+        with np.errstate(over="ignore"):
+            gh = (win * powers[None, :]).sum(axis=1, dtype=np.uint64)
+        valid = doc_of[:len(gh)] == doc_of[n - 1:]
+        return gh[valid], doc_of[:len(gh)][valid]
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def near_copy(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy(zero_copy_only=False)
+        b = b.filter(pa.array(did % 10 == 0))
+        texts = [" ".join(t.split()[:-1]) for t in b["text"].to_pylist()]
+        return pa.table({
+            "doc_id": pc.add(b["doc_id"], pa.scalar(1_000_000, pa.int64())),
+            "text": pa.array(texts, type=pa.string()),
+        })
+
+    both = ds.union(ds.map_batches(near_copy, batch_format="pyarrow"))
+
+    def emit_pairs(b: pa.Table) -> pa.Table:
+        gh, doc_of = gram_hashes(b["text"].combine_chunks())
+        did = b["doc_id"].to_numpy(zero_copy_only=False)
+        if len(gh) == 0:
+            return pa.table({"gram": pa.array([], type=pa.int64()),
+                             "doc_id": pa.array([], type=pa.int64())})
+        pairs = np.unique(np.stack(
+            [gh.view(np.int64), did[doc_of]], axis=1), axis=0)
+        return pa.table({"gram": pa.array(pairs[:, 0]),
+                         "doc_id": pa.array(pairs[:, 1])})
+
+    pairs = both.map_batches(emit_pairs, batch_format="pyarrow") \
+        .materialize()
+    def only_dup(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater(b["nd"], pa.scalar(1, pa.int64()))) \
+            .select(["gram"])
+
+    dup_rows = pairs.groupby("gram").aggregate(Count(alias_name="nd")) \
+        .map_batches(only_dup, batch_format="pyarrow").take_all()
+    dup_grams = np.sort(np.array([r["gram"] for r in dup_rows],
+                                 dtype=np.int64))
+    dup_ref = ray.put(dup_grams)
+
+    def flag(b: pa.Table) -> pa.Table:
+        dset = ray.get(dup_ref)
+        g = b["gram"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(dset, g)
+        idx[idx >= len(dset)] = max(len(dset) - 1, 0)
+        dup = (dset[idx] == g).astype(np.int64) if len(dset) else \
+            np.zeros(len(g), dtype=np.int64)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "one": pa.array(np.ones(len(g), dtype=np.int64)),
+            "dup": pa.array(dup),
+        })
+
+    agg = pairs.map_batches(flag, batch_format="pyarrow") \
+        .groupby("doc_id").aggregate(
+            Sum("one", alias_name="n_grams"),
+            Sum("dup", alias_name="n_dup"))
+
+    def finalize(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b["n_dup"], pa.scalar(0, pa.int64())))
+        frac = pc.round(
+            pc.divide(pc.cast(b["n_dup"], pa.float64()),
+                      pc.cast(b["n_grams"], pa.float64())), ndigits=6)
+        return pa.table({"doc_id": b["doc_id"], "n_grams": b["n_grams"],
+                         "n_dup": b["n_dup"], "dup_frac": frac})
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_DUP_NGRAMS = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         array_to_string(l[1:len(l)-1], ' ')
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+  WHERE doc_id % 10 = 0
+),
+g AS (
+  SELECT DISTINCT doc_id, array_to_string(l[i:i+7], ' ') AS gram
+  FROM (SELECT doc_id, string_split(text,' ') AS l FROM corpus),
+       UNNEST(generate_series(1, len(l) - 7)) AS t(i)
+),
+gc AS (SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY 1)
+SELECT g.doc_id, COUNT(*) AS n_grams,
+       SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS n_dup,
+       ROUND(CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS dup_frac
+FROM g JOIN gc USING (gram)
+GROUP BY g.doc_id
+HAVING SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) > 0
+"""
+
+
+# =====================================================================
+# SemDeDup: semantic near-dup removal via k-means clusters (rows-only)
+# =====================================================================
+
+def q_semdedup(sf_dir: str, cos_min: float = 0.97):
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster
+    embeddings with the IVF coarse quantizer, then compare cosines
+    ONLY within each cluster and drop the higher vec_id of every pair
+    ≥ ``cos_min`` — at 100 TB the all-pairs matrix never exists;
+    each cluster's matmul is bounded by its membership. Planted
+    near-copies (vec_id+1e6, scaled + tiny first-component nudge, so
+    direction ≈ identical ⇒ same cluster) make the drop path real;
+    pytest pins exactly-the-planted-copies dropped on the isotropic
+    fixture (rows-only: SQL has no k-means). One groupby(cluster)
+    shuffle carrying (cluster, vec_id, unit vector); centroids ride
+    once via ray.put."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    cent = _ivf_train(path)
+    cent_ref = ray.put(cent)
+
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+
+    def plant(b: pa.Table) -> pa.Table:
+        vid = b["vec_id"].to_numpy(zero_copy_only=False)
+        b = b.filter(pa.array(vid % 20 == 0))
+        emb = _embedding_matrix(b["embedding"]) * 1.001
+        if len(emb):
+            emb[:, 0] += 1e-3
+        return pa.table({
+            "vec_id": pc.add(b["vec_id"], pa.scalar(1_000_000, pa.int64())),
+            "embedding": pa.array(list(emb.astype(np.float32)),
+                                  type=pa.list_(pa.float32())),
+        })
+
+    both = ds.union(ds.map_batches(plant, batch_format="pyarrow"))
+
+    def assign(b: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        emb = _embedding_matrix(b["embedding"])
+        norms = np.linalg.norm(emb, axis=1, keepdims=True)
+        unit = emb / np.where(norms == 0, 1.0, norms)
+        cl = np.argmax(unit @ c.T, axis=1).astype(np.int64)
+        return pa.table({
+            "cluster": pa.array(cl),
+            "vec_id": b["vec_id"],
+            "unit": pa.array(list(unit.astype(np.float32)),
+                             type=pa.list_(pa.float32())),
+        })
+
+    def within(g: pd.DataFrame) -> pd.DataFrame:
+        vid = g["vec_id"].to_numpy()
+        order = np.argsort(vid)
+        vid = vid[order]
+        unit = np.stack(g["unit"].to_numpy()[order]).astype(np.float64)
+        cos = unit @ unit.T
+        ii, jj = np.where(np.triu(cos >= cos_min, k=1))
+        if len(ii) == 0:
+            return pd.DataFrame({"dropped": pd.Series([], dtype=np.int64),
+                                 "dup_of": pd.Series([], dtype=np.int64),
+                                 "cos": pd.Series([], dtype=np.float64)})
+        # drop the higher id; keep the first (lowest-id) witness per victim
+        df = pd.DataFrame({"dropped": vid[jj], "dup_of": vid[ii],
+                           "cos": np.round(cos[ii, jj], 6)})
+        df = df.sort_values(["dropped", "dup_of"], kind="mergesort")
+        return df.groupby("dropped", sort=False).head(1)
+
+    return both.map_batches(assign, batch_format="pyarrow") \
+        .groupby("cluster").map_groups(within, batch_format="pandas")
+
+
 DATAOPS_QUERIES = {
     "url_canonicalize": (q_url_canonicalize, SQL_URL_CANONICALIZE),
     "murmur3_hash": (q_murmur3, None),
@@ -2972,6 +3213,9 @@ DATAOPS_QUERIES = {
     "hll_by_group": (q_hll_by_group, None),
     "training_pipeline": (q_training_pipeline, None),
     "epoch_shuffle": (q_epoch_shuffle, None),
+    "source_mix": (q_source_mix, SQL_SOURCE_MIX),
+    "dup_ngrams": (q_dup_ngrams, SQL_DUP_NGRAMS),
+    "semdedup": (q_semdedup, None),
     "scrub_pii": (q_scrub_pii, SQL_SCRUB_PII),
     "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
     "tfidf_topterms": (q_tfidf_topterms, SQL_TFIDF_TOPTERMS),

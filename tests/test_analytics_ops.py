@@ -253,3 +253,24 @@ def test_pagerank_matches_numpy_power_iteration(ray_session):
     got = q_pagerank(SF_DIR).to_pandas()
     assert got["node"].tolist() == [nodes[i] for i in order]
     assert np.allclose(got["rank"].to_numpy(), rank[order], atol=1e-10)
+
+
+def test_semdedup_drops_exactly_planted_copies(ray_session):
+    """SemDeDup (rows-only pin): on the isotropic fixture the only
+    cosine pairs ≥ 0.97 are (original, planted copy), so the dropped
+    set must be exactly the planted ids, each witnessed by its own
+    original — no false drops among genuine vectors, no missed copy
+    (the copy's direction is ~identical, so it lands in the same
+    k-means cluster by construction)."""
+    import pyarrow.parquet as pq
+
+    from crawlray.pipelines.dataops import q_semdedup
+
+    df = q_semdedup(SF_DIR).to_pandas()
+    vids = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"),
+                         columns=["vec_id"])["vec_id"].to_numpy()
+    planted = {int(v) + 1_000_000 for v in vids if v % 20 == 0}
+    assert set(df["dropped"]) == planted
+    assert (df["dup_of"].to_numpy() ==
+            df["dropped"].to_numpy() - 1_000_000).all()
+    assert (df["cos"].to_numpy() >= 0.97).all()
