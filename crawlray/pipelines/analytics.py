@@ -3017,6 +3017,71 @@ SELECT doc_id, n_chars, z FROM z WHERE ABS(z) >= 1.8
 """
 
 
+# =====================================================================
+# rolling distinct count (7-day rolling DAU)
+# =====================================================================
+
+def q_rolling_distinct(sf_dir: str):
+    """7-day rolling DISTINCT active users per day — the windowed
+    distinct aggregate no frame-based engine gets for free (DISTINCT
+    inside a window needs a per-window set, not a running sum). Scale
+    shape: shuffle 1 groups by user (2 small ints per row); each user
+    group dedups its active days and fans every day out to the ≤7
+    windows it can serve — at most ONE row per (user, window) leaves
+    the group, so shuffle 2's Count(window) is exact with no second
+    distinct pass. Window days are clamped to days that exist in the
+    data (the day set is bounded → broadcast)."""
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+
+    def to_days(b: pa.Table) -> pa.Table:
+        ts = b["ts"].to_numpy(zero_copy_only=False)
+        day = ts.astype("datetime64[D]").astype(np.int64)
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        pairs = np.unique(np.stack([uid, day], axis=1), axis=0)
+        return pa.table({"user_id": pa.array(pairs[:, 0]),
+                         "day": pa.array(pairs[:, 1])})
+
+    day_pairs = ds.map_batches(to_days, batch_format="pyarrow",
+                               zero_copy_batch=True).materialize()
+    def block_days(b: pa.Table) -> pa.Table:
+        return pa.table({"day": pa.array(
+            np.unique(b["day"].to_numpy(zero_copy_only=False)))})
+
+    all_days = np.unique(np.array(
+        [r["day"] for r in
+         day_pairs.map_batches(block_days,
+                               batch_format="pyarrow").take_all()],
+        dtype=np.int64))
+    days_ref = ray.put(all_days)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        days = np.unique(g["day"].to_numpy())
+        wins = np.unique((days[:, None]
+                          + np.arange(7, dtype=np.int64)[None, :]).ravel())
+        valid = ray.get(days_ref)
+        idx = np.searchsorted(valid, wins)
+        idx[idx >= len(valid)] = max(len(valid) - 1, 0)
+        wins = wins[valid[idx] == wins] if len(valid) else wins[:0]
+        return pd.DataFrame({"day": wins,
+                             "one": np.ones(len(wins), dtype=np.int64)})
+
+    return day_pairs.groupby("user_id") \
+        .map_groups(per_user, batch_format="pandas") \
+        .groupby("day").aggregate(Sum("one", alias_name="dau7"))
+
+
+SQL_ROLLING_DISTINCT = """
+WITH act AS (SELECT DISTINCT user_id,
+                    datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                      AS day
+             FROM events),
+days AS (SELECT DISTINCT day FROM act)
+SELECT d.day, COUNT(DISTINCT a.user_id) AS dau7
+FROM days d JOIN act a ON a.day BETWEEN d.day - 6 AND d.day
+GROUP BY 1
+"""
+
+
 ANALYTICS_QUERIES = {
     "window_lag": (q_window_lag, SQL_WINDOW_LAG),
     "rollup_agg": (q_rollup_agg, SQL_ROLLUP_AGG),
@@ -3069,4 +3134,5 @@ ANALYTICS_QUERIES = {
     "skew_join": (q_skew_join, SQL_SKEW_JOIN),
     "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
     "outlier_docs": (q_outlier_docs, SQL_OUTLIER_DOCS),
+    "rolling_distinct": (q_rolling_distinct, SQL_ROLLING_DISTINCT),
 }

@@ -8,6 +8,7 @@ otherwise (the registry records which).
 
 from __future__ import annotations
 
+import math
 import os
 from functools import partial
 
@@ -3103,6 +3104,203 @@ HAVING SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) > 0
 
 
 # =====================================================================
+# bigram PMI (collocation mining)
+# =====================================================================
+
+def q_bigram_pmi(sf_dir: str, min_count: int = 30):
+    """Collocation mining — pointwise mutual information of adjacent
+    token pairs, the classic phrase-detection pass (word2vec's phrase
+    step, Mikolov et al. 2013). Scale shape: ONE pass emits per-block
+    partial unigram AND bigram counts as tagged rows (the word_freq
+    combiner generalized to pairs), ONE groupby folds them; unigram
+    totals are vocab-bounded and broadcast for scoring, bigram rows
+    score block-locally. Row membership is decided by an INTEGER
+    count threshold (never the float PMI), and the PMI column is
+    rounded to 6 dp on both sides (the tfidf ln-ulp convention)."""
+    ds = _docs(sf_dir, ["text"])
+
+    def counts(b: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(b["text"].combine_chunks(), " ")
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        flat = pc.list_flatten(lists).to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        w1, w2 = flat[:-1], flat[1:]
+        same = doc_of[:-1] == doc_of[1:]
+        bi = np.char.add(np.char.add(w1[same].astype(str), " "),
+                         w2[same].astype(str))
+        bw, bc = np.unique(bi, return_counts=True)
+        uw, uc = np.unique(flat, return_counts=True)
+        return pa.table({
+            "key": pa.array(np.concatenate([uw.astype(object),
+                                            bw.astype(object)]),
+                            type=pa.string()),
+            "is_bigram": pa.array(np.concatenate(
+                [np.zeros(len(uw), np.int64), np.ones(len(bw), np.int64)])),
+            "c": pa.array(np.concatenate([uc, bc]).astype(np.int64)),
+        })
+
+    agg = ds.map_batches(counts, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby(["key", "is_bigram"]).aggregate(Sum("c", alias_name="c")) \
+        .materialize()
+
+    def only_uni(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["is_bigram"], pa.scalar(0, pa.int64()))) \
+            .select(["key", "c"])
+
+    uni = {r["key"]: int(r["c"]) for r in
+           agg.map_batches(only_uni, batch_format="pyarrow").take_all()}
+    n_tok = sum(uni.values())
+    uni_ref = ray.put(uni)
+
+    # total bigram count (needed exactly; fold it from the aggregate)
+    def only_bi_tot(b: pa.Table) -> pa.Table:
+        m = pc.equal(b["is_bigram"], pa.scalar(1, pa.int64()))
+        s = pc.sum(pc.if_else(m, b["c"], pa.scalar(0, pa.int64())))
+        return pa.table({"t": pa.array(
+            [int(s.as_py() or 0)], type=pa.int64())})
+
+    n_bi = sum(int(r["t"]) for r in
+               agg.map_batches(only_bi_tot, batch_format="pyarrow")
+               .take_all())
+
+    def score(b: pa.Table) -> pa.Table:
+        u = ray.get(uni_ref)
+        b = b.filter(pc.and_(
+            pc.equal(b["is_bigram"], pa.scalar(1, pa.int64())),
+            pc.greater_equal(b["c"], pa.scalar(min_count, pa.int64()))))
+        keys = b["key"].to_pylist()
+        c12 = b["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        parts = [k.split(" ") for k in keys]
+        c1 = np.array([u[p[0]] for p in parts], dtype=np.float64)
+        c2 = np.array([u[p[1]] for p in parts], dtype=np.float64)
+        pmi = np.log((c12 / n_bi) / ((c1 / n_tok) * (c2 / n_tok)))
+        return pa.table({
+            "w1": pa.array([p[0] for p in parts], type=pa.string()),
+            "w2": pa.array([p[1] for p in parts], type=pa.string()),
+            "c12": pc.cast(pa.array(c12), pa.int64()),
+            "pmi": pa.array(np.round(pmi, 6)),
+        })
+
+    return agg.map_batches(score, batch_format="pyarrow")
+
+
+SQL_BIGRAM_PMI = """
+WITH toks AS (SELECT string_split(text,' ') AS l FROM documents),
+uni AS (SELECT w, COUNT(*) AS c1
+        FROM (SELECT UNNEST(l) AS w FROM toks) GROUP BY 1),
+bi AS (SELECT l[i] AS w1, l[i+1] AS w2, COUNT(*) AS c12
+       FROM toks, UNNEST(generate_series(1, len(l)-1)) AS t(i)
+       GROUP BY 1, 2),
+tot AS (SELECT (SELECT SUM(c1) FROM uni) AS n,
+               (SELECT SUM(c12) FROM bi) AS b)
+SELECT bi.w1, bi.w2, bi.c12,
+       ROUND(LN((CAST(bi.c12 AS DOUBLE) / b)
+                / ((CAST(u1.c1 AS DOUBLE) / n)
+                   * (CAST(u2.c1 AS DOUBLE) / n))), 6) AS pmi
+FROM bi, tot
+JOIN uni u1 ON u1.w = bi.w1
+JOIN uni u2 ON u2.w = bi.w2
+WHERE bi.c12 >= 30
+"""
+
+
+# =====================================================================
+# BM25 scoring (retrieval over the term-frequency surface)
+# =====================================================================
+
+def q_bm25(sf_dir: str, k1: float = 1.2, b_param: float = 0.75):
+    """BM25 relevance scoring (Robertson & Zaragoza 2009) of every
+    document against a fixed 2-term query — the retrieval op a
+    training-data pipeline runs for quality-by-query or hard-negative
+    mining. Scale shape: NOTHING shuffles — per-block passes compute
+    (doc, tf, len) for the bounded query vocabulary; the corpus stats
+    (N, Σlen, df per term — 4 integers) fold from per-block partials;
+    scoring is block-local against those broadcast ints. Membership =
+    docs containing ≥1 query term (integer-decided); the score column
+    is rounded 6 dp with the IDENTICAL expression tree both sides."""
+    terms = ["join", "hash"]
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def stats(b: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(b["text"].combine_chunks(), " ")
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        flat = pc.list_flatten(lists).to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        tf = np.zeros((len(lens), len(terms)), dtype=np.int64)
+        for j, t in enumerate(terms):
+            np.add.at(tf[:, j], doc_of[flat == t], 1)
+        cols = {"doc_id": b["doc_id"], "len": pa.array(lens)}
+        for j in range(len(terms)):
+            cols[f"tf{j}"] = pa.array(tf[:, j])
+        return pa.table(cols)
+
+    per_doc = ds.map_batches(stats, batch_format="pyarrow",
+                             zero_copy_batch=True).materialize()
+
+    def fold(b: pa.Table) -> pa.Table:
+        out = {"n": pa.array([b.num_rows], type=pa.int64()),
+               "sumlen": pa.array([int(pc.sum(b["len"]).as_py() or 0)],
+                                  type=pa.int64())}
+        for j in range(len(terms)):
+            df = int(pc.sum(pc.cast(pc.greater(b[f"tf{j}"],
+                                               pa.scalar(0, pa.int64())),
+                                    pa.int64())).as_py() or 0)
+            out[f"df{j}"] = pa.array([df], type=pa.int64())
+        return pa.table(out)
+
+    parts = per_doc.map_batches(fold, batch_format="pyarrow").take_all()
+    n_docs = sum(int(p["n"]) for p in parts)
+    sumlen = sum(int(p["sumlen"]) for p in parts)
+    dfs = [sum(int(p[f"df{j}"]) for p in parts) for j in range(len(terms))]
+    avglen = float(sumlen) / n_docs
+    idf = [math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0) for df in dfs]
+
+    def score(b: pa.Table) -> pa.Table:
+        ln = b["len"].to_numpy(zero_copy_only=False).astype(np.float64)
+        total = np.zeros(b.num_rows, dtype=np.float64)
+        any_tf = np.zeros(b.num_rows, dtype=bool)
+        for j in range(len(terms)):
+            tf = b[f"tf{j}"].to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            any_tf |= tf > 0
+            total += idf[j] * (tf * (k1 + 1.0)
+                               / (tf + k1 * (1.0 - b_param
+                                             + b_param * ln / avglen)))
+        keep = pa.array(any_tf)
+        return pa.table({
+            "doc_id": b["doc_id"].filter(keep),
+            "score": pa.array(np.round(total[any_tf.nonzero()[0]], 6)),
+        })
+
+    return per_doc.map_batches(score, batch_format="pyarrow")
+
+
+SQL_BM25 = """
+WITH d AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
+t AS (SELECT doc_id, len(l) AS ln,
+             len(list_filter(l, x -> x = 'join')) AS tf0,
+             len(list_filter(l, x -> x = 'hash')) AS tf1
+      FROM d),
+s AS (SELECT COUNT(*) AS n, SUM(ln) AS sumlen,
+             COUNT(*) FILTER (WHERE tf0 > 0) AS df0,
+             COUNT(*) FILTER (WHERE tf1 > 0) AS df1
+      FROM t)
+SELECT doc_id,
+  ROUND(
+    LN((n - df0 + 0.5)/(df0 + 0.5) + 1.0)
+      * (tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * ln / (CAST(sumlen AS DOUBLE)/n))))
+    + LN((n - df1 + 0.5)/(df1 + 0.5) + 1.0)
+      * (tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * ln / (CAST(sumlen AS DOUBLE)/n)))),
+  6) AS score
+FROM t, s
+WHERE tf0 > 0 OR tf1 > 0
+"""
+
+
+# =====================================================================
 # SemDeDup: semantic near-dup removal via k-means clusters (rows-only)
 # =====================================================================
 
@@ -3216,6 +3414,8 @@ DATAOPS_QUERIES = {
     "source_mix": (q_source_mix, SQL_SOURCE_MIX),
     "dup_ngrams": (q_dup_ngrams, SQL_DUP_NGRAMS),
     "semdedup": (q_semdedup, None),
+    "bigram_pmi": (q_bigram_pmi, SQL_BIGRAM_PMI),
+    "bm25_search": (q_bm25, SQL_BM25),
     "scrub_pii": (q_scrub_pii, SQL_SCRUB_PII),
     "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
     "tfidf_topterms": (q_tfidf_topterms, SQL_TFIDF_TOPTERMS),
