@@ -3104,6 +3104,105 @@ HAVING SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) > 0
 
 
 # =====================================================================
+# product quantization (vector compression for ANN at scale)
+# =====================================================================
+
+_PQ_M = 8        # subspaces
+_PQ_K = 16       # codewords per subspace (4-bit codes)
+_PQ_ITERS = 8    # Lloyd iterations per subspace
+_PQ_SEED = 11
+
+
+def _pq_train(path: str) -> np.ndarray:
+    """Deterministic PQ codebook: the _ivf_train bounded stride sample,
+    then independent Euclidean k-means per subspace. Returns an
+    (M, K, d/M) float64 codebook — tiny at any corpus size; training
+    never touches more than _IVF_SAMPLE rows (Jégou et al. 2011,
+    "Product quantization for nearest neighbor search")."""
+    import pyarrow.dataset as pads
+
+    n_total = pads.dataset(path).count_rows()
+    stride = max(1, n_total // _IVF_SAMPLE)
+    sample_ids = list(range(0, n_total, stride))[:_IVF_SAMPLE]
+    tbl = pads.dataset(path).to_table(
+        columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id").isin(sample_ids))
+    emb = _embedding_matrix(tbl["embedding"])
+    d = emb.shape[1]
+    sub = d // _PQ_M
+    rng = np.random.default_rng(_PQ_SEED)
+    book = np.empty((_PQ_M, _PQ_K, sub), dtype=np.float64)
+    for m in range(_PQ_M):
+        x = emb[:, m * sub:(m + 1) * sub]
+        cent = x[rng.choice(len(x), size=min(_PQ_K, len(x)),
+                            replace=False)].copy()
+        for _ in range(_PQ_ITERS):
+            d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(len(cent)):
+                members = x[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        book[m, :len(cent)] = cent
+    return book
+
+
+def _pq_encode(emb: np.ndarray, book: np.ndarray) -> np.ndarray:
+    """(n, M) uint8 codes: per subspace, nearest codeword by L2."""
+    n, d = emb.shape
+    sub = d // _PQ_M
+    codes = np.empty((n, _PQ_M), dtype=np.uint8)
+    for m in range(_PQ_M):
+        x = emb[:, m * sub:(m + 1) * sub]
+        d2 = ((x[:, None, :] - book[m][None, :, :]) ** 2).sum(axis=2)
+        codes[:, m] = np.argmin(d2, axis=1).astype(np.uint8)
+    return codes
+
+
+def q_pq_compress(sf_dir: str):
+    """Product quantization (rows-only): compress each embedding to
+    _PQ_M 4-bit codes (64× smaller than float32×64) and report the
+    per-vector relative reconstruction error — the storage path that
+    makes billion-vector ANN affordable. Scale shape: the codebook is
+    trained once on a bounded sample and broadcast via ray.put; encode
+    + error are block-local vectorized passes, nothing shuffles.
+    Pytest pins bit-identical equality to a single-process numpy
+    reference and the corpus-level error bound
+    (tests/test_analytics_ops.py)."""
+    import pyarrow.dataset as pads
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    book = _pq_train(path)
+    book_ref = ray.put(book)
+
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"],
+                         filter=pads.field("vec_id") < 100)
+
+    def encode(b: pa.Table) -> pa.Table:
+        bk = ray.get(book_ref)
+        emb = _embedding_matrix(b["embedding"])
+        codes = _pq_encode(emb, bk)
+        sub = emb.shape[1] // _PQ_M
+        recon = np.concatenate(
+            [bk[m][codes[:, m]] for m in range(_PQ_M)], axis=1)
+        num = ((emb - recon) ** 2).sum(axis=1)
+        den = (emb ** 2).sum(axis=1)
+        rel = np.sqrt(num / np.where(den == 0, 1.0, den))
+        packed = codes.astype(np.int64)
+        code64 = np.zeros(len(emb), dtype=np.int64)
+        for m in range(_PQ_M):
+            code64 = (code64 << 8) | packed[:, m]
+        return pa.table({
+            "vec_id": b["vec_id"],
+            "code": pa.array(code64),
+            "rel_err": pa.array(np.round(rel, 6)),
+        })
+
+    return ds.map_batches(encode, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+# =====================================================================
 # bigram PMI (collocation mining)
 # =====================================================================
 
@@ -3416,6 +3515,7 @@ DATAOPS_QUERIES = {
     "semdedup": (q_semdedup, None),
     "bigram_pmi": (q_bigram_pmi, SQL_BIGRAM_PMI),
     "bm25_search": (q_bm25, SQL_BM25),
+    "pq_compress": (q_pq_compress, None),
     "scrub_pii": (q_scrub_pii, SQL_SCRUB_PII),
     "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
     "tfidf_topterms": (q_tfidf_topterms, SQL_TFIDF_TOPTERMS),

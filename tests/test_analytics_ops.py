@@ -274,3 +274,39 @@ def test_semdedup_drops_exactly_planted_copies(ray_session):
     assert (df["dup_of"].to_numpy() ==
             df["dropped"].to_numpy() - 1_000_000).all()
     assert (df["cos"].to_numpy() >= 0.97).all()
+
+
+def test_pq_compress_matches_numpy_reference(ray_session):
+    """PQ (rows-only pin): the distributed encode must be bit-identical
+    to a single-process numpy reference (same codebook, same argmin),
+    and the mean relative reconstruction error on the isotropic fixture
+    must stay under 0.9 (16 codewords over 8-dim subspaces of unit-ish
+    random vectors can't do much better — the pin is regression, not
+    quality)."""
+    import pyarrow.dataset as pads
+
+    from crawlray.pipelines.dataops import (_embedding_matrix, _PQ_M,
+                                            _pq_encode, _pq_train,
+                                            q_pq_compress)
+
+    path = os.path.join(SF_DIR, "embeddings.parquet")
+    got = q_pq_compress(SF_DIR).to_pandas().sort_values("vec_id")
+
+    book = _pq_train(path)
+    tbl = pads.dataset(path).to_table(
+        columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id") < 100)
+    order = np.argsort(tbl["vec_id"].to_numpy())
+    emb = _embedding_matrix(tbl["embedding"])[order]
+    codes = _pq_encode(emb, book)
+    code64 = np.zeros(len(emb), dtype=np.int64)
+    for m in range(_PQ_M):
+        code64 = (code64 << 8) | codes[:, m].astype(np.int64)
+    recon = np.concatenate(
+        [book[m][codes[:, m]] for m in range(_PQ_M)], axis=1)
+    rel = np.sqrt(((emb - recon) ** 2).sum(axis=1)
+                  / (emb ** 2).sum(axis=1))
+
+    assert got["code"].to_numpy().tolist() == code64.tolist()
+    assert np.array_equal(got["rel_err"].to_numpy(), np.round(rel, 6))
+    assert got["rel_err"].mean() < 0.9
