@@ -2802,7 +2802,7 @@ WHERE v1.k IS NULL OR v2.k IS NULL OR v1.c <> v2.c
 # skew join (hot-key broadcast + cold hash join hybrid)
 # =====================================================================
 
-def q_skew_join(sf_dir: str):
+def q_skew_join(sf_dir: str, _stats: dict | None = None):
     """Skew-aware join — the hybrid plan for a fact table whose join
     key is heavy-tailed (one key here carries ~25% of all rows, the
     shape that makes a plain hash join's hottest partition the whole
@@ -2848,6 +2848,9 @@ def q_skew_join(sf_dir: str):
         counts[int(row["jk"])] = counts.get(int(row["jk"]), 0) + int(row["n"])
     total = sum(counts.values()) or 1
     hot = {k for k, n in counts.items() if n > 0.05 * total}
+    if _stats is not None:  # test observability: prove the hot path runs
+        _stats["hot"] = set(hot)
+        _stats["total"] = total
 
     d_mat = d.materialize()
     hot_rows = {int(r["jk"]): int(r["n_parts"])

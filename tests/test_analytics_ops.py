@@ -310,3 +310,19 @@ def test_pq_compress_matches_numpy_reference(ray_session):
     assert got["code"].to_numpy().tolist() == code64.tolist()
     assert np.array_equal(got["rel_err"].to_numpy(), np.round(rel, 6))
     assert got["rel_err"].mean() < 0.9
+
+
+def test_skew_join_hot_path_actually_fires(ray_session):
+    """The hybrid plan is only a skew join if the hot branch runs: on
+    the fixture, jk=0 carries ~25% of fact rows (orderkey%4==0
+    collapses there), so it MUST classify hot while the other ~100
+    keys (~0.75% each) stay cold — and the result still matches the
+    plain-join oracle (covered by test_driver_contract); here we pin
+    the classification itself."""
+    from crawlray.pipelines.analytics import q_skew_join
+
+    stats = {}
+    res = q_skew_join(SF_DIR, _stats=stats).to_pandas()
+    assert 0 in stats["hot"], "the planted hot key must classify hot"
+    assert len(stats["hot"]) <= 3, "cold keys must not classify hot"
+    assert len(res) > 50  # cold path produced the other keys
