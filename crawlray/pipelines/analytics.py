@@ -2812,8 +2812,12 @@ def q_skew_join(sf_dir: str, _stats: dict | None = None):
     |hot|, however big the dim table is); (3) cold rows take the
     normal hash join, where no partition can explode by construction;
     (4) union → final aggregate. Result is provably identical to the
-    plain join (the oracle IS the plain join). Key: jk = partkey%100,
-    except 25% of rows (orderkey%4==0) collapse onto jk=0."""
+    plain join (the oracle IS the plain join). The projected fact
+    (2 int64 cols) materializes once — it has three consumers (count
+    pass, hot split, cold split) and would re-execute per consumer
+    otherwise; the object store spills it past memory. Key:
+    jk = partkey%100, except 25% of rows (orderkey%4==0) collapse
+    onto jk=0."""
     fact = _t(sf_dir, "lineitem",
               ["l_orderkey", "l_partkey", "l_extendedprice"])
     dim = _t(sf_dir, "part", ["p_partkey"])

@@ -2988,9 +2988,12 @@ def q_dup_ngrams(sf_dir: str, n: int = 8):
     tail — far smaller than the gram stream, the same boundedness
     decontaminate assumes of its bench set) broadcasts once via
     ray.put, and a doc-keyed groupby folds the per-doc fraction via
-    searchsorted membership — no per-gram Python, no join. The oracle
-    joins literal gram strings (hash-collision odds ~1e-9 at these
-    sizes — documented, not hidden)."""
+    searchsorted membership — no per-gram Python, no join. The pair
+    stream materializes ONCE (it has two consumers: the gram count and
+    the flag pass; Ray would otherwise re-execute the gram hashing per
+    consumer — the simhash r2 lesson), and the object store spills it
+    past memory. The oracle joins literal gram strings (hash-collision
+    odds ~1e-9 at these sizes — documented, not hidden)."""
     powers = np.empty(n, dtype=np.uint64)
     mult = np.uint64(0x100000001B3)
     powers[n - 1] = np.uint64(1)
@@ -3408,7 +3411,10 @@ def q_semdedup(sf_dir: str, cos_min: float = 0.97):
     embeddings with the IVF coarse quantizer, then compare cosines
     ONLY within each cluster and drop the higher vec_id of every pair
     ≥ ``cos_min`` — at 100 TB the all-pairs matrix never exists;
-    each cluster's matmul is bounded by its membership. Planted
+    each cluster's matmul is bounded by its membership (the cluster
+    count is fixture-sized here at _IVF_K=16; a corpus-scale run grows
+    K with the corpus so memberships stay bounded, exactly as SemDeDup
+    does with ~100k clusters). Planted
     near-copies (vec_id+1e6, scaled + tiny first-component nudge, so
     direction ≈ identical ⇒ same cluster) make the drop path real;
     pytest pins exactly-the-planted-copies dropped on the isotropic
