@@ -3107,6 +3107,139 @@ HAVING SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) > 0
 
 
 # =====================================================================
+# fuzzy similarity join (edit distance ≤ 1 via deletion neighborhoods)
+# =====================================================================
+
+def _del1_variants(names: list[str]):
+    """Each name's deletion-1 neighborhood (self + every single-char
+    deletion). ed(a,b) ≤ 1 ⟺ the two neighborhoods intersect (the
+    FastSS / deletion-neighborhood theorem: equality shares self;
+    substitution at i shares the delete-at-i variant; insertion/
+    deletion shares the longer string's deletion). Fan-out = len+1
+    per name — bounded by key length, not corpus size."""
+    out_names, out_idx = [], []
+    for i, s in enumerate(names):
+        out_names.append(s)
+        out_idx.append(i)
+        for j in range(len(s)):
+            out_names.append(s[:j] + s[j + 1:])
+            out_idx.append(i)
+    return out_names, np.asarray(out_idx, dtype=np.int64)
+
+
+def _ed_le1(a: str, b: str) -> bool:
+    """O(n) edit-distance ≤ 1 check (no DP needed at this radius)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) <= 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def q_fuzzy_join(sf_dir: str):
+    """Similarity join (ed ≤ 1) — the record-linkage op for joining on
+    misspelled keys: typo'd probe names (deterministic deletion and
+    substitution typos of customer names) against the full customer
+    table. Plan: both sides emit their deletion-1 neighborhoods (fan-out
+    = keylen+1, independent of corpus size), candidates = buckets where
+    the neighborhoods collide — ONE groupby(variant-hash-partition)
+    shuffle carrying (hash, id, name); a vectorized per-partition merge
+    emits candidate pairs, np.unique dedups them, and an O(keylen)
+    radius-1 verify removes hash-bucket false positives. The O(n·m)
+    all-pairs distance matrix never exists (the SQL oracle runs exactly
+    that, which is the point)."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_name"])
+
+    def probes(b: pa.Table) -> pa.Table:
+        k = b["c_custkey"].to_numpy(zero_copy_only=False)
+        names = b["c_name"].to_pylist()
+        out_id, out_nm = [], []
+        for kk, nm in zip(k, names):
+            if kk % 97 == 0:
+                out_id.append(int(kk))
+                out_nm.append(nm[:2] + nm[3:])      # deletion typo
+            if kk % 89 == 0:
+                out_id.append(int(kk))
+                out_nm.append(nm[:17] + "X")        # substitution typo
+        return pa.table({"probe_id": pa.array(out_id, type=pa.int64()),
+                         "probe_name": pa.array(out_nm, type=pa.string())})
+
+    def expand(b: pa.Table, side: int) -> pa.Table:
+        idc = "probe_id" if side == 0 else "c_custkey"
+        nmc = "probe_name" if side == 0 else "c_name"
+        names = b[nmc].to_pylist()
+        ids = b[idc].to_numpy(zero_copy_only=False)
+        var, idx = _del1_variants(names)
+        h = np.asarray(hash64_batch_i64(pa.array(var, type=pa.string())))
+        return pa.table({
+            "h": pa.array(h),
+            "vpart": pa.array(_pair_part(h)),
+            "side": pa.array(np.full(len(h), side, dtype=np.int64)),
+            "rid": pa.array(ids[idx]),
+            "name": pa.array([names[i] for i in idx], type=pa.string()),
+        })
+
+    probe_nbhd = ds.map_batches(probes, batch_format="pyarrow") \
+        .map_batches(partial(expand, side=0), batch_format="pyarrow")
+    build_nbhd = ds.map_batches(partial(expand, side=1),
+                                batch_format="pyarrow")
+
+    def match(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["side"] == 0]
+        c = g[g["side"] == 1]
+        if p.empty or c.empty:
+            return pd.DataFrame({"probe_id": pd.Series([], dtype=np.int64),
+                                 "probe_name": pd.Series([], dtype=str),
+                                 "c_custkey": pd.Series([], dtype=np.int64),
+                                 "c_name": pd.Series([], dtype=str)})
+        cand = p.merge(c, on="h", suffixes=("_p", "_c"))
+        cand = cand.drop_duplicates(
+            subset=["rid_p", "name_p", "rid_c"])
+        keep = [_ed_le1(a, b) for a, b in
+                zip(cand["name_p"], cand["name_c"])]
+        cand = cand[np.asarray(keep, dtype=bool)] if len(cand) else cand
+        return pd.DataFrame({
+            "probe_id": cand["rid_p"].to_numpy(dtype=np.int64),
+            "probe_name": cand["name_p"].to_numpy(),
+            "c_custkey": cand["rid_c"].to_numpy(dtype=np.int64),
+            "c_name": cand["name_c"].to_numpy(),
+        })
+
+    matched = probe_nbhd.union(build_nbhd).groupby("vpart") \
+        .map_groups(match, batch_format="pandas")
+
+    # cross-partition dedup: the same pair can collide in several
+    # variant buckets that land in different partitions
+    def final_dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(
+            subset=["probe_id", "probe_name", "c_custkey"])
+
+    return matched.groupby("probe_id").map_groups(final_dedup,
+                                                  batch_format="pandas")
+
+
+SQL_FUZZY_JOIN = """
+WITH probe AS (
+  SELECT c_custkey AS probe_id,
+         concat(substr(c_name, 1, 2), substr(c_name, 4)) AS probe_name
+  FROM customer WHERE c_custkey % 97 = 0
+  UNION ALL
+  SELECT c_custkey, concat(substr(c_name, 1, 17), 'X')
+  FROM customer WHERE c_custkey % 89 = 0
+)
+SELECT p.probe_id, p.probe_name, c.c_custkey, c.c_name
+FROM probe p JOIN customer c ON levenshtein(p.probe_name, c.c_name) <= 1
+"""
+
+
+# =====================================================================
 # product quantization (vector compression for ANN at scale)
 # =====================================================================
 
@@ -3522,6 +3655,7 @@ DATAOPS_QUERIES = {
     "bigram_pmi": (q_bigram_pmi, SQL_BIGRAM_PMI),
     "bm25_search": (q_bm25, SQL_BM25),
     "pq_compress": (q_pq_compress, None),
+    "fuzzy_join": (q_fuzzy_join, SQL_FUZZY_JOIN),
     "scrub_pii": (q_scrub_pii, SQL_SCRUB_PII),
     "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
     "tfidf_topterms": (q_tfidf_topterms, SQL_TFIDF_TOPTERMS),
