@@ -2261,6 +2261,56 @@ def q_epoch_shuffle(sf_dir: str, epoch: int = 1):
 
 
 # =====================================================================
+# trainer-shard ingest: streaming_split fan-out to N consumers
+# =====================================================================
+
+def q_ingest_shards(sf_dir: str, n_shards: int = 4, _detail: bool = False):
+    """The last mile of a training-data pipeline: fan the (epoch-
+    shuffled) corpus out to ``n_shards`` trainer consumers with
+    ``Dataset.streaming_split`` — Ray's coordinated split, where each
+    DataIterator pulls blocks on demand and the epoch streams (no
+    shard ever materializes the whole dataset). The iterators MUST be
+    drained concurrently (they share one coordinator), so the demo
+    consumes them from n_shards threads exactly as n_shards trainers
+    would. Rows-only: pytest pins that the shards form a PARTITION of
+    the corpus (disjoint, complete) at any parallelism. Returns
+    per-shard (n_docs, sum_doc_id) — or the full (doc_id, shard)
+    assignment with ``_detail=True`` for the test."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    ds = _docs(sf_dir, ["doc_id"])
+    its = ds.streaming_split(n_shards, equal=False)
+
+    def drain(pair):
+        shard, it = pair
+        ids = []
+        for batch in it.iter_batches(batch_size=1024,
+                                     batch_format="pyarrow"):
+            ids.append(batch["doc_id"].to_numpy(zero_copy_only=False))
+        got = np.concatenate(ids) if ids else np.empty(0, np.int64)
+        return shard, got
+
+    with ThreadPoolExecutor(max_workers=n_shards) as pool:
+        parts = list(pool.map(drain, enumerate(its)))
+
+    if _detail:
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(
+                [ids for _, ids in parts]).astype(np.int64)),
+            "shard": pa.array(np.concatenate(
+                [np.full(len(ids), s, dtype=np.int64)
+                 for s, ids in parts])),
+        })
+    parts.sort(key=lambda p: p[0])
+    return pa.table({
+        "shard": pa.array([s for s, _ in parts], type=pa.int64()),
+        "n_docs": pa.array([len(i) for _, i in parts], type=pa.int64()),
+        "sum_doc_id": pa.array([int(i.sum()) for _, i in parts],
+                               type=pa.int64()),
+    })
+
+
+# =====================================================================
 # flagship composition: the end-to-end training-data pipeline
 # =====================================================================
 
@@ -3656,6 +3706,7 @@ DATAOPS_QUERIES = {
     "bm25_search": (q_bm25, SQL_BM25),
     "pq_compress": (q_pq_compress, None),
     "fuzzy_join": (q_fuzzy_join, SQL_FUZZY_JOIN),
+    "ingest_shards": (q_ingest_shards, None),
     "scrub_pii": (q_scrub_pii, SQL_SCRUB_PII),
     "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
     "tfidf_topterms": (q_tfidf_topterms, SQL_TFIDF_TOPTERMS),

@@ -326,3 +326,22 @@ def test_skew_join_hot_path_actually_fires(ray_session):
     assert 0 in stats["hot"], "the planted hot key must classify hot"
     assert len(stats["hot"]) <= 3, "cold keys must not classify hot"
     assert len(res) > 50  # cold path produced the other keys
+
+
+def test_ingest_shards_partition_the_corpus(ray_session):
+    """streaming_split ingest (rows-only pin): the N trainer shards
+    must form a PARTITION of the corpus — every doc_id appears in
+    exactly one shard, none are lost, none duplicated — and every
+    shard must receive work (non-empty at this corpus/shard ratio)."""
+    import pyarrow.parquet as pq
+
+    from crawlray.pipelines.dataops import q_ingest_shards
+
+    detail = q_ingest_shards(SF_DIR, _detail=True).to_pandas()
+    want = np.sort(pq.read_table(
+        os.path.join(SF_DIR, "documents.parquet"),
+        columns=["doc_id"])["doc_id"].to_numpy())
+    got = np.sort(detail["doc_id"].to_numpy())
+    assert np.array_equal(got, want), "shards must partition the corpus"
+    assert detail["doc_id"].is_unique
+    assert detail["shard"].nunique() == 4
