@@ -3025,6 +3025,58 @@ SELECT doc_id, n_chars, z FROM z WHERE ABS(z) >= 1.8
 
 
 # =====================================================================
+# SCD-2 validity intervals (change stream → full history)
+# =====================================================================
+
+def q_scd2_intervals(sf_dir: str):
+    """Slowly-changing-dimension type 2 — the other half of the CDC
+    family next to upsert_latest: turn the change stream into validity
+    intervals (value, valid_from, valid_to-open) per key, the layout
+    warehouse history tables keep. Scale shape: ONE groupby((user,
+    type)) shuffle; the interval assembly is a vectorized shift within
+    each group (the PARTITION BY assumption). The still-current last
+    version gets the classic warehouse high-date sentinel
+    (9999-12-31) rather than NULL — null timestamps compare as
+    unequal in value-hash harnesses (NaT != NaT), so an open interval
+    must be a concrete value on both sides. Values pass through
+    bit-exact."""
+    ds = _t(sf_dir, "events", ["user_id", "event_type", "event_id",
+                               "ts", "value"])
+
+    def fil(b: pa.Table) -> pa.Table:
+        return b.filter(pc.less(b["user_id"], pa.scalar(100, pa.int64())))
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        ts = g["ts"].to_numpy().astype("datetime64[us]")
+        valid_to = np.empty(len(ts), dtype="datetime64[us]")
+        valid_to[:-1] = ts[1:]
+        valid_to[-1:] = np.datetime64("9999-12-31T00:00:00", "us")
+        return pd.DataFrame({
+            "user_id": g["user_id"].to_numpy(),
+            "event_type": g["event_type"].to_numpy(),
+            "value": g["value"].to_numpy(),
+            "valid_from": ts,
+            "valid_to": valid_to,
+        })
+
+    return ds.map_batches(fil, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby(["user_id", "event_type"]) \
+        .map_groups(per_key, batch_format="pandas")
+
+
+SQL_SCD2_INTERVALS = """
+SELECT user_id, event_type, value,
+       ts AS valid_from,
+       COALESCE(LEAD(ts) OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts, event_id),
+                TIMESTAMP '9999-12-31') AS valid_to
+FROM events WHERE user_id < 100
+"""
+
+
+# =====================================================================
 # rolling distinct count (7-day rolling DAU)
 # =====================================================================
 
@@ -3142,4 +3194,5 @@ ANALYTICS_QUERIES = {
     "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
     "outlier_docs": (q_outlier_docs, SQL_OUTLIER_DOCS),
     "rolling_distinct": (q_rolling_distinct, SQL_ROLLING_DISTINCT),
+    "scd2_intervals": (q_scd2_intervals, SQL_SCD2_INTERVALS),
 }
