@@ -331,8 +331,11 @@ def test_skew_join_hot_path_actually_fires(ray_session):
 def test_ingest_shards_partition_the_corpus(ray_session):
     """streaming_split ingest (rows-only pin): the N trainer shards
     must form a PARTITION of the corpus — every doc_id appears in
-    exactly one shard, none are lost, none duplicated — and every
-    shard must receive work (non-empty at this corpus/shard ratio)."""
+    exactly one shard, none lost, none duplicated. Shard BALANCE is
+    deliberately not pinned: equal=False makes no balance guarantee
+    and the block→consumer assignment is scheduler-dependent; the
+    partition property is the invariant that must hold at any
+    parallelism."""
     import pyarrow.parquet as pq
 
     from crawlray.pipelines.dataops import q_ingest_shards
@@ -344,4 +347,4 @@ def test_ingest_shards_partition_the_corpus(ray_session):
     got = np.sort(detail["doc_id"].to_numpy())
     assert np.array_equal(got, want), "shards must partition the corpus"
     assert detail["doc_id"].is_unique
-    assert detail["shard"].nunique() == 4
+    assert 1 <= detail["shard"].nunique() <= 4
