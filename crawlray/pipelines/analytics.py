@@ -3141,6 +3141,76 @@ GROUP BY 1
 """
 
 
+# =====================================================================
+# triangle counting (graph pattern matching)
+# =====================================================================
+
+def q_triangle_count(sf_dir: str):
+    """Triangle count over the co-supply graph (suppliers joined by a
+    shared part, parts < 200) — the graph-pattern op next to PageRank
+    and connected components. Scale shape: the distinct (part, supp)
+    projection and the per-part co-pair emission are distributed (each
+    part group emits its own bounded supplier pairs; the shuffle
+    carries 2 ints per row); the supplier node set is DIMENSION-sized,
+    so the deduped edge set folds to the driver and the count is one
+    dense A³ trace — the same bounded-state discipline as histogram /
+    rollup. A web-scale node set would swap the finale for the
+    partitioned node-iterator (broadcast sorted adjacency, per-edge
+    neighborhood intersection), exactly as pagerank documents its
+    groupby swap. The oracle is the 3-way self-join."""
+    import pyarrow.dataset as pads
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey"],
+        filter=pads.field("l_partkey") < 200)
+
+    def distinct_ps(b: pa.Table) -> pa.Table:
+        p = b["l_partkey"].to_numpy(zero_copy_only=False)
+        s = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        pairs = np.unique(np.stack([p, s], axis=1), axis=0)
+        return pa.table({"p": pa.array(pairs[:, 0]),
+                         "s": pa.array(pairs[:, 1])})
+
+    def co_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        sup = np.unique(g["s"].to_numpy())
+        if len(sup) < 2:
+            return pd.DataFrame({"u": pd.Series([], dtype=np.int64),
+                                 "v": pd.Series([], dtype=np.int64)})
+        iu, iv = np.triu_indices(len(sup), k=1)
+        return pd.DataFrame({"u": sup[iu], "v": sup[iv]})
+
+    edge_rows = ds.map_batches(distinct_ps, batch_format="pyarrow",
+                               zero_copy_batch=True) \
+        .groupby("p").map_groups(co_pairs, batch_format="pandas") \
+        .take_all()
+    if not edge_rows:
+        return pa.table({"n_edges": pa.array([0], type=pa.int64()),
+                         "triangles": pa.array([0], type=pa.int64())})
+    uv = np.unique(np.array([[r["u"], r["v"]] for r in edge_rows],
+                            dtype=np.int64), axis=0)
+    nodes = np.unique(uv)
+    idx = np.searchsorted(nodes, uv)
+    a = np.zeros((len(nodes), len(nodes)), dtype=np.int64)
+    a[idx[:, 0], idx[:, 1]] = 1
+    a[idx[:, 1], idx[:, 0]] = 1
+    tri = int(np.trace(a @ a @ a) // 6)
+    return pa.table({"n_edges": pa.array([len(uv)], type=pa.int64()),
+                     "triangles": pa.array([tri], type=pa.int64())})
+
+
+SQL_TRIANGLE_COUNT = """
+WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+            FROM lineitem WHERE l_partkey < 200),
+e AS (SELECT DISTINCT a.s AS u, b.s AS v
+      FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s)
+SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+       (SELECT COUNT(*)
+        FROM e e1 JOIN e e2 ON e2.u = e1.v
+                  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS triangles
+"""
+
+
 ANALYTICS_QUERIES = {
     "window_lag": (q_window_lag, SQL_WINDOW_LAG),
     "rollup_agg": (q_rollup_agg, SQL_ROLLUP_AGG),
@@ -3195,4 +3265,5 @@ ANALYTICS_QUERIES = {
     "outlier_docs": (q_outlier_docs, SQL_OUTLIER_DOCS),
     "rolling_distinct": (q_rolling_distinct, SQL_ROLLING_DISTINCT),
     "scd2_intervals": (q_scd2_intervals, SQL_SCD2_INTERVALS),
+    "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
 }
