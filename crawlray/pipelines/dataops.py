@@ -2379,9 +2379,12 @@ def q_training_pipeline(sf_dir: str):
                                          as_index=False)
                    .agg(doc_id=("doc_id", "min")),
                    batch_format="pandas"))
-    keep_ids = np.sort(np.array(
-        [r["doc_id"] for r in winners.select_columns(["doc_id"])
-         .take_all()], dtype=np.int64))
+    keep_chunks = [b["doc_id"].to_numpy(zero_copy_only=False)
+                   for b in winners.select_columns(["doc_id"])
+                   .iter_batches(batch_size=65536,
+                                 batch_format="pyarrow")]
+    keep_ids = np.sort(np.concatenate(keep_chunks).astype(np.int64)) \
+        if keep_chunks else np.empty(0, np.int64)
     keep_ref = ray.put(keep_ids)
 
     def keep_only(b: pa.Table) -> pa.Table:
@@ -3096,10 +3099,15 @@ def q_dup_ngrams(sf_dir: str, n: int = 8):
         return b.filter(pc.greater(b["nd"], pa.scalar(1, pa.int64()))) \
             .select(["gram"])
 
-    dup_rows = pairs.groupby("gram").aggregate(Count(alias_name="nd")) \
-        .map_batches(only_dup, batch_format="pyarrow").take_all()
-    dup_grams = np.sort(np.array([r["gram"] for r in dup_rows],
-                                 dtype=np.int64))
+    dup_ds = pairs.groupby("gram").aggregate(Count(alias_name="nd")) \
+        .map_batches(only_dup, batch_format="pyarrow")
+    # columnar pull, not take_all(): row-dict conversion dominates at
+    # tens of thousands of duplicated grams (triangle_count lesson)
+    dup_chunks = [b["gram"].to_numpy(zero_copy_only=False)
+                  for b in dup_ds.iter_batches(batch_size=65536,
+                                               batch_format="pyarrow")]
+    dup_grams = np.sort(np.concatenate(dup_chunks).astype(np.int64)) \
+        if dup_chunks else np.empty(0, np.int64)
     dup_ref = ray.put(dup_grams)
 
     def flag(b: pa.Table) -> pa.Table:
