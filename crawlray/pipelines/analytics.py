@@ -1003,8 +1003,11 @@ def q_shipping_priority(sf_dir: str):
                on=("o_custkey",), right_on=("c_custkey",)) \
          .select_columns(["o_orderkey", "o_orderdate"])
         return _ship_prio_topk(li_agg, orders)
-    keys = np.sort(np.array(
-        [r["c_custkey"] for r in cust.take_all()], dtype=np.int64))
+    keys = np.sort(np.concatenate(
+        [b["c_custkey"].to_numpy(zero_copy_only=False)
+         for b in cust.iter_batches(batch_size=65536,
+                                    batch_format="pyarrow")]
+        or [np.empty(0, np.int64)]).astype(np.int64))
     keys_ref = ray.put(keys)
 
     orders = rd.read_parquet(
@@ -1210,8 +1213,11 @@ def q_cuckoo_semi_join(sf_dir: str):
             .groupby("l_returnflag")
             .aggregate(Count(alias_name="n"), Sum("qty", alias_name="sum_qty"))
         )
-    keys = np.sort(np.array([r["p_partkey"] for r in dim.take_all()],
-                            dtype=np.int64))
+    keys = np.sort(np.concatenate(
+        [b["p_partkey"].to_numpy(zero_copy_only=False)
+         for b in dim.iter_batches(batch_size=65536,
+                                   batch_format="pyarrow")]
+        or [np.empty(0, np.int64)]).astype(np.int64))
     cf = CuckooFilter(capacity=max(1 << 10, 4 * len(keys)))
     key_hashes = hash64_batch_i64([str(k) for k in keys])
     cf.add_batch(key_hashes)
@@ -2158,12 +2164,17 @@ def q_pagerank(sf_dir: str, iters: int = _PR_ITERS):
         .repartition(cluster_cpus())
         .materialize()  # reused every iteration — never re-read parquet
     )
-    deg_rows = edges.groupby("src").count().take_all()  # bounded: |nodes|
-    nodes = np.array(sorted(int(r["src"]) for r in deg_rows), dtype=np.int64)
+    deg = edges.groupby("src").count()  # bounded: |nodes|
+    src_c, cnt_c = [], []
+    for b in deg.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        src_c.append(b["src"].to_numpy(zero_copy_only=False))
+        cnt_c.append(b["count()"].to_numpy(zero_copy_only=False))
+    srcs = np.concatenate(src_c).astype(np.int64)
+    cnts = np.concatenate(cnt_c).astype(np.float64)
+    order = np.argsort(srcs)
+    nodes = srcs[order]
     n = len(nodes)
-    outdeg = np.empty(n, dtype=np.float64)
-    for r in deg_rows:
-        outdeg[np.searchsorted(nodes, int(r["src"]))] = float(r["count()"])
+    outdeg = cnts[order]
     rank = np.full(n, 1.0 / n)
     base = (1.0 - _PR_DAMPING) / n
 
