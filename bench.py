@@ -169,6 +169,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--crawl-only", action="store_true")
+    ap.add_argument("--queries-only", action="store_true",
+                    help="skip the flagship crawl; time the query suite")
     ap.add_argument("--stress", action="store_true",
                     help="crawl a CRAWLRAY_STRESS× bigger web (headroom "
                          "probe; implies --crawl-only)")
@@ -267,8 +269,9 @@ def main() -> None:
     t_all = time.time()
     run_dir = args.run_dir or f"/tmp/crawlray_bench_{os.getpid()}"
     try:
-        crawl = run_crawl_bench(num_cpus, run_dir, warmup=args.warmup,
-                                stress=args.stress)
+        crawl = ({} if args.queries_only
+                 else run_crawl_bench(num_cpus, run_dir, warmup=args.warmup,
+                                      stress=args.stress))
         queries = ({} if (args.crawl_only or args.stress)
                    else run_query_bench(sf_dir))
         total = round(time.time() - t_all, 2)
