@@ -2478,10 +2478,19 @@ def q_bucketed_join(sf_dir: str, nbuckets: int = 8):
                 np.asarray(cust["c_custkey"])[order_key],
                 np.asarray(cust["c_mktsegment"]).astype(object)[order_key]))
 
-            def attach(b: pa.Table, ref=dim_ref) -> pa.Table:
+            def local_pipe(b: pa.Table, ref=dim_ref) -> pa.Table:
+                # one task per bucket: the task READS its whole bucket
+                # dir, then the groupby AND the dimension join run
+                # inside it — zero exchange, the point of bucketing
+                # (a read_parquet lineage can split a bucket into
+                # per-fragment blocks, which would break the local
+                # groupby's correctness — a custkey may span fragments)
                 keys, segs = ray.get(ref)
-                ck = b["o_custkey"].combine_chunks() \
-                    .to_numpy(zero_copy_only=False)
+                t = papq.read_table(b["dir"][0].as_py(),
+                                    columns=["o_custkey", "cents"])
+                g = t.group_by("o_custkey").aggregate([("cents", "sum")])
+                ck = g["o_custkey"].to_numpy(zero_copy_only=False)
+                cents = g["cents_sum"].to_numpy(zero_copy_only=False)
                 idx = np.clip(np.searchsorted(keys, ck), 0,
                               max(len(keys) - 1, 0))
                 # inner-join gate: drop custkeys with no customer row
@@ -2491,25 +2500,28 @@ def q_bucketed_join(sf_dir: str, nbuckets: int = 8):
                     "c_custkey": pa.array(ck[hit]),
                     "c_mktsegment": pa.array(segs[idx[hit]],
                                              type=pa.string()),
-                    "spend": pa.array(
-                        b["cents"].combine_chunks()
-                        .to_numpy(zero_copy_only=False)[hit]
-                        .astype(np.float64) / 100.0),
+                    "spend": pa.array(cents[hit].astype(np.float64)
+                                      / 100.0),
                 })
 
-            agg_b = (rd.read_parquet(odir)
-                     .groupby("o_custkey")
-                     .aggregate(Sum("cents", alias_name="cents"))
-                     .map_batches(attach, batch_format="pyarrow"))
-            outs.append(agg_b)
+            outs.append(
+                rd.from_items([{"dir": odir}])
+                .map_batches(local_pipe, batch_format="pyarrow"))
 
-        rows = outs[0].union(*outs[1:]).take_all()
-        df = pd.DataFrame(rows).sort_values("c_custkey")
+        # columnar pull, not take_all(): |custkeys| rows (see STATUS.md
+        # eighth-session perf lesson)
+        batches = list(outs[0].union(*outs[1:])
+                       .iter_batches(batch_size=65536,
+                                     batch_format="pyarrow"))
+        tbl = pa.concat_tables(
+            [pa.table(b) if not isinstance(b, pa.Table) else b
+             for b in batches])
+        order = pc.sort_indices(tbl, sort_keys=[("c_custkey", "ascending")])
+        tbl = tbl.take(order)
         return pa.table({
-            "c_custkey": pa.array(df["c_custkey"].to_numpy()
-                                  .astype(np.int64)),
-            "c_mktsegment": pa.array(df["c_mktsegment"], type=pa.string()),
-            "spend": pa.array(df["spend"].to_numpy().astype(np.float64)),
+            "c_custkey": pc.cast(tbl["c_custkey"], pa.int64()),
+            "c_mktsegment": pc.cast(tbl["c_mktsegment"], pa.string()),
+            "spend": pc.cast(tbl["spend"], pa.float64()),
         })
     finally:
         shutil.rmtree(root, ignore_errors=True)
