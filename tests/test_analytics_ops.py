@@ -348,3 +348,43 @@ def test_ingest_shards_partition_the_corpus(ray_session):
     assert np.array_equal(got, want), "shards must partition the corpus"
     assert detail["doc_id"].is_unique
     assert 1 <= detail["shard"].nunique() <= 4
+
+
+def test_fuzzy_join_neighborhood_completeness():
+    """The deletion-neighborhood theorem the fuzzy join rests on: for
+    ANY pair with ed(a,b) ≤ 1, the deletion-1 neighborhoods intersect
+    (equality shares self; substitution at i shares delete-at-i;
+    insert/delete shares the longer string's deletion). Exhaustive
+    check over a small alphabet — zero false negatives allowed; false
+    positives are fine (the O(keylen) verify removes them). Also pins
+    the radius-1 verifier against a DP oracle."""
+    import functools
+    import itertools
+    import random
+
+    from crawlray.pipelines.dataops import _del1_variants, _ed_le1
+
+    def ed(a, b):
+        @functools.lru_cache(None)
+        def d(i, j):
+            if i == 0:
+                return j
+            if j == 0:
+                return i
+            return min(d(i - 1, j) + 1, d(i, j - 1) + 1,
+                       d(i - 1, j - 1) + (a[i - 1] != b[j - 1]))
+        return d(len(a), len(b))
+
+    words = ["".join(w) for n in range(0, 4)
+             for w in itertools.product("ab", repeat=n)]
+    rng = random.Random(7)
+    words += ["".join(rng.choice("abc") for _ in range(rng.randint(4, 6)))
+              for _ in range(40)]
+    for a in words:
+        va = set(_del1_variants([a])[0])
+        for b in words:
+            e = ed(a, b)
+            assert _ed_le1(a, b) == (e <= 1), (a, b)
+            if e <= 1:
+                vb = set(_del1_variants([b])[0])
+                assert va & vb, f"false negative: {a!r} ~ {b!r}"
