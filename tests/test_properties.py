@@ -1,0 +1,80 @@
+"""Hypothesis property tests over the pure (Ray-free) kernels — the
+parity-critical functions whose edge cases golden tables can't
+enumerate: URL canonicalization idempotence, murmur3 scalar≡batch on
+arbitrary byte content, cuckoo-filter zero-false-negatives under
+arbitrary insert sequences, and the fuzzy-join radius-1 verifier vs a
+DP edit-distance oracle. No Ray session needed.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from crawlray.functions.canon import canonicalize
+from crawlray.functions.murmur3 import hash64, hash64_batch_i64, to_i64
+from crawlray.pipelines.dataops import _ed_le1
+from crawlray.state.cuckoo import CuckooFilter
+
+# URL-ish strings: schemes × messy authority/path/query/fragment parts
+_url_part = st.text(
+    alphabet="abcxyz019-._~%/?&=#:@ []" + "éü",
+    min_size=0, max_size=30)
+
+
+@settings(max_examples=300, deadline=None)
+@given(scheme=st.sampled_from(["http", "https", "HTTP", "hTtPs"]),
+       host=st.text(alphabet="abcz019.-", min_size=1, max_size=20),
+       rest=_url_part)
+def test_canonicalize_idempotent(scheme, host, rest):
+    """c(c(u)) == c(u) for every URL the canonicalizer accepts — the
+    property the seen-set's exactly-once guarantee rests on (a
+    non-idempotent canonicalizer would re-admit its own output)."""
+    c = canonicalize(f"{scheme}://{host}/{rest}")
+    if c is not None:
+        assert canonicalize(c) == c
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.text(min_size=0, max_size=64), min_size=1, max_size=20))
+def test_murmur3_batch_equals_scalar(strings):
+    """The numpy-vectorized batch murmur3 must agree with the scalar
+    reference implementation on ARBITRARY unicode content (goldens pin
+    published vectors; this pins the padding/tail paths)."""
+    batch = hash64_batch_i64(strings)
+    for s, got in zip(strings, batch):
+        assert int(got) == to_i64(hash64(s))
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1),
+                min_size=1, max_size=300))
+def test_cuckoo_zero_false_negatives(hashes):
+    """Every inserted hash must be reported present — a false negative
+    in the seen set is a parity bug (a URL crawled twice), not a perf
+    bug. Duplicates and adversarial bit patterns included."""
+    h = np.array(hashes, dtype=np.int64)
+    cf = CuckooFilter(capacity=max(1 << 10, 4 * len(h)))
+    cf.add_batch(h)
+    assert cf.contains_batch(h).all()
+
+
+@settings(max_examples=400, deadline=None)
+@given(st.text(alphabet="abc", min_size=0, max_size=8),
+       st.text(alphabet="abc", min_size=0, max_size=8))
+def test_ed_le1_matches_dp(a, b):
+    """The fuzzy join's O(n) radius-1 verifier ≡ full DP edit distance
+    restricted to the ≤1 question, on arbitrary string pairs."""
+    @functools.lru_cache(None)
+    def d(i, j):
+        if i == 0:
+            return j
+        if j == 0:
+            return i
+        return min(d(i - 1, j) + 1, d(i, j - 1) + 1,
+                   d(i - 1, j - 1) + (a[i - 1] != b[j - 1]))
+
+    assert _ed_le1(a, b) == (d(len(a), len(b)) <= 1)
