@@ -78,3 +78,30 @@ def test_ed_le1_matches_dp(a, b):
                    d(i - 1, j - 1) + (a[i - 1] != b[j - 1]))
 
     assert _ed_le1(a, b) == (d(len(a), len(b)) <= 1)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(
+    st.lists(st.text(alphabet="abcxyz", min_size=1, max_size=6),
+             min_size=0, max_size=12).map(" ".join),
+    min_size=1, max_size=6))
+def test_simhash64_matches_naive(texts):
+    """The chunked/unpackbits-vectorized simhash64 ≡ the textbook
+    per-document bit-vote loop on arbitrary token streams (pins the
+    r3 kernel rewrite beyond the fixed-corpus equality test)."""
+    from crawlray.functions.sketches import simhash64
+
+    got = simhash64(texts).view(np.uint64)
+    for t, g in zip(texts, got):
+        toks = t.split()
+        want = 0
+        if toks:
+            votes = np.zeros(64, dtype=np.int64)
+            for tok in toks:
+                h = np.uint64(to_i64(hash64(tok)) & 0xFFFFFFFFFFFFFFFF)
+                for b in range(64):
+                    votes[b] += 1 if (int(h) >> b) & 1 else -1
+            for b in range(64):
+                if votes[b] > 0:
+                    want |= 1 << b
+        assert int(g) == want, (t, int(g), want)
