@@ -950,13 +950,15 @@ _IVF_SAMPLE = 1024  # training-sample cap (bounded driver-side k-means)
 _IVF_VERSION = 1    # bump on any quantizer-scheme change
 
 
-def _ivf_train(path: str) -> np.ndarray:
+def _ivf_train(path: str, k: int = _IVF_K) -> np.ndarray:
     """Deterministic spherical k-means on a BOUNDED sample (≤_IVF_SAMPLE
     vectors picked by a fixed vec_id stride — any worker/driver computes
     the same set with no RNG state): seeded init, _IVF_ITERS Lloyd steps,
     assign by max dot over unit vectors, re-normalized means. The sample
     and the (K, d) centroid matrix are tiny at any data scale; training
-    never touches more than _IVF_SAMPLE rows."""
+    never touches more than _IVF_SAMPLE rows. ``k`` lets callers grow
+    the cluster count with the corpus (semdedup) while the ANN index
+    keeps the fixed ``_IVF_K``."""
     import pyarrow.dataset as pads
 
     n_total = pads.dataset(path).count_rows()
@@ -969,7 +971,7 @@ def _ivf_train(path: str) -> np.ndarray:
     norms = np.linalg.norm(emb, axis=1, keepdims=True)
     unit = emb / np.where(norms == 0, 1.0, norms)
     rng = np.random.default_rng(_IVF_SEED)
-    cent = unit[rng.choice(len(unit), size=min(_IVF_K, len(unit)),
+    cent = unit[rng.choice(len(unit), size=min(k, len(unit)),
                            replace=False)]
     for _ in range(_IVF_ITERS):
         assign = np.argmax(unit @ cent.T, axis=1)
@@ -3602,18 +3604,23 @@ def q_semdedup(sf_dir: str, cos_min: float = 0.97):
     embeddings with the IVF coarse quantizer, then compare cosines
     ONLY within each cluster and drop the higher vec_id of every pair
     ≥ ``cos_min`` — at 100 TB the all-pairs matrix never exists;
-    each cluster's matmul is bounded by its membership (the cluster
-    count is fixture-sized here at _IVF_K=16; a corpus-scale run grows
-    K with the corpus so memberships stay bounded, exactly as SemDeDup
-    does with ~100k clusters). Planted
+    each cluster's matmul is bounded by its membership. The cluster
+    count GROWS with the corpus (K = max(_IVF_K, ⌈n/512⌉), so mean
+    membership stays ≤ ~512 — exactly how SemDeDup runs with ~100k
+    clusters at corpus scale; the fixture lands on _IVF_K=16). Planted
     near-copies (vec_id+1e6, scaled + tiny first-component nudge, so
     direction ≈ identical ⇒ same cluster) make the drop path real;
     pytest pins exactly-the-planted-copies dropped on the isotropic
     fixture (rows-only: SQL has no k-means). One groupby(cluster)
     shuffle carrying (cluster, vec_id, unit vector); centroids ride
     once via ray.put."""
+    import pyarrow.dataset as pads
+
     path = os.path.join(sf_dir, "embeddings.parquet")
-    cent = _ivf_train(path)
+    # planted copies add ~5%; bound mean cluster membership at ~512
+    n_vectors = pads.dataset(path).count_rows()
+    k = max(_IVF_K, -(-(n_vectors + n_vectors // 20) // 512))
+    cent = _ivf_train(path, k=k)
     cent_ref = ray.put(cent)
 
     ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
@@ -3666,6 +3673,388 @@ def q_semdedup(sf_dir: str, cos_min: float = 0.97):
         .groupby("cluster").map_groups(within, batch_format="pandas")
 
 
+# =====================================================================
+# k-NN join: every vector's nearest neighbor (oracled)
+# =====================================================================
+
+def q_knn_join(sf_dir: str):
+    """Nearest-neighbor JOIN — for EVERY embedding, its top-1 cosine
+    neighbor among the candidate set (vec_id < 512): the primitive
+    behind retrieval-augmented dataset linking (each doc → closest
+    reference doc). Scale shape: candidates are bounded and broadcast
+    once (ray.put of the normalized matrix — an unbounded candidate
+    side goes through the IVF/LSH bucketed index instead); the probe
+    side streams block-by-block with ONE float64 matmul per block and
+    no shuffle anywhere. Ranking uses cosine rounded to 6 dp with
+    min-vec_id tie-break on BOTH sides, and the oracle casts the list
+    to DOUBLE[] so DuckDB accumulates in float64 like numpy (float32
+    accumulation differs by ~1e-7 — enough to flip a 6-dp boundary)."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    import pyarrow.parquet as pq
+
+    cap = 512
+    t = pq.read_table(path, columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "<", cap)])
+    cids = np.asarray(t["vec_id"], dtype=np.int64)
+    cmat = _embedding_matrix(t["embedding"])
+    cn = np.linalg.norm(cmat, axis=1)
+    cand_ref = ray.put((cids, cmat / np.where(cn == 0, 1.0, cn)[:, None]))
+
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+
+    def nn(b: pa.Table) -> pa.Table:
+        import ray as _r
+
+        ids, matn = _r.get(cand_ref)
+        vid = b["vec_id"].to_numpy(zero_copy_only=False)
+        emb = _embedding_matrix(b["embedding"])
+        n = np.linalg.norm(emb, axis=1)
+        embn = emb / np.where(n == 0, 1.0, n)[:, None]
+        cos = np.round(embn @ matn.T, 6)           # (block, cand)
+        cos[vid[:, None] == ids[None, :]] = -np.inf  # exclude self
+        best = cos.max(axis=1)
+        # min candidate id among ties on the ROUNDED score
+        tie = cos == best[:, None]
+        nn_id = np.where(tie, ids[None, :], np.iinfo(np.int64).max).min(axis=1)
+        return pa.table({
+            "vec_id": pa.array(vid),
+            "nn_id": pa.array(nn_id),
+            "cos": pa.array(best),
+        })
+
+    return ds.map_batches(nn, batch_format="pyarrow")
+
+
+SQL_KNN_JOIN = """
+SELECT vec_id, nn_id, cos FROM (
+  SELECT a.vec_id, b.vec_id AS nn_id,
+    ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                 b.embedding::DOUBLE[]), 6) AS cos,
+    ROW_NUMBER() OVER (
+      PARTITION BY a.vec_id
+      ORDER BY ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]), 6) DESC,
+               b.vec_id) AS rn
+  FROM embeddings a
+  JOIN embeddings b ON b.vec_id < 512 AND b.vec_id <> a.vec_id
+) WHERE rn = 1
+"""
+
+
+# =====================================================================
+# set-similarity join with prefix filtering (AllPairs / PPJoin family)
+# =====================================================================
+
+_SSJ_DOC_CAP = 300      # bounded demo corpus (oracle runs the full join)
+
+
+def q_set_sim_join(sf_dir: str):
+    """Shingle-set similarity SELF-join at Jaccard ≥ 0.8 via PREFIX
+    FILTERING (Bayardo et al. 2007 "Scaling up all pairs similarity
+    search"; MapReduce shape per Vernica et al. 2010): documents plus
+    near-copies (last word removed) form the matching pairs. Sets are
+    word TRIGRAM shingles, not unigrams — the fixture's 31-token
+    vocabulary makes unigram Jaccard degenerate (random docs share
+    most tokens) while shingles are discriminative, exactly why
+    shingling is the standard near-dup set representation. Plan:
+    (1) per-doc DISTINCT shingle sets; (2) global shingle document-
+    frequencies from one vocab-bounded groupby, broadcast; (3) each doc
+    orders its shingles rarest-first and emits only its PREFIX
+    (|x| - ⌈τ·|x|⌉ + 1 of them — any pair with J ≥ τ must share a
+    prefix element, so hot shingles are never emitted by large docs);
+    (4) ONE groupby(shingle) shuffle where each group pairs its (few,
+    rare-shingle) docs and verifies Jaccard exactly from the carried
+    ordered shingle payload; (5) a pair groupby dedups pairs found
+    under several prefix shingles. The O(n²) all-pairs comparison
+    never exists — candidates are bounded by prefix collisions; the
+    oracle runs the literal explode + shingle self-join."""
+    tau_n, tau_d = 4, 5  # τ = 0.8 kept in exact integer arithmetic
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def bounded(b: pa.Table) -> pa.Table:
+        return b.filter(pc.less(b["doc_id"],
+                                pa.scalar(_SSJ_DOC_CAP, pa.int64())))
+
+    def perturb(b: pa.Table) -> pa.Table:
+        import re
+
+        texts = [re.sub(r" [^ ]*$", "", t) for t in b["text"].to_pylist()]
+        return pa.table({
+            "doc_id": pc.add(b["doc_id"], pa.scalar(1_000_000, pa.int64())),
+            "text": pa.array(texts, type=pa.string()),
+        })
+
+    base = ds.map_batches(bounded, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    corpus = base.union(base.map_batches(perturb, batch_format="pyarrow"))
+
+    def doc_shingles(b: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(b["text"].combine_chunks())
+        toks = pc.split_pattern_regex(low, "[^a-z]+")
+        ids, out = [], []
+        for i, lst in enumerate(toks.to_pylist()):
+            w = [t for t in lst if t]
+            sh = sorted({" ".join(w[j:j + 3]) for j in range(len(w) - 2)})
+            if sh:
+                ids.append(b["doc_id"][i].as_py())
+                out.append(",".join(sh))
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "toks": pa.array(out, type=pa.string())})
+
+    docs = corpus.map_batches(doc_shingles, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+
+    # global df over distinct (doc, token) — vocab-bounded, broadcast
+    def tok_rows(b: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.split_pattern(b["toks"], ","))
+        return pa.table({"token": flat})
+
+    df_rows = (
+        docs.map_batches(tok_rows, batch_format="pyarrow")
+        .groupby("token").count().take_all()
+    )
+    df_lut = {r["token"]: int(r["count()"]) for r in df_rows}
+    lut_ref = ray.put(df_lut)
+
+    def prefixes(b: pa.Table) -> pa.Table:
+        import ray as _r
+
+        lut = _r.get(lut_ref)
+        out_tok, out_id, out_sz, out_payload = [], [], [], []
+        for did, toks in zip(b["doc_id"].to_pylist(), b["toks"].to_pylist()):
+            s = toks.split(",")
+            n = len(s)
+            ordered = sorted(s, key=lambda t: (lut[t], t))  # rarest first
+            npref = n - (-(-tau_n * n // tau_d)) + 1
+            payload = ",".join(ordered)
+            for t in ordered[:npref]:
+                out_tok.append(t)
+                out_id.append(did)
+                out_sz.append(n)
+                out_payload.append(payload)
+        return pa.table({
+            "token": pa.array(out_tok, type=pa.string()),
+            "doc_id": pa.array(out_id, type=pa.int64()),
+            "sz": pa.array(out_sz, type=pa.int64()),
+            "toks": pa.array(out_payload, type=pa.string()),
+        })
+
+    def pair_verify(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["doc_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        szs = g["sz"].to_numpy()[order]
+        sets = [set(t.split(",")) for t in g["toks"].to_numpy()[order]]
+        a_out, b_out, j_out = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if ids[i] == ids[j]:
+                    continue
+                # length filter: τ·|a| ≤ |b| is necessary for J ≥ τ
+                if szs[j] * tau_d < szs[i] * tau_n:
+                    continue
+                inter = len(sets[i] & sets[j])
+                union = szs[i] + szs[j] - inter
+                jac = inter / union
+                if inter * tau_d >= union * tau_n:  # exact integer τ test
+                    a_out.append(ids[i])
+                    b_out.append(ids[j])
+                    j_out.append(jac)
+        return pd.DataFrame({
+            "doc_a": pd.Series(a_out, dtype=np.int64),
+            "doc_b": pd.Series(b_out, dtype=np.int64),
+            "jac": pd.Series(np.round(j_out, 6), dtype=np.float64),
+        })
+
+    pairs = (
+        docs.map_batches(prefixes, batch_format="pyarrow")
+        .groupby("token")
+        .map_groups(pair_verify, batch_format="pandas")
+    )
+    # the same pair verifies under every shared prefix token — dedup
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Max("jac", alias_name="jac"))
+
+
+SQL_SET_SIM_JOIN = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 300
+  UNION ALL
+  SELECT doc_id + 1000000, regexp_replace(text, ' [^ ]*$', '')
+  FROM documents WHERE doc_id < 300
+), w AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                x -> x <> '') AS l
+  FROM corpus
+), tok AS (
+  SELECT DISTINCT doc_id, array_to_string(l[g:g+2], ' ') AS token
+  FROM w, UNNEST(generate_series(1, len(l) - 2)) AS t(g)
+), sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+ipairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+  ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jac
+FROM ipairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE 5 * inter >= 4 * (sa.sz + sb.sz - inter)
+"""
+
+
+# =====================================================================
+# fuzzy similarity join at radius 2 (deletion-≤2 neighborhoods)
+# =====================================================================
+
+def _delk_variants(names: list[str], radius: int):
+    """Each name's deletion-≤``radius`` neighborhood (distinct variants
+    reachable by deleting up to ``radius`` chars). FastSS completeness:
+    ed(a,b) ≤ k ⟹ the two ≤k-deletion neighborhoods intersect (delete
+    the mismatched positions on each side). Fan-out ≤ 1 + L + L(L-1)/2
+    at radius 2 — bounded by KEY LENGTH, never corpus size."""
+    out_names, out_idx = [], []
+    for i, s in enumerate(names):
+        seen = {s}
+        frontier = [s]
+        for _ in range(radius):
+            nxt = []
+            for v in frontier:
+                for j in range(len(v)):
+                    w = v[:j] + v[j + 1:]
+                    if w not in seen:
+                        seen.add(w)
+                        nxt.append(w)
+            frontier = nxt
+        for v in seen:
+            out_names.append(v)
+            out_idx.append(i)
+    return out_names, np.asarray(out_idx, dtype=np.int64)
+
+
+def _ed_banded(a: str, b: str, k: int) -> bool:
+    """Banded Levenshtein ≤ k in O(len·k): only the 2k+1 diagonal band
+    is computed; early-exit when the whole band exceeds k."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > k:
+        return False
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    inf = k + 1
+    prev = [j if j <= k else inf for j in range(lb + 1)]
+    for i in range(1, la + 1):
+        lo, hi = max(1, i - k), min(lb, i + k)
+        cur = [inf] * (lb + 1)
+        if i - k <= 0:
+            cur[0] = i
+        ai = a[i - 1]
+        best = inf
+        for j in range(lo, hi + 1):
+            c = min(prev[j] + 1, cur[j - 1] + 1,
+                    prev[j - 1] + (ai != b[j - 1]))
+            cur[j] = c
+            if c < best:
+                best = c
+        if best > k:
+            return False
+        prev = cur
+    return prev[lb] <= k
+
+
+def q_fuzzy_join2(sf_dir: str):
+    """Similarity join at edit distance ≤ 2 — the radius-2 extension of
+    ``fuzzy_join`` (same FastSS deletion-neighborhood plan, deeper
+    neighborhoods): probes carry TWO-edit typos (double deletion /
+    double substitution) so radius 1 provably cannot find them.
+    Fan-out per key = O(len²) ≈ 170 variants at len 18 — still
+    independent of corpus size; candidates = neighborhood-hash
+    collisions through ONE groupby shuffle; verification is a banded
+    O(len·k) Levenshtein, and the O(n·m) distance matrix the oracle
+    runs never exists in the engine."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_name"])
+
+    def probes(b: pa.Table) -> pa.Table:
+        kk = b["c_custkey"].to_numpy(zero_copy_only=False)
+        names = b["c_name"].to_pylist()
+        out_id, out_nm = [], []
+        for key, nm in zip(kk, names):
+            if key % 97 == 0:
+                out_id.append(int(key))
+                out_nm.append(nm[:2] + nm[4:])            # 2 deletions
+            if key % 89 == 0:
+                out_id.append(int(key))
+                out_nm.append(nm[:15] + "XY" + nm[17:])   # 2 substitutions
+        return pa.table({"probe_id": pa.array(out_id, type=pa.int64()),
+                         "probe_name": pa.array(out_nm, type=pa.string())})
+
+    def expand(b: pa.Table, side: int) -> pa.Table:
+        idc = "probe_id" if side == 0 else "c_custkey"
+        nmc = "probe_name" if side == 0 else "c_name"
+        names = b[nmc].to_pylist()
+        ids = b[idc].to_numpy(zero_copy_only=False)
+        var, idx = _delk_variants(names, radius=2)
+        h = np.asarray(hash64_batch_i64(pa.array(var, type=pa.string())))
+        return pa.table({
+            "h": pa.array(h),
+            "vpart": pa.array(_pair_part(h)),
+            "side": pa.array(np.full(len(h), side, dtype=np.int64)),
+            "rid": pa.array(ids[idx]),
+            "name": pa.array([names[i] for i in idx], type=pa.string()),
+        })
+
+    probe_nbhd = ds.map_batches(probes, batch_format="pyarrow") \
+        .map_batches(partial(expand, side=0), batch_format="pyarrow")
+    build_nbhd = ds.map_batches(partial(expand, side=1),
+                                batch_format="pyarrow")
+
+    def match(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["side"] == 0]
+        c = g[g["side"] == 1]
+        if p.empty or c.empty:
+            return pd.DataFrame({"probe_id": pd.Series([], dtype=np.int64),
+                                 "probe_name": pd.Series([], dtype=str),
+                                 "c_custkey": pd.Series([], dtype=np.int64),
+                                 "c_name": pd.Series([], dtype=str)})
+        cand = p.merge(c, on="h", suffixes=("_p", "_c"))
+        cand = cand.drop_duplicates(subset=["rid_p", "name_p", "rid_c"])
+        keep = [_ed_banded(a, b, 2) for a, b in
+                zip(cand["name_p"], cand["name_c"])]
+        cand = cand[np.asarray(keep, dtype=bool)] if len(cand) else cand
+        return pd.DataFrame({
+            "probe_id": cand["rid_p"].to_numpy(dtype=np.int64),
+            "probe_name": cand["name_p"].to_numpy(),
+            "c_custkey": cand["rid_c"].to_numpy(dtype=np.int64),
+            "c_name": cand["name_c"].to_numpy(),
+        })
+
+    matched = probe_nbhd.union(build_nbhd).groupby("vpart") \
+        .map_groups(match, batch_format="pandas")
+
+    def final_dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(
+            subset=["probe_id", "probe_name", "c_custkey"])
+
+    return matched.groupby("probe_id").map_groups(final_dedup,
+                                                  batch_format="pandas")
+
+
+SQL_FUZZY_JOIN2 = """
+WITH probe AS (
+  SELECT c_custkey AS probe_id,
+         concat(substr(c_name, 1, 2), substr(c_name, 5)) AS probe_name
+  FROM customer WHERE c_custkey % 97 = 0
+  UNION ALL
+  SELECT c_custkey,
+         concat(substr(c_name, 1, 15), 'XY', substr(c_name, 18))
+  FROM customer WHERE c_custkey % 89 = 0
+)
+SELECT p.probe_id, p.probe_name, c.c_custkey, c.c_name
+FROM probe p JOIN customer c ON levenshtein(p.probe_name, c.c_name) <= 2
+"""
+
+
 DATAOPS_QUERIES = {
     "url_canonicalize": (q_url_canonicalize, SQL_URL_CANONICALIZE),
     "murmur3_hash": (q_murmur3, None),
@@ -3714,6 +4103,9 @@ DATAOPS_QUERIES = {
     "bm25_search": (q_bm25, SQL_BM25),
     "pq_compress": (q_pq_compress, None),
     "fuzzy_join": (q_fuzzy_join, SQL_FUZZY_JOIN),
+    "fuzzy_join2": (q_fuzzy_join2, SQL_FUZZY_JOIN2),
+    "knn_join": (q_knn_join, SQL_KNN_JOIN),
+    "set_sim_join": (q_set_sim_join, SQL_SET_SIM_JOIN),
     "ingest_shards": (q_ingest_shards, None),
     "scrub_pii": (q_scrub_pii, SQL_SCRUB_PII),
     "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
