@@ -25,7 +25,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 
 def _t(sf_dir: str, table: str, columns=None):
@@ -3239,6 +3239,225 @@ SELECT (SELECT COUNT(*) FROM e) AS n_edges,
 """
 
 
+# =====================================================================
+# column profiling (data-quality audit: the first query on any new table)
+# =====================================================================
+
+_PROFILE_COLS = ["l_discount", "l_extendedprice", "l_linenumber", "l_quantity"]
+
+
+def q_profile_table(sf_dir: str):
+    """Per-column profile of lineitem's numeric columns — row count,
+    null count, exact distinct count, min, max: the data-quality audit
+    every ingest runs first. Scale shape: counts/min/max come from ONE
+    map pass emitting a 4-row partial per block (O(blocks × cols), no
+    row ever shuffles) folded by a tiny groupby(col); the exact
+    distinct count emits per-block DISTINCT (col, value) pairs — the
+    shuffle is bounded by the total distinct-value count, not the row
+    count (the same per-block-combiner discipline as count_distinct) —
+    through a (col, value) groupby then an O(distinct) count per col.
+    Both folds land on ≤ |cols| rows; the driver only zips them."""
+    ds = _t(sf_dir, "lineitem", _PROFILE_COLS)
+
+    def partials(b: pa.Table) -> pa.Table:
+        col_n, n_n, null_n, mins, maxs = [], [], [], [], []
+        for c in _PROFILE_COLS:
+            col = b[c]
+            v = col.cast(pa.float64())
+            mm = pc.min_max(v)
+            col_n.append(c)
+            n_n.append(b.num_rows)
+            null_n.append(col.null_count)
+            mins.append(mm["min"].as_py() if mm["min"].is_valid else math.inf)
+            maxs.append(mm["max"].as_py() if mm["max"].is_valid else -math.inf)
+        return pa.table({
+            "col": pa.array(col_n, type=pa.string()),
+            "n": pa.array(n_n, type=pa.int64()),
+            "nulls": pa.array(null_n, type=pa.int64()),
+            "minv": pa.array(mins, type=pa.float64()),
+            "maxv": pa.array(maxs, type=pa.float64()),
+        })
+
+    stats = {
+        r["col"]: r
+        for r in ds.map_batches(partials, batch_format="pyarrow",
+                                zero_copy_batch=True)
+        .groupby("col")
+        .aggregate(Sum("n", alias_name="n_rows"),
+                   Sum("nulls", alias_name="n_nulls"),
+                   Min("minv", alias_name="min_v"),
+                   Max("maxv", alias_name="max_v"))
+        .take_all()  # bounded: one row per profiled column
+    }
+
+    def dvals(b: pa.Table) -> pa.Table:
+        cols, vals = [], []
+        for c in _PROFILE_COLS:
+            u = pc.unique(b[c].cast(pa.float64()).drop_null())
+            cols.append(pa.array([c] * len(u), type=pa.string()))
+            vals.append(u)
+        return pa.table({"col": pa.concat_arrays(cols),
+                         "v": pa.concat_arrays([v.combine_chunks()
+                                                if isinstance(v, pa.ChunkedArray)
+                                                else v for v in vals])})
+
+    nd = {
+        r["col"]: r["n_distinct"]
+        for r in ds.map_batches(dvals, batch_format="pyarrow",
+                                zero_copy_batch=True)
+        .groupby(["col", "v"]).count()
+        .groupby("col")
+        .aggregate(Count(alias_name="n_distinct"))
+        .take_all()  # bounded: one row per profiled column
+    }
+
+    cols = sorted(_PROFILE_COLS)
+    return pa.table({
+        "col": pa.array(cols, type=pa.string()),
+        "n_rows": pa.array([stats[c]["n_rows"] for c in cols], pa.int64()),
+        "n_nulls": pa.array([stats[c]["n_nulls"] for c in cols], pa.int64()),
+        "n_distinct": pa.array([nd[c] for c in cols], pa.int64()),
+        "min_v": pa.array([stats[c]["min_v"] for c in cols], pa.float64()),
+        "max_v": pa.array([stats[c]["max_v"] for c in cols], pa.float64()),
+    })
+
+
+SQL_PROFILE_TABLE = """
+SELECT 'l_discount' AS col, COUNT(*) AS n_rows,
+  COUNT(*) - COUNT(l_discount) AS n_nulls,
+  COUNT(DISTINCT l_discount) AS n_distinct,
+  CAST(MIN(l_discount) AS DOUBLE) AS min_v,
+  CAST(MAX(l_discount) AS DOUBLE) AS max_v FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', COUNT(*), COUNT(*) - COUNT(l_extendedprice),
+  COUNT(DISTINCT l_extendedprice),
+  CAST(MIN(l_extendedprice) AS DOUBLE), CAST(MAX(l_extendedprice) AS DOUBLE)
+FROM lineitem
+UNION ALL
+SELECT 'l_linenumber', COUNT(*), COUNT(*) - COUNT(l_linenumber),
+  COUNT(DISTINCT l_linenumber),
+  CAST(MIN(l_linenumber) AS DOUBLE), CAST(MAX(l_linenumber) AS DOUBLE)
+FROM lineitem
+UNION ALL
+SELECT 'l_quantity', COUNT(*), COUNT(*) - COUNT(l_quantity),
+  COUNT(DISTINCT l_quantity),
+  CAST(MIN(l_quantity) AS DOUBLE), CAST(MAX(l_quantity) AS DOUBLE)
+FROM lineitem
+"""
+
+
+# =====================================================================
+# exact per-group quantiles (PERCENTILE_DISC ... GROUP BY)
+# =====================================================================
+
+def q_group_quantiles(sf_dir: str):
+    """Exact p25/p50 of l_quantity per l_returnflag — PERCENTILE_DISC
+    per group. One groupby(flag) shuffle carrying 2 columns, then a
+    vectorized per-group sort + integer-exact rank lookup (index =
+    ⌈q·n⌉, computed in integers so no float ⌈0.9·10⌉=10-style rounding
+    trap exists; verified = DuckDB's discrete-percentile semantics).
+    Partitioning assumption: one group's values fit a worker — the
+    PARTITION BY contract; a skewed group generalizes to the
+    median_selection two-pass histogram per group (same code path,
+    grouped histograms)."""
+    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def per_flag(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["l_quantity"].to_numpy().astype(np.float64))
+        n = len(v)
+        p25 = v[max(0, -(-n // 4) - 1)]
+        p50 = v[max(0, -(-n // 2) - 1)]
+        return pd.DataFrame({"l_returnflag": [g["l_returnflag"].iloc[0]],
+                             "p25": [p25], "p50": [p50]})
+
+    return ds.groupby("l_returnflag").map_groups(per_flag,
+                                                 batch_format="pandas")
+
+
+SQL_GROUP_QUANTILES = """
+SELECT l_returnflag,
+  CAST(PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY l_quantity) AS DOUBLE)
+    AS p25,
+  CAST(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY l_quantity) AS DOUBLE)
+    AS p50
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# =====================================================================
+# sort-based storage layout + zone-map (min/max) pruned scan
+# =====================================================================
+
+def q_sorted_layout(sf_dir: str):
+    """Sort-ordered storage layout: lineitem (3 pruned columns) is
+    range-sorted by l_shipdate and written once, so every output file
+    covers a narrow shipdate range and its parquet min/max statistics
+    become ZONE MAPS — the read back applies a 3-month predicate as a
+    parquet filter and row groups outside the range never decompress
+    (tests/test_analytics_ops.py proves the pruning on the fragment
+    stats: matching row groups ≪ total). At 100 TB this is THE scan
+    optimization: one sort at ingest buys every time-ranged query a
+    ~(range/total) scan fraction. The aggregate itself is bounded
+    (one row per month) and integer-cents exact."""
+    import shutil
+    import tempfile
+
+    import pyarrow.dataset as pads
+
+    ds = _t(sf_dir, "lineitem",
+            ["l_shipdate", "l_extendedprice", "l_discount"])
+    out_dir = tempfile.mkdtemp(prefix="crawlray_sorted_")
+    try:
+        ds.sort("l_shipdate").write_parquet(out_dir)
+        lo = np.datetime64("1997-01-01", "us")
+        hi = np.datetime64("1997-04-01", "us")
+        back = rd.read_parquet(
+            out_dir,
+            filter=(pads.field("l_shipdate") >= lo)
+                   & (pads.field("l_shipdate") < hi),
+        )
+
+        def prep(b: pa.Table) -> pa.Table:
+            disc = _cents(b["l_discount"])       # discount fraction ×100
+            price = _cents(b["l_extendedprice"])  # cents
+            # revenue = price·(1-disc) in exact integer 1e-4-dollar units
+            rev = pc.multiply(price, pc.subtract(pa.scalar(100, pa.int64()),
+                                                 disc))
+            return pa.table({
+                "month": pc.floor_temporal(b["l_shipdate"], unit="month"),
+                "rev4": rev,
+            })
+
+        rows = (
+            back.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .groupby("month")
+            .aggregate(Count(alias_name="n"), Sum("rev4", alias_name="rev4"))
+            .take_all()  # bounded: one row per month in the window
+        )
+        t = pa.Table.from_pylist(rows)
+        return pa.table({
+            "month": t["month"],
+            "n": t["n"],
+            "revenue": pc.divide(t["rev4"].cast(pa.float64()),
+                                 pa.scalar(10000.0)),
+        })
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+SQL_SORTED_LAYOUT = """
+SELECT date_trunc('month', l_shipdate) AS month, COUNT(*) AS n,
+  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS DOUBLE)
+    / 10000.0 AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1997-04-01'
+GROUP BY 1
+"""
+
+
 ANALYTICS_QUERIES = {
     "window_lag": (q_window_lag, SQL_WINDOW_LAG),
     "rollup_agg": (q_rollup_agg, SQL_ROLLUP_AGG),
@@ -3294,4 +3513,7 @@ ANALYTICS_QUERIES = {
     "rolling_distinct": (q_rolling_distinct, SQL_ROLLING_DISTINCT),
     "scd2_intervals": (q_scd2_intervals, SQL_SCD2_INTERVALS),
     "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
+    "profile_table": (q_profile_table, SQL_PROFILE_TABLE),
+    "group_quantiles": (q_group_quantiles, SQL_GROUP_QUANTILES),
+    "sorted_layout": (q_sorted_layout, SQL_SORTED_LAYOUT),
 }

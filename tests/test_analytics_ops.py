@@ -388,3 +388,44 @@ def test_fuzzy_join_neighborhood_completeness():
             if e <= 1:
                 vb = set(_del1_variants([b])[0])
                 assert va & vb, f"false negative: {a!r} ~ {b!r}"
+
+
+def test_sorted_layout_zone_maps_prune(ray_session, tmp_path):
+    """The sort-ordered layout's promise: after sorting by l_shipdate,
+    a 3-month parquet filter must PRUNE most row groups via file/row-
+    group min-max statistics (zone maps) — and the surviving rows must
+    be exactly the predicate's rows."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(SF_DIR, "lineitem.parquet"),
+        columns=["l_shipdate", "l_extendedprice"],
+        override_num_blocks=16,
+    )
+    out = str(tmp_path / "sorted")
+    ds.sort("l_shipdate").write_parquet(out)
+
+    d = pads.dataset(out)
+    lo = np.datetime64("1997-01-01", "us")
+    hi = np.datetime64("1997-04-01", "us")
+    filt = (pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi)
+    total = matching = 0
+    for frag in d.get_fragments():
+        frag.ensure_complete_metadata()
+        total += frag.num_row_groups
+        matching += len(list(frag.split_by_row_group(filt, schema=d.schema)))
+    assert total >= 8, f"expected a multi-file layout, got {total} row groups"
+    assert matching < total / 2, (
+        f"zone maps pruned nothing: {matching}/{total} row groups survive"
+    )
+    # surviving row groups still cover the predicate exactly
+    import duckdb
+
+    want = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{SF_DIR}/lineitem.parquet') "
+        "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+        "AND l_shipdate < TIMESTAMP '1997-04-01'"
+    ).fetchone()[0]
+    got = d.to_table(filter=filt).num_rows
+    assert got == want

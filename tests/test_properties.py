@@ -105,3 +105,40 @@ def test_simhash64_matches_naive(texts):
                 if votes[b] > 0:
                     want |= 1 << b
         assert int(g) == want, (t, int(g), want)
+
+
+@settings(max_examples=400, deadline=None)
+@given(st.text(alphabet="abc", min_size=0, max_size=8),
+       st.text(alphabet="abc", min_size=0, max_size=8),
+       st.integers(min_value=1, max_value=3))
+def test_ed_banded_matches_dp(a, b, k):
+    """The radius-2 fuzzy join's banded Levenshtein ≡ full DP restricted
+    to the ≤k question, for k ∈ {1,2,3} on arbitrary string pairs."""
+    from crawlray.pipelines.dataops import _ed_banded
+
+    @functools.lru_cache(None)
+    def d(i, j):
+        if i == 0:
+            return j
+        if j == 0:
+            return i
+        return min(d(i - 1, j) + 1, d(i, j - 1) + 1,
+                   d(i - 1, j - 1) + (a[i - 1] != b[j - 1]))
+
+    assert _ed_banded(a, b, k) == (d(len(a), len(b)) <= k)
+
+
+@settings(max_examples=250, deadline=None)
+@given(st.text(alphabet="abcd", min_size=0, max_size=8),
+       st.text(alphabet="abcd", min_size=0, max_size=8))
+def test_delk_neighborhoods_complete_radius2(a, b):
+    """FastSS completeness at radius 2: whenever ed(a,b) ≤ 2 the two
+    deletion-≤2 neighborhoods intersect — so the fuzzy_join2 candidate
+    generation can never miss a true match (false candidates are fine;
+    the banded verifier removes them)."""
+    from crawlray.pipelines.dataops import _delk_variants, _ed_banded
+
+    if _ed_banded(a, b, 2):
+        na, _ = _delk_variants([a], radius=2)
+        nb, _ = _delk_variants([b], radius=2)
+        assert set(na) & set(nb), (a, b)
