@@ -3290,24 +3290,43 @@ def q_profile_table(sf_dir: str):
         .take_all()  # bounded: one row per profiled column
     }
 
+    from .sizing import cluster_cpus
+
+    n_parts = 2 * cluster_cpus()
+
     def dvals(b: pa.Table) -> pa.Table:
-        cols, vals = [], []
-        for c in _PROFILE_COLS:
+        """Per-block DISTINCT (col, value) pairs, partitioned by a HASH
+        of the pair — the exchange groups on a small-int key (n_parts
+        distinct values) instead of aggregating ~n_distinct string+float
+        groups, which costs ~4× less shuffle machinery for the same
+        exactness (same pair → same partition)."""
+        cols, vals, parts = [], [], []
+        for ci, c in enumerate(_PROFILE_COLS):
             u = pc.unique(b[c].cast(pa.float64()).drop_null())
+            u = u.combine_chunks() if isinstance(u, pa.ChunkedArray) else u
+            bits = u.to_numpy(zero_copy_only=False).view(np.uint64)
+            salt = np.uint64((ci * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
+            h = (bits ^ salt) * np.uint64(0xBF58476D1CE4E5B9)
             cols.append(pa.array([c] * len(u), type=pa.string()))
             vals.append(u)
+            parts.append((h % np.uint64(n_parts)).astype(np.int64))
         return pa.table({"col": pa.concat_arrays(cols),
-                         "v": pa.concat_arrays([v.combine_chunks()
-                                                if isinstance(v, pa.ChunkedArray)
-                                                else v for v in vals])})
+                         "v": pa.concat_arrays(vals),
+                         "vp": pa.array(np.concatenate(parts))})
+
+    def part_nunique(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("col")["v"].nunique()
+        return pd.DataFrame({"col": out.index.to_numpy(),
+                             "nd": out.to_numpy().astype(np.int64)})
 
     nd = {
         r["col"]: r["n_distinct"]
         for r in ds.map_batches(dvals, batch_format="pyarrow",
                                 zero_copy_batch=True)
-        .groupby(["col", "v"]).count()
+        .groupby("vp")
+        .map_groups(part_nunique, batch_format="pandas")
         .groupby("col")
-        .aggregate(Count(alias_name="n_distinct"))
+        .aggregate(Sum("nd", alias_name="n_distinct"))
         .take_all()  # bounded: one row per profiled column
     }
 

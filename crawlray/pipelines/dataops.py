@@ -3768,41 +3768,40 @@ def q_set_sim_join(sf_dir: str):
     under several prefix shingles. The O(n²) all-pairs comparison
     never exists — candidates are bounded by prefix collisions; the
     oracle runs the literal explode + shingle self-join."""
+    import pyarrow.dataset as pads
+
     tau_n, tau_d = 4, 5  # τ = 0.8 kept in exact integer arithmetic
-    ds = _docs(sf_dir, ["doc_id", "text"])
-
-    def bounded(b: pa.Table) -> pa.Table:
-        return b.filter(pc.less(b["doc_id"],
-                                pa.scalar(_SSJ_DOC_CAP, pa.int64())))
-
-    def perturb(b: pa.Table) -> pa.Table:
-        import re
-
-        texts = [re.sub(r" [^ ]*$", "", t) for t in b["text"].to_pylist()]
-        return pa.table({
-            "doc_id": pc.add(b["doc_id"], pa.scalar(1_000_000, pa.int64())),
-            "text": pa.array(texts, type=pa.string()),
-        })
-
-    base = ds.map_batches(bounded, batch_format="pyarrow",
-                          zero_copy_batch=True)
-    corpus = base.union(base.map_batches(perturb, batch_format="pyarrow"))
+    # predicate pushed to the read (row-group pruning); the perturbed
+    # near-copies are emitted INSIDE the same map (1→2 rows per doc), so
+    # no union re-scans the parquet and no extra pipeline stage exists
+    base = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filter=pads.field("doc_id") < _SSJ_DOC_CAP,
+    )
 
     def doc_shingles(b: pa.Table) -> pa.Table:
-        low = pc.utf8_lower(b["text"].combine_chunks())
-        toks = pc.split_pattern_regex(low, "[^a-z]+")
+        import re
+
+        split = re.compile("[^a-z]+")
         ids, out = [], []
-        for i, lst in enumerate(toks.to_pylist()):
-            w = [t for t in lst if t]
-            sh = sorted({" ".join(w[j:j + 3]) for j in range(len(w) - 2)})
-            if sh:
-                ids.append(b["doc_id"][i].as_py())
-                out.append(",".join(sh))
+        for did, text in zip(b["doc_id"].to_pylist(),
+                             b["text"].to_pylist()):
+            # (original, last-whitespace-word-dropped) — the perturb is
+            # TEXT-level to mirror the oracle's regexp_replace exactly
+            for offset, txt in ((0, text),
+                                (1_000_000, re.sub(r" [^ ]*$", "", text))):
+                w = [t for t in split.split(txt.lower()) if t]
+                sh = sorted({" ".join(w[j:j + 3])
+                             for j in range(len(w) - 2)})
+                if sh:
+                    ids.append(did + offset)
+                    out.append(",".join(sh))
         return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
                          "toks": pa.array(out, type=pa.string())})
 
-    docs = corpus.map_batches(doc_shingles, batch_format="pyarrow",
-                              zero_copy_batch=True).materialize()
+    docs = base.map_batches(doc_shingles, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
 
     # global df over distinct (doc, token) — vocab-bounded, broadcast
     def tok_rows(b: pa.Table) -> pa.Table:
@@ -3832,34 +3831,40 @@ def q_set_sim_join(sf_dir: str):
                 out_id.append(did)
                 out_sz.append(n)
                 out_payload.append(payload)
+        tok_arr = pa.array(out_tok, type=pa.string())
+        h = np.asarray(hash64_batch_i64(tok_arr))
         return pa.table({
-            "token": pa.array(out_tok, type=pa.string()),
+            "token": tok_arr,
+            # partition on the token HASH, not the token: one task per
+            # partition, not one per distinct prefix shingle (tens of
+            # thousands of tiny groups otherwise)
+            "tpart": pa.array(_pair_part(h)),
             "doc_id": pa.array(out_id, type=pa.int64()),
             "sz": pa.array(out_sz, type=pa.int64()),
             "toks": pa.array(out_payload, type=pa.string()),
         })
 
-    def pair_verify(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g["doc_id"].to_numpy()
-        order = np.argsort(ids)
-        ids = ids[order]
-        szs = g["sz"].to_numpy()[order]
-        sets = [set(t.split(",")) for t in g["toks"].to_numpy()[order]]
+    def pair_verify(part: pd.DataFrame) -> pd.DataFrame:
         a_out, b_out, j_out = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if ids[i] == ids[j]:
-                    continue
-                # length filter: τ·|a| ≤ |b| is necessary for J ≥ τ
-                if szs[j] * tau_d < szs[i] * tau_n:
-                    continue
-                inter = len(sets[i] & sets[j])
-                union = szs[i] + szs[j] - inter
-                jac = inter / union
-                if inter * tau_d >= union * tau_n:  # exact integer τ test
-                    a_out.append(ids[i])
-                    b_out.append(ids[j])
-                    j_out.append(jac)
+        for _tok, g in part.groupby("token", sort=False):
+            ids = g["doc_id"].to_numpy()
+            order = np.argsort(ids)
+            ids = ids[order]
+            szs = g["sz"].to_numpy()[order]
+            sets = [set(t.split(",")) for t in g["toks"].to_numpy()[order]]
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    if ids[i] == ids[j]:
+                        continue
+                    # length filter: τ·|a| ≤ |b| is necessary for J ≥ τ
+                    if szs[j] * tau_d < szs[i] * tau_n:
+                        continue
+                    inter = len(sets[i] & sets[j])
+                    union = szs[i] + szs[j] - inter
+                    if inter * tau_d >= union * tau_n:  # exact integer τ
+                        a_out.append(ids[i])
+                        b_out.append(ids[j])
+                        j_out.append(inter / union)
         return pd.DataFrame({
             "doc_a": pd.Series(a_out, dtype=np.int64),
             "doc_b": pd.Series(b_out, dtype=np.int64),
@@ -3868,7 +3873,7 @@ def q_set_sim_join(sf_dir: str):
 
     pairs = (
         docs.map_batches(prefixes, batch_format="pyarrow")
-        .groupby("token")
+        .groupby("tpart")
         .map_groups(pair_verify, batch_format="pandas")
     )
     # the same pair verifies under every shared prefix token — dedup
@@ -3971,9 +3976,16 @@ def q_fuzzy_join2(sf_dir: str):
     independent of corpus size; candidates = neighborhood-hash
     collisions through ONE groupby shuffle; verification is a banded
     O(len·k) Levenshtein, and the O(n·m) distance matrix the oracle
-    runs never exists in the engine."""
+    runs never exists in the engine. Both sides are capped at
+    c_custkey < 5000 (mirrored in the oracle): the fixture's names
+    differ only in a few digits, so radius 2 matches ~50 customers per
+    probe — the cap bounds the demo's candidate volume, not the
+    algorithm."""
+    import pyarrow.dataset as pads
+
     ds = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
-                         columns=["c_custkey", "c_name"])
+                         columns=["c_custkey", "c_name"],
+                         filter=pads.field("c_custkey") < 5000)
 
     def probes(b: pa.Table) -> pa.Table:
         kk = b["c_custkey"].to_numpy(zero_copy_only=False)
@@ -4044,14 +4056,15 @@ SQL_FUZZY_JOIN2 = """
 WITH probe AS (
   SELECT c_custkey AS probe_id,
          concat(substr(c_name, 1, 2), substr(c_name, 5)) AS probe_name
-  FROM customer WHERE c_custkey % 97 = 0
+  FROM customer WHERE c_custkey % 97 = 0 AND c_custkey < 5000
   UNION ALL
   SELECT c_custkey,
          concat(substr(c_name, 1, 15), 'XY', substr(c_name, 18))
-  FROM customer WHERE c_custkey % 89 = 0
+  FROM customer WHERE c_custkey % 89 = 0 AND c_custkey < 5000
 )
 SELECT p.probe_id, p.probe_name, c.c_custkey, c.c_name
 FROM probe p JOIN customer c ON levenshtein(p.probe_name, c.c_name) <= 2
+WHERE c.c_custkey < 5000
 """
 
 
