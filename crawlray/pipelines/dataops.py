@@ -319,6 +319,11 @@ def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
+# above this many candidate pairs the broadcast-verify path would pin
+# too many texts in the driver/object store — fall back to hash joins
+_VERIFY_BROADCAST_MAX_PAIRS = 25_000
+
+
 def q_minhash_neardup(sf_dir: str):
     """D6 near-dup via MinHash+LSH (rows-only): documents ∪ perturbed
     copies (last word dropped, doc_id+10^6) → 64-perm signatures → 16
@@ -337,23 +342,31 @@ def q_minhash_neardup(sf_dir: str):
     - hot buckets are truncated at ``_LSH_BUCKET_CAP`` ids (deterministic:
       lowest doc_ids kept; the drop is logged) so one boilerplate bucket
       cannot emit O(size²) pairs;
-    - verification texts arrive via ``Dataset.join`` of the deduped pair
-      list against the corpus on doc_id — no driver-side corpus read, no
-      whole-corpus ``ray.put``."""
+    - verification texts: when the deduped pair list is small (the
+      normal case — it is materialized, so the count is known), the
+      NEEDED texts only (≤ 2·pairs docs) are gathered and broadcast
+      once; past ``_VERIFY_BROADCAST_MAX_PAIRS`` the plan falls back to
+      ``Dataset.join`` of the pair list against the corpus — never a
+      whole-corpus driver read in either branch."""
     ds = _docs(sf_dir, ["doc_id", "text"])
 
-    def perturb(b: pa.Table) -> pa.Table:
-        texts = [" ".join(t.split()[:-1]) for t in b["text"].to_pylist()]
+    def with_copies(b: pa.Table) -> pa.Table:
+        """Original + last-word-dropped copy from ONE pass (a union of
+        two maps would lazily re-read the parquet twice)."""
+        texts = b["text"].to_pylist()
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
         return pa.table({
-            "doc_id": pc.add(b["doc_id"], pa.scalar(1_000_000, type=pa.int64())),
-            "text": pa.array(texts, type=pa.string()),
+            "doc_id": pa.array(np.concatenate([ids, ids + 1_000_000])),
+            "text": pa.array(
+                texts + [" ".join(t.split()[:-1]) for t in texts],
+                type=pa.string()),
         })
 
-    # materialize ONCE: `both` is consumed three times (banding + the two
-    # verification joins); left lazy, Ray re-executes read→perturb per
-    # consumer (the simhash lesson, VERDICT r2 item #1). The cost is the
-    # same blocks the join shuffle would pin in the object store anyway.
-    both = ds.union(ds.map_batches(perturb, batch_format="pyarrow")).materialize()
+    # materialize ONCE: `both` is consumed again for verification texts;
+    # left lazy, Ray re-executes read→copies per consumer (the simhash
+    # lesson, VERDICT r2 item #1).
+    both = ds.map_batches(with_copies, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
 
     def bands(b: pa.Table) -> pa.Table:
         sig = minhash_signature(b["text"].to_pylist(), n_perm=64, k=3)
@@ -398,16 +411,59 @@ def q_minhash_neardup(sf_dir: str):
         batch_format="pyarrow",
     )
     # candidate list is tiny relative to the corpus — materialize it so
-    # the emptiness check is free and the joins read a cached input; an
-    # empty candidate set short-circuits (Ray's hash join fails on an
-    # empty left side — ADVICE r2)
+    # the emptiness check is free and the verify branch can be chosen on
+    # the ACTUAL pair count; an empty candidate set short-circuits
+    # (Ray's hash join fails on an empty left side — ADVICE r2)
     uniq = uniq.materialize()
-    if uniq.count() == 0:
+    n_pairs = uniq.count()
+    if n_pairs == 0:
         return rd.from_arrow(pa.table({
             "doc_a": pa.array([], type=pa.int64()),
             "doc_b": pa.array([], type=pa.int64()),
             "sim": pa.array([], type=pa.float64()),
         }))
+
+    if n_pairs <= _VERIFY_BROADCAST_MAX_PAIRS:
+        # gather ONLY the texts the pairs reference (≤ 2·pairs docs) and
+        # broadcast them once — two corpus-wide hash joins cost ~7 s of
+        # shuffle machinery to deliver a few thousand strings (measured)
+        need: set[int] = set()
+        for b in uniq.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            need.update(b["doc_a"].to_numpy(zero_copy_only=False).tolist())
+            need.update(b["doc_b"].to_numpy(zero_copy_only=False).tolist())
+        need_ref = ray.put(need)
+
+        def pick(b: pa.Table) -> pa.Table:
+            import ray as _r
+
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            wanted = _r.get(need_ref)
+            mask = np.fromiter((i in wanted for i in ids.tolist()),
+                               dtype=bool, count=len(ids))
+            return b.filter(pa.array(mask))
+
+        texts: dict[int, str] = {}
+        for b in (both.map_batches(pick, batch_format="pyarrow")
+                  .iter_batches(batch_size=65536, batch_format="pyarrow")):
+            texts.update(zip(b["doc_id"].to_numpy(zero_copy_only=False)
+                             .tolist(), b["text"].to_pylist()))
+        texts_ref = ray.put(texts)
+
+        def verify_bc(b: pa.Table) -> pa.Table:
+            import ray as _r
+
+            lut = _r.get(texts_ref)
+            da = b["doc_a"].to_numpy(zero_copy_only=False)
+            db = b["doc_b"].to_numpy(zero_copy_only=False)
+            sims = [round(jaccard(lut[int(a)], lut[int(x)], k=3), 6)
+                    for a, x in zip(da, db)]
+            out = pa.table({
+                "doc_a": b["doc_a"], "doc_b": b["doc_b"],
+                "sim": pa.array(sims, type=pa.float64()),
+            })
+            return out.filter(pc.greater_equal(out["sim"], pa.scalar(0.5)))
+
+        return uniq.map_batches(verify_bc, batch_format="pyarrow")
 
     # texts via hash join on doc_id — the corpus never touches the driver
     nparts = join_parts()
@@ -450,14 +506,20 @@ def q_simhash_neardup(sf_dir: str):
     text."""
     ds = _docs(sf_dir, ["doc_id", "text"])
 
-    def perturb(b: pa.Table) -> pa.Table:
-        texts = [" ".join(t.split()[:-1]) for t in b["text"].to_pylist()]
+    def with_copies(b: pa.Table) -> pa.Table:
+        """Original + last-word-dropped copy emitted from ONE pass —
+        a union of two maps would lazily re-read the parquet twice."""
+        texts = b["text"].to_pylist()
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
         return pa.table({
-            "doc_id": pc.add(b["doc_id"], pa.scalar(1_000_000, type=pa.int64())),
-            "text": pa.array(texts, type=pa.string()),
+            "doc_id": pa.array(np.concatenate([ids, ids + 1_000_000])),
+            "text": pa.array(
+                texts + [" ".join(t.split()[:-1]) for t in texts],
+                type=pa.string()),
         })
 
-    both = ds.union(ds.map_batches(perturb, batch_format="pyarrow"))
+    both = ds.map_batches(with_copies, batch_format="pyarrow",
+                          zero_copy_batch=True)
     return _simhash_pairs(both)
 
 
@@ -2108,21 +2170,23 @@ def q_dedup_groups(sf_dir: str):
     driver-side union-find over the identical pair list."""
     ds = _docs(sf_dir, ["doc_id", "text"])
 
-    def perturb(n_words: int, offset: int):
-        def fn(b: pa.Table) -> pa.Table:
-            texts = [" ".join(t.split()[:-n_words])
-                     for t in b["text"].to_pylist()]
-            return pa.table({
-                "doc_id": pc.add(b["doc_id"],
-                                 pa.scalar(offset, type=pa.int64())),
-                "text": pa.array(texts, type=pa.string()),
-            })
-        return fn
+    def with_copies(b: pa.Table) -> pa.Table:
+        """Original + two perturbation levels from ONE pass — a 3-way
+        union of maps would lazily re-read the parquet three times."""
+        texts = b["text"].to_pylist()
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(
+                [ids, ids + 1_000_000, ids + 2_000_000])),
+            "text": pa.array(
+                texts
+                + [" ".join(t.split()[:-1]) for t in texts]
+                + [" ".join(t.split()[:-2]) for t in texts],
+                type=pa.string()),
+        })
 
-    corpus = ds.union(
-        ds.map_batches(perturb(1, 1_000_000), batch_format="pyarrow"),
-        ds.map_batches(perturb(2, 2_000_000), batch_format="pyarrow"),
-    )
+    corpus = ds.map_batches(with_copies, batch_format="pyarrow",
+                            zero_copy_batch=True)
     # ham_max=3 keeps edges to genuine near-dups: at 8 the short-doc
     # tail of the synthetic corpus chains into one giant component whose
     # diameter (not size) drives the propagation round count
