@@ -2126,44 +2126,92 @@ _PR_DAMPING = 0.85
 _PR_ITERS = 10
 _PR_DRIVER_FOLD_LIMIT = 1_000_000  # nodes; beyond this each iteration
 # runs a groupby(dst) all-to-all instead of the driver partial-fold
+_PR_EDGE_DRIVER_LIMIT = 5_000_000  # deduped edges; at or below, the whole
+# power iteration runs on the driver over two int64 arrays (~80 MB at the
+# limit) — the same guarded-small-side discipline as connected_components'
+# union-find; past it, the distributed per-round loop below
 
 
 def q_pagerank(sf_dir: str, iters: int = _PR_ITERS):
     """PageRank over the part→supplier co-occurrence graph (distinct
     (l_partkey, l_suppkey) edges, both directions, so the chain is
     connected): the second iterative-algorithm family next to
-    connected_components. Per iteration: ONE map over the edge dataset
-    (ranks broadcast via ray.put — the node table is dimension-sized;
-    a web-scale node set swaps the broadcast for a join on src, same
-    loop) emits (dst, contribution), one groupby sums them, and the
-    driver folds the bounded node table. Deterministic: fixed iteration
-    count, float64 throughout. Pinned against a numpy power iteration
-    at 1e-10 (tests/test_analytics_ops.py)."""
+    connected_components. The edge list is built distributed (map +
+    ONE dedup groupby) and materialized; its count then picks the loop:
+    ≤ ``_PR_EDGE_DRIVER_LIMIT`` edges run all iterations locally over
+    two int64 arrays (10 distributed rounds of ~1.5 s dispatch each to
+    move a few MB is pure overhead), larger graphs run the distributed
+    loop — per iteration ONE map over the edge dataset (ranks broadcast
+    via ray.put; a web-scale node set swaps the broadcast for a join on
+    src) emits per-block (dst, contribution) partials the driver folds,
+    or a groupby(dst) past ``_PR_DRIVER_FOLD_LIMIT`` nodes.
+    Deterministic either way: fixed iteration count, float64
+    throughout. Pinned against a numpy power iteration at 1e-10
+    (tests/test_analytics_ops.py)."""
     import ray
 
     li = _t(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
 
-    def edge_pairs(b: pa.Table) -> pa.Table:
+    from .sizing import cluster_cpus
+
+    n_parts = 2 * cluster_cpus()
+
+    def edge_keys(b: pa.Table) -> pa.Table:
+        """Per-block-distinct fused (src<<32)|dst keys, hash-partitioned —
+        the dedup exchange groups on a small-int key and unpacks with
+        numpy, instead of a (src, dst) multi-key aggregate over ~2 rows
+        per lineitem (measured ~6× slower for identical output)."""
         p = b["l_partkey"].to_numpy(zero_copy_only=False)
         s = b["l_suppkey"].to_numpy(zero_copy_only=False)
         src = np.concatenate([2 * p, 2 * s + 1])      # part=even, supp=odd
         dst = np.concatenate([2 * s + 1, 2 * p])
-        df = pd.DataFrame({"src": src, "dst": dst}).drop_duplicates()
-        return pa.table({"src": pa.array(df["src"].to_numpy()),
-                         "dst": pa.array(df["dst"].to_numpy())})
+        key = np.unique((src << 32) | dst)
+        with np.errstate(over="ignore"):
+            ep = ((key.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                  % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({"key": pa.array(key), "ep": pa.array(ep)})
 
-    from .sizing import cluster_cpus
+    def dedup_part(g: pd.DataFrame) -> pd.DataFrame:
+        key = np.unique(g["key"].to_numpy())
+        return pd.DataFrame({"src": key >> 32,
+                             "dst": key & 0xFFFFFFFF})
 
     edges = (
-        li.map_batches(edge_pairs, batch_format="pyarrow",
+        li.map_batches(edge_keys, batch_format="pyarrow",
                        zero_copy_batch=True)
-        .groupby(["src", "dst"]).count()
-        .select_columns(["src", "dst"])
-        # coalesce the dedup-groupby's many small output blocks ONCE so
-        # the 10 iteration passes don't each pay ~200 task dispatches
-        .repartition(cluster_cpus())
-        .materialize()  # reused every iteration — never re-read parquet
+        .groupby("ep")
+        .map_groups(dedup_part, batch_format="pandas")
+        .materialize()  # reused below — never re-read parquet
     )
+
+    if edges.count() <= _PR_EDGE_DRIVER_LIMIT:
+        src_c, dst_c = [], []
+        for b in edges.iter_batches(batch_size=262144,
+                                    batch_format="pyarrow"):
+            src_c.append(b["src"].to_numpy(zero_copy_only=False))
+            dst_c.append(b["dst"].to_numpy(zero_copy_only=False))
+        src = np.concatenate(src_c).astype(np.int64)
+        dst = np.concatenate(dst_c).astype(np.int64)
+        nodes, outdeg_i = np.unique(src, return_counts=True)
+        n = len(nodes)
+        outdeg = outdeg_i.astype(np.float64)
+        si = np.searchsorted(nodes, src)
+        di = np.searchsorted(nodes, dst)
+        rank = np.full(n, 1.0 / n)
+        base = (1.0 - _PR_DAMPING) / n
+        for _ in range(iters):
+            w = rank / outdeg
+            rank = base + _PR_DAMPING * np.bincount(di, weights=w[si],
+                                                    minlength=n)
+        order = np.lexsort((nodes, -rank))[:10]
+        return pa.table({
+            "node": pa.array(nodes[order], type=pa.int64()),
+            "rank": pa.array(rank[order], type=pa.float64()),
+        })
+
+    # coalesce the dedup-groupby's many small output blocks ONCE so the
+    # iteration passes don't each pay ~200 task dispatches
+    edges = edges.repartition(cluster_cpus()).materialize()
     deg = edges.groupby("src").count()  # bounded: |nodes|
     src_c, cnt_c = [], []
     for b in deg.iter_batches(batch_size=65536, batch_format="pyarrow"):

@@ -254,6 +254,19 @@ def test_pagerank_matches_numpy_power_iteration(ray_session):
     assert got["node"].tolist() == [nodes[i] for i in order]
     assert np.allclose(got["rank"].to_numpy(), rank[order], atol=1e-10)
 
+    # force the distributed per-round loop (normally only past the
+    # edge-count guard) — both branches must agree with the reference
+    import crawlray.pipelines.analytics as an
+
+    old = an._PR_EDGE_DRIVER_LIMIT
+    try:
+        an._PR_EDGE_DRIVER_LIMIT = 0
+        got_d = q_pagerank(SF_DIR).to_pandas()
+    finally:
+        an._PR_EDGE_DRIVER_LIMIT = old
+    assert got_d["node"].tolist() == [nodes[i] for i in order]
+    assert np.allclose(got_d["rank"].to_numpy(), rank[order], atol=1e-10)
+
 
 def test_semdedup_drops_exactly_planted_copies(ray_session):
     """SemDeDup (rows-only pin): on the isotropic fixture the only
