@@ -3267,10 +3267,12 @@ def q_triangle_count(sf_dir: str):
     uv = np.unique(np.concatenate(chunks).astype(np.int64), axis=0)
     nodes = np.unique(uv)
     idx = np.searchsorted(nodes, uv)
-    a = np.zeros((len(nodes), len(nodes)), dtype=np.int64)
-    a[idx[:, 0], idx[:, 1]] = 1
-    a[idx[:, 1], idx[:, 0]] = 1
-    tri = int(np.trace(a @ a @ a) // 6)
+    # float64 so the matmul hits BLAS (an int64 A³ is ~100× slower
+    # scalar code); exact — every entry is an integer count ≪ 2^53
+    a = np.zeros((len(nodes), len(nodes)), dtype=np.float64)
+    a[idx[:, 0], idx[:, 1]] = 1.0
+    a[idx[:, 1], idx[:, 0]] = 1.0
+    tri = int(round(np.trace(a @ a @ a))) // 6
     return pa.table({"n_edges": pa.array([len(uv)], type=pa.int64()),
                      "triangles": pa.array([tri], type=pa.int64())})
 
