@@ -3527,6 +3527,40 @@ GROUP BY 1
 """
 
 
+# =====================================================================
+# robust dispersion: median absolute deviation per group
+# =====================================================================
+
+def q_mad_per_group(sf_dir: str):
+    """Median + MAD (median absolute deviation) of l_quantity per
+    l_returnflag — the robust outlier-scale statistic (outlier_docs'
+    z-score breaks on heavy tails; MAD does not). One groupby(flag)
+    shuffle carrying 2 columns, then a vectorized per-group pass: both
+    medians are numpy's interpolated median, which is bit-equal to
+    DuckDB's median()/mad() on these integer-valued doubles (halves are
+    exact in binary). Group-fits-a-worker assumption as in
+    group_quantiles; the scale path is the two-pass selection histogram
+    per group."""
+    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def per_flag(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["l_quantity"].to_numpy().astype(np.float64)
+        med = np.median(v)
+        return pd.DataFrame({"l_returnflag": [g["l_returnflag"].iloc[0]],
+                             "med": [med],
+                             "mad": [np.median(np.abs(v - med))]})
+
+    return ds.groupby("l_returnflag").map_groups(per_flag,
+                                                 batch_format="pandas")
+
+
+SQL_MAD_PER_GROUP = """
+SELECT l_returnflag, CAST(median(l_quantity) AS DOUBLE) AS med,
+  CAST(mad(l_quantity) AS DOUBLE) AS mad
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 ANALYTICS_QUERIES = {
     "window_lag": (q_window_lag, SQL_WINDOW_LAG),
     "rollup_agg": (q_rollup_agg, SQL_ROLLUP_AGG),
@@ -3585,4 +3619,5 @@ ANALYTICS_QUERIES = {
     "profile_table": (q_profile_table, SQL_PROFILE_TABLE),
     "group_quantiles": (q_group_quantiles, SQL_GROUP_QUANTILES),
     "sorted_layout": (q_sorted_layout, SQL_SORTED_LAYOUT),
+    "mad_per_group": (q_mad_per_group, SQL_MAD_PER_GROUP),
 }

@@ -3806,6 +3806,79 @@ SELECT vec_id, nn_id, cos FROM (
 
 
 # =====================================================================
+# k-NN classification (majority vote over the labeled neighbor set)
+# =====================================================================
+
+def q_knn_classify(sf_dir: str, k: int = 5):
+    """k-NN classification — predict each unlabeled vector's label by
+    majority vote over its k nearest labeled neighbors (the similarity-
+    search APPLICATION next to knn_join's raw retrieval): train =
+    vec_id < 256 (labels ride along, broadcast once as a normalized
+    matrix), probe = the rest, streamed blockwise with one float64
+    matmul per block and no shuffle. Neighbor ranking is (cosine
+    rounded 6 dp DESC, train id ASC) and vote tie-break is (count DESC,
+    label ASC) — both mirrored in the oracle, which also casts to
+    DOUBLE[] so DuckDB accumulates in float64."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    cap = 256
+    t = pq.read_table(path, columns=["vec_id", "embedding", "label"],
+                      filters=[("vec_id", "<", cap)])
+    order = pc.sort_indices(t["vec_id"])
+    t = t.take(order)  # ascending train ids → stable argsort = id tiebreak
+    labels = np.asarray(t["label"], dtype=np.int64)
+    mat = _embedding_matrix(t["embedding"])
+    n = np.linalg.norm(mat, axis=1)
+    train_ref = ray.put((labels, mat / np.where(n == 0, 1.0, n)[:, None]))
+    n_labels = int(labels.max()) + 1
+
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"],
+                         filter=pads.field("vec_id") >= cap)
+
+    def classify(b: pa.Table) -> pa.Table:
+        import ray as _r
+
+        lab, matn = _r.get(train_ref)
+        vid = b["vec_id"].to_numpy(zero_copy_only=False)
+        emb = _embedding_matrix(b["embedding"])
+        nn = np.linalg.norm(emb, axis=1)
+        embn = emb / np.where(nn == 0, 1.0, nn)[:, None]
+        cos = np.round(embn @ matn.T, 6)            # (block, train)
+        # stable argsort keeps ascending-train-id order among 6-dp ties
+        top = np.argsort(-cos, axis=1, kind="stable")[:, :k]
+        votes = np.zeros((len(vid), n_labels), dtype=np.int64)
+        rows = np.repeat(np.arange(len(vid)), k)
+        np.add.at(votes, (rows, lab[top].reshape(-1)), 1)
+        pred = np.argmax(votes, axis=1)  # first max = smallest label
+        return pa.table({"vec_id": pa.array(vid),
+                         "pred": pa.array(pred.astype(np.int64))})
+
+    return ds.map_batches(classify, batch_format="pyarrow")
+
+
+SQL_KNN_CLASSIFY = """
+WITH scored AS (
+  SELECT a.vec_id, b.label, b.vec_id AS tid,
+    ROW_NUMBER() OVER (
+      PARTITION BY a.vec_id
+      ORDER BY ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]), 6) DESC,
+               b.vec_id) AS rn
+  FROM embeddings a JOIN embeddings b ON b.vec_id < 256
+  WHERE a.vec_id >= 256
+), votes AS (
+  SELECT vec_id, label, COUNT(*) AS c FROM scored WHERE rn <= 5
+  GROUP BY vec_id, label)
+SELECT vec_id, CAST(label AS BIGINT) AS pred FROM (
+  SELECT vec_id, label,
+    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, label) AS r
+  FROM votes) WHERE r = 1
+"""
+
+
+# =====================================================================
 # set-similarity join with prefix filtering (AllPairs / PPJoin family)
 # =====================================================================
 
@@ -4182,6 +4255,7 @@ DATAOPS_QUERIES = {
     "fuzzy_join": (q_fuzzy_join, SQL_FUZZY_JOIN),
     "fuzzy_join2": (q_fuzzy_join2, SQL_FUZZY_JOIN2),
     "knn_join": (q_knn_join, SQL_KNN_JOIN),
+    "knn_classify": (q_knn_classify, SQL_KNN_CLASSIFY),
     "set_sim_join": (q_set_sim_join, SQL_SET_SIM_JOIN),
     "ingest_shards": (q_ingest_shards, None),
     "scrub_pii": (q_scrub_pii, SQL_SCRUB_PII),
