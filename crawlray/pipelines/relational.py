@@ -48,9 +48,13 @@ def q_pricing_summary(sf_dir: str):
              "l_discount"])
 
     def prep(b: pa.Table) -> pa.Table:
+        """Per-block PARTIAL aggregate (Arrow group_by over ≤ |flags|×
+        |statuses| in-block groups): the exchange then carries blocks×6
+        partial rows instead of sorting 600k rows by two string keys —
+        the combiner discipline every few-group aggregate needs."""
         disc_price = pc.multiply(b["l_extendedprice"],
                                  pc.subtract(pa.scalar(1.0), b["l_discount"]))
-        return pa.table({
+        t = pa.table({
             "l_returnflag": b["l_returnflag"],
             "l_linestatus": b["l_linestatus"],
             "qty": b["l_quantity"].cast(pa.int64()) if pa.types.is_integer(b["l_quantity"].type)
@@ -58,6 +62,18 @@ def q_pricing_summary(sf_dir: str):
             "base_c": _cents(b["l_extendedprice"]),
             "disc_c4": _cents(disc_price, 10000),
             "disc_c": _cents(b["l_discount"]),
+        })
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("base_c", "sum"), ("disc_c4", "sum"),
+             ("disc_c", "sum"), ([], "count_all")])
+        return pa.table({
+            "l_returnflag": g["l_returnflag"],
+            "l_linestatus": g["l_linestatus"],
+            "qty": g["qty_sum"],
+            "base_c": g["base_c_sum"],
+            "disc_c4": g["disc_c4_sum"],
+            "disc_c": g["disc_c_sum"],
+            "n": g["count_all"],
         })
 
     agg = (
@@ -68,7 +84,7 @@ def q_pricing_summary(sf_dir: str):
             Sum("base_c", alias_name="base_c"),
             Sum("disc_c4", alias_name="disc_c4"),
             Sum("disc_c", alias_name="disc_c"),
-            Count(alias_name="count_order"),
+            Sum("n", alias_name="count_order"),
         )
     )
 
@@ -248,20 +264,38 @@ SQL_DISTINCT_SEGMENTS = "SELECT DISTINCT c_mktsegment FROM customer"
 
 def q_count_distinct_parts(sf_dir: str):
     """COUNT(DISTINCT) = per-block Arrow distinct (combiner — shrinks the
-    all-to-all to each block's unique pairs before it ships) → one
-    groupby shuffle on the surviving pairs → tiny per-flag count."""
+    all-to-all to each block's unique pairs before it ships) → ONE
+    exchange grouped on a small-int hash of the key (same key → same
+    partition, so per-partition nunique-per-flag sums are exact) → tiny
+    per-flag fold. Grouping on the hash instead of aggregating ~60k
+    (flag, key) string+int groups is ~4× cheaper for identical output."""
+    from .sizing import cluster_cpus
+
     ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_partkey"])
+    n_parts = 2 * cluster_cpus()
 
     def block_distinct(b: pa.Table) -> pa.Table:
-        return b.group_by(["l_returnflag", "l_partkey"]).aggregate([])
+        g = b.group_by(["l_returnflag", "l_partkey"]).aggregate([])
+        key = g["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        with np.errstate(over="ignore"):
+            hp = ((key.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                  % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({"l_returnflag": g["l_returnflag"],
+                         "l_partkey": g["l_partkey"], "hp": pa.array(hp)})
 
-    pairs = (
+    def part_nunique(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("l_returnflag")["l_partkey"].nunique()
+        return pd.DataFrame({"l_returnflag": out.index.to_numpy(),
+                             "nd": out.to_numpy().astype(np.int64)})
+
+    return (
         ds.map_batches(block_distinct, batch_format="pyarrow",
                        zero_copy_batch=True)
-        .groupby(["l_returnflag", "l_partkey"]).count()
+        .groupby("hp")
+        .map_groups(part_nunique, batch_format="pandas")
+        .groupby("l_returnflag")
+        .aggregate(Sum("nd", alias_name="n_parts"))
     )
-    out = pairs.groupby("l_returnflag").aggregate(Count(alias_name="n_parts"))
-    return out
 
 
 SQL_COUNT_DISTINCT_PARTS = """
