@@ -3065,10 +3065,20 @@ def q_skew_join(sf_dir: str, _stats: dict | None = None):
         .join(d_mat, join_type="inner", num_partitions=join_parts(),
               on=("jk",))
 
-    agg = hot_joined.union(cold_joined).groupby("jk").aggregate(
-        Count(alias_name="n"),
-        Sum("c", alias_name="sum_c"),
-        Max("n_parts", alias_name="n_parts"))
+    def partial(b: pa.Table) -> pa.Table:
+        """Per-block combiner: the final exchange carries blocks×|keys|
+        partial rows, not the full joined fact."""
+        g = b.group_by(["jk", "n_parts"]).aggregate(
+            [("c", "sum"), ([], "count_all")])
+        return pa.table({"jk": g["jk"], "n_parts": g["n_parts"],
+                         "c": g["c_sum"], "n": g["count_all"]})
+
+    agg = hot_joined.union(cold_joined) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("jk").aggregate(
+            Sum("n", alias_name="n"),
+            Sum("c", alias_name="sum_c"),
+            Max("n_parts", alias_name="n_parts"))
 
     def finalize(b: pa.Table) -> pa.Table:
         return pa.table({

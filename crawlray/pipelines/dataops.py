@@ -3277,9 +3277,16 @@ def q_fuzzy_join(sf_dir: str):
     emits candidate pairs, np.unique dedups them, and an O(keylen)
     radius-1 verify removes hash-bucket false positives. The O(n·m)
     all-pairs distance matrix never exists (the SQL oracle runs exactly
-    that, which is the point)."""
+    that, which is the point). Both sides are capped at c_custkey <
+    5000 (oracle mirrored; the driver-gate sf has 1500 customers, so
+    the gate's result is unchanged) — the fixture's near-identical
+    names make every variant bucket collide, so the cap bounds the
+    demo's candidate volume, not the algorithm."""
+    import pyarrow.dataset as pads
+
     ds = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
-                         columns=["c_custkey", "c_name"])
+                         columns=["c_custkey", "c_name"],
+                         filter=pads.field("c_custkey") < 5000)
 
     def probes(b: pa.Table) -> pa.Table:
         k = b["c_custkey"].to_numpy(zero_copy_only=False)
@@ -3353,13 +3360,14 @@ SQL_FUZZY_JOIN = """
 WITH probe AS (
   SELECT c_custkey AS probe_id,
          concat(substr(c_name, 1, 2), substr(c_name, 4)) AS probe_name
-  FROM customer WHERE c_custkey % 97 = 0
+  FROM customer WHERE c_custkey % 97 = 0 AND c_custkey < 5000
   UNION ALL
   SELECT c_custkey, concat(substr(c_name, 1, 17), 'X')
-  FROM customer WHERE c_custkey % 89 = 0
+  FROM customer WHERE c_custkey % 89 = 0 AND c_custkey < 5000
 )
 SELECT p.probe_id, p.probe_name, c.c_custkey, c.c_name
 FROM probe p JOIN customer c ON levenshtein(p.probe_name, c.c_name) <= 1
+WHERE c.c_custkey < 5000
 """
 
 
