@@ -2903,54 +2903,60 @@ def q_dataset_diff(sf_dir: str):
     unchanged keys never leave the pipeline. Fixture versions derive
     deterministically from orders: v1 drops keys %97==0, v2 drops
     %89==0 and bumps the price by 1.00 on keys %11==0. Scale shape:
-    each side tags (key, present-bit, cents) block-locally, the union
-    makes ONE groupby(key) shuffle carrying 3 ints per row, and the
-    classification is a vectorized filter over the aggregate — no
-    full outer join materializes, and matching-and-unchanged keys
-    (the overwhelming majority in a real diff) are dropped inside the
-    aggregate pass."""
-    base_cols = ["o_orderkey", "o_totalprice"]
+    BOTH versions are emitted from ONE pass over the table (each block
+    tags its rows for v1 and v2 — no second scan), the single exchange
+    groups on a small-int hash of the key (same key → same partition),
+    and each partition classifies vectorized — no full outer join, no
+    per-key aggregate machinery, and matching-and-unchanged keys (the
+    overwhelming majority in a real diff) die inside the partition."""
+    from .sizing import cluster_cpus
 
-    def v1(b: pa.Table) -> pa.Table:
+    n_parts = 2 * cluster_cpus()
+
+    def versions(b: pa.Table) -> pa.Table:
         k = b["o_orderkey"].to_numpy(zero_copy_only=False)
-        b = b.filter(pa.array(k % 97 != 0))
-        c = _cents(b["o_totalprice"])
-        z = pa.nulls(b.num_rows, pa.int64())
-        return pa.table({"k": b["o_orderkey"], "c1": c, "c2": z})
+        cents = _cents(b["o_totalprice"]).to_numpy(zero_copy_only=False)
+        m1 = k % 97 != 0
+        m2 = k % 89 != 0
+        k1, c1 = k[m1], cents[m1].astype(np.float64)
+        k2 = k[m2]
+        c2 = (cents[m2] + np.where(k2 % 11 == 0, 100, 0)).astype(np.float64)
+        kk = np.concatenate([k1, k2])
+        side = np.concatenate([np.zeros(len(k1), np.int64),
+                               np.ones(len(k2), np.int64)])
+        cc = np.concatenate([c1, c2])
+        with np.errstate(over="ignore"):
+            hp = ((kk.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                  % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({"k": pa.array(kk), "side": pa.array(side),
+                         "c": pa.array(cc), "hp": pa.array(hp)})
 
-    def v2(b: pa.Table) -> pa.Table:
-        k = b["o_orderkey"].to_numpy(zero_copy_only=False)
-        b = b.filter(pa.array(k % 89 != 0))
-        k = b["o_orderkey"].to_numpy(zero_copy_only=False)
-        bump = np.where(k % 11 == 0, 100, 0).astype(np.int64)
-        c = pc.add(_cents(b["o_totalprice"]), pa.array(bump))
-        z = pa.nulls(b.num_rows, pa.int64())
-        return pa.table({"k": b["o_orderkey"], "c1": z, "c2": c})
-
-    u = _t(sf_dir, "orders", base_cols) \
-        .map_batches(v1, batch_format="pyarrow", zero_copy_batch=True) \
-        .union(_t(sf_dir, "orders", base_cols)
-               .map_batches(v2, batch_format="pyarrow", zero_copy_batch=True))
-    agg = u.groupby("k").aggregate(Max("c1", alias_name="c1"),
-                                   Max("c2", alias_name="c2"))
-
-    def classify(b: pa.Table) -> pa.Table:
-        c1 = b["c1"].to_numpy(zero_copy_only=False)
-        c2 = b["c2"].to_numpy(zero_copy_only=False)
-        in1, in2 = ~pd.isna(c1), ~pd.isna(c2)
-        status = np.where(~in1, "added", np.where(~in2, "removed", "changed"))
+    def part_diff(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["k"].to_numpy()
+        side = g["side"].to_numpy()
+        c = g["c"].to_numpy()
+        uk, inv = np.unique(k, return_inverse=True)
+        c1 = np.full(len(uk), np.nan)
+        c2 = np.full(len(uk), np.nan)
+        c1[inv[side == 0]] = c[side == 0]
+        c2[inv[side == 1]] = c[side == 1]
+        in1, in2 = ~np.isnan(c1), ~np.isnan(c2)
         keep = ~in1 | ~in2 | (c1 != c2)
-        b = b.filter(pa.array(keep))
-        old_p = pc.divide(pc.cast(b["c1"], pa.float64()), pa.scalar(100.0))
-        new_p = pc.divide(pc.cast(b["c2"], pa.float64()), pa.scalar(100.0))
-        return pa.table({
-            "o_orderkey": b["k"],
-            "status": pa.array(status[keep], type=pa.string()),
-            "old_price": old_p,
-            "new_price": new_p,
+        status = np.where(~in1, "added", np.where(~in2, "removed",
+                                                  "changed"))
+        return pd.DataFrame({
+            "o_orderkey": uk[keep],
+            "status": status[keep],
+            "old_price": c1[keep] / 100.0,
+            "new_price": c2[keep] / 100.0,
         })
 
-    return agg.map_batches(classify, batch_format="pyarrow")
+    return (
+        _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+        .map_batches(versions, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("hp")
+        .map_groups(part_diff, batch_format="pandas")
+    )
 
 
 SQL_DATASET_DIFF = """
