@@ -3814,6 +3814,164 @@ SELECT vec_id, nn_id, cos FROM (
 
 
 # =====================================================================
+# BPE tokenizer merge learning (Sennrich et al. 2016 formulation)
+# =====================================================================
+
+def q_bpe_train(sf_dir: str, n_merges: int = 20):
+    """Learn BPE merge rules from the corpus — the tokenizer-TRAINING
+    op of a training-data pipeline. Scale shape is the Sennrich
+    formulation every real BPE trainer uses: the corpus-scale work is
+    ONE distributed word count (per-block Arrow value_counts combiner →
+    token groupby — identical discipline to word_freq), whose output is
+    VOCAB-bounded; merge learning then iterates over the weighted
+    vocabulary on the driver (pair counting over |vocab| word forms,
+    never the corpus — subword-nmt / sentencepiece do exactly this).
+    Deterministic: best pair = (count DESC, pair lexicographically
+    ASC). Rows-only (SQL has no iterative merge); pinned against an
+    independent pure-python reference over DuckDB's word counts
+    (tests/test_analytics_ops.py)."""
+    ds = _docs(sf_dir, ["text"])
+
+    def counts(b: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(b["text"].combine_chunks())
+        toks = pc.list_flatten(pc.split_pattern_regex(low, "[^a-z]+"))
+        t = pa.table({"token": toks}).filter(
+            pc.not_equal(toks, pa.scalar("")))
+        g = t.group_by("token").aggregate([([], "count_all")])
+        return g.rename_columns(["token", "n"])
+
+    wc_rows = (
+        ds.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()  # vocab-bounded
+    )
+    words: dict[tuple, int] = {}
+    for r in wc_rows:
+        words[tuple(r["token"]) + ("</w>",)] = int(r["n"])
+
+    ranks, lefts, rights, cnts = [], [], [], []
+    for rank in range(n_merges):
+        pairs: dict[tuple, int] = {}
+        for sym, c in words.items():
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        bc = max(pairs.values())
+        best = sorted(p for p, c in pairs.items() if c == bc)[0]
+        ranks.append(rank)
+        lefts.append(best[0])
+        rights.append(best[1])
+        cnts.append(bc)
+        new_words: dict[tuple, int] = {}
+        for sym, c in words.items():
+            out = []
+            i = 0
+            while i < len(sym):
+                if i < len(sym) - 1 and (sym[i], sym[i + 1]) == best:
+                    out.append(sym[i] + sym[i + 1])
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            key = tuple(out)
+            new_words[key] = new_words.get(key, 0) + c
+        words = new_words
+
+    return pa.table({
+        "rank": pa.array(ranks, type=pa.int64()),
+        "left": pa.array(lefts, type=pa.string()),
+        "right": pa.array(rights, type=pa.string()),
+        "pair_count": pa.array(cnts, type=pa.int64()),
+    })
+
+
+# =====================================================================
+# distributed logistic-regression training (iterative family #3)
+# =====================================================================
+
+_LR_ROUNDS = 10
+_LR_RATE = 0.5
+_LR_DRIVER_LIMIT = 2_000_000  # rows; at or below, X/y pull once and all
+# rounds run locally (pagerank's guarded-small discipline); past it, the
+# per-round distributed gradient below
+
+
+def q_logreg_train(sf_dir: str, rounds: int = _LR_ROUNDS):
+    """Train a logistic-regression classifier on the embedding vectors
+    (y = label parity) by FULL-BATCH gradient descent — the
+    quality-classifier training loop of a data pipeline, and the third
+    iterative-algorithm family next to PageRank and connected
+    components. Distributed shape: per round the weight vector is
+    broadcast (ray.put) and each block emits ONE (d+1)-float partial
+    gradient Xᵀ(σ(Xw) − y) — the exchange is O(blocks·d), the vectors
+    never move; the driver folds partials and steps. At or below
+    ``_LR_DRIVER_LIMIT`` rows the matrix is pulled once and the loop
+    runs locally (10 distributed rounds to move a 1 MB matrix is pure
+    dispatch overhead); a forced-branch test pins both paths to the
+    same optimum. Deterministic: fixed rounds, zero init, float64."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = rd.read_parquet(path, columns=["embedding", "label"])
+
+    n_total = ds.count()
+    if n_total <= _LR_DRIVER_LIMIT:
+        xs, ys = [], []
+        for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            xs.append(_embedding_matrix(b["embedding"]))
+            ys.append((b["label"].to_numpy(zero_copy_only=False)
+                       .astype(np.int64) % 2).astype(np.float64))
+        x = np.concatenate(xs)
+        y = np.concatenate(ys)
+        w = np.zeros(x.shape[1])
+        for _ in range(rounds):
+            p = 1.0 / (1.0 + np.exp(-(x @ w)))
+            w = w - _LR_RATE * (x.T @ (p - y)) / len(y)
+        return pa.table({
+            "feature": pa.array(np.arange(len(w), dtype=np.int64)),
+            "weight": pa.array(w),
+        })
+
+    w = None
+    d = None
+    mat = ds.materialize()  # consumed once per round
+    for _ in range(rounds):
+        w_ref = ray.put(w)
+
+        def grad(b: pa.Table) -> pa.Table:
+            import ray as _r
+
+            ww = _r.get(w_ref)
+            x = _embedding_matrix(b["embedding"])
+            yy = (b["label"].to_numpy(zero_copy_only=False)
+                  .astype(np.int64) % 2).astype(np.float64)
+            if ww is None:
+                ww = np.zeros(x.shape[1])
+            p = 1.0 / (1.0 + np.exp(-(x @ ww)))
+            g = x.T @ (p - yy)
+            return pa.table({
+                "j": pa.array(np.arange(len(g) + 1, dtype=np.int64)),
+                "v": pa.array(np.concatenate([g, [float(len(yy))]])),
+            })
+
+        acc: dict[int, float] = {}
+        for b in (mat.map_batches(grad, batch_format="pyarrow")
+                  .iter_batches(batch_size=65536, batch_format="pyarrow")):
+            for j, v in zip(b["j"].to_numpy(zero_copy_only=False),
+                            b["v"].to_numpy(zero_copy_only=False)):
+                acc[int(j)] = acc.get(int(j), 0.0) + float(v)
+        d = max(acc) if d is None else d
+        n = acc[d]
+        g = np.array([acc[j] for j in range(d)])
+        w = (np.zeros(d) if w is None else w) - _LR_RATE * g / n
+    return pa.table({
+        "feature": pa.array(np.arange(len(w), dtype=np.int64)),
+        "weight": pa.array(w),
+    })
+
+
+# =====================================================================
 # k-NN classification (majority vote over the labeled neighbor set)
 # =====================================================================
 
@@ -4264,6 +4422,8 @@ DATAOPS_QUERIES = {
     "fuzzy_join2": (q_fuzzy_join2, SQL_FUZZY_JOIN2),
     "knn_join": (q_knn_join, SQL_KNN_JOIN),
     "knn_classify": (q_knn_classify, SQL_KNN_CLASSIFY),
+    "bpe_train": (q_bpe_train, None),
+    "logreg_train": (q_logreg_train, None),
     "set_sim_join": (q_set_sim_join, SQL_SET_SIM_JOIN),
     "ingest_shards": (q_ingest_shards, None),
     "scrub_pii": (q_scrub_pii, SQL_SCRUB_PII),

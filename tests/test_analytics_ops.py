@@ -442,3 +442,78 @@ def test_sorted_layout_zone_maps_prune(ray_session, tmp_path):
     ).fetchone()[0]
     got = d.to_table(filter=filt).num_rows
     assert got == want
+
+
+def test_bpe_train_matches_reference(ray_session):
+    """The distributed-wordcount + driver-merge BPE trainer must equal
+    an independent pure-python reference run over DuckDB's word counts
+    (same tie-break: count DESC, pair lex ASC)."""
+    import duckdb
+
+    from crawlray.pipelines.dataops import q_bpe_train
+
+    wc = duckdb.sql(
+        "SELECT token, COUNT(*) AS n FROM ("
+        f"  SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+'))"
+        f"    AS token FROM read_parquet('{SF_DIR}/documents.parquet'))"
+        " WHERE token <> '' GROUP BY token"
+    ).fetchall()
+    words = {tuple(t) + ("</w>",): int(n) for t, n in wc}
+    merges = []
+    for rank in range(20):
+        pairs = {}
+        for sym, c in words.items():
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        bc = max(pairs.values())
+        best = sorted(p for p, c in pairs.items() if c == bc)[0]
+        merges.append((rank, best[0], best[1], bc))
+        nw = {}
+        for sym, c in words.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i < len(sym) - 1 and (sym[i], sym[i + 1]) == best:
+                    out.append(sym[i] + sym[i + 1]); i += 2
+                else:
+                    out.append(sym[i]); i += 1
+            nw[tuple(out)] = nw.get(tuple(out), 0) + c
+        words = nw
+
+    got = q_bpe_train(SF_DIR).to_pandas()
+    assert [tuple(r) for r in got.itertuples(index=False)] == merges
+
+
+def test_logreg_train_both_paths_agree(ray_session):
+    """The guarded-local GD loop must be exact vs a numpy reference;
+    the forced-distributed per-round gradient loop must converge to the
+    same weights (per-block partial-sum order only perturbs the last
+    ulps)."""
+    import pyarrow.parquet as pq
+
+    import crawlray.pipelines.dataops as dop
+    from crawlray.pipelines.dataops import (_LR_RATE, _LR_ROUNDS,
+                                            _embedding_matrix,
+                                            q_logreg_train)
+
+    t = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"),
+                      columns=["embedding", "label"])
+    x = _embedding_matrix(t["embedding"])
+    y = (np.asarray(t["label"], dtype=np.int64) % 2).astype(np.float64)
+    w = np.zeros(x.shape[1])
+    for _ in range(_LR_ROUNDS):
+        p = 1.0 / (1.0 + np.exp(-(x @ w)))
+        w = w - _LR_RATE * (x.T @ (p - y)) / len(y)
+
+    got = q_logreg_train(SF_DIR).to_pandas()
+    assert np.allclose(got["weight"].to_numpy(), w, atol=1e-12)
+
+    old = dop._LR_DRIVER_LIMIT
+    try:
+        dop._LR_DRIVER_LIMIT = 0
+        got_d = q_logreg_train(SF_DIR).to_pandas()
+    finally:
+        dop._LR_DRIVER_LIMIT = old
+    assert np.allclose(got_d["weight"].to_numpy(), w, atol=1e-8)
