@@ -3647,6 +3647,69 @@ GROUP BY 1
 
 
 # =====================================================================
+# incremental view maintenance (merge a delta into a stored aggregate)
+# =====================================================================
+
+def q_incremental_agg(sf_dir: str):
+    """Materialized-view maintenance: a stored per-priority aggregate
+    (orders with o_orderkey % 10 ≠ 0 — "yesterday's view") absorbs a
+    DELTA batch (the % 10 = 0 rows) by merging per-group partials.
+    The merge step touches O(groups) rows, never the base data — the
+    point of incremental computation at 100 TB (the delta is a
+    trickle; the view is the ocean; in a real deployment the delta
+    arrives as its own partition, while this fixture derives both
+    sides from one table). Sum/count merge additively; the oracle is
+    the full recompute over everything, so the correctness gate IS the
+    view-maintenance invariant: merge(view, delta) ≡ recompute(all).
+    Both sides integer-cents exact."""
+    def agg_of(pred_mod_keep):
+        ds = _t(sf_dir, "orders",
+                ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            keep = (k % 10 != 0) if pred_mod_keep else (k % 10 == 0)
+            t = b.filter(pa.array(keep))
+            g = pa.table({
+                "priority": t["o_orderpriority"],
+                "c": _cents(t["o_totalprice"]),
+            }).group_by("priority").aggregate(
+                [("c", "sum"), ([], "count_all")])
+            return pa.table({"priority": g["priority"], "c": g["c_sum"],
+                             "n": g["count_all"]})
+
+        return (
+            ds.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("priority")
+            .aggregate(Sum("c", alias_name="c"), Sum("n", alias_name="n"))
+            .take_all()  # bounded: one row per priority
+        )
+
+    view = {r["priority"]: [r["c"], r["n"]] for r in agg_of(True)}
+    for r in agg_of(False):            # merge the delta INTO the view
+        cur = view.setdefault(r["priority"], [0, 0])
+        cur[0] += r["c"]
+        cur[1] += r["n"]
+
+    prios = sorted(view)
+    return pa.table({
+        "o_orderpriority": pa.array(prios, type=pa.string()),
+        "n_orders": pa.array([view[p][1] for p in prios], pa.int64()),
+        "total": pa.array([view[p][0] / 100.0 for p in prios],
+                          pa.float64()),
+    })
+
+
+SQL_INCREMENTAL_AGG = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0
+    AS total
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# =====================================================================
 # robust dispersion: median absolute deviation per group
 # =====================================================================
 
@@ -3739,4 +3802,5 @@ ANALYTICS_QUERIES = {
     "group_quantiles": (q_group_quantiles, SQL_GROUP_QUANTILES),
     "sorted_layout": (q_sorted_layout, SQL_SORTED_LAYOUT),
     "mad_per_group": (q_mad_per_group, SQL_MAD_PER_GROUP),
+    "incremental_agg": (q_incremental_agg, SQL_INCREMENTAL_AGG),
 }
