@@ -465,7 +465,11 @@ def q_left_join(sf_dir: str):
     left-outer hash join, so the join's right side never scales with
     fact-table rows — the aggregate-then-outer-join shape. Unmatched
     customers surface with n_urgent=0 / spend=0.0 (COALESCE on both
-    sides keeps the hash compare free of null ambiguity)."""
+    sides keeps the hash compare free of null ambiguity). The
+    customer-key predicate is PUSHED THROUGH the join into the orders
+    read (a LEFT join keeps only left keys, so filtering the right
+    side to the same range is semantics-preserving) — row-group
+    pruning then drops most of the fact scan."""
     import pyarrow.dataset as pads
 
     from .sizing import join_parts
@@ -475,7 +479,11 @@ def q_left_join(sf_dir: str):
         columns=["c_custkey", "c_name"],
         filter=pads.field("c_custkey") < 400,
     )
-    orders = _t(sf_dir, "orders", ["o_custkey", "o_orderpriority", "o_totalprice"])
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderpriority", "o_totalprice"],
+        filter=pads.field("o_custkey") < 400,
+    )
 
     def prep(b: pa.Table) -> pa.Table:
         m = pc.equal(b["o_orderpriority"], pa.scalar("1-URGENT"))
@@ -2525,33 +2533,62 @@ FROM documents GROUP BY lang
 
 def q_right_join(sf_dir: str):
     """RIGHT OUTER: every customer appears even with zero orders.
-    Same discipline as left_join — the fact side pre-shrinks to one
-    row per custkey before the outer join, COALESCE fills the
-    no-orders side with 0 on both sides."""
-    orders = (
-        _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-        .map_batches(
-            lambda b: pa.table({"o_custkey": b["o_custkey"],
-                                "cents": _cents(b["o_totalprice"])}),
-            batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("o_custkey").aggregate(Sum("cents", alias_name="cents")))
-    from .sizing import join_parts
+    Both sides flow through ONE exchange grouped on a hash of the
+    customer key (fact rows carry cents, dimension rows carry the
+    segment); each partition folds spend with np.bincount and keeps
+    exactly the dimension rows — right-outer semantics with no
+    dedicated join exchange and no per-key aggregate machinery."""
+    from .sizing import cluster_cpus
 
-    cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    joined = orders.join(cust, join_type="right_outer",
-                         num_partitions=join_parts(),
-                         on=("o_custkey",), right_on=("c_custkey",))
+    n_parts = 2 * cluster_cpus()
 
-    def fill(b: pa.Table) -> pa.Table:
-        cents = b["cents"].combine_chunks() \
-            .fill_null(0).to_numpy(zero_copy_only=False)
+    def tag_orders(b: pa.Table) -> pa.Table:
+        k = b["o_custkey"].to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            hp = ((k.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                  % np.uint64(n_parts)).astype(np.int64)
         return pa.table({
-            "c_custkey": b["c_custkey"],
-            "c_mktsegment": b["c_mktsegment"],
-            "spend": pa.array(cents.astype(np.float64) / 100.0),
+            "k": b["o_custkey"],
+            "c": _cents(b["o_totalprice"]),
+            "seg": pa.nulls(b.num_rows, pa.string()),
+            "hp": pa.array(hp),
         })
 
-    return joined.map_batches(fill, batch_format="pyarrow")
+    def tag_cust(b: pa.Table) -> pa.Table:
+        k = b["c_custkey"].to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            hp = ((k.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                  % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({
+            "k": b["c_custkey"],
+            "c": pa.array(np.zeros(b.num_rows, np.int64)),
+            "seg": b["c_mktsegment"],
+            "hp": pa.array(hp),
+        })
+
+    u = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
+        .map_batches(tag_orders, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .union(_t(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+               .map_batches(tag_cust, batch_format="pyarrow",
+                            zero_copy_batch=True))
+
+    def part_join(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["k"].to_numpy()
+        seg = g["seg"].to_numpy()
+        is_dim = ~pd.isna(seg)
+        uk, inv = np.unique(k, return_inverse=True)
+        # float64 bincount of int cents is exact (sums ≪ 2^53)
+        spend = np.bincount(inv, weights=g["c"].to_numpy(),
+                            minlength=len(uk))
+        dim_rows = np.flatnonzero(is_dim)
+        return pd.DataFrame({
+            "c_custkey": k[dim_rows],
+            "c_mktsegment": seg[dim_rows],
+            "spend": spend[inv[dim_rows]] / 100.0,
+        })
+
+    return u.groupby("hp").map_groups(part_join, batch_format="pandas")
 
 
 SQL_RIGHT_JOIN = """
