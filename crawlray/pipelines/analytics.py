@@ -3684,6 +3684,75 @@ GROUP BY 1
 
 
 # =====================================================================
+# date spine / gap filling (dense time series from sparse events)
+# =====================================================================
+
+def q_date_spine(sf_dir: str):
+    """Gap-filled monthly series: urgent orders of a sparse customer
+    slice aggregated by month, then LEFT-JOINED onto a dense month
+    spine so empty months surface as zero rows — the reporting
+    pattern every dashboard needs (a groupby alone silently drops
+    empty buckets). Scale shape: the aggregate is the only
+    distributed work (per-block partials — month count is bounded);
+    the spine is generated, not scanned, and the fill is an O(months)
+    driver reindex. Spine range is fixed [1995-01, 2001-12] on both
+    sides so the result doesn't depend on which months happen to have
+    data."""
+    import pyarrow.dataset as pads
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderpriority", "o_orderdate",
+                 "o_totalprice"],
+        filter=pads.field("o_custkey") < 150,
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        m = pc.equal(b["o_orderpriority"], pa.scalar("1-URGENT"))
+        t = b.filter(m)
+        g = pa.table({
+            "month": pc.floor_temporal(t["o_orderdate"], unit="month"),
+            "c": _cents(t["o_totalprice"]),
+        }).group_by("month").aggregate([("c", "sum"), ([], "count_all")])
+        return pa.table({"month": g["month"], "c": g["c_sum"],
+                         "n": g["count_all"]})
+
+    rows = (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("month")
+        .aggregate(Sum("c", alias_name="c"), Sum("n", alias_name="n"))
+        .take_all()  # bounded: one row per month with data
+    )
+    have = {pd.Timestamp(r["month"]): (int(r["n"]), int(r["c"]))
+            for r in rows}
+    spine = pd.date_range("1995-01-01", "2001-12-01", freq="MS")
+    return pa.table({
+        "month": pa.array(spine.values.astype("datetime64[us]")),
+        "n_orders": pa.array([have.get(m, (0, 0))[0] for m in spine],
+                             pa.int64()),
+        "total": pa.array([have.get(m, (0, 0))[1] / 100.0 for m in spine],
+                          pa.float64()),
+    })
+
+
+SQL_DATE_SPINE = """
+WITH spine AS (
+  SELECT unnest(generate_series(TIMESTAMP '1995-01-01',
+                                TIMESTAMP '2001-12-01',
+                                INTERVAL 1 MONTH)) AS month
+), agg AS (
+  SELECT date_trunc('month', o_orderdate) AS month, COUNT(*) AS n,
+    SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS c
+  FROM orders
+  WHERE o_custkey < 150 AND o_orderpriority = '1-URGENT'
+  GROUP BY 1)
+SELECT spine.month, COALESCE(agg.n, 0) AS n_orders,
+  CAST(COALESCE(agg.c, 0) AS DOUBLE)/100.0 AS total
+FROM spine LEFT JOIN agg USING (month)
+"""
+
+
+# =====================================================================
 # incremental view maintenance (merge a delta into a stored aggregate)
 # =====================================================================
 
@@ -3840,4 +3909,5 @@ ANALYTICS_QUERIES = {
     "sorted_layout": (q_sorted_layout, SQL_SORTED_LAYOUT),
     "mad_per_group": (q_mad_per_group, SQL_MAD_PER_GROUP),
     "incremental_agg": (q_incremental_agg, SQL_INCREMENTAL_AGG),
+    "date_spine": (q_date_spine, SQL_DATE_SPINE),
 }

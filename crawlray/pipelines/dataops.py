@@ -3110,17 +3110,19 @@ def q_dup_ngrams(sf_dir: str, n: int = 8):
     blocks emit DISTINCT (gram-hash, doc) pairs via the decontaminate
     rolling-polynomial kernel (no gram strings exist engine-side; a
     doc never spans blocks, so block-distinct pairs are globally
-    distinct); ONE groupby(gram) Count shuffle carrying 2 ints per
-    row yields per-gram doc counts, the DUPLICATED gram set (the rare
-    tail — far smaller than the gram stream, the same boundedness
+    distinct); ONE exchange grouped on a gram-hash partition key
+    counts per-gram docs with np.unique per partition (no per-gram
+    aggregate machinery), the DUPLICATED gram set (the rare tail —
+    far smaller than the gram stream, the same boundedness
     decontaminate assumes of its bench set) broadcasts once via
-    ray.put, and a doc-keyed groupby folds the per-doc fraction via
-    searchsorted membership — no per-gram Python, no join. The pair
-    stream materializes ONCE (it has two consumers: the gram count and
-    the flag pass; Ray would otherwise re-execute the gram hashing per
-    consumer — the simhash r2 lesson), and the object store spills it
-    past memory. The oracle joins literal gram strings (hash-collision
-    odds ~1e-9 at these sizes — documented, not hidden)."""
+    ray.put, and a doc-hash-partitioned fold computes the per-doc
+    fraction via searchsorted membership + bincount — no per-gram
+    Python, no join. The pair stream materializes ONCE (it has two
+    consumers: the dup-gram pass and the flag pass; Ray would
+    otherwise re-execute the gram hashing per consumer — the simhash
+    r2 lesson), and the object store spills it past memory. The
+    oracle joins literal gram strings (hash-collision odds ~1e-9 at
+    these sizes — documented, not hidden)."""
     powers = np.empty(n, dtype=np.uint64)
     mult = np.uint64(0x100000001B3)
     powers[n - 1] = np.uint64(1)
@@ -3144,73 +3146,89 @@ def q_dup_ngrams(sf_dir: str, n: int = 8):
         return gh[valid], doc_of[:len(gh)][valid]
 
     ds = _docs(sf_dir, ["doc_id", "text"])
-
-    def near_copy(b: pa.Table) -> pa.Table:
-        did = b["doc_id"].to_numpy(zero_copy_only=False)
-        b = b.filter(pa.array(did % 10 == 0))
-        texts = [" ".join(t.split()[:-1]) for t in b["text"].to_pylist()]
-        return pa.table({
-            "doc_id": pc.add(b["doc_id"], pa.scalar(1_000_000, pa.int64())),
-            "text": pa.array(texts, type=pa.string()),
-        })
-
-    both = ds.union(ds.map_batches(near_copy, batch_format="pyarrow"))
+    gparts = bucket_parts()
 
     def emit_pairs(b: pa.Table) -> pa.Table:
-        gh, doc_of = gram_hashes(b["text"].combine_chunks())
+        """Originals + %10 near-copies from ONE pass (a lazy union would
+        re-read the parquet per consumer), then DISTINCT (gram-hash,
+        doc) pairs routed by gram-hash partition."""
         did = b["doc_id"].to_numpy(zero_copy_only=False)
+        texts = b["text"].to_pylist()
+        copy_rows = np.flatnonzero(did % 10 == 0)
+        all_ids = np.concatenate([did, did[copy_rows] + 1_000_000])
+        all_texts = texts + [" ".join(texts[i].split()[:-1])
+                             for i in copy_rows]
+        gh, doc_of = gram_hashes(pa.array(all_texts, type=pa.string()))
         if len(gh) == 0:
             return pa.table({"gram": pa.array([], type=pa.int64()),
-                             "doc_id": pa.array([], type=pa.int64())})
+                             "doc_id": pa.array([], type=pa.int64()),
+                             "gp": pa.array([], type=pa.int64())})
         pairs = np.unique(np.stack(
-            [gh.view(np.int64), did[doc_of]], axis=1), axis=0)
+            [gh.view(np.int64), all_ids[doc_of]], axis=1), axis=0)
+        with np.errstate(over="ignore"):
+            gp = ((pairs[:, 0].view(np.uint64)
+                   * np.uint64(0x9E3779B97F4A7C15))
+                  % np.uint64(gparts)).astype(np.int64)
         return pa.table({"gram": pa.array(pairs[:, 0]),
-                         "doc_id": pa.array(pairs[:, 1])})
+                         "doc_id": pa.array(pairs[:, 1]),
+                         "gp": pa.array(gp)})
 
-    pairs = both.map_batches(emit_pairs, batch_format="pyarrow") \
-        .materialize()
-    def only_dup(b: pa.Table) -> pa.Table:
-        return b.filter(pc.greater(b["nd"], pa.scalar(1, pa.int64()))) \
-            .select(["gram"])
+    pairs = ds.map_batches(emit_pairs, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
 
-    dup_ds = pairs.groupby("gram").aggregate(Count(alias_name="nd")) \
-        .map_batches(only_dup, batch_format="pyarrow")
-    # columnar pull, not take_all(): row-dict conversion dominates at
-    # tens of thousands of duplicated grams (triangle_count lesson)
-    dup_chunks = [b["gram"].to_numpy(zero_copy_only=False)
-                  for b in dup_ds.iter_batches(batch_size=65536,
-                                               batch_format="pyarrow")]
+    def part_dup(g: pd.DataFrame) -> pd.DataFrame:
+        """Block-distinct pairs are globally distinct (a doc never spans
+        blocks), so per-partition row counts per gram ARE the global
+        per-gram doc counts — no per-gram aggregate machinery."""
+        gr = g["gram"].to_numpy()
+        uk, counts = np.unique(gr, return_counts=True)
+        return pd.DataFrame({"gram": uk[counts > 1]})
+
+    dup_chunks = [
+        b["gram"].to_numpy(zero_copy_only=False)
+        for b in pairs.groupby("gp")
+        .map_groups(part_dup, batch_format="pandas")
+        .iter_batches(batch_size=65536, batch_format="pyarrow")
+    ]
     dup_grams = np.sort(np.concatenate(dup_chunks).astype(np.int64)) \
         if dup_chunks else np.empty(0, np.int64)
     dup_ref = ray.put(dup_grams)
 
     def flag(b: pa.Table) -> pa.Table:
+        """Doc-hash partition key + dup-membership bit per pair row."""
         dset = ray.get(dup_ref)
         g = b["gram"].to_numpy(zero_copy_only=False)
         idx = np.searchsorted(dset, g)
         idx[idx >= len(dset)] = max(len(dset) - 1, 0)
         dup = (dset[idx] == g).astype(np.int64) if len(dset) else \
             np.zeros(len(g), dtype=np.int64)
+        did = b["doc_id"].to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            dp = ((did.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                  % np.uint64(gparts)).astype(np.int64)
         return pa.table({
             "doc_id": b["doc_id"],
-            "one": pa.array(np.ones(len(g), dtype=np.int64)),
             "dup": pa.array(dup),
+            "dp": pa.array(dp),
         })
 
-    agg = pairs.map_batches(flag, batch_format="pyarrow") \
-        .groupby("doc_id").aggregate(
-            Sum("one", alias_name="n_grams"),
-            Sum("dup", alias_name="n_dup"))
+    def part_fold(g: pd.DataFrame) -> pd.DataFrame:
+        did = g["doc_id"].to_numpy()
+        uk, inv = np.unique(did, return_inverse=True)
+        n_grams = np.bincount(inv, minlength=len(uk))
+        n_dup = np.bincount(inv, weights=g["dup"].to_numpy(),
+                            minlength=len(uk)).astype(np.int64)
+        keep = n_dup > 0
+        frac = np.round(n_dup[keep] / n_grams[keep].astype(np.float64), 6)
+        return pd.DataFrame({
+            "doc_id": uk[keep],
+            "n_grams": n_grams[keep].astype(np.int64),
+            "n_dup": n_dup[keep],
+            "dup_frac": frac,
+        })
 
-    def finalize(b: pa.Table) -> pa.Table:
-        b = b.filter(pc.greater(b["n_dup"], pa.scalar(0, pa.int64())))
-        frac = pc.round(
-            pc.divide(pc.cast(b["n_dup"], pa.float64()),
-                      pc.cast(b["n_grams"], pa.float64())), ndigits=6)
-        return pa.table({"doc_id": b["doc_id"], "n_grams": b["n_grams"],
-                         "n_dup": b["n_dup"], "dup_frac": frac})
-
-    return agg.map_batches(finalize, batch_format="pyarrow")
+    return pairs.map_batches(flag, batch_format="pyarrow") \
+        .groupby("dp").map_groups(part_fold, batch_format="pandas")
 
 
 SQL_DUP_NGRAMS = """
