@@ -3684,6 +3684,55 @@ GROUP BY 1
 
 
 # =====================================================================
+# relational division (the FOR-ALL query: has every value of a domain)
+# =====================================================================
+
+def q_relational_division(sf_dir: str):
+    """Customers who placed orders in EVERY order-priority class —
+    relational division, the classic FOR-ALL shape (suppliers-who-
+    supply-all-parts). Engine plan: per-block DISTINCT (custkey,
+    priority) pairs → ONE exchange grouped on a hash of the customer
+    key → per-partition nunique compared against the domain size
+    (itself a tiny distinct, broadcast as one int). No NOT-EXISTS
+    double negation, no self-join — the count-distinct-equals-domain
+    formulation every warehouse uses."""
+    from .sizing import cluster_cpus
+
+    ds = _t(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    n_parts = 2 * cluster_cpus()
+    n_domain = len(_t(sf_dir, "orders", ["o_orderpriority"])
+                   .unique("o_orderpriority"))
+
+    def pairs(b: pa.Table) -> pa.Table:
+        g = b.group_by(["o_custkey", "o_orderpriority"]).aggregate([])
+        k = g["o_custkey"].to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            hp = ((k.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                  % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({"k": g["o_custkey"], "p": g["o_orderpriority"],
+                         "hp": pa.array(hp)})
+
+    def part_division(g: pd.DataFrame) -> pd.DataFrame:
+        nd = g.groupby("k")["p"].nunique()
+        full = nd[nd == n_domain].index.to_numpy()
+        return pd.DataFrame({"o_custkey": np.sort(full)})
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("hp")
+        .map_groups(part_division, batch_format="pandas")
+    )
+
+
+SQL_RELATIONAL_DIVISION = """
+SELECT o_custkey FROM orders
+GROUP BY o_custkey
+HAVING COUNT(DISTINCT o_orderpriority) =
+  (SELECT COUNT(DISTINCT o_orderpriority) FROM orders)
+"""
+
+
+# =====================================================================
 # date spine / gap filling (dense time series from sparse events)
 # =====================================================================
 
@@ -3910,4 +3959,5 @@ ANALYTICS_QUERIES = {
     "mad_per_group": (q_mad_per_group, SQL_MAD_PER_GROUP),
     "incremental_agg": (q_incremental_agg, SQL_INCREMENTAL_AGG),
     "date_spine": (q_date_spine, SQL_DATE_SPINE),
+    "relational_division": (q_relational_division, SQL_RELATIONAL_DIVISION),
 }

@@ -156,20 +156,47 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-0
 
 def q_revenue_by_nation(sf_dir: str):
     """J5 join chain: lineitem ⨝ orders stays the ONE genuine big-big
-    hash-join shuffle (both sides scale with the data); the
-    customer→nation dimension hop is a broadcast lookup (sorted-key
-    searchsorted per batch) behind the same ``_BROADCAST_KEY_LIMIT``
-    guard as semi/anti join — two of the three all-to-alls disappear.
-    An oversized customer table falls back to the full join chain."""
+    hash-join shuffle (both sides scale with the data) — but the
+    lineitem side first PRE-AGGREGATES to one (orderkey, rev, n_items)
+    row per order through an orderkey-hash partition fold (join-aware
+    pre-aggregation: the join then moves one row per order, not one
+    per lineitem). The customer→nation dimension hop is a broadcast
+    lookup (sorted-key searchsorted per batch) behind the same
+    ``_BROADCAST_KEY_LIMIT`` guard as semi/anti join. An oversized
+    customer table falls back to the full join chain."""
     import ray
 
+    from .sizing import cluster_cpus
+
     li = _t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    n_fold_parts = 2 * cluster_cpus()
 
     def rev(b: pa.Table) -> pa.Table:
         r = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
-        return pa.table({"l_orderkey": b["l_orderkey"], "rev_c4": _cents(r, 10000)})
+        okey = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            kp = ((okey.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                  % np.uint64(n_fold_parts)).astype(np.int64)
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "rev_c4": _cents(r, 10000),
+                         "kp": pa.array(kp)})
 
-    li = li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True)
+    def fold_order(g: pd.DataFrame) -> pd.DataFrame:
+        okey = g["l_orderkey"].to_numpy()
+        uk, inv = np.unique(okey, return_inverse=True)
+        # float64 bincount of int 1e-4-dollar units is exact (≪ 2^53)
+        return pd.DataFrame({
+            "l_orderkey": uk,
+            "rev_c4": np.bincount(inv, weights=g["rev_c4"].to_numpy())
+                        .astype(np.int64),
+            "n_items": np.bincount(inv).astype(np.int64),
+        })
+
+    li = (
+        li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("kp")
+        .map_groups(fold_order, batch_format="pandas")
+    )
     orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     nation = _t(sf_dir, "nation", ["n_nationkey", "n_name"])
@@ -181,7 +208,7 @@ def q_revenue_by_nation(sf_dir: str):
         j = j.join(nation, join_type="inner", num_partitions=join_parts(),
                    on=("c_nationkey",), right_on=("n_nationkey",))
         agg = j.groupby("n_name").aggregate(Sum("rev_c4", alias_name="rev_c4"),
-                                            Count(alias_name="n_items"))
+                                            Sum("n_items", alias_name="n_items"))
         return agg.map_batches(
             lambda b: pa.table({
                 "n_name": b["n_name"],
@@ -202,20 +229,26 @@ def q_revenue_by_nation(sf_dir: str):
     lut_ref = ray.put((ck_sorted, names_sorted))
 
     def tag_nation(b: pa.Table) -> pa.Table:
+        """Nation lookup + per-block PARTIAL aggregate — the final
+        exchange carries blocks×25 rows, not one row per order."""
         import ray as _r
 
         keys, names = _r.get(lut_ref)
         idx = np.searchsorted(keys, b["o_custkey"].to_numpy(zero_copy_only=False))
-        return pa.table({
+        g = pa.table({
             "n_name": pa.array(names[idx], type=pa.string()),
             "rev_c4": b["rev_c4"],
-        })
+            "n_items": b["n_items"],
+        }).group_by("n_name").aggregate([("rev_c4", "sum"),
+                                         ("n_items", "sum")])
+        return pa.table({"n_name": g["n_name"], "rev_c4": g["rev_c4_sum"],
+                         "n_items": g["n_items_sum"]})
 
     agg = (
         j.map_batches(tag_nation, batch_format="pyarrow")
         .groupby("n_name")
         .aggregate(Sum("rev_c4", alias_name="rev_c4"),
-                   Count(alias_name="n_items"))
+                   Sum("n_items", alias_name="n_items"))
     )
     return agg.map_batches(
         lambda b: pa.table({
