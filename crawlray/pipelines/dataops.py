@@ -162,10 +162,14 @@ def q_dedup_exact(sf_dir: str):
 
 
 def _first_per_hash(df: pd.DataFrame) -> pd.DataFrame:
-    """Partition-local winner per text_hash (min doc_id / min lang) —
-    one C-speed pandas groupby per hash partition."""
-    return df.groupby("text_hash", sort=False, as_index=False).agg(
-        doc_id=("doc_id", "min"), lang=("lang", "min"))[["doc_id", "lang"]]
+    """Partition-local winner per (text_hash, lang) — one C-speed pandas
+    groupby per hash partition. Grouping by lang as well matters: the
+    same text CAN occur under two languages (it does at sf0.1), and the
+    per-lang distinct count must see it once per lang, not once
+    globally (the partition key is the hash alone, so all of a hash's
+    rows still meet in one partition)."""
+    return df.groupby(["text_hash", "lang"], sort=False, as_index=False).agg(
+        doc_id=("doc_id", "min"))[["doc_id", "lang"]]
 
 
 SQL_DEDUP_EXACT = """
@@ -2747,7 +2751,11 @@ def q_decontaminate(sf_dir: str, n: int = 8, bench_max_doc: int = 10):
     The oracle joins on literal gram STRINGS; the engine matches on
     64-bit gram hashes — collision probability ~1e-9 at these corpus
     sizes (documented, not hidden). Only docs with ≥1 shared gram
-    return (inner-join semantics)."""
+    return (inner-join semantics). PLANTED contamination (a last-word-
+    dropped copy of each bench doc, id+10⁶, mirrored in the SQL) keeps
+    the overlap path exercised at every scale — natural 8-gram overlap
+    vanishes as the corpus grows, and an all-empty result would also
+    lose its schema through an empty Dataset→pandas hop."""
     import pyarrow.dataset as pads
     import pyarrow.parquet as pq
 
@@ -2781,9 +2789,19 @@ def q_decontaminate(sf_dir: str, n: int = 8, bench_max_doc: int = 10):
     bench_set = np.unique(gram_hashes(bench["text"].combine_chunks())[0])
     bench_ref = ray.put(bench_set)
 
+    import re
+
+    planted = pa.table({
+        "doc_id": pc.add(bench["doc_id"],
+                         pa.scalar(1_000_000, pa.int64())),
+        "text": pa.array([re.sub(r" [^ ]*$", "", t)
+                          for t in bench["text"].to_pylist()],
+                         type=pa.string()),
+    })
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "text"],
-                         filter=pads.field("doc_id") >= bench_max_doc)
+                         filter=pads.field("doc_id") >= bench_max_doc) \
+        .union(rd.from_arrow(planted))
 
     def overlap(t: pa.Table) -> pa.Table:
         bset = ray.get(bench_ref)
@@ -2813,9 +2831,14 @@ def q_decontaminate(sf_dir: str, n: int = 8, bench_max_doc: int = 10):
 
 
 SQL_DECONTAMINATE = """
-WITH g AS (
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, regexp_replace(text, ' [^ ]*$', '')
+  FROM documents WHERE doc_id < 10
+), g AS (
   SELECT doc_id, array_to_string(l[i:i+7], ' ') AS gram
-  FROM (SELECT doc_id, string_split(text,' ') AS l FROM documents),
+  FROM (SELECT doc_id, string_split(text,' ') AS l FROM corpus),
        UNNEST(generate_series(1, len(l) - 7)) AS t(i)
 ),
 bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < 10)
