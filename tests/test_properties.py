@@ -142,3 +142,50 @@ def test_delk_neighborhoods_complete_radius2(a, b):
         na, _ = _delk_variants([a], radius=2)
         nb, _ = _delk_variants([b], radius=2)
         assert set(na) & set(nb), (a, b)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.frozensets(st.integers(min_value=0, max_value=40),
+                              min_size=1, max_size=25),
+                min_size=2, max_size=8))
+def test_prefix_filter_completeness(sets):
+    """The AllPairs prefix-filter theorem set_sim_join rests on: with
+    tokens in ANY fixed total order, any pair with Jaccard ≥ τ must
+    share a token within each side's first |x| − ⌈τ·|x|⌉ + 1 ordered
+    tokens. Exercised over random set families with the integer-exact
+    prefix length the engine uses (τ = 4/5)."""
+    tau_n, tau_d = 4, 5
+    order = sorted({t for s in sets for t in s})
+    rank = {t: i for i, t in enumerate(order)}
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            a, b = sets[i], sets[j]
+            inter = len(a & b)
+            union = len(a | b)
+            if inter * tau_d < union * tau_n:
+                continue  # below threshold — the theorem says nothing
+            pa_ = sorted(a, key=rank.get)
+            pb = sorted(b, key=rank.get)
+            npa = len(a) - (-(-tau_n * len(a) // tau_d)) + 1
+            npb = len(b) - (-(-tau_n * len(b) // tau_d)) + 1
+            assert set(pa_[:npa]) & set(pb[:npb]), (a, b)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.integers(min_value=-100, max_value=100),
+                min_size=1, max_size=60))
+def test_percentile_disc_index_matches_duckdb(vals):
+    """group_quantiles' integer-exact rank index ⌈q·n⌉ ≡ DuckDB's
+    PERCENTILE_DISC on arbitrary integer multisets for q ∈ {¼, ½}."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT unnest(?) AS v", [vals])
+    want = con.execute(
+        "SELECT PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY v), "
+        "PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY v) FROM t"
+    ).fetchone()
+    srt = sorted(vals)
+    n = len(vals)
+    got = (srt[max(0, -(-n // 4) - 1)], srt[max(0, -(-n // 2) - 1)])
+    assert got == want, (vals, got, want)
