@@ -993,9 +993,9 @@ def q_shipping_priority(sf_dir: str):
     import ray
     import pyarrow.dataset as pads
 
-    from .sizing import cluster_cpus, join_parts
+    from .sizing import fold_parts, join_parts
 
-    n_parts = 2 * cluster_cpus()
+    n_parts = fold_parts()
 
     li = rd.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
@@ -1965,9 +1965,9 @@ def q_multi_distinct(sf_dir: str):
     all-to-all."""
     ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_partkey", "l_suppkey"])
 
-    from .sizing import cluster_cpus
+    from .sizing import fold_parts
 
-    n_parts = 2 * cluster_cpus()
+    n_parts = fold_parts()
 
     def channels(b: pa.Table) -> pa.Table:
         def arr(x):
@@ -2263,9 +2263,9 @@ def q_pagerank(sf_dir: str, iters: int = _PR_ITERS):
 
     li = _t(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
 
-    from .sizing import cluster_cpus
+    from .sizing import cluster_cpus, fold_parts
 
-    n_parts = 2 * cluster_cpus()
+    n_parts = fold_parts()
 
     def edge_keys(b: pa.Table) -> pa.Table:
         """Per-block-distinct fused (src<<32)|dst keys, hash-partitioned —
@@ -2538,9 +2538,9 @@ def q_right_join(sf_dir: str):
     segment); each partition folds spend with np.bincount and keeps
     exactly the dimension rows — right-outer semantics with no
     dedicated join exchange and no per-key aggregate machinery."""
-    from .sizing import cluster_cpus
+    from .sizing import fold_parts
 
-    n_parts = 2 * cluster_cpus()
+    n_parts = fold_parts()
 
     def tag_orders(b: pa.Table) -> pa.Table:
         k = b["o_custkey"].to_numpy(zero_copy_only=False)
@@ -2946,9 +2946,9 @@ def q_dataset_diff(sf_dir: str):
     and each partition classifies vectorized — no full outer join, no
     per-key aggregate machinery, and matching-and-unchanged keys (the
     overwhelming majority in a real diff) die inside the partition."""
-    from .sizing import cluster_cpus
+    from .sizing import fold_parts
 
-    n_parts = 2 * cluster_cpus()
+    n_parts = fold_parts()
 
     def versions(b: pa.Table) -> pa.Table:
         k = b["o_orderkey"].to_numpy(zero_copy_only=False)
@@ -3496,9 +3496,9 @@ def q_profile_table(sf_dir: str):
         .take_all()  # bounded: one row per profiled column
     }
 
-    from .sizing import cluster_cpus
+    from .sizing import fold_parts
 
-    n_parts = 2 * cluster_cpus()
+    n_parts = fold_parts()
 
     def dvals(b: pa.Table) -> pa.Table:
         """Per-block DISTINCT (col, value) pairs, partitioned by a HASH
@@ -3696,10 +3696,10 @@ def q_relational_division(sf_dir: str):
     (itself a tiny distinct, broadcast as one int). No NOT-EXISTS
     double negation, no self-join — the count-distinct-equals-domain
     formulation every warehouse uses."""
-    from .sizing import cluster_cpus
+    from .sizing import fold_parts
 
     ds = _t(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
-    n_parts = 2 * cluster_cpus()
+    n_parts = fold_parts()
     n_domain = len(_t(sf_dir, "orders", ["o_orderpriority"])
                    .unique("o_orderpriority"))
 

@@ -166,10 +166,10 @@ def q_revenue_by_nation(sf_dir: str):
     customer table falls back to the full join chain."""
     import ray
 
-    from .sizing import cluster_cpus
+    from .sizing import fold_parts
 
     li = _t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
-    n_fold_parts = 2 * cluster_cpus()
+    n_fold_parts = fold_parts()
 
     def rev(b: pa.Table) -> pa.Table:
         r = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
@@ -302,10 +302,10 @@ def q_count_distinct_parts(sf_dir: str):
     partition, so per-partition nunique-per-flag sums are exact) → tiny
     per-flag fold. Grouping on the hash instead of aggregating ~60k
     (flag, key) string+int groups is ~4× cheaper for identical output."""
-    from .sizing import cluster_cpus
+    from .sizing import fold_parts
 
     ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_partkey"])
-    n_parts = 2 * cluster_cpus()
+    n_parts = fold_parts()
 
     def block_distinct(b: pa.Table) -> pa.Table:
         g = b.group_by(["l_returnflag", "l_partkey"]).aggregate([])

@@ -38,3 +38,12 @@ def bucket_parts(floor: int = 64, cap: int = 4096) -> int:
     (enough spread that one partition holds few hot buckets), scaling
     2× CPUs so the pair stage is never narrower than the cluster."""
     return int(min(cap, max(floor, 2 * cluster_cpus())))
+
+
+def fold_parts(cap: int = 2048) -> int:
+    """Hash-partition width for partition-routed vectorized folds (the
+    per-partition np.unique / bincount / nunique plans that replace
+    per-key Aggregate machinery): 2× CPUs — wide enough that every core
+    folds, cheap enough that the per-partition pandas/numpy pass
+    dominates its own dispatch."""
+    return int(min(cap, max(2, 2 * cluster_cpus())))
