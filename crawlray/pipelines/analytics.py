@@ -2429,6 +2429,67 @@ WHERE wm IS NOT NULL AND date_diff('microsecond', ts, wm) > 3600000000
 
 
 # =====================================================================
+# watermark-gated windowed aggregate (the EMIT side of late-data
+# handling — late_events detects; this drops at the aggregate)
+# =====================================================================
+
+def q_watermark_agg(sf_dir: str, tolerance_us: int = 3_600_000_000):
+    """Hourly event counts where rows arriving LATER than the per-user
+    watermark tolerance are excluded and tallied separately — the
+    window-emit semantics of every watermarked streaming aggregate
+    (late rows can't retract an already-emitted pane, so they're
+    diverted). Same deterministic Lehmer arrival permutation as
+    late_events; one groupby(user) pass computes the shifted running
+    watermark vectorized and tags each row, then one tumbling-window
+    groupby folds (window, on_time, late) — the shuffle carries 3
+    small columns."""
+    ds = _t(sf_dir, "events", ["user_id", "event_id", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        eid = g["event_id"].to_numpy()
+        g = g.iloc[np.lexsort((eid, (eid * 48271) % 1000003))]
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        wm = np.empty(len(ts), dtype=np.int64)
+        if len(ts):
+            wm[0] = ts[0]
+        if len(ts) > 1:
+            np.maximum.accumulate(ts[:-1], out=wm[1:])
+        late = (wm - ts) > tolerance_us
+        hour = ts - (ts % 3_600_000_000)
+        return pd.DataFrame({
+            "window_start": hour.astype("datetime64[us]"),
+            "on_time": (~late).astype(np.int64),
+            "late": late.astype(np.int64),
+        })
+
+    return (
+        ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+        .groupby("window_start")
+        .aggregate(Sum("on_time", alias_name="n_on_time"),
+                   Sum("late", alias_name="n_late"))
+    )
+
+
+SQL_WATERMARK_AGG = """
+SELECT date_trunc('hour', ts) AS window_start,
+  COUNT(*) FILTER (WHERE wm IS NULL
+                   OR date_diff('microsecond', ts, wm) <= 3600000000)
+    AS n_on_time,
+  COUNT(*) FILTER (WHERE wm IS NOT NULL
+                   AND date_diff('microsecond', ts, wm) > 3600000000)
+    AS n_late
+FROM (
+  SELECT ts,
+         MAX(ts) OVER (PARTITION BY user_id
+                       ORDER BY (event_id * 48271) % 1000003, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS wm
+  FROM events)
+GROUP BY 1
+"""
+
+
+# =====================================================================
 # schema-evolution union (heterogeneous shards aligned by name)
 # =====================================================================
 
@@ -3960,4 +4021,5 @@ ANALYTICS_QUERIES = {
     "incremental_agg": (q_incremental_agg, SQL_INCREMENTAL_AGG),
     "date_spine": (q_date_spine, SQL_DATE_SPINE),
     "relational_division": (q_relational_division, SQL_RELATIONAL_DIVISION),
+    "watermark_agg": (q_watermark_agg, SQL_WATERMARK_AGG),
 }
