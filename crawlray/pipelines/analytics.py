@@ -3745,6 +3745,113 @@ GROUP BY 1
 
 
 # =====================================================================
+# time-weighted average (interval-weighted state value per user)
+# =====================================================================
+
+def q_time_weighted_avg(sf_dir: str):
+    """Per-user TIME-WEIGHTED mean of `value` — each reading holds
+    until the next one, so it weighs by its interval (the correct
+    average for sampled gauges/sensors; the arithmetic mean over-weighs
+    bursts). One groupby(user) shuffle carrying 3 small columns, then a
+    vectorized per-group pass: sort by (ts, event_id), weight =
+    microseconds to the next reading (last reading weighs 0 — no
+    successor bounds its interval; users with one reading drop, as
+    their total weight is 0). Exactness: value is cents-scaled to
+    int64, weights are int64 µs; both sums are exact int64 (< 2^63)
+    and the result is rounded to 6 dp on both sides (DuckDB widens
+    BIGINT sums to HUGEINT, whose division differs by ~1 ulp)."""
+    ds = _t(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        if len(ts) < 2:
+            return pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
+                                 "twa": pd.Series([], dtype=np.float64)})
+        v_c = np.round(g["value"].to_numpy() * 100).astype(np.int64)
+        w = ts[1:] - ts[:-1]
+        num = int((v_c[:-1] * w).sum())
+        den = int(w.sum())
+        if den == 0:  # all readings share one timestamp (HAVING mirror)
+            return pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
+                                 "twa": pd.Series([], dtype=np.float64)})
+        return pd.DataFrame({
+            "user_id": [int(g["user_id"].iloc[0])],
+            # 6-dp rounding on both sides: DuckDB's BIGINT SUM widens to
+            # HUGEINT, whose division tree differs from ours by ~1 ulp
+            "twa": [round(num / den / 100.0, 6)],
+        })
+
+    return ds.groupby("user_id").map_groups(per_user,
+                                            batch_format="pandas")
+
+
+SQL_TIME_WEIGHTED_AVG = """
+WITH w AS (
+  SELECT user_id, CAST(ROUND(value*100) AS BIGINT) AS v_c,
+    date_diff('microsecond', ts,
+              LEAD(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id)) AS wt
+  FROM events)
+SELECT user_id,
+  ROUND(CAST(SUM(v_c * wt) AS DOUBLE) / SUM(wt) / 100.0, 6) AS twa
+FROM w WHERE wt IS NOT NULL
+GROUP BY user_id HAVING SUM(wt) > 0
+"""
+
+
+# =====================================================================
+# degree distribution (graph-stats family next to pagerank/triangles)
+# =====================================================================
+
+def q_degree_distribution(sf_dir: str):
+    """Degree histogram of the part–supplier bipartite graph: how many
+    parts have exactly d distinct suppliers — the degree-distribution
+    audit every graph pipeline starts with (skew in it predicts every
+    downstream hot spot). Two bounded folds: per-block distinct
+    (part, supp) pairs → one part-hash exchange counting each part's
+    distinct suppliers per partition → an O(distinct-degrees) driver
+    histogram. The full fact table never aggregates per key."""
+    from .sizing import fold_parts
+
+    ds = _t(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    n_parts = fold_parts()
+
+    def pairs(b: pa.Table) -> pa.Table:
+        g = b.group_by(["l_partkey", "l_suppkey"]).aggregate([])
+        k = g["l_partkey"].to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            hp = ((k.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                  % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({"p": g["l_partkey"], "s": g["l_suppkey"],
+                         "hp": pa.array(hp)})
+
+    def part_degrees(g: pd.DataFrame) -> pd.DataFrame:
+        deg = g.groupby("p")["s"].nunique()
+        hist = deg.value_counts()
+        return pd.DataFrame({"degree": hist.index.to_numpy()
+                             .astype(np.int64),
+                             "n_parts": hist.to_numpy().astype(np.int64)})
+
+    rows = (
+        ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("hp")
+        .map_groups(part_degrees, batch_format="pandas")
+        .groupby("degree")
+        .aggregate(Sum("n_parts", alias_name="n_parts"))
+    )
+    return rows
+
+
+SQL_DEGREE_DISTRIBUTION = """
+SELECT degree, COUNT(*) AS n_parts FROM (
+  SELECT l_partkey, COUNT(DISTINCT l_suppkey) AS degree
+  FROM lineitem GROUP BY l_partkey)
+GROUP BY degree
+"""
+
+
+# =====================================================================
 # relational division (the FOR-ALL query: has every value of a domain)
 # =====================================================================
 
@@ -4022,4 +4129,6 @@ ANALYTICS_QUERIES = {
     "date_spine": (q_date_spine, SQL_DATE_SPINE),
     "relational_division": (q_relational_division, SQL_RELATIONAL_DIVISION),
     "watermark_agg": (q_watermark_agg, SQL_WATERMARK_AGG),
+    "time_weighted_avg": (q_time_weighted_avg, SQL_TIME_WEIGHTED_AVG),
+    "degree_distribution": (q_degree_distribution, SQL_DEGREE_DISTRIBUTION),
 }
