@@ -3745,6 +3745,90 @@ GROUP BY 1
 
 
 # =====================================================================
+# diversified top-k (global top-k with a per-group cap)
+# =====================================================================
+
+def q_topk_diversified(sf_dir: str, k: int = 10, per_group: int = 2):
+    """Global top-10 lineitems by revenue with AT MOST 2 per supplier —
+    the diversity-constrained ranking every retrieval/feed layer runs
+    (plain top-k returns one hot supplier's rows). Three bounded
+    prunes, no global sort: (1) per block, each supplier keeps its
+    local top-2 (safe: a supplier's global #i≤2 row has at most i−1
+    better rows anywhere, so it survives any block-local top-2);
+    (2) one supplier groupby re-ranks the surviving candidates to the
+    true per-supplier top-2; (3) per-block partial top-10 + an
+    O(k·blocks) driver merge. Deterministic ties:
+    (rev DESC, orderkey, linenumber) everywhere, mirrored in the
+    oracle's window ordering."""
+    ds = _t(sf_dir, "lineitem",
+            ["l_orderkey", "l_linenumber", "l_suppkey", "l_extendedprice",
+             "l_discount"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        r = pc.multiply(b["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        t = pa.table({
+            "l_suppkey": b["l_suppkey"],
+            "l_orderkey": b["l_orderkey"],
+            "l_linenumber": b["l_linenumber"],
+            "rev_c4": _cents(r, 10000),
+        })
+        df = t.to_pandas().sort_values(
+            ["rev_c4", "l_orderkey", "l_linenumber"],
+            ascending=[False, True, True], kind="mergesort")
+        return pa.Table.from_pandas(
+            df.groupby("l_suppkey", sort=False).head(per_group),
+            preserve_index=False)
+
+    def supp_top(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["rev_c4", "l_orderkey", "l_linenumber"],
+                             ascending=[False, True, True],
+                             kind="mergesort").head(per_group)
+
+    def partial_top(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["rev_c4", "l_orderkey", "l_linenumber"],
+                              ascending=[False, True, True],
+                              kind="mergesort").head(k)
+
+    cand = (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_suppkey")
+        .map_groups(supp_top, batch_format="pandas")
+        .map_batches(partial_top, batch_format="pandas")
+    )
+    merged = pd.concat(
+        [b for b in cand.iter_batches(batch_format="pandas")],
+        ignore_index=True,
+    ).sort_values(["rev_c4", "l_orderkey", "l_linenumber"],
+                  ascending=[False, True, True], kind="mergesort").head(k)
+    return pa.table({
+        "l_orderkey": pa.array(merged["l_orderkey"].to_numpy()),
+        "l_linenumber": pa.array(merged["l_linenumber"].to_numpy()
+                                 .astype(np.int64)),
+        "l_suppkey": pa.array(merged["l_suppkey"].to_numpy()),
+        "revenue": pa.array(merged["rev_c4"].to_numpy()
+                            .astype(np.float64) / 10000.0),
+    })
+
+
+SQL_TOPK_DIVERSIFIED = """
+WITH scored AS (
+  SELECT l_orderkey, l_linenumber, l_suppkey,
+    CAST(ROUND(l_extendedprice*(1.0-l_discount)*10000) AS BIGINT) AS rev_c4,
+    ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                       ORDER BY CAST(ROUND(l_extendedprice*(1.0-l_discount)
+                                           *10000) AS BIGINT) DESC,
+                                l_orderkey, l_linenumber) AS rn
+  FROM lineitem)
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       l_suppkey, CAST(rev_c4 AS DOUBLE)/10000.0 AS revenue
+FROM scored WHERE rn <= 2
+ORDER BY rev_c4 DESC, l_orderkey, l_linenumber
+LIMIT 10
+"""
+
+
+# =====================================================================
 # time-weighted average (interval-weighted state value per user)
 # =====================================================================
 
@@ -4130,5 +4214,6 @@ ANALYTICS_QUERIES = {
     "relational_division": (q_relational_division, SQL_RELATIONAL_DIVISION),
     "watermark_agg": (q_watermark_agg, SQL_WATERMARK_AGG),
     "time_weighted_avg": (q_time_weighted_avg, SQL_TIME_WEIGHTED_AVG),
+    "topk_diversified": (q_topk_diversified, SQL_TOPK_DIVERSIFIED),
     "degree_distribution": (q_degree_distribution, SQL_DEGREE_DISTRIBUTION),
 }
