@@ -2439,35 +2439,89 @@ def q_watermark_agg(sf_dir: str, tolerance_us: int = 3_600_000_000):
     window-emit semantics of every watermarked streaming aggregate
     (late rows can't retract an already-emitted pane, so they're
     diverted). Same deterministic Lehmer arrival permutation as
-    late_events; one groupby(user) pass computes the shifted running
-    watermark vectorized and tags each row, then one tumbling-window
-    groupby folds (window, on_time, late) — the shuffle carries 3
-    small columns."""
-    ds = _t(sf_dir, "events", ["user_id", "event_id", "ts"])
+    late_events; ONE exchange grouped on a user-hash partition key
+    (each partition runs its users' watermark passes vectorized AND
+    pre-folds its (window, on_time, late) partials — one pandas group
+    per user would cost ~1000 tiny tasks), then a bounded driver fold
+    over partitions×windows partial rows."""
+    from .sizing import fold_parts
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        eid = g["event_id"].to_numpy()
-        g = g.iloc[np.lexsort((eid, (eid * 48271) % 1000003))]
-        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        wm = np.empty(len(ts), dtype=np.int64)
-        if len(ts):
-            wm[0] = ts[0]
-        if len(ts) > 1:
-            np.maximum.accumulate(ts[:-1], out=wm[1:])
-        late = (wm - ts) > tolerance_us
-        hour = ts - (ts % 3_600_000_000)
-        return pd.DataFrame({
-            "window_start": hour.astype("datetime64[us]"),
-            "on_time": (~late).astype(np.int64),
-            "late": late.astype(np.int64),
+    ds = _t(sf_dir, "events", ["user_id", "event_id", "ts"])
+    n_parts = fold_parts()
+
+    def tag(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            up = ((u.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                  % np.uint64(n_parts)).astype(np.int64)
+        # ts as int64 µs: all downstream math is integer microseconds,
+        # and the exchange ships one int64 instead of a timestamp
+        return pa.table({
+            "user_id": b["user_id"],
+            "event_id": b["event_id"],
+            "ts_us": pa.array(
+                b["ts"].to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]").astype(np.int64)),
+            "up": pa.array(up),
         })
 
-    return (
-        ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
-        .groupby("window_start")
-        .aggregate(Sum("on_time", alias_name="n_on_time"),
-                   Sum("late", alias_name="n_late"))
+    def part_fold(g: pd.DataFrame) -> pd.DataFrame:
+        hs, ls = [], []
+        for _uid, gu in g.groupby("user_id", sort=False):
+            eid = gu["event_id"].to_numpy()
+            gu = gu.iloc[np.lexsort((eid, (eid * 48271) % 1000003))]
+            ts = gu["ts_us"].to_numpy()
+            wm = np.empty(len(ts), dtype=np.int64)
+            if len(ts):
+                wm[0] = ts[0]
+            if len(ts) > 1:
+                np.maximum.accumulate(ts[:-1], out=wm[1:])
+            hs.append(ts - (ts % 3_600_000_000))
+            ls.append((wm - ts) > tolerance_us)
+        if not hs:
+            return pd.DataFrame({
+                "window_start": pd.Series([], dtype="datetime64[us]"),
+                "on_time": pd.Series([], dtype=np.int64),
+                "late": pd.Series([], dtype=np.int64)})
+        hour = np.concatenate(hs)
+        late = np.concatenate(ls)
+        uk, inv = np.unique(hour, return_inverse=True)
+        n_late = np.bincount(inv, weights=late).astype(np.int64)
+        n_all = np.bincount(inv)
+        # int64 µs key: Ray's aggregate over a timestamp key falls off
+        # the fast path (measured 7.6 s for this 40k-row fold vs <1 s
+        # on int64); the final map restores the timestamp type
+        return pd.DataFrame({
+            "hour_us": uk,
+            "on_time": (n_all - n_late).astype(np.int64),
+            "late": n_late,
+        })
+
+    folded = (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("up")
+        .map_groups(part_fold, batch_format="pandas")
     )
+    # final fold on the driver: the input is bounded by partitions ×
+    # windows (~40k skinny rows) and Ray's Aggregate costs ~150 µs per
+    # block×group (measured 7.5 s for this 720-group fold) — the same
+    # bounded-driver-fold discipline as histogram / rollup
+    h_c, a_c, l_c = [], [], []
+    for b in folded.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        h_c.append(b["hour_us"].to_numpy(zero_copy_only=False))
+        a_c.append(b["on_time"].to_numpy(zero_copy_only=False))
+        l_c.append(b["late"].to_numpy(zero_copy_only=False))
+    hour = np.concatenate(h_c or [np.empty(0, np.int64)])
+    uk, inv = np.unique(hour, return_inverse=True)
+    on_time = np.bincount(inv, weights=np.concatenate(
+        a_c or [np.empty(0, np.int64)])).astype(np.int64)
+    late = np.bincount(inv, weights=np.concatenate(
+        l_c or [np.empty(0, np.int64)])).astype(np.int64)
+    return pa.table({
+        "window_start": pa.array(uk.astype("datetime64[us]")),
+        "n_on_time": pa.array(on_time),
+        "n_late": pa.array(late),
+    })
 
 
 SQL_WATERMARK_AGG = """
