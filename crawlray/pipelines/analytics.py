@@ -1359,9 +1359,9 @@ _SEL_BUCKET = 4096  # cents per coarse bucket in pass 1
 
 def _sel_hist(b: pa.Table) -> pa.Table:
     """Per-block (flag, coarse-bucket) histogram — the pass-1 combiner
-    for the 2-pass selections, kept Arrow-native end to end: pandas
-    blocks through the Aggregate shuffle measured 7× slower on
-    identical data (46 s → 6.9 s at sf0.1/32cpu)."""
+    for the 2-pass selections, Arrow-native (pandas blocks here once
+    measured 7× slower on identical data); its bounded partials are
+    driver-folded, never Ray-aggregated."""
     cents = pc.round(pc.multiply(b["l_extendedprice"], pa.scalar(100.0))) \
               .cast(pa.int64()).to_numpy(zero_copy_only=False)
     flags = b["l_returnflag"].to_numpy(zero_copy_only=False)
@@ -1382,8 +1382,9 @@ def q_median_selection(sf_dir: str):
     l_extendedprice by TWO bounded passes — the multi-pass selection
     q_quantiles' docstring defers to when per-group distinct counts are
     unbounded: pass 1 histograms cents into fixed-width coarse buckets
-    (shuffle carries (flag, bucket, count) — O(blocks × buckets), never
-    the data) and locates the bucket holding the target rank; pass 2
+    per block (only (flag, bucket, count) partials — O(blocks ×
+    buckets), never the data — leave the workers; the bounded fold runs
+    on the driver) and locates the bucket holding the target rank; pass 2
     re-reads ONLY rows in that one bucket per flag (expected n/buckets
     of the data) and selects the exact rank within it. Driver holds
     O(buckets) counts + O(n/buckets) candidate values — both bounded at
@@ -1393,13 +1394,21 @@ def q_median_selection(sf_dir: str):
 
     ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
 
-    counts = (
-        ds.map_batches(_sel_hist, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["l_returnflag", "bucket"])
-        .aggregate(Sum("cnt", alias_name="cnt"))
-        .take_all()  # bounded: ≤ flags × (price_range/_SEL_BUCKET) rows
+    # driver fold of the bounded pass-1 partials (blocks × flags ×
+    # buckets skinny rows): Ray's Aggregate costs ~150 µs per
+    # block×group — ~5 s for this ~7k-group histogram — while one
+    # pandas groupby over the pulled partials is milliseconds
+    parts = [
+        b.to_pandas()
+        for b in ds.map_batches(_sel_hist, batch_format="pyarrow",
+                                zero_copy_batch=True)
+        .iter_batches(batch_size=262144, batch_format="pyarrow")
+    ]
+    cdf = (
+        pd.concat(parts, ignore_index=True)
+        .groupby(["l_returnflag", "bucket"], as_index=False)["cnt"].sum()
+        .sort_values(["l_returnflag", "bucket"])
     )
-    cdf = pd.DataFrame(counts).sort_values(["l_returnflag", "bucket"])
     want = {}  # flag -> (bucket, rank_within_bucket 1-based)
     for flag, g in cdf.groupby("l_returnflag", sort=False):
         n = int(g["cnt"].sum())
@@ -1463,13 +1472,21 @@ def q_quantile_cont(sf_dir: str, qs=(0.25, 0.75)):
 
     ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
 
-    counts = (
-        ds.map_batches(_sel_hist, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["l_returnflag", "bucket"])
-        .aggregate(Sum("cnt", alias_name="cnt"))
-        .take_all()  # bounded: ≤ flags × (price_range/_SEL_BUCKET)
+    # driver fold of the bounded pass-1 partials (blocks × flags ×
+    # buckets skinny rows): Ray's Aggregate costs ~150 µs per
+    # block×group — ~5 s for this ~7k-group histogram — while one
+    # pandas groupby over the pulled partials is milliseconds
+    parts = [
+        b.to_pandas()
+        for b in ds.map_batches(_sel_hist, batch_format="pyarrow",
+                                zero_copy_batch=True)
+        .iter_batches(batch_size=262144, batch_format="pyarrow")
+    ]
+    cdf = (
+        pd.concat(parts, ignore_index=True)
+        .groupby(["l_returnflag", "bucket"], as_index=False)["cnt"].sum()
+        .sort_values(["l_returnflag", "bucket"])
     )
-    cdf = pd.DataFrame(counts).sort_values(["l_returnflag", "bucket"])
     need = {}   # flag -> {bucket: count_below}
     ranks = {}  # flag -> list of (q, k1, k2, frac)
     for flag, g in cdf.groupby("l_returnflag", sort=False):
