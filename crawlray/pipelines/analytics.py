@@ -336,7 +336,7 @@ def q_regex_tokens(sf_dir: str):
 
 SQL_REGEX_TOKENS = f"""
 SELECT source, COUNT(*) AS n_docs,
-  SUM(len(regexp_extract_all(text, '{_TOKEN_RE}'))) AS sum_tokens
+  CAST(SUM(len(regexp_extract_all(text, '{_TOKEN_RE}'))) AS BIGINT) AS sum_tokens
 FROM documents GROUP BY source
 """
 
@@ -1290,7 +1290,9 @@ def q_cuckoo_semi_join(sf_dir: str):
             j.map_batches(
                 lambda b: pa.table({
                     "l_returnflag": b["l_returnflag"],
-                    "qty": pc.round(b["l_quantity"]).cast(pa.int64()),
+                    "qty": pc.round(b["l_quantity"],
+                                    round_mode="half_towards_infinity")
+                             .cast(pa.int64()),
                 }),
                 batch_format="pyarrow")
             .groupby("l_returnflag")
@@ -1326,7 +1328,7 @@ def q_cuckoo_semi_join(sf_dir: str):
             # per-block partial: the exchange carries blocks×|flags| rows
             g = pa.table({
                 "l_returnflag": t["l_returnflag"],
-                "qty": pc.round(t["l_quantity"]).cast(pa.int64()),
+                "qty": pc.round(t["l_quantity"], round_mode="half_towards_infinity").cast(pa.int64()),
             }).group_by(["l_returnflag"]).aggregate(
                 [("qty", "sum"), ([], "count_all")])
             return pa.table({"l_returnflag": g["l_returnflag"],
@@ -1342,7 +1344,7 @@ def q_cuckoo_semi_join(sf_dir: str):
 
 SQL_CUCKOO_SEMI_JOIN = """
 SELECT l_returnflag, COUNT(*) AS n,
-  SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sum_qty
+  CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
 FROM lineitem
 WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#2')
 GROUP BY l_returnflag
@@ -2083,7 +2085,7 @@ def q_partitioned_sink(sf_dir: str):
 
 SQL_PARTITIONED_SINK = """
 SELECT l_linestatus, COUNT(*) AS n,
-  SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sum_qty
+  CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
 FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_linestatus
 """
 
@@ -2654,7 +2656,7 @@ def q_jsonl_roundtrip(sf_dir: str):
 
 
 SQL_JSONL_ROUNDTRIP = """
-SELECT lang, COUNT(*) AS n, SUM(n_chars) AS sum_chars
+SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM documents GROUP BY lang
 """
 

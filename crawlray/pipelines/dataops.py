@@ -3270,7 +3270,7 @@ g AS (
 ),
 gc AS (SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY 1)
 SELECT g.doc_id, COUNT(*) AS n_grams,
-       SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS n_dup,
+       CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
        ROUND(CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
              / COUNT(*), 6) AS dup_frac
 FROM g JOIN gc USING (gram)

@@ -58,6 +58,14 @@ def assert_query_matches(name, ray_fn, sql, sf_dir=SF_DIR):
         f"{name}: columns {list(got.columns)} != {list(want.columns)}"
     )
     assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
+    # the driver hashes raw values, so an int64 engine column vs a
+    # HUGEINT->float64 oracle column is a FAIL there even when every
+    # value is numerically identical (r3: regex_tokens, cuckoo_semi_join)
+    # — mirror that strictness here
+    for c in got.columns:
+        assert str(got[c].dtype) == str(want[c].dtype), (
+            f"{name}.{c}: dtype {got[c].dtype} != oracle {want[c].dtype}"
+        )
     for c in got.columns:
         a, b = got[c].to_numpy(), want[c].to_numpy()
         if pd.api.types.is_float_dtype(got[c]):
