@@ -2295,16 +2295,28 @@ def q_pagerank(sf_dir: str, iters: int = _PR_ITERS):
         s = b["l_suppkey"].to_numpy(zero_copy_only=False)
         src = np.concatenate([2 * p, 2 * s + 1])      # part=even, supp=odd
         dst = np.concatenate([2 * s + 1, 2 * p])
-        key = np.unique((src << 32) | dst)
+        # pack via uint64 view: src < 2^32 keeps the high word exact and
+        # dst < 2^32 cannot bleed into it; assert the bound instead of
+        # silently colliding at node ids >= 2^31 (TPC-H SF ~5000+ keys)
+        if len(src) and (src.max() >= (1 << 32) or dst.max() >= (1 << 32)):
+            raise ValueError(
+                "pagerank edge packing needs node ids < 2^32; use the "
+                "multi-key dedup path for larger key spaces")
+        key = np.unique(
+            (src.astype(np.uint64) << np.uint64(32))
+            | dst.astype(np.uint64)).view(np.int64)
         with np.errstate(over="ignore"):
             ep = ((key.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
                   % np.uint64(n_parts)).astype(np.int64)
         return pa.table({"key": pa.array(key), "ep": pa.array(ep)})
 
     def dedup_part(g: pd.DataFrame) -> pd.DataFrame:
-        key = np.unique(g["key"].to_numpy())
-        return pd.DataFrame({"src": key >> 32,
-                             "dst": key & 0xFFFFFFFF})
+        # unpack through the uint64 view so src in [2^31, 2^32) (negative
+        # as int64) is not sign-extended by the arithmetic shift
+        key = np.unique(g["key"].to_numpy()).view(np.uint64)
+        return pd.DataFrame({
+            "src": (key >> np.uint64(32)).astype(np.int64),
+            "dst": (key & np.uint64(0xFFFFFFFF)).astype(np.int64)})
 
     edges = (
         li.map_batches(edge_keys, batch_format="pyarrow",
@@ -3644,7 +3656,14 @@ def q_profile_table(sf_dir: str):
         for ci, c in enumerate(_PROFILE_COLS):
             u = pc.unique(b[c].cast(pa.float64()).drop_null())
             u = u.combine_chunks() if isinstance(u, pa.ChunkedArray) else u
-            bits = u.to_numpy(zero_copy_only=False).view(np.uint64)
+            # normalize before hashing raw bits: -0.0 == 0.0 but differs
+            # bitwise (would land in two partitions and double-count vs
+            # COUNT(DISTINCT)); likewise collapse NaN payload variants
+            # to the canonical quiet NaN
+            vn = u.to_numpy(zero_copy_only=False) + 0.0
+            vn[np.isnan(vn)] = np.nan
+            u = pa.array(vn, type=pa.float64())
+            bits = vn.view(np.uint64)
             salt = np.uint64((ci * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
             h = (bits ^ salt) * np.uint64(0xBF58476D1CE4E5B9)
             cols.append(pa.array([c] * len(u), type=pa.string()))
@@ -3655,7 +3674,9 @@ def q_profile_table(sf_dir: str):
                          "vp": pa.array(np.concatenate(parts))})
 
     def part_nunique(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby("col")["v"].nunique()
+        # dropna=False: DuckDB COUNT(DISTINCT) skips NULL (already
+        # dropped upstream) but counts NaN as a value
+        out = g.groupby("col")["v"].nunique(dropna=False)
         return pd.DataFrame({"col": out.index.to_numpy(),
                              "nd": out.to_numpy().astype(np.int64)})
 
@@ -3757,7 +3778,14 @@ def q_sorted_layout(sf_dir: str):
     stats: matching row groups ≪ total). At 100 TB this is THE scan
     optimization: one sort at ingest buys every time-ranged query a
     ~(range/total) scan fraction. The aggregate itself is bounded
-    (one row per month) and integer-cents exact."""
+    (one row per month) and integer-cents exact.
+
+    The sorted layout is written under ``CRAWLRAY_SCRATCH_ROOT`` — on a
+    multi-node cluster point it at shared storage (NFS / fuse-mounted
+    object store) so write_parquet tasks on remote workers land where
+    the read-back (and cleanup) can see them; the /tmp default is a
+    single-node convenience only (same discipline as
+    ``CRAWLRAY_INDEX_ROOT``)."""
     import shutil
     import tempfile
 
@@ -3765,7 +3793,10 @@ def q_sorted_layout(sf_dir: str):
 
     ds = _t(sf_dir, "lineitem",
             ["l_shipdate", "l_extendedprice", "l_discount"])
-    out_dir = tempfile.mkdtemp(prefix="crawlray_sorted_")
+    scratch = os.environ.get("CRAWLRAY_SCRATCH_ROOT")
+    if scratch:
+        os.makedirs(scratch, exist_ok=True)
+    out_dir = tempfile.mkdtemp(prefix="crawlray_sorted_", dir=scratch)
     try:
         ds.sort("l_shipdate").write_parquet(out_dir)
         lo = np.datetime64("1997-01-01", "us")
@@ -3927,8 +3958,11 @@ def q_time_weighted_avg(sf_dir: str):
                                  "twa": pd.Series([], dtype=np.float64)})
         v_c = np.round(g["value"].to_numpy() * 100).astype(np.int64)
         w = ts[1:] - ts[:-1]
-        num = int((v_c[:-1] * w).sum())
-        den = int(w.sum())
+        # accumulate through Python ints (arbitrary precision): int64
+        # products v_c*w wrap silently near 2^63 (~1e4 cents × 1e11 us ×
+        # 1e4 rows) where DuckDB's HUGEINT SUM stays exact
+        num = int((v_c[:-1].astype(object) * w.astype(object)).sum())
+        den = int(w.astype(object).sum())
         if den == 0:  # all readings share one timestamp (HAVING mirror)
             return pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
                                  "twa": pd.Series([], dtype=np.float64)})
