@@ -314,6 +314,18 @@ def test_training_pipeline_lineage(ray_session):
     assert t["decontaminate"] < t["exact_dedup"]  # eval set dropped
     assert t["chunks"] >= t["decontaminate"]  # explode, ≥1 chunk/doc
     assert 0 < t["packed_bins"] < t["chunks"]  # packing compresses
+
+
+def test_training_pipeline_cuckoo_branch_equal(ray_session, monkeypatch):
+    """Forcing the 100-TB dedup plan (cuckoo prefilter over drop ids +
+    false-positive rescue, no corpus-sized keep-id broadcast) must give
+    byte-identical lineage to the default broadcast path."""
+    from crawlray.pipelines.dataops import q_training_pipeline
+
+    base = q_training_pipeline(SF_DIR).to_pylist()
+    monkeypatch.setenv("CRAWLRAY_TP_BROADCAST_LIMIT", "0")
+    forced = q_training_pipeline(SF_DIR).to_pylist()
+    assert forced == base
     """Per-group HLL distinct-token estimates must land within 5% of
     the exact per-source distinct counts (p=12 → ~1.6% std error)."""
     import duckdb
@@ -486,3 +498,34 @@ def test_config_for_scale_10e10():
     # and a laptop-sized call stays sane
     small = config_for_scale(100_000, total_cpus=8)
     assert small.seen_shards == 2 and small.n_parts >= 32
+
+
+def test_text_family_vocab_guard_branches_equal(ray_session, monkeypatch):
+    """Forcing the web-scale text-family plans (token hash join for
+    tfidf/unigram-LM, distributed Sennrich rounds for BPE — no vocab
+    ever pulled to the driver or broadcast) must reproduce the default
+    vocab-bounded paths: exactly for integer/string columns, and to
+    float-addition-order tolerance (<1e-6 after the shared 6-dp round)
+    for unigram's per-doc log-prob fold."""
+    import crawlray.pipelines.dataops as d
+
+    def norm(df):
+        return df.sort_values(list(df.columns), ignore_index=True)
+
+    base_tfidf = norm(d.q_tfidf_topterms(SF_DIR).to_pandas())
+    base_uni = norm(d.q_unigram_logprob(SF_DIR).to_pandas())
+    base_bpe = d.q_bpe_train(SF_DIR).to_pandas()
+
+    monkeypatch.setattr(d, "_VOCAB_DRIVER_LIMIT", 0)
+    forced_tfidf = norm(d.q_tfidf_topterms(SF_DIR).to_pandas())
+    forced_uni = norm(d.q_unigram_logprob(SF_DIR).to_pandas())
+    forced_bpe = d.q_bpe_train(SF_DIR).to_pandas()
+
+    pd.testing.assert_frame_equal(base_tfidf, forced_tfidf)
+    pd.testing.assert_frame_equal(base_bpe, forced_bpe)
+    forced_uni = forced_uni.set_index("doc_id").loc[
+        base_uni["doc_id"]].reset_index()
+    assert (base_uni["n_tokens"].to_numpy()
+            == forced_uni["n_tokens"].to_numpy()).all()
+    assert np.abs(base_uni["avg_logprob"].to_numpy()
+                  - forced_uni["avg_logprob"].to_numpy()).max() <= 1e-6
