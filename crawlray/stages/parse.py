@@ -21,6 +21,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..functions.canon import canonicalize
+from ..functions.htmlx import decode_html
 from ..functions.spans import spans_to_arrow
 from ..schemas import SPAN
 
@@ -64,7 +65,9 @@ class PageParser:
         all_anchors: list[list[str]] = []
         for url, host, st, ct, body in zip(urls, hosts, statuses, ctypes, bodies):
             if st == 200 and (ct or "").startswith("text/html") and body:
-                page = self._extractor(host)(body)
+                # charset-sniffed decode BEFORE the extractor (header
+                # param → meta prescan → UTF-8), shared with the oracle
+                page = self._extractor(host)(decode_html(body, ct))
                 titles.append(page.title)
                 published.append(page.published)
                 all_spans.append(page.spans)

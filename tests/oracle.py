@@ -33,7 +33,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from crawlray.functions.canon import canonicalize, host_of, is_crawlable
-from crawlray.functions.htmlx import parse_html
+from crawlray.functions.htmlx import decode_html, parse_html
 from crawlray.functions.murmur3 import hash64s
 from crawlray.pipelines.config import CrawlConfig, part_of
 from crawlray.state.robots import RobotsPolicy
@@ -274,7 +274,7 @@ def crawl_oracle(seed_urls, robots: RobotsPolicy, pages_index: dict,
                 }
             )
             if status == 200 and str(ctype).startswith("text/html"):
-                page = extractor_for(r["host"])(body)
+                page = extractor_for(r["host"])(decode_html(body, ctype))
                 res.docs[final] = [
                     (k, t, m, i) for i, (k, t, m) in enumerate(page.spans)
                 ]

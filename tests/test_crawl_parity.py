@@ -306,6 +306,68 @@ def test_allowlist_cross_host_seen_but_never_fetched(ray_session, tmp_path):
         assert hash64s(u) in hashes
 
 
+def test_charset_span_parity(ray_session, tmp_path):
+    """VERDICT r3 missing #1 'Done' criterion: a legacy ISO-8859-1 page
+    with Dutch diacritics decodes through the charset sniffer (header
+    param → meta prescan → UTF-8) identically in the distributed parse
+    stage and the sequential oracle — span parity holds and the text is
+    NOT mojibake."""
+    from tests.oracle import build_pages_index, crawl_oracle
+
+    host = "legacy.nl"
+    txt1 = "Eén geïrriteerde cliënt in Curaçao"
+    txt2 = "Zo'n café aan de Zuidas — heerlijk"
+    root_html = (
+        "<html><head><title>Oud</title></head><body>"
+        f"<p>{txt1}</p>"
+        '<a href="/artikel/meta">meer</a>'
+        "</body></html>"
+    ).encode("iso-8859-1")
+    # second page: charset declared ONLY via <meta>, generic header
+    meta_html = (
+        '<html><head><meta charset="windows-1252"><title>Meta</title>'
+        f"</head><body><p>{txt2}</p></body></html>"
+    ).encode("windows-1252")
+    pages = pa.table({
+        "url": [f"https://{host}/", f"https://{host}/artikel/meta"],
+        "host": [host] * 2,
+        "status": pa.array([200, 200], type=pa.int16()),
+        "content_type": ["text/html; charset=iso-8859-1", "text/html"],
+        "html": pa.array([root_html, meta_html], type=pa.large_binary()),
+        "latency_ms": pa.array([10.0, 10.0], type=pa.float32()),
+    })
+    pages_path = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, pages_path)
+    robots_t = pa.table({
+        "host": [host], "allow": [[]], "deny": [[]],
+        "crawl_delay_ms": pa.array([10], type=pa.int32()),
+    })
+    cfg = CrawlConfig(
+        n_parts=2, seen_shards=1, max_depth=3, max_waves=3,
+        max_pages_per_host=10, fetch_concurrency=(1, 2),
+        parse_concurrency=(1, 2),
+        transport={"kind": "sim", "pages_path": pages_path},
+    )
+    run_dir = str(tmp_path / "run")
+    run_crawl_mod = __import__("crawlray.pipelines.crawl",
+                               fromlist=["run_crawl"])
+    run_crawl_mod.run_crawl(run_dir, [f"https://{host}/"], robots_t, cfg)
+    rows = _engine_log(run_dir)
+    eng_docs = {
+        r["final_url"]: [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                         for s in r["spans"]]
+        for r in rows if r["status"] == 200
+    }
+    ora = crawl_oracle(
+        [f"https://{host}/"], RobotsPolicy.from_arrow(robots_t),
+        build_pages_index(pages), cfg,
+    )
+    assert eng_docs == ora.docs
+    # not mojibake: the diacritics survived on both pages
+    assert eng_docs[f"https://{host}/"][0][1] == txt1
+    assert eng_docs[f"https://{host}/artikel/meta"][0][1] == txt2
+
+
 def test_anchor_text_parity(crawl_env):
     """VERDICT r2 item #10: anchor text is retained through the parse
     stage into the pages sink (``link_anchors`` parallel to ``links``)
