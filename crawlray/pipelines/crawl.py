@@ -129,6 +129,38 @@ def load_versions(run_dir: str, base: dict | None = None) -> dict[int, int]:
     return out
 
 
+def load_validators(run_dir: str, base: dict | None = None) -> dict:
+    """Merge every committed validator fragment of a run
+    (``validators/wave=*/frag-*.parquet``, written by ParseAndSink) into
+    a url_hash → (etag, last_modified_us) dict — the conditional-refetch
+    baseline. Waves merge in NUMERIC order so a later wave's re-fetch
+    overrides an earlier baseline (a URL is fetched at most once per
+    wave, so intra-wave order is irrelevant). Size is bounded by pages
+    actually fetched; at a scale where one broadcast dict outgrows the
+    driver, shard by ``part`` exactly like the versions store (the
+    fragments carry url_hash, so the split is a filter)."""
+    import pyarrow.parquet as pq
+
+    out = dict(base) if base else {}
+    vroot = os.path.join(run_dir, "validators")
+    if not os.path.isdir(vroot):
+        return out
+    waves = sorted(
+        (int(d.split("=")[1]) for d in os.listdir(vroot)
+         if d.startswith("wave=")))
+    for w in waves:
+        wdir = os.path.join(vroot, f"wave={w}")
+        for f in sorted(os.listdir(wdir)):
+            if not f.endswith(".parquet"):
+                continue
+            t = pq.read_table(os.path.join(wdir, f))
+            for h, e, lm in zip(t["url_hash"].to_pylist(),
+                                t["etag"].to_pylist(),
+                                t["last_modified_us"].to_pylist()):
+                out[h] = (e, lm)
+    return out
+
+
 @ray.remote
 def _disco_task(urls: list[str], transport_spec: dict, n_parts: int):
     """One discovery chunk fetched+parsed in a single Ray task — the
@@ -185,6 +217,11 @@ class CrawlRun:
         # though nothing admitted them this run
         self.versions: dict[int, int] = {}
         self.prior_hosts: set[str] = set()
+        # conditional-refetch baseline: url_hash → (etag, lastmod_us)
+        # recorded from response headers (merged from validator
+        # fragments post-wave; a refresh run starts from the prior
+        # run's merged store)
+        self.validators: dict[int, tuple] = {}
 
     # ---------------------------------------------------------- paths
     def _p(self, *parts) -> str:
@@ -217,6 +254,7 @@ class CrawlRun:
                                       prior["snaps"])
             self.versions = dict(prior["versions"])
             self.prior_hosts = set(prior["hosts"])
+            self.validators = dict(prior.get("validators", {}))
         else:
             self.shards = make_shards(self.cfg.seen_shards, self.cfg.seen_capacity)
         frontier0 = admit_seeds(seed_urls, self.robots, self.shards, self.cfg)
@@ -267,15 +305,18 @@ class CrawlRun:
         self.shards = make_shards(self.cfg.seen_shards, self.cfg.seen_capacity, snaps)
         # drop any partial work past the manifest (idempotent replay)
         for sub, keep in (("pages", last), ("seen", last),
-                          ("frontier", last + 1), ("versions", last)):
+                          ("frontier", last + 1), ("versions", last),
+                          ("validators", last)):
             base = self._p(sub)
             if os.path.isdir(base):
                 for d in os.listdir(base):
                     if d.startswith("wave=") and int(d.split("=")[1]) > keep:
                         shutil.rmtree(os.path.join(base, d))
-        # the version store is derived state: re-merge the committed
-        # fragments (≤ last) instead of persisting a separate json
+        # the version/validator stores are derived state: re-merge the
+        # committed fragments (≤ last) instead of persisting a json
         self.versions = load_versions(self.run_dir, base=self.versions)
+        self.validators = load_validators(self.run_dir,
+                                          base=self.validators)
         return last + 1
 
     def _commit(self, wave: int) -> None:
@@ -475,8 +516,15 @@ class CrawlRun:
                         if cfg.discover_feeds else None)
         versions_ref = (ray.put(dict(self.versions))
                         if cfg.refetch_if_newer else None)
+        # conditional-refetch broadcast: only refetch-override
+        # re-admissions can hit a recorded validator, so a fresh run
+        # (empty store) skips the broadcast entirely
+        validators_ref = (ray.put(dict(self.validators))
+                          if cfg.refetch_if_newer and self.validators
+                          else None)
         ncpu = int(ray.cluster_resources().get("CPU", 8))
-        cands = (self._page_candidates(wave, fdir, pages_dir, n_front, ncpu)
+        cands = (self._page_candidates(wave, fdir, pages_dir, n_front, ncpu,
+                                       validators_ref)
                  if n_front else None)
         # D1: sitemap/RSS discovery for hosts first admitted this wave —
         # same candidate schema, same admission shuffle as page links
@@ -494,7 +542,7 @@ class CrawlRun:
                                       t0)
 
     def _page_candidates(self, wave: int, fdir: str, pages_dir: str,
-                         n_front: int, ncpu: int):
+                         n_front: int, ncpu: int, validators_ref=None):
         """The wave's fetch → parse+sink → link-explode pipeline over a
         non-empty frontier, returning the candidate Dataset."""
         cfg = self.cfg
@@ -551,7 +599,8 @@ class CrawlRun:
             batch_size=fbs,
             concurrency=fconc,
             num_cpus=cfg.fetch_num_cpus,
-            fn_constructor_kwargs={"transport_spec": cfg.transport},
+            fn_constructor_kwargs={"transport_spec": cfg.transport,
+                                   "validators_ref": validators_ref},
         )
         sunk = fetched.map_batches(
             ParseAndSink,
@@ -564,7 +613,9 @@ class CrawlRun:
                                    "extractors": cfg.extractors,
                                    "stats": (self.stats if cfg.politeness_drift
                                              else None),
-                                   "wave": wave},
+                                   "wave": wave,
+                                   "validators_dir":
+                                       self._p("validators", f"wave={wave}")},
         )
         # coalesce the parse stream into few big blocks: (a) the
         # per-block dedup combiner sees more duplicates, (b) the
@@ -683,6 +734,11 @@ class CrawlRun:
             # builder groups behind the wave barrier) so wave k+1's
             # refetch decisions see them
             self._merge_wave_versions(versions_dir)
+        vdir = self._p("validators", f"wave={wave}")
+        if os.path.isdir(vdir):
+            # merge this wave's recorded response validators so a later
+            # wave (or a chained refresh run) revalidates conditionally
+            self._merge_wave_validators(vdir)
         if cfg.politeness_drift:
             # next wave's delay floor = drift_factor × this wave's mean
             # measured latency per host (exact for integral-ms fixtures —
@@ -706,6 +762,18 @@ class CrawlRun:
                              t["lastmod_us"].to_pylist()):
                 if lm > self.versions.get(h, -1):
                     self.versions[h] = lm
+
+    def _merge_wave_validators(self, vdir: str) -> None:
+        import pyarrow.parquet as pq
+
+        for f in sorted(os.listdir(vdir)):
+            if not f.endswith(".parquet"):
+                continue
+            t = pq.read_table(os.path.join(vdir, f))
+            for h, e, lm in zip(t["url_hash"].to_pylist(),
+                                t["etag"].to_pylist(),
+                                t["last_modified_us"].to_pylist()):
+                self.validators[h] = (e, lm)
 
     def finish(self) -> None:
         if self.metrics:
@@ -738,6 +806,7 @@ def load_prior_state(prior_run_dir: str, cfg: CrawlConfig) -> dict:
     return {
         "snaps": snaps,
         "versions": load_versions(prior_run_dir),
+        "validators": load_validators(prior_run_dir),
         "hosts": set(state["budgets"]) | set(state.get("prior_hosts", [])),
     }
 
@@ -768,6 +837,7 @@ def run_crawl(
             # the refresh baseline precedes this run's own fragments —
             # resume() max-merges the latter on top
             run.versions = dict(prior["versions"])
+            run.validators = dict(prior.get("validators", {}))
         start = run.resume()
     else:
         if os.path.isdir(run_dir):

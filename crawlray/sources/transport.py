@@ -28,6 +28,22 @@ MAX_REDIRECTS = 5
 # requests lib raises TooManyRedirects; we need a deterministic row)
 TOO_MANY_REDIRECTS = 310
 
+NO_LASTMOD = -1  # int64 sentinel: response carries no Last-Modified
+
+
+def validators_match(cond_etag, cond_lastmod_us, etag, lastmod_us) -> bool:
+    """RFC 9110 conditional-GET revalidation: If-None-Match (etag
+    equality) wins when both sides have an etag; otherwise
+    If-Modified-Since (server Last-Modified not newer than the client's
+    stamp). Shared pure kernel — the engine's transports and the
+    sequential test oracle decide 304s through this one function."""
+    if cond_etag is not None and etag is not None:
+        return cond_etag == etag
+    if (cond_lastmod_us is not None and cond_lastmod_us >= 0
+            and lastmod_us is not None and lastmod_us >= 0):
+        return lastmod_us <= cond_lastmod_us
+    return False
+
 
 def follow_redirects(fetch_one, url: str, max_hops: int = MAX_REDIRECTS):
     """Follow a 3xx chain through ``fetch_one(url) -> (status, ctype,
@@ -66,6 +82,16 @@ class SimTransport:
                 ),
             )
         )
+        # optional server-side validators per URL (conditional refetch):
+        # fixture tables may carry `etag` / `last_modified_us` columns
+        n = len(urls)
+        etags = (t["etag"].to_pylist() if "etag" in t.column_names
+                 else [None] * n)
+        lastmods = (t["last_modified_us"].to_pylist()
+                    if "last_modified_us" in t.column_names
+                    else [NO_LASTMOD] * n)
+        self._validators = dict(zip(urls, zip(
+            etags, (NO_LASTMOD if lm is None else int(lm) for lm in lastmods))))
 
     def fetch_many(self, urls: list[str]):
         """[(status, content_type, body, latency_ms, final_url)] aligned
@@ -73,6 +99,31 @@ class SimTransport:
         idx = self._index
         miss = (404, "text/html", b"", 5.0)
         return [follow_redirects(lambda u: idx.get(u, miss), u) for u in urls]
+
+    def fetch_many_cond(self, urls: list[str], conds=None):
+        """Conditional-GET variant: ``conds`` is an aligned list of
+        (etag, last_modified_us) validators (or None per URL / None for
+        the whole list). A 200 terminal response whose current
+        validators still match the condition becomes a 304 with an
+        empty body — the revalidation costs the round-trip latency but
+        never re-downloads the body. Returns 7-tuples
+        (status, ctype, body, latency_ms, final_url, etag,
+        last_modified_us); responses without validators carry
+        (None, NO_LASTMOD)."""
+        idx = self._index
+        miss = (404, "text/html", b"", 5.0)
+        out = []
+        for i, u in enumerate(urls):
+            status, ctype, body, lat, final = follow_redirects(
+                lambda x: idx.get(x, miss), u)
+            etag, lastmod = self._validators.get(final, (None, NO_LASTMOD))
+            cond = conds[i] if conds is not None else None
+            if (status == 200 and cond is not None
+                    and validators_match(cond[0], cond[1], etag, lastmod)):
+                out.append((304, ctype, b"", lat, final, etag, lastmod))
+            else:
+                out.append((status, ctype, body, lat, final, etag, lastmod))
+        return out
 
 
 class SynthTransport:
@@ -133,6 +184,53 @@ class HttpTransport:
                 out.append((TOO_MANY_REDIRECTS, "", b"", 0.0, u))
             except Exception:
                 out.append((599, "", b"", 0.0, u))
+        return out
+
+    def fetch_many_cond(self, urls: list[str], conds=None):
+        """Conditional GET over the wire: If-None-Match / If-Modified-
+        Since request headers from the recorded validators; ETag /
+        Last-Modified response headers surfaced so the engine records
+        the next baseline. NOT exercised in this sandbox (no egress)."""
+        import requests
+        from email.utils import format_datetime, parsedate_to_datetime
+
+        out = []
+        for i, u in enumerate(urls):
+            headers = {}
+            cond = conds[i] if conds is not None else None
+            if cond is not None:
+                if cond[0] is not None:
+                    headers["If-None-Match"] = cond[0]
+                if cond[1] is not None and cond[1] >= 0:
+                    import datetime as _dt
+
+                    headers["If-Modified-Since"] = format_datetime(
+                        _dt.datetime.fromtimestamp(
+                            cond[1] / 1e6, tz=_dt.timezone.utc),
+                        usegmt=True)
+            try:
+                r = self._sess.get(u, timeout=self._timeout,
+                                   allow_redirects=True, headers=headers)
+                lat = r.elapsed.total_seconds() * 1000.0
+                for hop in r.history:
+                    lat += hop.elapsed.total_seconds() * 1000.0
+                etag = r.headers.get("ETag")
+                lm_hdr = r.headers.get("Last-Modified")
+                lastmod = NO_LASTMOD
+                if lm_hdr:
+                    try:
+                        lastmod = int(
+                            parsedate_to_datetime(lm_hdr).timestamp() * 1e6)
+                    except (TypeError, ValueError):
+                        pass
+                out.append((r.status_code,
+                            r.headers.get("Content-Type", ""),
+                            r.content, lat, str(r.url), etag, lastmod))
+            except requests.TooManyRedirects:
+                out.append((TOO_MANY_REDIRECTS, "", b"", 0.0, u,
+                            None, NO_LASTMOD))
+            except Exception:
+                out.append((599, "", b"", 0.0, u, None, NO_LASTMOD))
         return out
 
 

@@ -11,23 +11,45 @@ upstream of this stage shuffles only hashes and short strings
 from __future__ import annotations
 
 import pyarrow as pa
+import ray
 
 from ..functions.canon import canonicalize
-from ..sources.transport import make_transport
+from ..sources.transport import NO_LASTMOD, make_transport
 
 
 class Fetcher:
     """Transports follow 3xx chains internally; this stage
     re-canonicalizes the FINAL url (the page's real identity — stored
     under it downstream) and flags redirected rows so the wave commit
-    can mark the final urls as seen (never re-fetched under an alias)."""
+    can mark the final urls as seen (never re-fetched under an alias).
 
-    def __init__(self, transport_spec: dict):
+    Conditional refetch (refresh crawling): ``validators_ref`` is a
+    broadcast dict url_hash → (etag, last_modified_us) recorded by a
+    prior run (or an earlier wave); any URL with a recorded validator
+    is fetched conditionally through ``fetch_many_cond`` — an unchanged
+    page revalidates as a 304 no-op instead of re-downloading the body.
+    Only refetch-override re-admissions can carry a validator (a novel
+    URL was never fetched before), so no frontier schema change is
+    needed. Response validators ride as ``etag`` /
+    ``last_modified_us`` output columns so the sink can record the
+    next baseline."""
+
+    def __init__(self, transport_spec: dict, validators_ref=None):
         self._transport = make_transport(transport_spec)
+        self._validators = (ray.get(validators_ref)
+                            if validators_ref is not None else None)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url_canon"].to_pylist()
-        results = self._transport.fetch_many(urls)
+        conds = None
+        if self._validators and "url_hash" in batch.column_names:
+            v = self._validators
+            conds = [v.get(h) for h in batch["url_hash"].to_pylist()]
+        if hasattr(self._transport, "fetch_many_cond"):
+            results = self._transport.fetch_many_cond(urls, conds)
+        else:
+            results = [(*r, None, NO_LASTMOD)
+                       for r in self._transport.fetch_many(urls)]
         status = pa.array((r[0] for r in results), type=pa.int16())
         ctype = pa.array((r[1] for r in results), type=pa.string())
         body = pa.array((r[2] for r in results), type=pa.large_binary())
@@ -44,4 +66,9 @@ class Fetcher:
             .append_column("latency_ms", latency)
             .append_column("final_url", pa.array(finals, type=pa.string()))
             .append_column("redirected", pa.array(redirected, type=pa.bool_()))
+            .append_column("etag", pa.array((r[5] for r in results),
+                                            type=pa.string()))
+            .append_column("last_modified_us",
+                           pa.array((int(r[6]) for r in results),
+                                    type=pa.int64()))
         )

@@ -126,12 +126,17 @@ class ParseAndSink:
     never surfaces as a committed .parquet)."""
 
     def __init__(self, pages_dir: str, extractors: dict[str, str] | None = None,
-                 stats=None, wave: int = -1):
+                 stats=None, wave: int = -1, validators_dir: str | None = None):
         os.makedirs(pages_dir, exist_ok=True)
         self._dir = pages_dir
         self._parse = PageParser(extractors)
         self._stats = stats   # politeness-drift latency fold (WaveStats)
         self._wave = wave
+        # conditional-refetch baseline: responses bearing ETag /
+        # Last-Modified are recorded (url_hash → validators) as a
+        # side-write the driver merges post-wave — same idempotence
+        # contract as the pages sink (deterministic fragment names)
+        self._validators_dir = validators_dir
 
     def _fold_latency(self, batch: pa.Table, frag: str) -> None:
         """Per-host (latency_sum, n) of this batch → WaveStats, keyed by
@@ -159,6 +164,30 @@ class ParseAndSink:
         key = ((part << 32) ^ seq).tobytes()
         return f"frag-{hashlib.blake2b(key, digest_size=10).hexdigest()}.parquet"
 
+    def _record_validators(self, parsed: pa.Table, name: str) -> None:
+        """Side-write (url_hash, etag, last_modified_us) for responses
+        that carry validators: 200s define the new baseline, 304s
+        re-confirm the matched one. One fragment per logical batch with
+        the pages fragment's deterministic name (retry overwrites)."""
+        import pyarrow.compute as pc
+
+        st = parsed["status"]
+        has_val = pc.or_(pc.is_valid(parsed["etag"]),
+                         pc.greater_equal(parsed["last_modified_us"],
+                                          pa.scalar(0, type=pa.int64())))
+        mask = pc.and_(pc.is_in(st, value_set=pa.array([200, 304],
+                                                       type=pa.int16())),
+                       has_val)
+        rows = parsed.filter(mask).select(
+            ["url_hash", "etag", "last_modified_us"])
+        if not rows.num_rows:
+            return
+        os.makedirs(self._validators_dir, exist_ok=True)
+        frag = os.path.join(self._validators_dir, name)
+        tmp = f"{frag}.tmp-{uuid.uuid4().hex[:8]}"
+        pq.write_table(rows, tmp)
+        os.replace(tmp, frag)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         parsed = self._parse(batch)
         name = self._frag_name(batch)
@@ -166,6 +195,9 @@ class ParseAndSink:
         tmp = f"{frag}.tmp-{uuid.uuid4().hex[:8]}"
         pq.write_table(parsed, tmp)
         os.replace(tmp, frag)
+        if (self._validators_dir is not None
+                and "etag" in parsed.column_names):
+            self._record_validators(parsed, name)
         if self._stats is not None:
             self._fold_latency(batch, name)
         # discovery projection: out-links + the redirect FINAL url (null

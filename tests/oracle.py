@@ -48,6 +48,9 @@ class OracleResult:
     waves: list = field(default_factory=list)      # frontier size per wave
     versions: dict = field(default_factory=dict)   # url_canon -> lastmod_us
     hosts: set = field(default_factory=set)        # hosts ever admitted
+    # conditional-refetch baseline recorded from response headers:
+    # url_canon -> (etag, last_modified_us)
+    resp_validators: dict = field(default_factory=dict)
 
 
 def crawl_oracle(seed_urls, robots: RobotsPolicy, pages_index: dict,
@@ -63,7 +66,9 @@ def crawl_oracle(seed_urls, robots: RobotsPolicy, pages_index: dict,
     and host list carry over; with cfg.refetch_if_newer a feed candidate
     whose stamp is strictly newer than the recorded version re-admits."""
     from crawlray.sources.feeds import lastmod_to_us
-    from crawlray.sources.transport import follow_redirects
+    from crawlray.sources.transport import (
+        NO_LASTMOD, follow_redirects, validators_match,
+    )
 
     res = OracleResult()
     host_pages: dict[str, int] = {}  # admitted per host (cap budget)
@@ -73,16 +78,27 @@ def crawl_oracle(seed_urls, robots: RobotsPolicy, pages_index: dict,
         res.seen = set(prior.seen)
         res.versions = dict(prior.versions)
         prior_hosts = set(prior.hosts)
+        res.resp_validators = dict(prior.resp_validators)
     # M2 host allowlist (engine: policy_mask / admit_seeds): off-list
     # urls are seen-marked but never fetched
     allowed_set = (set(cfg.allowed_hosts)
                    if getattr(cfg, "allowed_hosts", None) else None)
 
-    def fetch(u):
-        """(status, ctype, body, latency_total, final_url) — redirect
-        chains followed through the raw pages index."""
-        return follow_redirects(
-            lambda x: pages_index.get(x, (404, "text/html", b"", 5.0)), u)
+    def fetch(u, cond=None):
+        """(status, ctype, body, latency_total, final_url, etag,
+        lastmod_us) — redirect chains followed through the raw pages
+        index; with a validator ``cond`` from the recorded baseline, an
+        unchanged 200 revalidates as a 304 with an empty body (same
+        validators_match kernel as the engine's transports)."""
+        status, ctype, body, lat, final = follow_redirects(
+            lambda x: pages_index.get(x, (404, "text/html", b"", 5.0))[:4], u)
+        row = pages_index.get(final)
+        etag, lastmod = ((row[4], row[5]) if row is not None and len(row) > 4
+                         else (None, NO_LASTMOD))
+        if (status == 200 and cond is not None
+                and validators_match(cond[0], cond[1], etag, lastmod)):
+            return 304, ctype, b"", lat, final, etag, lastmod
+        return status, ctype, body, lat, final, etag, lastmod
 
     ext_cache: dict[str, object] = {}
 
@@ -164,7 +180,7 @@ def crawl_oracle(seed_urls, robots: RobotsPolicy, pages_index: dict,
 
         out = []
         for src in doc_urls:
-            status, ctype, body, _lat, _final = fetch(src)
+            status, ctype, body, _lat, _final, _e, _lm = fetch(src)
             rows = discover_batch(pa.table({
                 "url_canon": pa.array([src], type=pa.string()),
                 "content_type": pa.array([ctype], type=pa.string()),
@@ -198,7 +214,7 @@ def crawl_oracle(seed_urls, robots: RobotsPolicy, pages_index: dict,
         from crawlray.state.robots import DEFAULT_UA, parse_robots_txt
 
         for h in sorted(set(hosts) - robots_known):
-            status, _c, body, _l, _f = fetch(f"https://{h}/robots.txt")
+            status, _c, body, _l, _f, _e, _lm = fetch(f"https://{h}/robots.txt")
             if status == 200 and body:
                 robots_known.add(h)
                 a, d, ms = parse_robots_txt(
@@ -250,11 +266,19 @@ def crawl_oracle(seed_urls, robots: RobotsPolicy, pages_index: dict,
         lat_sums: dict[str, list] = {}
         candidates = []
         redirect_finals: list[str] = []
+        # conditional-refetch baseline snapshot at wave start (engine:
+        # validators_ref is ray.put once per wave, merged post-wave)
+        wave_validators = (dict(res.resp_validators) if refetch_on else {})
         for r in frontier:
             j = host_j.get(r["host"], 0)
             host_j[r["host"]] = j + 1
             sched = float(j * eff_delay(r["host"]))
-            status, ctype, body, lat, final_raw = fetch(r["url_canon"])
+            status, ctype, body, lat, final_raw, etag, lastmod = fetch(
+                r["url_canon"],
+                cond=wave_validators.get(r["url_canon"]) if refetch_on
+                else None)
+            if status in (200, 304) and (etag is not None or lastmod >= 0):
+                res.resp_validators[r["url_canon"]] = (etag, lastmod)
             final = canonicalize(final_raw) or r["url_canon"]
             if final != r["url_canon"]:
                 redirect_finals.append(final)
@@ -321,13 +345,25 @@ def crawl_oracle(seed_urls, robots: RobotsPolicy, pages_index: dict,
 
 
 def build_pages_index(pages_table) -> dict:
+    """url → (status, ctype, body, latency[, etag, last_modified_us])
+    — validator fields appended when the fixture table declares them
+    (conditional-refetch fixtures); plain tables stay 4-tuples."""
+    cols = pages_table.column_names
+    base = zip(
+        pages_table["url"].to_pylist(),
+        pages_table["status"].to_pylist(),
+        pages_table["content_type"].to_pylist(),
+        pages_table["html"].to_pylist(),
+        pages_table["latency_ms"].to_pylist(),
+    )
+    if "etag" not in cols and "last_modified_us" not in cols:
+        return {u: (s, c, h, l) for u, s, c, h, l in base}
+    n = pages_table.num_rows
+    etags = (pages_table["etag"].to_pylist() if "etag" in cols
+             else [None] * n)
+    lastmods = (pages_table["last_modified_us"].to_pylist()
+                if "last_modified_us" in cols else [-1] * n)
     return {
-        u: (s, c, h, l)
-        for u, s, c, h, l in zip(
-            pages_table["url"].to_pylist(),
-            pages_table["status"].to_pylist(),
-            pages_table["content_type"].to_pylist(),
-            pages_table["html"].to_pylist(),
-            pages_table["latency_ms"].to_pylist(),
-        )
+        u: (s, c, h, l, e, -1 if lm is None else int(lm))
+        for (u, s, c, h, l), e, lm in zip(base, etags, lastmods)
     }
