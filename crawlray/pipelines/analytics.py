@@ -4257,7 +4257,395 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+# =====================================================================
+# TPC-H Q18 shape: grouped-HAVING semi join (large-quantity orders)
+# =====================================================================
+
+def q_large_order_customers(sf_dir: str, min_qty: int = 300):
+    """TPC-H Q18 family: orders whose TOTAL lineitem quantity exceeds a
+    threshold, joined back to orders + customer — the grouped-HAVING
+    derived table as a semi-join build side. Scale plan: (1) per-block
+    Arrow group_by(l_orderkey) partial sums shrink the fact stream
+    before its ONE hash-partition fold (same shape as
+    shipping_priority); (2) the HAVING filter makes the qualifying set
+    tiny, so it broadcasts as a sorted key array (count-guarded with a
+    Dataset.join fallback); (3) orders stream against the broadcast
+    with no exchange, and the ≤|qualifying| result rows pull their
+    customer names through a filtered dimension read — no corpus-sized
+    customer broadcast."""
+    import pyarrow.dataset as pads
+
+    from .relational import _BROADCAST_KEY_LIMIT
+    from .sizing import fold_parts, join_parts
+
+    n_parts = fold_parts()
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "qty": b["l_quantity"].cast(pa.int64()),
+        }).group_by("l_orderkey").aggregate([("qty", "sum")])
+        okey = g["l_orderkey"].to_numpy(zero_copy_only=False)
+        kp = (_splitmix64(okey.astype(np.int64)).view(np.uint64)
+              % np.uint64(n_parts)).astype(np.int64)
+        return g.append_column("kp", pa.array(kp))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("l_orderkey", sort=False)["qty_sum"].sum()
+        s = s[s > min_qty]
+        return pd.DataFrame({"o_orderkey": s.index.to_numpy(np.int64),
+                             "sum_qty": s.to_numpy(np.int64)})
+
+    big = (li.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("kp").map_groups(fold, batch_format="pandas"))
+
+    orders = _t(sf_dir, "orders",
+                ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"])
+    if big.count() > _BROADCAST_KEY_LIMIT:
+        # enormous qualifying set: full hash-join plan
+        hit = orders.join(big, join_type="inner",
+                          num_partitions=join_parts(), on=("o_orderkey",))
+        hit = hit.map_batches(
+            lambda b: b.append_column(
+                "total_cents", _cents(b["o_totalprice"]))
+            .drop_columns(["o_totalprice"]),
+            batch_format="pyarrow")
+        cust = _t(sf_dir, "customer", ["c_custkey", "c_name"])
+        out = hit.join(cust, join_type="inner",
+                       num_partitions=join_parts(),
+                       on=("o_custkey",), right_on=("c_custkey",))
+        return out.map_batches(
+            lambda b: b.append_column(
+                "c_custkey", b["o_custkey"]).drop_columns(["o_custkey"]),
+            batch_format="pyarrow")
+    rows = pa.concat_tables(
+        list(big.iter_batches(batch_size=65536, batch_format="pyarrow"))
+        or [pa.table({"o_orderkey": pa.array([], pa.int64()),
+                      "sum_qty": pa.array([], pa.int64())})])
+    order_keys = rows["o_orderkey"].to_numpy(zero_copy_only=False)
+    srt = np.argsort(order_keys)
+    keys = order_keys[srt]
+    qtys = rows["sum_qty"].to_numpy(zero_copy_only=False)[srt]
+    keys_ref = ray.put((keys, qtys))
+
+    def semi(b: pa.Table) -> pa.Table:
+        ks, qs = ray.get(keys_ref)
+        ok = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(ks, ok)
+        idx[idx >= len(ks)] = 0
+        hit = (ks[idx] == ok) if len(ks) else np.zeros(len(ok), bool)
+        b = b.filter(pa.array(hit))
+        ok2 = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "c_custkey": b["o_custkey"],
+            "o_orderkey": b["o_orderkey"],
+            "o_orderdate": b["o_orderdate"],
+            "total_cents": _cents(b["o_totalprice"]),
+            "sum_qty": pa.array(qs[np.searchsorted(ks, ok2)]),
+        })
+
+    hits = orders.map_batches(semi, batch_format="pyarrow")
+
+    def add_names(b: pa.Table) -> pa.Table:
+        # ≤|qualifying| rows total: pull ONLY the needed customer rows
+        # through a filtered dimension read (row-group pruned)
+        cks = sorted(set(b["c_custkey"].to_pylist()))
+        t = pads.dataset(os.path.join(sf_dir, "customer.parquet")) \
+            .to_table(columns=["c_custkey", "c_name"],
+                      filter=pads.field("c_custkey").isin(cks))
+        nm = dict(zip(t["c_custkey"].to_pylist(), t["c_name"].to_pylist()))
+        return b.append_column(
+            "c_name",
+            pa.array([nm[k] for k in b["c_custkey"].to_pylist()],
+                     type=pa.string()))
+
+    return hits.map_batches(add_names, batch_format="pyarrow")
+
+
+SQL_LARGE_ORDER_CUSTOMERS = """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY 1
+  HAVING SUM(CAST(l_quantity AS BIGINT)) > 300)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+       b.sum_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+"""
+
+
+# =====================================================================
+# TPC-H Q21 shape: multi-EXISTS/NOT-EXISTS self-join on the fact table
+# =====================================================================
+
+def q_sole_returning_supplier(sf_dir: str):
+    """TPC-H Q21 family: suppliers who were the ONLY supplier with a
+    returned line ('R') on a multi-supplier order — the
+    EXISTS + NOT-EXISTS double self-join on lineitem, expressed without
+    ever joining the fact table to itself. Scale plan: per-block
+    DISTINCT (orderkey, suppkey, max returned-bit) combiner → ONE
+    orderkey-hash exchange where each partition derives per-order
+    supplier counts and returned-supplier counts locally → qualifying
+    (suppkey) rows fold per-partition into (suppkey, cnt) partials →
+    a dimension-bounded groupby(suppkey) → broadcast supplier names.
+    The two EXISTS subqueries cost one shuffle total."""
+    from .sizing import fold_parts
+
+    n_parts = fold_parts()
+    li = _t(sf_dir, "lineitem",
+            ["l_orderkey", "l_suppkey", "l_returnflag"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ret = pc.cast(pc.equal(b["l_returnflag"], pa.scalar("R")),
+                      pa.int64())
+        g = pa.table({
+            "l_orderkey": b["l_orderkey"], "l_suppkey": b["l_suppkey"],
+            "ret": ret,
+        }).group_by(["l_orderkey", "l_suppkey"]).aggregate([("ret", "max")])
+        okey = g["l_orderkey"].to_numpy(zero_copy_only=False)
+        kp = (_splitmix64(okey.astype(np.int64)).view(np.uint64)
+              % np.uint64(n_parts)).astype(np.int64)
+        return g.append_column("kp", pa.array(kp))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby(["l_orderkey", "l_suppkey"], sort=False)["ret_max"] \
+            .max().reset_index()
+        ordstats = per.groupby("l_orderkey", sort=False).agg(
+            n_supp=("l_suppkey", "size"), n_ret=("ret_max", "sum"))
+        per = per.join(ordstats, on="l_orderkey")
+        hit = per[(per["ret_max"] == 1) & (per["n_ret"] == 1)
+                  & (per["n_supp"] >= 2)]
+        cnt = hit.groupby("l_suppkey", sort=False).size()
+        return pd.DataFrame({"l_suppkey": cnt.index.to_numpy(np.int64),
+                             "numwait": cnt.to_numpy(np.int64)})
+
+    partials = (li.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                .groupby("kp").map_groups(fold, batch_format="pandas"))
+    agg = partials.groupby("l_suppkey").aggregate(Sum("numwait",
+                                                      alias_name="numwait"))
+
+    def add_name(b: pa.Table) -> pa.Table:
+        # pull ONLY this batch's supplier names through a filtered
+        # dimension read (row-group pruned) — no supplier-sized broadcast
+        import pyarrow.dataset as pads
+
+        sks = sorted(set(b["l_suppkey"].to_pylist()))
+        t = pads.dataset(os.path.join(sf_dir, "supplier.parquet")) \
+            .to_table(columns=["s_suppkey", "s_name"],
+                      filter=pads.field("s_suppkey").isin(sks))
+        nm = dict(zip(t["s_suppkey"].to_pylist(), t["s_name"].to_pylist()))
+        return pa.table({
+            "s_name": pa.array([nm[k] for k in b["l_suppkey"].to_pylist()],
+                               type=pa.string()),
+            "numwait": b["numwait"],
+        })
+
+    return agg.map_batches(add_name, batch_format="pyarrow")
+
+
+SQL_SOLE_RETURNING_SUPPLIER = """
+WITH per AS (
+  SELECT l_orderkey, l_suppkey,
+         MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ret
+  FROM lineitem GROUP BY 1, 2),
+ord AS (
+  SELECT l_orderkey, COUNT(*) AS n_supp, SUM(ret) AS n_ret
+  FROM per GROUP BY 1)
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM per p
+JOIN ord o ON p.l_orderkey = o.l_orderkey
+JOIN supplier s ON s.s_suppkey = p.l_suppkey
+WHERE p.ret = 1 AND o.n_ret = 1 AND o.n_supp >= 2
+GROUP BY 1
+"""
+
+
+# =====================================================================
+# TPC-H Q22 shape: scalar-average subquery + NOT EXISTS anti join
+# =====================================================================
+
+def q_idle_rich_customers(sf_dir: str):
+    """TPC-H Q22 family: customers with above-average (positive)
+    account balance and NO high-value order (the fixture gives nearly
+    every customer SOME order, so the NOT EXISTS is scoped to orders
+    above 350k to stay non-degenerate at every sf), per nation. Scale
+    plan:
+    the scalar AVG is an exact (Σ cents, n) two-int fold (no float
+    average exists — the filter is the integer cross-multiply
+    cents·n > Σ, above_avg's trick); the NOT EXISTS is the broadcast
+    anti-join: distinct o_custkey per block → count-guarded sorted key
+    broadcast (Dataset.join fallback past the guard); the final
+    aggregate is a per-block partial over ≤|nations| groups."""
+    from .relational import _BROADCAST_KEY_LIMIT
+    from .sizing import join_parts
+
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def bal_partial(b: pa.Table) -> pa.Table:
+        cents = _cents(b["c_acctbal"])
+        pos = pc.greater(cents, pa.scalar(0, pa.int64()))
+        kept = cents.filter(pos)
+        return pa.table({
+            "s": pa.array([pc.sum(kept).as_py() or 0], pa.int64()),
+            "n": pa.array([len(kept)], pa.int64()),
+        })
+
+    parts = cust.map_batches(bal_partial, batch_format="pyarrow",
+                             zero_copy_batch=True).take_all()
+    tot_s = sum(int(p["s"]) for p in parts)
+    tot_n = sum(int(p["n"]) for p in parts)
+
+    import pyarrow.dataset as pads
+
+    active = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"],
+        filter=pads.field("o_totalprice") > 350000.0,
+    ).map_batches(
+        lambda b: b.group_by("o_custkey").aggregate([]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    if active.count() > _BROADCAST_KEY_LIMIT:
+        flagged = cust.join(
+            active.map_batches(
+                lambda b: b.append_column(
+                    "_hit", pa.array([1] * b.num_rows, pa.int64())),
+                batch_format="pyarrow"),
+            join_type="left_outer", num_partitions=join_parts(),
+            on=("c_custkey",), right_on=("o_custkey",))
+        idle = flagged.map_batches(
+            lambda b: b.filter(pc.is_null(b["_hit"]))
+            .select(["c_nationkey", "c_acctbal"]),
+            batch_format="pyarrow")
+    else:
+        keys = np.unique(np.concatenate(
+            [b["o_custkey"].to_numpy(zero_copy_only=False)
+             for b in active.iter_batches(batch_size=65536,
+                                          batch_format="pyarrow")]
+            or [np.empty(0, np.int64)]).astype(np.int64))
+        keys_ref = ray.put(keys)
+
+        def anti(b: pa.Table) -> pa.Table:
+            ks = ray.get(keys_ref)
+            ck = b["c_custkey"].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(ks, ck)
+            idx[idx >= len(ks)] = 0
+            hit = (ks[idx] == ck) if len(ks) else np.zeros(len(ck), bool)
+            return b.filter(pa.array(~hit)) \
+                .select(["c_nationkey", "c_acctbal"])
+
+        idle = cust.map_batches(anti, batch_format="pyarrow")
+
+    def nat_partial(b: pa.Table) -> pa.Table:
+        cents = _cents(b["c_acctbal"]).to_numpy(zero_copy_only=False)
+        rich = cents * tot_n > tot_s   # exact: c_acctbal > AVG(positive)
+        nk = b["c_nationkey"].to_numpy(zero_copy_only=False)[rich]
+        cents = cents[rich]
+        uk, inv = np.unique(nk, return_inverse=True)
+        return pa.table({
+            "c_nationkey": pa.array(uk.astype(np.int64)),
+            "numcust": pa.array(np.bincount(inv).astype(np.int64)),
+            "totacctbal_cents": pa.array(
+                np.bincount(inv, weights=cents).astype(np.int64)),
+        })
+
+    return (idle.map_batches(nat_partial, batch_format="pyarrow")
+            .groupby("c_nationkey")
+            .aggregate(Sum("numcust", alias_name="numcust"),
+                       Sum("totacctbal_cents",
+                           alias_name="totacctbal_cents")))
+
+
+SQL_IDLE_RICH_CUSTOMERS = """
+WITH s AS (
+  SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS tot,
+         COUNT(*) AS n
+  FROM customer WHERE ROUND(c_acctbal * 100) > 0)
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS totacctbal_cents
+FROM customer c, s
+WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) * s.n > s.tot
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 350000.0)
+GROUP BY c_nationkey
+"""
+
+
+# =====================================================================
+# inequality pair join: per-customer price inversions (IEJoin class)
+# =====================================================================
+
+def q_order_inversions(sf_dir: str):
+    """Inequality self-join (IEJoin class, Khayyat et al. 2015): count,
+    per customer, order pairs where the EARLIER order was the more
+    expensive one (date <, totalprice >) — two inequality predicates,
+    no equality beyond the partition key. Scale plan: the only exchange
+    is ONE hash partition on o_custkey; each partition counts its
+    customers' inversions locally (per-customer O(k²) bit-mask count —
+    orders-per-customer is naturally bounded, the documented
+    partitioning assumption; swap the inner kernel for a BIT/merge
+    count if a key ever carries millions of orders). The O(n²)
+    cross-partition matrix never exists; the SQL oracle runs exactly
+    that self-join."""
+    from .sizing import fold_parts
+
+    n_parts = fold_parts()
+    orders = _t(sf_dir, "orders",
+                ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kp = (_splitmix64(ck).view(np.uint64)
+              % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({
+            "o_custkey": b["o_custkey"],
+            "date_us": b["o_orderdate"].cast(pa.int64()),
+            "cents": _cents(b["o_totalprice"]),
+            "kp": pa.array(kp),
+        })
+
+    def count_inv(g: pd.DataFrame) -> pd.DataFrame:
+        out_k, out_c = [], []
+        for ck, sub in g.groupby("o_custkey", sort=False):
+            d = sub["date_us"].to_numpy()
+            t = sub["cents"].to_numpy()
+            cnt = int(((d[:, None] < d[None, :])
+                       & (t[:, None] > t[None, :])).sum())
+            if cnt:
+                out_k.append(int(ck))
+                out_c.append(cnt)
+        return pd.DataFrame({"o_custkey": np.array(out_k, dtype=np.int64),
+                             "inversions": np.array(out_c, dtype=np.int64)})
+
+    return (orders.map_batches(prep, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .groupby("kp").map_groups(count_inv, batch_format="pandas"))
+
+
+SQL_ORDER_INVERSIONS = """
+SELECT o1.o_custkey, CAST(COUNT(*) AS BIGINT) AS inversions
+FROM orders o1
+JOIN orders o2 ON o1.o_custkey = o2.o_custkey
+ AND o1.o_orderdate < o2.o_orderdate
+ AND o1.o_totalprice > o2.o_totalprice
+GROUP BY 1
+"""
+
+
 ANALYTICS_QUERIES = {
+    "large_order_customers": (q_large_order_customers,
+                              SQL_LARGE_ORDER_CUSTOMERS),
+    "sole_returning_supplier": (q_sole_returning_supplier,
+                                SQL_SOLE_RETURNING_SUPPLIER),
+    "idle_rich_customers": (q_idle_rich_customers,
+                            SQL_IDLE_RICH_CUSTOMERS),
+    "order_inversions": (q_order_inversions, SQL_ORDER_INVERSIONS),
     "window_lag": (q_window_lag, SQL_WINDOW_LAG),
     "rollup_agg": (q_rollup_agg, SQL_ROLLUP_AGG),
     "pivot_status": (q_pivot_status, SQL_PIVOT_STATUS),
