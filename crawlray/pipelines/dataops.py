@@ -4833,6 +4833,235 @@ WHERE c.c_custkey < 5000
 """
 
 
+# =====================================================================
+# hybrid retrieval: reciprocal-rank fusion of BM25 and cosine (oracled)
+# =====================================================================
+
+def q_hybrid_rrf(sf_dir: str, k: int = 10, depth: int = 100):
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al.
+    2009): fuse the BM25 lexical ranking (q_bm25's zero-shuffle scorer)
+    with the dense cosine ranking (q_ann_cosine's per-block partial
+    top-k) as Σ 1/(60 + rank), over the TOP-``depth`` of each list —
+    the literal RRF definition over retrieved lists, which is also what
+    makes it exact at scale: each ranking reduces distributively
+    (partial top-depth per block + a ≤ depth×blocks driver merge, no
+    global sort), and the fusion itself touches ≤ 2·depth rows.
+    Rankings order by (rounded score DESC, doc_id ASC) — a strict
+    total order, so per-block pruning is provably safe; rrf is rounded
+    6 dp with the identical expression both sides."""
+    bm = q_bm25(sf_dir)
+
+    def topd_bm(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy(zero_copy_only=False)
+        sc = b["score"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, -sc))[:depth]
+        return pa.table({"doc_id": pa.array(did[order]),
+                         "score": pa.array(sc[order])})
+
+    bm_rows = pa.concat_tables(
+        list(bm.map_batches(topd_bm, batch_format="pyarrow")
+             .iter_batches(batch_size=65536, batch_format="pyarrow"))
+        or [pa.table({"doc_id": pa.array([], pa.int64()),
+                      "score": pa.array([], pa.float64())})])
+    did = bm_rows["doc_id"].to_numpy(zero_copy_only=False)
+    sc = bm_rows["score"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((did, -sc))[:depth]
+    bm_rank = {int(d): r + 1 for r, d in enumerate(did[order])}
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    q = _query_vector(path)
+    q_ref = ray.put(q / np.linalg.norm(q))
+    emb_ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+
+    def topd_cos(b: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        vid = b["vec_id"].to_numpy(zero_copy_only=False)
+        keep = vid > 0
+        emb = _embedding_matrix(b["embedding"])[keep]
+        vid = vid[keep]
+        if len(vid) == 0:
+            return pa.table({"vec_id": pa.array([], type=pa.int64()),
+                             "cos": pa.array([], type=pa.float64())})
+        norms = np.linalg.norm(emb, axis=1)
+        cos = np.round((emb @ qv) / np.where(norms == 0, 1.0, norms), 4)
+        o = np.lexsort((vid, -cos))[:depth]
+        return pa.table({"vec_id": pa.array(vid[o]),
+                         "cos": pa.array(cos[o])})
+
+    cos_rows = pa.concat_tables(
+        list(emb_ds.map_batches(topd_cos, batch_format="pyarrow")
+             .iter_batches(batch_size=65536, batch_format="pyarrow"))
+        or [pa.table({"vec_id": pa.array([], pa.int64()),
+                      "cos": pa.array([], pa.float64())})])
+    vid = cos_rows["vec_id"].to_numpy(zero_copy_only=False)
+    cs = cos_rows["cos"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((vid, -cs))[:depth]
+    cos_rank = {int(d): r + 1 for r, d in enumerate(vid[order])}
+
+    fused = []
+    for d in set(bm_rank) | set(cos_rank):
+        rb = bm_rank.get(d)
+        rc = cos_rank.get(d)
+        rrf = ((1.0 / (60 + rb) if rb is not None else 0.0)
+               + (1.0 / (60 + rc) if rc is not None else 0.0))
+        fused.append((d, round(rrf, 6)))
+    fused.sort(key=lambda t: (-t[1], t[0]))
+    fused = fused[:k]
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in fused], type=pa.int64()),
+        "rrf": pa.array([r for _, r in fused], type=pa.float64()),
+    })
+
+
+SQL_HYBRID_RRF = """
+WITH d AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
+t AS (SELECT doc_id, len(l) AS ln,
+             len(list_filter(l, x -> x = 'join')) AS tf0,
+             len(list_filter(l, x -> x = 'hash')) AS tf1
+      FROM d),
+s AS (SELECT COUNT(*) AS n, SUM(ln) AS sumlen,
+             COUNT(*) FILTER (WHERE tf0 > 0) AS df0,
+             COUNT(*) FILTER (WHERE tf1 > 0) AS df1
+      FROM t),
+b AS (SELECT doc_id,
+  ROUND(
+    LN((n - df0 + 0.5)/(df0 + 0.5) + 1.0)
+      * (tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * ln / (CAST(sumlen AS DOUBLE)/n))))
+    + LN((n - df1 + 0.5)/(df1 + 0.5) + 1.0)
+      * (tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * ln / (CAST(sumlen AS DOUBLE)/n)))),
+  6) AS score
+  FROM t, s WHERE tf0 > 0 OR tf1 > 0),
+br AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+       FROM b QUALIFY r <= 100),
+c AS (SELECT vec_id AS doc_id,
+  ROUND(CAST(list_cosine_similarity(embedding,
+    (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS DOUBLE), 4) AS cos
+  FROM embeddings WHERE vec_id > 0),
+cr AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS r
+       FROM c QUALIFY r <= 100),
+f AS (SELECT COALESCE(br.doc_id, cr.doc_id) AS doc_id,
+             ROUND(COALESCE(1.0/(60 + br.r), 0.0)
+                   + COALESCE(1.0/(60 + cr.r), 0.0), 6) AS rrf
+      FROM br FULL OUTER JOIN cr ON br.doc_id = cr.doc_id)
+SELECT doc_id, rrf FROM f ORDER BY rrf DESC, doc_id LIMIT 10
+"""
+
+
+# =====================================================================
+# token-entropy quality scoring (oracled)
+# =====================================================================
+
+def q_token_entropy(sf_dir: str):
+    """Per-document Shannon entropy over the word distribution — the
+    repetition/diversity quality signal next to the Gopher stats (a
+    spam page repeating one token scores ~0; diverse prose scores
+    ~ln(distinct)). Purely block-local: tokens never leave their block;
+    per-doc counts come from ONE pandas groupby over the exploded
+    (doc, token) pairs of the block. H = ln(n) − (Σ c·ln c)/n with the
+    identical expression both sides, rounded 6 dp (the Σ's float
+    summation order differs across engines by ~1e-15 — the
+    unigram_logprob convention)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def entropy(b: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(b["text"].combine_chunks(), " ")
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        flat = pc.list_flatten(lists).to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        cnt = pd.DataFrame({"d": doc_of, "w": flat}) \
+            .groupby(["d", "w"], sort=False).size()
+        c = cnt.to_numpy().astype(np.float64)
+        clnc = pd.Series(c * np.log(c),
+                         index=cnt.index.get_level_values("d")) \
+            .groupby(level=0).sum()
+        s = np.zeros(len(lens), dtype=np.float64)
+        s[clnc.index.to_numpy()] = clnc.to_numpy()
+        n = lens.astype(np.float64)
+        h = np.round(np.log(n) - s / n, 6)
+        return pa.table({"doc_id": b["doc_id"], "entropy": pa.array(h)})
+
+    return ds.map_batches(entropy, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+SQL_TOKEN_ENTROPY = """
+WITH t AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+           FROM documents),
+c AS (SELECT doc_id, w, COUNT(*) AS c FROM t GROUP BY 1, 2),
+n AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY 1)
+SELECT c.doc_id,
+  ROUND(LN(CAST(n.n AS DOUBLE))
+        - SUM(CAST(c.c AS DOUBLE) * LN(CAST(c.c AS DOUBLE)))
+          / CAST(n.n AS DOUBLE), 6) AS entropy
+FROM c JOIN n USING (doc_id)
+GROUP BY c.doc_id, n.n
+"""
+
+
+# =====================================================================
+# BPE tokenizer APPLICATION (rows-only; completes the bpe family)
+# =====================================================================
+
+def q_bpe_encode(sf_dir: str):
+    """Apply the corpus-trained BPE merges (q_bpe_train) to every
+    document — tokenizer APPLICATION, the op that runs over the whole
+    corpus on every training ingest. Scale shape: the merge table is
+    tiny (n_merges rows) and broadcasts once; encoding is block-local
+    with per-DISTINCT-word memoization via dictionary-encode (the
+    edit_distance discipline — a block re-encodes each word form once,
+    not each occurrence). Output (doc_id, n_words, n_subwords);
+    rows-only — pinned against a sequential reference encode
+    (tests/test_analytics_ops.py)."""
+    merges = q_bpe_train(sf_dir)
+    ranks = {(left, right): r for r, left, right in
+             zip(merges["rank"].to_pylist(), merges["left"].to_pylist(),
+                 merges["right"].to_pylist())}
+    ranks_ref = ray.put(ranks)
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def encode_word(word: str, rk: dict) -> int:
+        sym = list(word) + ["</w>"]
+        while len(sym) > 1:
+            best, bi = None, -1
+            for i in range(len(sym) - 1):
+                r = rk.get((sym[i], sym[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best, bi = r, i
+            if best is None:
+                break
+            sym[bi:bi + 2] = [sym[bi] + sym[bi + 1]]
+        return len(sym)
+
+    def encode(b: pa.Table) -> pa.Table:
+        rk = ray.get(ranks_ref)
+        low = pc.utf8_lower(b["text"].combine_chunks())
+        lists = pc.split_pattern_regex(low, "[^a-z]+")
+        flat_all = pc.list_flatten(lists)
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        nonempty = pc.not_equal(flat_all, pa.scalar("")) \
+            .to_numpy(zero_copy_only=False)
+        flat = flat_all.to_numpy(zero_copy_only=False)[nonempty]
+        doc_of = doc_of[nonempty]
+        uniq, inv = np.unique(flat, return_inverse=True)
+        sub_per_form = np.array([encode_word(w, rk) for w in uniq],
+                                dtype=np.int64)
+        n_sub = np.zeros(len(lens), dtype=np.int64)
+        np.add.at(n_sub, doc_of, sub_per_form[inv])
+        n_words = np.zeros(len(lens), dtype=np.int64)
+        np.add.at(n_words, doc_of, 1)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_words": pa.array(n_words),
+            "n_subwords": pa.array(n_sub),
+        })
+
+    return ds.map_batches(encode, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 DATAOPS_QUERIES = {
     "url_canonicalize": (q_url_canonicalize, SQL_URL_CANONICALIZE),
     "murmur3_hash": (q_murmur3, None),
@@ -4885,6 +5114,9 @@ DATAOPS_QUERIES = {
     "knn_join": (q_knn_join, SQL_KNN_JOIN),
     "knn_classify": (q_knn_classify, SQL_KNN_CLASSIFY),
     "bpe_train": (q_bpe_train, None),
+    "bpe_encode": (q_bpe_encode, None),
+    "hybrid_rrf": (q_hybrid_rrf, SQL_HYBRID_RRF),
+    "token_entropy": (q_token_entropy, SQL_TOKEN_ENTROPY),
     "logreg_train": (q_logreg_train, None),
     "set_sim_join": (q_set_sim_join, SQL_SET_SIM_JOIN),
     "ingest_shards": (q_ingest_shards, None),

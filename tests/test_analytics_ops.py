@@ -503,6 +503,54 @@ def test_bpe_train_matches_reference(ray_session):
     assert [tuple(r) for r in got.itertuples(index=False)] == merges
 
 
+def test_bpe_encode_matches_reference(ray_session):
+    """Tokenizer APPLICATION pin: the block-local memoized encode must
+    equal a sequential greedy-merge reference per document, and merging
+    must actually compress (n_subwords strictly below the raw
+    char+word count for docs containing a merged pair)."""
+    import pyarrow.parquet as pq
+
+    from crawlray.pipelines.dataops import q_bpe_encode, q_bpe_train
+
+    merges = q_bpe_train(SF_DIR)
+    ranks = {(le, r): k for k, le, r in
+             zip(merges["rank"].to_pylist(), merges["left"].to_pylist(),
+                 merges["right"].to_pylist())}
+
+    def ref_encode(word):
+        sym = list(word) + ["</w>"]
+        while len(sym) > 1:
+            cand = [(ranks[(sym[i], sym[i + 1])], i)
+                    for i in range(len(sym) - 1)
+                    if (sym[i], sym[i + 1]) in ranks]
+            if not cand:
+                break
+            _, bi = min(cand)
+            sym[bi:bi + 2] = [sym[bi] + sym[bi + 1]]
+        return len(sym)
+
+    import re
+
+    t = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    want = {}
+    for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        words = [w for w in re.split("[^a-z]+", text.lower()) if w]
+        want[did] = (len(words), sum(ref_encode(w) for w in words))
+
+    got = q_bpe_encode(SF_DIR).to_pandas()
+    assert len(got) == len(want)
+    for did, nw, ns in got.itertuples(index=False):
+        assert (nw, ns) == want[did], did
+    # merges compress: subwords < chars+1 per word on average
+    raw = {did: sum(len(w) + 1 for w in
+                    [w for w in re.split("[^a-z]+", text.lower()) if w])
+           for did, text in zip(t["doc_id"].to_pylist(),
+                                t["text"].to_pylist())}
+    assert sum(ns for _, _, ns in got.itertuples(index=False)) < \
+        sum(raw.values())
+
+
 def test_logreg_train_both_paths_agree(ray_session):
     """The guarded-local GD loop must be exact vs a numpy reference;
     the forced-distributed per-round gradient loop must converge to the
