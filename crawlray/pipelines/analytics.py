@@ -4638,7 +4638,152 @@ GROUP BY 1
 """
 
 
+# =====================================================================
+# per-group linear regression from exact integer moments
+# =====================================================================
+
+def q_regr_per_group(sf_dir: str):
+    """Least-squares slope/intercept of extendedprice (cents) on
+    quantity per returnflag — per-group LINEAR REGRESSION from exact
+    integer moment sums: the shuffle carries 5 int64 partials per
+    (block, group) (corr_stats' G4 discipline); the driver finale does
+    the n·Σxy − Σx·Σy arithmetic in arbitrary-precision Python ints
+    (the cross products pass 2⁶³ at sf ≳ 1 — the q_time_weighted_avg
+    overflow lesson), mirrored by DuckDB's HUGEINT sums, then ONE
+    correctly-rounded double division per term on both sides — no
+    regr_slope() float accumulation anywhere."""
+    ds = _t(sf_dir, "lineitem",
+            ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        x = b["l_quantity"].cast(pa.int64())
+        y = _cents(b["l_extendedprice"])
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "x": x, "y": y,
+            "xx": pc.multiply(x, x), "xy": pc.multiply(x, y),
+        })
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_returnflag")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("x", alias_name="sx"), Sum("y", alias_name="sy"),
+            Sum("xx", alias_name="sxx"), Sum("xy", alias_name="sxy"),
+        )
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        slopes, intercepts = [], []
+        for r in b.to_pylist():
+            n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+            sxx, sxy = int(r["sxx"]), int(r["sxy"])
+            num = n * sxy - sx * sy      # exact python ints ≡ HUGEINT
+            den = n * sxx - sx * sx
+            slope = float(num) / float(den)
+            intercepts.append(float(np.round(
+                (float(sy) - slope * float(sx)) / float(n), 6)))
+            slopes.append(float(np.round(slope, 6)))
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "slope": pa.array(slopes, pa.float64()),
+            "intercept": pa.array(intercepts, pa.float64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_REGR_PER_GROUP = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(l_quantity AS BIGINT)) AS sx,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sy,
+         SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+           AS sxx,
+         SUM(CAST(l_quantity AS BIGINT)
+             * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sxy
+  FROM lineitem GROUP BY 1)
+SELECT l_returnflag,
+  ROUND(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+        / CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE), 6) AS slope,
+  ROUND((CAST(sy AS DOUBLE)
+         - (CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+            / CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE))
+           * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept
+FROM m
+"""
+
+
+# =====================================================================
+# gaps-and-islands: per-user consecutive-day activity streaks
+# =====================================================================
+
+def q_activity_streaks(sf_dir: str):
+    """Gaps-and-islands over the event stream: each user's longest run
+    of CONSECUTIVE active days and their number of distinct runs — the
+    classic sessionization-by-calendar shape (SQL needs the
+    day − ROW_NUMBER() anchor trick; the engine needs none of it).
+    Scale plan: per-block DISTINCT (user, day) combiner shrinks the
+    stream before its ONE user-hash exchange; each partition derives
+    every local user's runs from a sorted unique-day array (vectorized
+    diff), emitting exactly one row per user."""
+    from .sizing import fold_parts
+
+    n_parts = fold_parts()
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+    day_us = 86_400_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor(pc.divide(
+            b["ts"].cast(pa.int64()).cast(pa.float64()),
+            pa.scalar(float(day_us)))), pa.int64())
+        g = pa.table({"user_id": b["user_id"], "day": day}) \
+            .group_by(["user_id", "day"]).aggregate([])
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kp = (_splitmix64(uid).view(np.uint64)
+              % np.uint64(n_parts)).astype(np.int64)
+        return g.append_column("kp", pa.array(kp))
+
+    def streaks(g: pd.DataFrame) -> pd.DataFrame:
+        out_u, out_m, out_n = [], [], []
+        for uid, sub in g.groupby("user_id", sort=False):
+            days = np.unique(sub["day"].to_numpy())
+            brk = np.flatnonzero(np.diff(days) != 1)
+            starts = np.concatenate(([0], brk + 1))
+            ends = np.concatenate((brk, [len(days) - 1]))
+            runs = ends - starts + 1
+            out_u.append(int(uid))
+            out_m.append(int(runs.max()))
+            out_n.append(len(runs))
+        return pd.DataFrame({
+            "user_id": np.array(out_u, dtype=np.int64),
+            "max_streak": np.array(out_m, dtype=np.int64),
+            "n_streaks": np.array(out_n, dtype=np.int64),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("kp").map_groups(streaks, batch_format="pandas"))
+
+
+SQL_ACTIVITY_STREAKS = """
+WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+r AS (SELECT user_id, day,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+      FROM d),
+s AS (SELECT user_id, COUNT(*) AS len
+      FROM r GROUP BY user_id, day - CAST(rn AS INTEGER))
+SELECT user_id, CAST(MAX(len) AS BIGINT) AS max_streak,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks
+FROM s GROUP BY 1
+"""
+
+
 ANALYTICS_QUERIES = {
+    "regr_per_group": (q_regr_per_group, SQL_REGR_PER_GROUP),
+    "activity_streaks": (q_activity_streaks, SQL_ACTIVITY_STREAKS),
     "large_order_customers": (q_large_order_customers,
                               SQL_LARGE_ORDER_CUSTOMERS),
     "sole_returning_supplier": (q_sole_returning_supplier,
