@@ -398,10 +398,19 @@ class CrawlRun:
         new_hosts = sorted((set(self.budgets) | self.prior_hosts)
                            - self.disco_done)
         self.disco_done.update(new_hosts)
-        disco_urls = list(self.pending_disco) + [
-            u for h in new_hosts
-            for u in (f"https://{h}/sitemap.xml", f"https://{h}/rss.xml")
-        ]
+        # probe set per host: robots-declared Sitemap: URLs (RFC 9309 —
+        # populated by fetch-mode parsing or a `sitemaps` robots-table
+        # column) ∪ the /sitemap.xml + /rss.xml defaults, first
+        # occurrence wins
+        disco_urls = list(self.pending_disco)
+        probed = set(disco_urls)
+        for h in new_hosts:
+            declared = self.robots.sitemaps_for(h)
+            for u in (*declared, f"https://{h}/sitemap.xml",
+                      f"https://{h}/rss.xml"):
+                if u not in probed:
+                    probed.add(u)
+                    disco_urls.append(u)
         self.pending_disco = []
         if not disco_urls:
             return None
@@ -821,7 +830,10 @@ def run_crawl(
 ) -> dict:
     """Entry point B/C (SURVEY §3.2/§3.3). Returns a run summary.
 
-    Shuffle strategy note: Ray 2.49's HASH_SHUFFLE would be the natural
+    Shuffle strategy note (re-tested 2026-08-19, round 4: a minimal
+    groupby().map_groups repro under HASH_SHUFFLE now HANGS outright in
+    this Ray 2.49.2 build — worse than the crash below; still
+    unusable): Ray 2.49's HASH_SHUFFLE would be the natural
     fit for the host-hash groupby (n_parts-wide fan-out, streaming
     aggregators), but its aggregator ``finalize`` crashes on empty
     partitions (schema-less block → ``sort_by('part')`` ArrowInvalid),

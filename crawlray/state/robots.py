@@ -22,6 +22,26 @@ from urllib.parse import urlsplit
 DEFAULT_UA = "crawlray"
 
 
+def parse_robots_sitemaps(text: str) -> list[str]:
+    """``Sitemap:`` directives from a robots.txt body (sitemaps.org /
+    RFC 9309 §2.3: independent of user-agent groups — they may appear
+    anywhere and apply to every crawler). Order preserved, duplicates
+    dropped; the values are absolute URLs by spec."""
+    out: list[str] = []
+    seen: set[str] = set()
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        if field.strip().lower() == "sitemap":
+            v = value.strip()
+            if v and v not in seen:
+                seen.add(v)
+                out.append(v)
+    return out
+
+
 def parse_robots_txt(
     text: str, user_agent: str = DEFAULT_UA, default_delay_ms: int = 1000
 ) -> tuple[list[str], list[str], int]:
@@ -99,6 +119,9 @@ class RobotsPolicy:
         """robots_rows: [{host, allow, deny, crawl_delay_ms}, ...]."""
         self._by_host: dict[str, tuple[list[str], list[str], int]] = {}
         self._transient: set[str] = set()  # failed fetches: retry next wave
+        # host → robots-declared sitemap URLs (discovery channel D1:
+        # probed alongside the /sitemap.xml and /rss.xml defaults)
+        self._sitemaps: dict[str, list[str]] = {}
         self.default_delay_ms = default_delay_ms
         for r in robots_rows:
             self._by_host[r["host"]] = (
@@ -106,6 +129,8 @@ class RobotsPolicy:
                 list(r.get("deny") or []),
                 int(r.get("crawl_delay_ms") or default_delay_ms),
             )
+            if r.get("sitemaps"):
+                self._sitemaps[r["host"]] = list(r["sitemaps"])
 
     def crawl_delay_ms(self, host: str) -> int:
         e = self._by_host.get(host)
@@ -144,6 +169,10 @@ class RobotsPolicy:
         the failure forever (ADVICE r2 / RFC 9309 §2.3.1.4)."""
         return set(self._by_host) - self._transient
 
+    def sitemaps_for(self, host: str) -> list[str]:
+        """Robots-declared sitemap URLs for a host ([] when none)."""
+        return self._sitemaps.get(host, [])
+
     def add_rows(self, rows: list[dict]) -> None:
         for r in rows:
             host = r["host"]
@@ -152,6 +181,8 @@ class RobotsPolicy:
                 list(r.get("deny") or []),
                 int(r.get("crawl_delay_ms") or self.default_delay_ms),
             )
+            if r.get("sitemaps"):
+                self._sitemaps[host] = list(r["sitemaps"])
             if r.get("fetched_ok", True):
                 self._transient.discard(host)
             else:
@@ -182,27 +213,28 @@ class RobotsFetcher:
         results = self._transport.fetch_many(
             [f"https://{h}/robots.txt" for h in hosts]
         )
-        allows, denies, delays, oks = [], [], [], []
+        allows, denies, delays, oks, maps = [], [], [], [], []
         for status, _ctype, body, _lat, _final in results:
             if status == 200 and body:
-                a, d, ms = parse_robots_txt(
-                    bytes(body).decode("utf-8", errors="replace"),
-                    self._ua, self._default,
-                )
+                txt = bytes(body).decode("utf-8", errors="replace")
+                a, d, ms = parse_robots_txt(txt, self._ua, self._default)
                 allows.append(a); denies.append(d); delays.append(ms)
+                maps.append(parse_robots_sitemaps(txt))
                 oks.append(True)
             elif status >= 500 or status <= 0:
                 # unreachable → temporary complete disallow, retried
                 allows.append([]); denies.append(["/"])
                 delays.append(self._default); oks.append(False)
+                maps.append([])
             else:
                 # 4xx: robots definitively absent → allow-all, cacheable
                 allows.append([]); denies.append([]); delays.append(self._default)
-                oks.append(True)
+                oks.append(True); maps.append([])
         return pa.table({
             "host": pa.array(hosts, type=pa.string()),
             "allow": pa.array(allows, type=pa.list_(pa.string())),
             "deny": pa.array(denies, type=pa.list_(pa.string())),
             "crawl_delay_ms": pa.array(delays, type=pa.int32()),
             "fetched_ok": pa.array(oks, type=pa.bool_()),
+            "sitemaps": pa.array(maps, type=pa.list_(pa.string())),
         })

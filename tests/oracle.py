@@ -211,18 +211,20 @@ def crawl_oracle(seed_urls, robots: RobotsPolicy, pages_index: dict,
         first entering a frontier; late rules re-filter the wave below
         (denied rows stay seen, are never fetched) — same spec as the
         engine's _ensure_robots + HostScheduler re-check."""
-        from crawlray.state.robots import DEFAULT_UA, parse_robots_txt
+        from crawlray.state.robots import (
+            DEFAULT_UA, parse_robots_sitemaps, parse_robots_txt,
+        )
 
         for h in sorted(set(hosts) - robots_known):
             status, _c, body, _l, _f, _e, _lm = fetch(f"https://{h}/robots.txt")
             if status == 200 and body:
                 robots_known.add(h)
-                a, d, ms = parse_robots_txt(
-                    bytes(body).decode("utf-8", errors="replace"),
-                    DEFAULT_UA, cfg.default_delay_ms,
-                )
+                txt = bytes(body).decode("utf-8", errors="replace")
+                a, d, ms = parse_robots_txt(txt, DEFAULT_UA,
+                                            cfg.default_delay_ms)
                 robots.add_rows([{"host": h, "allow": a, "deny": d,
-                                  "crawl_delay_ms": ms}])
+                                  "crawl_delay_ms": ms,
+                                  "sitemaps": parse_robots_sitemaps(txt)}])
             elif status >= 500 or status <= 0:
                 # unreachable robots (RFC 9309): temporary deny-all, NOT
                 # marked known — the next wave retries (engine mirror)
@@ -321,10 +323,16 @@ def crawl_oracle(seed_urls, robots: RobotsPolicy, pages_index: dict,
             # (budgets ∪ prior_hosts) - disco_done difference
             new_hosts = sorted((set(host_pages) | prior_hosts) - disco_done)
             disco_done.update(new_hosts)
-            doc_urls = list(pending_disco) + [
-                u for h in new_hosts
-                for u in (f"https://{h}/sitemap.xml", f"https://{h}/rss.xml")
-            ]
+            # robots-declared Sitemap: URLs ∪ defaults (engine mirror)
+            doc_urls = list(pending_disco)
+            probed = set(doc_urls)
+            for h in new_hosts:
+                for u in (*robots.sitemaps_for(h),
+                          f"https://{h}/sitemap.xml",
+                          f"https://{h}/rss.xml"):
+                    if u not in probed:
+                        probed.add(u)
+                        doc_urls.append(u)
             pending_disco = []
             candidates.extend(discover(doc_urls, pending_disco))
         if not frontier and not candidates:

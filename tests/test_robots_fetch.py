@@ -238,3 +238,76 @@ def test_robots_fetcher_5xx_is_transient_deny_all(tmp_path):
                    "crawl_delay_ms": 700, "fetched_ok": True}])
     assert "down.nl" in pol.known()
     assert pol.allowed("https://down.nl/anything")
+
+
+def test_parse_robots_sitemaps():
+    """Sitemap: directives are group-independent (RFC 9309 / sitemaps
+    .org): collected from anywhere in the file, order-preserving,
+    deduped; absent directive → []."""
+    from crawlray.state.robots import parse_robots_sitemaps
+
+    txt = """Sitemap: https://a.nl/deep/map-1.xml
+User-agent: googlebot
+Disallow: /
+Sitemap: https://a.nl/map-2.xml
+
+User-agent: crawlray
+Disallow: /x/
+Sitemap: https://a.nl/deep/map-1.xml
+"""
+    assert parse_robots_sitemaps(txt) == [
+        "https://a.nl/deep/map-1.xml", "https://a.nl/map-2.xml"]
+    assert parse_robots_sitemaps(SAMPLE) == []
+
+
+def test_robots_declared_sitemap_discovered(ray_session, tmp_path):
+    """A robots.txt `Sitemap:` directive pointing at a NON-default path
+    is probed as a discovery channel: its pages (linked nowhere, absent
+    from /sitemap.xml and /rss.xml) are crawled — engine ≡ oracle on
+    the full fetch log."""
+    from crawlray.pipelines.crawl import run_crawl
+    from crawlray.state.robots import RobotsPolicy as RP
+    from tests.oracle import build_pages_index, crawl_oracle
+
+    host = "smap.nl"
+    robots_txt = (b"User-agent: *\nDisallow: /prive/\nCrawl-delay: 0.01\n"
+                  b"Sitemap: https://smap.nl/deep/custom-map.xml\n")
+    sm = (b"<?xml version='1.0'?>"
+          b"<urlset xmlns='http://www.sitemaps.org/schemas/sitemap/0.9'>"
+          b"<url><loc>https://smap.nl/verborgen/artikel-9</loc></url>"
+          b"</urlset>")
+    html = (b"<html><head><title>t</title></head>"
+            b"<body><p>inhoud.</p></body></html>")
+    pages = pa.table({
+        "url": [f"https://{host}/robots.txt",
+                f"https://{host}/deep/custom-map.xml",
+                f"https://{host}/",
+                f"https://{host}/verborgen/artikel-9"],
+        "host": [host] * 4,
+        "status": pa.array([200] * 4, type=pa.int16()),
+        "content_type": ["text/plain", "application/xml",
+                         "text/html", "text/html"],
+        "html": pa.array([robots_txt, sm, html, html],
+                         type=pa.large_binary()),
+        "latency_ms": pa.array([5.0] * 4, type=pa.float32()),
+    })
+    pages_path = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, pages_path)
+    cfg = CrawlConfig(
+        n_parts=2, seen_shards=1, max_depth=4, max_waves=4,
+        max_pages_per_host=20, fetch_concurrency=(1, 2),
+        parse_concurrency=(1, 2), robots_mode="fetch",
+        schedule_mode="wave_start",
+        transport={"kind": "sim", "pages_path": pages_path},
+    )
+    run_dir = str(tmp_path / "run")
+    run_crawl(run_dir, [f"https://{host}/"], None, cfg)
+    eng = _log(run_dir)
+    fetched = {k[4] for k in eng}
+    assert f"https://{host}/verborgen/artikel-9" in fetched
+    ora = crawl_oracle(
+        [f"https://{host}/"], RP([], default_delay_ms=cfg.default_delay_ms),
+        build_pages_index(pages), cfg,
+    )
+    assert eng == sorted(tuple(r[c] for c in FETCH_COLS)
+                         for r in ora.fetch_log)
