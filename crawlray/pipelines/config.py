@@ -45,6 +45,14 @@ class CrawlConfig:
     # them before the frontier — the engine never walks off the list.
     # None = open crawl (every http(s) host).
     allowed_hosts: tuple | None = None
+    # M10 content-language gate (the reference's optional Dutch-news
+    # heuristic): when set, a fetched page whose stopword-heuristic
+    # language (functions/textstats.lang_id over its text spans) is not
+    # in the set keeps its fetch-log row but stores NO content — title/
+    # spans/links blank, so its outlinks are never discovered. The
+    # detected language rides as a `lang` column in the pages sink.
+    # None = store everything.
+    keep_languages: tuple | None = None
     # §2.10 per-site extraction rules: {host_pattern: extractor NAME}
     # (names resolved in functions/extractors.EXTRACTORS; exact host or
     # dot-suffix patterns, longest wins; unmatched hosts parse generic)
@@ -108,6 +116,8 @@ class CrawlConfig:
         # cheaply serialized into every frontier-build actor
         if self.allowed_hosts is not None:
             self.allowed_hosts = tuple(sorted(set(self.allowed_hosts)))
+        if self.keep_languages is not None:
+            self.keep_languages = tuple(sorted(set(self.keep_languages)))
         # a typo here would silently fall back to "write" behavior in the
         # wave loop — fail loudly instead (ADVICE r1)
         if self.schedule_mode not in ("write", "wave_start"):

@@ -624,7 +624,8 @@ class CrawlRun:
                                              else None),
                                    "wave": wave,
                                    "validators_dir":
-                                       self._p("validators", f"wave={wave}")},
+                                       self._p("validators", f"wave={wave}"),
+                                   "keep_languages": cfg.keep_languages},
         )
         # coalesce the parse stream into few big blocks: (a) the
         # per-block dedup combiner sees more duplicates, (b) the

@@ -35,9 +35,15 @@ class PageParser:
     parser. The oracle resolves through the same registry, so custom
     rules stay parity-checked."""
 
-    def __init__(self, extractors: dict[str, str] | None = None):
+    def __init__(self, extractors: dict[str, str] | None = None,
+                 keep_languages: tuple | None = None):
         self._extractors_cfg = extractors or {}
         self._by_host: dict[str, object] = {}
+        # M10 content-language gate: parsed pages outside the set keep
+        # their fetch-log row but store no content (title/spans/links
+        # blank — outlinks never discovered); None = keep everything
+        self._keep_langs = (frozenset(keep_languages)
+                            if keep_languages else None)
 
     def _extractor(self, host: str):
         fn = self._by_host.get(host)
@@ -96,7 +102,29 @@ class PageParser:
                 all_spans.append([])
                 all_links.append([])
                 all_anchors.append([])
+        langs: list[str | None] = [None] * len(urls)
+        if self._keep_langs is not None:
+            from ..functions.textstats import lang_id
+
+            parsed_idx = [i for i, sp in enumerate(all_spans) if sp]
+            texts = [
+                " ".join(t for k, t, _m in all_spans[i]
+                         if k == "text" and t)
+                for i in parsed_idx
+            ]
+            for i, lang in zip(parsed_idx, lang_id(texts)):
+                langs[i] = lang
+                if lang not in self._keep_langs:
+                    # gated: fetch-log row survives, content does not
+                    titles[i] = None
+                    published[i] = None
+                    all_spans[i] = []
+                    all_links[i] = []
+                    all_anchors[i] = []
         out = batch.drop_columns(["body"])
+        if self._keep_langs is not None:
+            out = out.append_column("lang",
+                                    pa.array(langs, type=pa.string()))
         out = out.append_column("title", pa.array(titles, type=pa.string()))
         out = out.append_column("published", pa.array(published, type=pa.timestamp("us")))
         out = out.append_column("spans", spans_to_arrow(all_spans))
@@ -126,10 +154,11 @@ class ParseAndSink:
     never surfaces as a committed .parquet)."""
 
     def __init__(self, pages_dir: str, extractors: dict[str, str] | None = None,
-                 stats=None, wave: int = -1, validators_dir: str | None = None):
+                 stats=None, wave: int = -1, validators_dir: str | None = None,
+                 keep_languages: tuple | None = None):
         os.makedirs(pages_dir, exist_ok=True)
         self._dir = pages_dir
-        self._parse = PageParser(extractors)
+        self._parse = PageParser(extractors, keep_languages=keep_languages)
         self._stats = stats   # politeness-drift latency fold (WaveStats)
         self._wave = wave
         # conditional-refetch baseline: responses bearing ETag /

@@ -301,6 +301,17 @@ def crawl_oracle(seed_urls, robots: RobotsPolicy, pages_index: dict,
             )
             if status == 200 and str(ctype).startswith("text/html"):
                 page = extractor_for(r["host"])(decode_html(body, ctype))
+                # M10 content-language gate mirror: outside-set pages
+                # keep their fetch-log row, store nothing, discover
+                # nothing (engine: PageParser blanks the row)
+                keep_langs = getattr(cfg, "keep_languages", None)
+                if keep_langs and page.spans:
+                    from crawlray.functions.textstats import lang_id
+
+                    text = " ".join(t for k, t, _m in page.spans
+                                    if k == "text" and t)
+                    if lang_id([text])[0] not in keep_langs:
+                        continue
                 res.docs[final] = [
                     (k, t, m, i) for i, (k, t, m) in enumerate(page.spans)
                 ]

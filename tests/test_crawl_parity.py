@@ -368,6 +368,81 @@ def test_charset_span_parity(ray_session, tmp_path):
     assert eng_docs[f"https://{host}/artikel/meta"][0][1] == txt2
 
 
+def test_language_gate_parity(ray_session, tmp_path):
+    """M10 content-language gate: with keep_languages=('nl',), a linked
+    French page is still fetched (politeness/log parity) but stores NO
+    content and its outlinks are never discovered; Dutch pages store
+    normally. Engine ≡ oracle on fetch log and stored docs; a control
+    run without the gate walks through the French page."""
+    from crawlray.pipelines.crawl import run_crawl
+    from tests.oracle import build_pages_index, crawl_oracle
+
+    host = "taal.nl"
+    nl = ("De kat zit op de mat en het huis is een warm huis. "
+          "Dat is goed, van de buurt op te zien.")
+    fr = ("Le chat est sur le tapis et la maison est une grande maison "
+          "pres de la riviere au bord du chemin.")
+
+    def html(text, links=()):
+        body = "".join(f'<a href="{u}">l</a>' for u in links)
+        return (f"<html><head><title>t</title></head><body>"
+                f"<p>{text}</p>{body}</body></html>").encode()
+
+    pages = pa.table({
+        "url": [f"https://{host}/", f"https://{host}/frans",
+                f"https://{host}/nl-2", f"https://{host}/achter-frans"],
+        "host": [host] * 4,
+        "status": pa.array([200] * 4, type=pa.int16()),
+        "content_type": ["text/html"] * 4,
+        "html": pa.array([
+            html(nl, ["/frans", "/nl-2"]),
+            html(fr, ["/achter-frans"]),   # only discovery path
+            html(nl),
+            html(nl),
+        ], type=pa.large_binary()),
+        "latency_ms": pa.array([10.0] * 4, type=pa.float32()),
+    })
+    pages_path = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, pages_path)
+    robots_t = pa.table({
+        "host": [host], "allow": [[]], "deny": [[]],
+        "crawl_delay_ms": pa.array([10], type=pa.int32()),
+    })
+
+    def cfg_of(keep):
+        return CrawlConfig(
+            n_parts=2, seen_shards=1, max_depth=4, max_waves=4,
+            max_pages_per_host=20, keep_languages=keep,
+            fetch_concurrency=(1, 2), parse_concurrency=(1, 2),
+            transport={"kind": "sim", "pages_path": pages_path},
+        )
+
+    run_gated = str(tmp_path / "run_gated")
+    cfg = cfg_of(("nl",))
+    run_crawl(run_gated, [f"https://{host}/"], robots_t, cfg)
+    rows = _engine_log(run_gated)
+    fetched = {r["url_canon"] for r in rows}
+    # the French page IS fetched (it was linked from a Dutch page)...
+    assert f"https://{host}/frans" in fetched
+    # ...but its outlink is never discovered
+    assert f"https://{host}/achter-frans" not in fetched
+    stored = {r["final_url"] for r in rows
+              if r["status"] == 200 and len(r["spans"])}
+    assert stored == {f"https://{host}/", f"https://{host}/nl-2"}
+    ora = crawl_oracle(
+        [f"https://{host}/"], RobotsPolicy.from_arrow(robots_t),
+        build_pages_index(pages), cfg,
+    )
+    assert (sorted(_key(r) for r in rows)
+            == sorted(_key(r) for r in ora.fetch_log))
+    assert set(ora.docs) == stored
+    # control: without the gate the French outlink is crawled
+    run_open = str(tmp_path / "run_open")
+    run_crawl(run_open, [f"https://{host}/"], robots_t, cfg_of(None))
+    assert f"https://{host}/achter-frans" in {
+        r["url_canon"] for r in _engine_log(run_open)}
+
+
 def test_anchor_text_parity(crawl_env):
     """VERDICT r2 item #10: anchor text is retained through the parse
     stage into the pages sink (``link_anchors`` parallel to ``links``)
