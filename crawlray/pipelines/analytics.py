@@ -4781,7 +4781,72 @@ FROM s GROUP BY 1
 """
 
 
+# =====================================================================
+# time-RANGE window frame (RANGE BETWEEN INTERVAL ... PRECEDING)
+# =====================================================================
+
+def q_range_moving_sum(sf_dir: str, window_us: int = 3_600_000_000):
+    """Per-user rolling 1-hour sum over EVENT TIME — the RANGE frame
+    (``RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW``), which
+    unlike the ROWS frame (moving_avg) is defined by timestamp distance
+    and includes ALL peers of the current timestamp. Scale plan: one
+    user-hash exchange; each partition sorts its users' events once and
+    computes every window with two vectorized searchsorted passes over
+    a prefix-sum array — O(n log n) per partition, no per-row Python,
+    no self-join. Cents int64 both sides."""
+    from .sizing import fold_parts
+
+    n_parts = fold_parts()
+    ds = _t(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kp = (_splitmix64(uid).view(np.uint64)
+              % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({
+            "event_id": b["event_id"],
+            "user_id": b["user_id"],
+            "ts_us": b["ts"].cast(pa.int64()),
+            "cents": _cents(b["value"]),
+            "kp": pa.array(kp),
+        })
+
+    def window(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _uid, sub in g.groupby("user_id", sort=False):
+            sub = sub.sort_values("ts_us", kind="mergesort")
+            ts = sub["ts_us"].to_numpy()
+            cents = sub["cents"].to_numpy()
+            pref = np.concatenate(([0], np.cumsum(cents)))
+            lo = np.searchsorted(ts, ts - window_us, side="left")
+            hi = np.searchsorted(ts, ts, side="right")  # peers included
+            outs.append(pd.DataFrame({
+                "event_id": sub["event_id"].to_numpy(),
+                "user_id": sub["user_id"].to_numpy(),
+                "win_cents": (pref[hi] - pref[lo]).astype(np.int64),
+            }))
+        return pd.concat(outs, ignore_index=True) if outs else \
+            pd.DataFrame({"event_id": pd.Series([], dtype=np.int64),
+                          "user_id": pd.Series([], dtype=np.int64),
+                          "win_cents": pd.Series([], dtype=np.int64)})
+
+    return (ds.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("kp").map_groups(window, batch_format="pandas"))
+
+
+SQL_RANGE_MOVING_SUM = """
+SELECT event_id, user_id,
+  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+    PARTITION BY user_id ORDER BY ts
+    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+  AS BIGINT) AS win_cents
+FROM events
+"""
+
+
 ANALYTICS_QUERIES = {
+    "range_moving_sum": (q_range_moving_sum, SQL_RANGE_MOVING_SUM),
     "regr_per_group": (q_regr_per_group, SQL_REGR_PER_GROUP),
     "activity_streaks": (q_activity_streaks, SQL_ACTIVITY_STREAKS),
     "large_order_customers": (q_large_order_customers,

@@ -5062,6 +5062,156 @@ def q_bpe_encode(sf_dir: str):
                           zero_copy_batch=True)
 
 
+# =====================================================================
+# exact substring dedup REMOVAL (Lee et al. 2022 — the excision half)
+# =====================================================================
+
+def q_remove_dup_substrings(sf_dir: str, n: int = 8):
+    """Exact substring deduplication — the REMOVAL half of Lee et al.
+    2022 next to q_dup_ngrams' exposure metric: every token covered by
+    a non-keeper occurrence of a duplicated token n-gram is excised;
+    the keeper (global min (doc_id, first-pos) per gram) keeps exactly
+    one occurrence in the corpus, including WITHIN-doc repeats. Docs
+    with doc_id % 10 == 0 are unioned back as near-copies (id+1e6,
+    last token dropped) so copies are excised to (near) nothing while
+    originals survive as keepers. Scale shape: pass A emits per-block
+    (gram-hash, doc, first-pos, n_occ) rows — block-distinct ≡ globally
+    distinct since a doc never spans blocks — through ONE gram-hash
+    exchange whose partitions select keepers locally; the duplicated
+    set (the rare tail, the dup_ngrams boundedness assumption)
+    broadcasts once as three sorted arrays; pass B re-derives gram
+    positions block-locally and excises via searchsorted membership —
+    no joins, no per-gram Python. Rows-only: pinned against a
+    sequential literal-gram reference (hash-collision odds ~1e-9,
+    documented in dup_ngrams)."""
+    from ..functions.murmur3 import hash64s
+
+    powers = np.empty(n, dtype=np.uint64)
+    mult = np.uint64(0x100000001B3)
+    powers[n - 1] = np.uint64(1)
+    for i in range(n - 2, -1, -1):
+        with np.errstate(over="ignore"):
+            powers[i] = powers[i + 1] * mult
+
+    def gram_pos(texts):
+        """(gram_hash, doc_index, pos-within-doc) for every n-gram
+        occurrence across the batch's docs."""
+        lists = pc.split_pattern(texts, " ")
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        flat = pc.list_flatten(lists)
+        hh = hash64_batch_i64(flat).view(np.uint64)
+        doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        if len(hh) < n:
+            return (np.empty(0, np.uint64), np.empty(0, np.int64),
+                    np.empty(0, np.int64), lens)
+        win = np.lib.stride_tricks.sliding_window_view(hh, n)
+        with np.errstate(over="ignore"):
+            gh = (win * powers[None, :]).sum(axis=1, dtype=np.uint64)
+        valid = doc_of[:len(gh)] == doc_of[n - 1:]
+        d = doc_of[:len(gh)][valid]
+        pos = np.arange(len(gh), dtype=np.int64)[valid] - starts[d]
+        return gh[valid], d, pos, lens
+
+    def corpus_batch(b: pa.Table):
+        did = b["doc_id"].to_numpy(zero_copy_only=False)
+        texts = b["text"].to_pylist()
+        copy_rows = np.flatnonzero(did % 10 == 0)
+        all_ids = np.concatenate([did, did[copy_rows] + 1_000_000])
+        all_texts = texts + [" ".join(texts[i].split(" ")[:-1])
+                             for i in copy_rows]
+        return all_ids, pa.array(all_texts, type=pa.string())
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    gparts = bucket_parts()
+
+    def emit(b: pa.Table) -> pa.Table:
+        all_ids, texts = corpus_batch(b)
+        gh, d, pos, _l = gram_pos(texts)
+        if len(gh) == 0:
+            return pa.table({"gram": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "minpos": pa.array([], pa.int64()),
+                             "n_occ": pa.array([], pa.int64()),
+                             "gp": pa.array([], pa.int64())})
+        f = pd.DataFrame({"gram": gh.view(np.int64),
+                          "doc_id": all_ids[d], "pos": pos})
+        g = f.groupby(["gram", "doc_id"], sort=False)["pos"] \
+            .agg(["min", "size"]).reset_index()
+        with np.errstate(over="ignore"):
+            gp = ((g["gram"].to_numpy().view(np.uint64)
+                   * np.uint64(0x9E3779B97F4A7C15))
+                  % np.uint64(gparts)).astype(np.int64)
+        return pa.table({
+            "gram": pa.array(g["gram"].to_numpy()),
+            "doc_id": pa.array(g["doc_id"].to_numpy()),
+            "minpos": pa.array(g["min"].to_numpy().astype(np.int64)),
+            "n_occ": pa.array(g["size"].to_numpy().astype(np.int64)),
+            "gp": pa.array(gp),
+        })
+
+    def keepers(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("gram", sort=False)["n_occ"].transform("sum")
+        dup = g[tot >= 2]
+        if not len(dup):
+            return pd.DataFrame({"gram": pd.Series([], dtype=np.int64),
+                                 "kdoc": pd.Series([], dtype=np.int64),
+                                 "kpos": pd.Series([], dtype=np.int64)})
+        k = dup.sort_values(["gram", "doc_id", "minpos"],
+                            kind="mergesort").groupby("gram", sort=False) \
+            .head(1)
+        return pd.DataFrame({"gram": k["gram"].to_numpy(),
+                             "kdoc": k["doc_id"].to_numpy(),
+                             "kpos": k["minpos"].to_numpy()})
+
+    kt = pa.concat_tables(
+        list(ds.map_batches(emit, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby("gp").map_groups(keepers, batch_format="pandas")
+             .iter_batches(batch_size=65536, batch_format="pyarrow"))
+        or [pa.table({"gram": pa.array([], pa.int64()),
+                      "kdoc": pa.array([], pa.int64()),
+                      "kpos": pa.array([], pa.int64())})])
+    grams = kt["gram"].to_numpy(zero_copy_only=False)
+    srt = np.argsort(grams)
+    dup_ref = ray.put((grams[srt],
+                       kt["kdoc"].to_numpy(zero_copy_only=False)[srt],
+                       kt["kpos"].to_numpy(zero_copy_only=False)[srt]))
+
+    def excise(b: pa.Table) -> pa.Table:
+        dgrams, kdocs, kposs = ray.get(dup_ref)
+        all_ids, texts = corpus_batch(b)
+        gh, d, pos, lens = gram_pos(texts)
+        toks = [t.split(" ") for t in texts.to_pylist()]
+        marks = [np.zeros(len(tk), dtype=bool) for tk in toks]
+        if len(gh) and len(dgrams):
+            gi = gh.view(np.int64)
+            idx = np.searchsorted(dgrams, gi)
+            idx[idx >= len(dgrams)] = max(len(dgrams) - 1, 0)
+            hit = dgrams[idx] == gi
+            nonkeep = hit & ~((kdocs[idx] == all_ids[d])
+                              & (kposs[idx] == pos))
+            for j in np.flatnonzero(nonkeep):
+                marks[d[j]][pos[j]:pos[j] + n] = True
+        out_ids, nb, nr, ch = [], [], [], []
+        for i, tk in enumerate(toks):
+            kept = [t for t, m in zip(tk, marks[i]) if not m]
+            out_ids.append(int(all_ids[i]))
+            nb.append(len(tk))
+            nr.append(int(marks[i].sum()))
+            ch.append(hash64s(" ".join(kept)))
+        return pa.table({
+            "doc_id": pa.array(out_ids, pa.int64()),
+            "n_before": pa.array(nb, pa.int64()),
+            "n_removed": pa.array(nr, pa.int64()),
+            "clean_hash": pa.array(ch, pa.int64()),
+        })
+
+    return ds.map_batches(excise, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 DATAOPS_QUERIES = {
     "url_canonicalize": (q_url_canonicalize, SQL_URL_CANONICALIZE),
     "murmur3_hash": (q_murmur3, None),
@@ -5115,6 +5265,7 @@ DATAOPS_QUERIES = {
     "knn_classify": (q_knn_classify, SQL_KNN_CLASSIFY),
     "bpe_train": (q_bpe_train, None),
     "bpe_encode": (q_bpe_encode, None),
+    "remove_dup_substrings": (q_remove_dup_substrings, None),
     "hybrid_rrf": (q_hybrid_rrf, SQL_HYBRID_RRF),
     "token_entropy": (q_token_entropy, SQL_TOKEN_ENTROPY),
     "logreg_train": (q_logreg_train, None),

@@ -551,6 +551,63 @@ def test_bpe_encode_matches_reference(ray_session):
         sum(raw.values())
 
 
+def test_remove_dup_substrings_matches_reference(ray_session):
+    """Exact-substring REMOVAL pin (Lee et al. 2022): the distributed
+    keeper-selection + excision must equal a sequential literal-gram
+    reference on every (doc, n_before, n_removed, clean_hash); planted
+    near-copies are excised to nothing while their originals keep the
+    keeper occurrences."""
+    import pyarrow.parquet as pq
+
+    from crawlray.functions.murmur3 import hash64s
+    from crawlray.pipelines.dataops import q_remove_dup_substrings
+
+    N = 8
+    t = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    corpus = {}
+    for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        corpus[did] = text.split(" ")
+        if did % 10 == 0:
+            corpus[did + 1_000_000] = text.split(" ")[:-1]
+    occ = {}
+    for did in sorted(corpus):
+        tk = corpus[did]
+        for p in range(len(tk) - N + 1):
+            occ.setdefault(tuple(tk[p:p + N]), []).append((did, p))
+    keeper = {}
+    for g, lst in occ.items():
+        if len(lst) >= 2:
+            keeper[g] = min(lst)
+    want = {}
+    for did in sorted(corpus):
+        tk = corpus[did]
+        mark = [False] * len(tk)
+        for p in range(len(tk) - N + 1):
+            g = tuple(tk[p:p + N])
+            if g in keeper and keeper[g] != (did, p):
+                for q in range(p, p + N):
+                    mark[q] = True
+        kept = [w for w, m in zip(tk, mark) if not m]
+        want[did] = (len(tk), sum(mark), hash64s(" ".join(kept)))
+
+    got = q_remove_dup_substrings(SF_DIR).to_pandas()
+    assert len(got) == len(want)
+    for did, nb, nr, ch in got.itertuples(index=False):
+        assert (nb, nr, ch) == want[did], did
+    # copies are excised to nothing; originals keep their keepers
+    copies = got[got["doc_id"] >= 1_000_000]
+    long_copies = copies[copies["n_before"] >= N]
+    assert len(long_copies) and \
+        (long_copies["n_removed"] == long_copies["n_before"]).all()
+    originals = got[got["doc_id"] < 1_000_000]
+    # the vast majority of originals keep content (the fixture contains
+    # a few NATURAL full duplicates — e.g. one original wholly excised
+    # against a lower-id twin, which is correct Lee-et-al behavior)
+    frac_kept = (originals["n_removed"] < originals["n_before"]).mean()
+    assert frac_kept > 0.95
+
+
 def test_logreg_train_both_paths_agree(ray_session):
     """The guarded-local GD loop must be exact vs a numpy reference;
     the forced-distributed per-round gradient loop must converge to the
