@@ -4297,9 +4297,12 @@ def q_large_order_customers(sf_dir: str, min_qty: int = 300):
         return pd.DataFrame({"o_orderkey": s.index.to_numpy(np.int64),
                              "sum_qty": s.to_numpy(np.int64)})
 
+    # materialize the HAVING output (bounded): count() and the key pull
+    # below would otherwise each re-execute the fact-sized pipeline
     big = (li.map_batches(partial, batch_format="pyarrow",
                           zero_copy_batch=True)
-           .groupby("kp").map_groups(fold, batch_format="pandas"))
+           .groupby("kp").map_groups(fold, batch_format="pandas")
+           .materialize())
 
     orders = _t(sf_dir, "orders",
                 ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"])
@@ -4394,59 +4397,66 @@ def q_sole_returning_supplier(sf_dir: str):
     (suppkey) rows fold per-partition into (suppkey, cnt) partials →
     a dimension-bounded groupby(suppkey) → broadcast supplier names.
     The two EXISTS subqueries cost one shuffle total."""
+    import pyarrow.dataset as pads
+
     from .sizing import fold_parts
 
     n_parts = fold_parts()
     li = _t(sf_dir, "lineitem",
             ["l_orderkey", "l_suppkey", "l_returnflag"])
 
-    def partial(b: pa.Table) -> pa.Table:
+    def prep(b: pa.Table) -> pa.Table:
+        # NO per-block combiner here: (orderkey, suppkey) pairs are
+        # already ~unique per block on this fact table, so a two-key
+        # Arrow group_by per block costs seconds and shrinks nothing
+        # (measured) — the partition fold dedups instead
         ret = pc.cast(pc.equal(b["l_returnflag"], pa.scalar("R")),
                       pa.int64())
-        g = pa.table({
-            "l_orderkey": b["l_orderkey"], "l_suppkey": b["l_suppkey"],
-            "ret": ret,
-        }).group_by(["l_orderkey", "l_suppkey"]).aggregate([("ret", "max")])
-        okey = g["l_orderkey"].to_numpy(zero_copy_only=False)
+        okey = b["l_orderkey"].to_numpy(zero_copy_only=False)
         kp = (_splitmix64(okey.astype(np.int64)).view(np.uint64)
               % np.uint64(n_parts)).astype(np.int64)
-        return g.append_column("kp", pa.array(kp))
+        return pa.table({
+            "l_orderkey": b["l_orderkey"], "l_suppkey": b["l_suppkey"],
+            "ret": ret, "kp": pa.array(kp),
+        })
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
-        per = g.groupby(["l_orderkey", "l_suppkey"], sort=False)["ret_max"] \
+        per = g.groupby(["l_orderkey", "l_suppkey"], sort=False)["ret"] \
             .max().reset_index()
         ordstats = per.groupby("l_orderkey", sort=False).agg(
-            n_supp=("l_suppkey", "size"), n_ret=("ret_max", "sum"))
+            n_supp=("l_suppkey", "size"), n_ret=("ret", "sum"))
         per = per.join(ordstats, on="l_orderkey")
-        hit = per[(per["ret_max"] == 1) & (per["n_ret"] == 1)
+        hit = per[(per["ret"] == 1) & (per["n_ret"] == 1)
                   & (per["n_supp"] >= 2)]
         cnt = hit.groupby("l_suppkey", sort=False).size()
         return pd.DataFrame({"l_suppkey": cnt.index.to_numpy(np.int64),
                              "numwait": cnt.to_numpy(np.int64)})
 
-    partials = (li.map_batches(partial, batch_format="pyarrow",
+    partials = (li.map_batches(prep, batch_format="pyarrow",
                                zero_copy_batch=True)
                 .groupby("kp").map_groups(fold, batch_format="pandas"))
-    agg = partials.groupby("l_suppkey").aggregate(Sum("numwait",
-                                                      alias_name="numwait"))
-
-    def add_name(b: pa.Table) -> pa.Table:
-        # pull ONLY this batch's supplier names through a filtered
-        # dimension read (row-group pruned) — no supplier-sized broadcast
-        import pyarrow.dataset as pads
-
-        sks = sorted(set(b["l_suppkey"].to_pylist()))
-        t = pads.dataset(os.path.join(sf_dir, "supplier.parquet")) \
-            .to_table(columns=["s_suppkey", "s_name"],
-                      filter=pads.field("s_suppkey").isin(sks))
-        nm = dict(zip(t["s_suppkey"].to_pylist(), t["s_name"].to_pylist()))
-        return pa.table({
-            "s_name": pa.array([nm[k] for k in b["l_suppkey"].to_pylist()],
-                               type=pa.string()),
-            "numwait": b["numwait"],
-        })
-
-    return agg.map_batches(add_name, batch_format="pyarrow")
+    # final supplier fold on the driver: the partials are bounded by
+    # |suppliers| × n_partitions skinny int rows, and a Ray Aggregate
+    # over ~1000 groups pays all-to-all machinery for a bincount's
+    # worth of work (the r3 few-group-aggregate lesson, measured ~7 s
+    # → ~0 here)
+    rows = pa.concat_tables(
+        list(partials.iter_batches(batch_size=65536,
+                                   batch_format="pyarrow"))
+        or [pa.table({"l_suppkey": pa.array([], pa.int64()),
+                      "numwait": pa.array([], pa.int64())})])
+    sk = rows["l_suppkey"].to_numpy(zero_copy_only=False)
+    nw = rows["numwait"].to_numpy(zero_copy_only=False)
+    uk, inv = np.unique(sk, return_inverse=True)
+    tot = np.bincount(inv, weights=nw).astype(np.int64)
+    t = pads.dataset(os.path.join(sf_dir, "supplier.parquet")) \
+        .to_table(columns=["s_suppkey", "s_name"],
+                  filter=pads.field("s_suppkey").isin(uk.tolist()))
+    nm = dict(zip(t["s_suppkey"].to_pylist(), t["s_name"].to_pylist()))
+    return pa.table({
+        "s_name": pa.array([nm[int(k)] for k in uk], type=pa.string()),
+        "numwait": pa.array(tot),
+    })
 
 
 SQL_SOLE_RETURNING_SUPPLIER = """
@@ -4503,12 +4513,13 @@ def q_idle_rich_customers(sf_dir: str):
 
     import pyarrow.dataset as pads
 
+    # materialized: count() and the key pull below must not re-execute
     active = rd.read_parquet(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"],
         filter=pads.field("o_totalprice") > 350000.0,
     ).map_batches(
         lambda b: b.group_by("o_custkey").aggregate([]),
-        batch_format="pyarrow", zero_copy_batch=True)
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
     if active.count() > _BROADCAST_KEY_LIMIT:
         flagged = cust.join(
             active.map_batches(
