@@ -21,6 +21,10 @@ from urllib.parse import urlsplit
 
 DEFAULT_UA = "crawlray"
 
+# compiled wildcard-rule regexes (rules containing * or a trailing $),
+# keyed by the raw rule string — shared across policy instances
+_WILDCARD_CACHE: dict = {}
+
 
 def parse_robots_sitemaps(text: str) -> list[str]:
     """``Sitemap:`` directives from a robots.txt body (sitemaps.org /
@@ -136,19 +140,45 @@ class RobotsPolicy:
         e = self._by_host.get(host)
         return e[2] if e else self.default_delay_ms
 
+    @staticmethod
+    def _rule_matches(rule: str, path: str) -> bool:
+        """RFC 9309 §2.2.2 path matching: plain rules are prefix
+        matches; ``*`` matches any byte sequence (incl. empty) and a
+        trailing ``$`` anchors the end of the path. Compiled lazily and
+        memoized per rule string (the module-level cache is shared by
+        every policy instance — rule sets are tiny)."""
+        if "*" not in rule and not rule.endswith("$"):
+            return path.startswith(rule)
+        rx = _WILDCARD_CACHE.get(rule)
+        if rx is None:
+            import re
+
+            pat = re.escape(rule[:-1] if rule.endswith("$") else rule)
+            pat = "^" + pat.replace(r"\*", ".*")
+            if rule.endswith("$"):
+                pat += "$"
+            rx = re.compile(pat)
+            _WILDCARD_CACHE[rule] = rx
+        return rx.search(path) is not None
+
     def allowed(self, url_canon: str) -> bool:
         parts = urlsplit(url_canon)
         e = self._by_host.get(parts.hostname or "")
         if e is None:
             return True  # no robots → allowed (reference behavior)
         allow, deny, _ = e
+        # RFC 9309: the match target is the path INCLUDING the query
         path = parts.path or "/"
+        if parts.query:
+            path = f"{path}?{parts.query}"
+        # most-specific (longest-rule) match wins; allow beats deny on
+        # equal length (the allow scan's strict > runs first)
         best_len, best_allow = -1, True
         for rule in allow:
-            if rule and path.startswith(rule) and len(rule) > best_len:
+            if rule and len(rule) > best_len and self._rule_matches(rule, path):
                 best_len, best_allow = len(rule), True
         for rule in deny:
-            if rule and path.startswith(rule) and len(rule) > best_len:
+            if rule and len(rule) > best_len and self._rule_matches(rule, path):
                 best_len, best_allow = len(rule), False
         return best_allow
 

@@ -311,3 +311,84 @@ def test_robots_declared_sitemap_discovered(ray_session, tmp_path):
     )
     assert eng == sorted(tuple(r[c] for c in FETCH_COLS)
                          for r in ora.fetch_log)
+
+
+def test_wildcard_rule_matching():
+    """RFC 9309 §2.2.2: `*` matches any byte sequence (incl. empty), a
+    trailing `$` anchors the end of the path, the match target includes
+    the query string, and the longest matching rule wins (allow beats
+    deny on equal length)."""
+    pol = RobotsPolicy([{
+        "host": "w.nl",
+        "allow": ["/archief/*/open"],
+        "deny": ["/archief/", "/*.pdf$", "/zoek?*sessie="],
+        "crawl_delay_ms": 10,
+    }])
+    assert not pol.allowed("https://w.nl/archief/2020/x")
+    # longer allow rule beats the shorter deny prefix
+    assert pol.allowed("https://w.nl/archief/2020/open")
+    # $ anchors: .pdf at the end is denied, .pdf in the middle is not
+    assert not pol.allowed("https://w.nl/docs/rapport.pdf")
+    assert pol.allowed("https://w.nl/docs/rapport.pdf.html")
+    # query string participates in matching
+    assert not pol.allowed("https://w.nl/zoek?q=x&sessie=42")
+    assert pol.allowed("https://w.nl/zoek?q=x")
+    # * can match empty
+    assert not pol.allowed("https://w.nl/archief/")
+    assert pol.allowed("https://w.nl/archief/open/open")
+
+
+def test_wildcard_rules_crawl_parity(ray_session, tmp_path):
+    """End-to-end: wildcard deny rules gate the crawl identically in
+    the engine and the oracle (shared RobotsPolicy — the parity is
+    structural, this pins the wiring)."""
+    from crawlray.pipelines.crawl import run_crawl
+    from tests.oracle import build_pages_index, crawl_oracle
+
+    host = "wild.nl"
+
+    def html(links):
+        body = "".join(f'<a href="{u}">l</a>' for u in links)
+        return (f"<html><head><title>t</title></head><body><p>tekst.</p>"
+                f"{body}</body></html>").encode()
+
+    urls = [f"https://{host}/", f"https://{host}/a/rapport.pdf",
+            f"https://{host}/a/rapport.pdf.html",
+            f"https://{host}/archief/2020/x",
+            f"https://{host}/archief/2020/open"]
+    pages = pa.table({
+        "url": urls,
+        "host": [host] * 5,
+        "status": pa.array([200] * 5, type=pa.int16()),
+        "content_type": ["text/html"] * 5,
+        "html": pa.array([html([u for u in urls[1:]]), html([]), html([]),
+                          html([]), html([])], type=pa.large_binary()),
+        "latency_ms": pa.array([10.0] * 5, type=pa.float32()),
+    })
+    pages_path = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, pages_path)
+    robots_t = pa.table({
+        "host": [host],
+        "allow": [["/archief/*/open"]],
+        "deny": [["/archief/", "/*.pdf$"]],
+        "crawl_delay_ms": pa.array([10], type=pa.int32()),
+    })
+    cfg = CrawlConfig(
+        n_parts=2, seen_shards=1, max_depth=3, max_waves=3,
+        max_pages_per_host=20, fetch_concurrency=(1, 2),
+        parse_concurrency=(1, 2),
+        transport={"kind": "sim", "pages_path": pages_path},
+    )
+    run_dir = str(tmp_path / "run")
+    run_crawl(run_dir, [f"https://{host}/"], robots_t, cfg)
+    eng = _log(run_dir)
+    fetched = {k[4] for k in eng}
+    assert fetched == {f"https://{host}/",
+                       f"https://{host}/a/rapport.pdf.html",
+                       f"https://{host}/archief/2020/open"}
+    ora = crawl_oracle(
+        [f"https://{host}/"], RobotsPolicy.from_arrow(robots_t),
+        build_pages_index(pages), cfg,
+    )
+    assert eng == sorted(tuple(r[c] for c in FETCH_COLS)
+                         for r in ora.fetch_log)
