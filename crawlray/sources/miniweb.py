@@ -26,9 +26,15 @@ _WORDS = (
     "akkoord debat motie crisis herstel groei daling cijfers rapport"
 ).split()
 
+_WORDS_NP = np.array(_WORDS, dtype=object)
+
+
+_LCG_A = 6364136223846793005
+_LCG_C = 1442695040888963407
+
 
 def _lcg(x: int) -> int:
-    return (x * 6364136223846793005 + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
+    return (x * _LCG_A + _LCG_C) & 0xFFFFFFFFFFFFFFFF
 
 
 def _rand(seed: int, *keys: int):
@@ -39,6 +45,76 @@ def _rand(seed: int, *keys: int):
     while True:
         x = _lcg(x)
         yield x >> 11
+
+
+# Vectorized _rand: the LCG has the closed form
+#   x_j = a^j·x_0 + b_j  (mod 2^64),  b_{j+1} = a·b_j + c
+# so the first n draws for ANY keyed start state are one uint64 numpy
+# multiply-add over precomputed (a^j, b_j) tables — the per-draw Python
+# generator was ~75% of synthetic page generation (profiled; the bench
+# fetch stage regenerates every page from its URL). Stream equality with
+# _rand is pinned in tests/test_crawl_parity.py.
+_POW_A = np.empty(0, dtype=np.uint64)
+_POW_B = np.empty(0, dtype=np.uint64)
+
+
+def _extend_lcg_tables(n: int) -> None:
+    global _POW_A, _POW_B
+    if len(_POW_A) >= n:
+        return
+    size = max(4096, 1 << (n - 1).bit_length())
+    A = np.empty(size, dtype=np.uint64)
+    B = np.empty(size, dtype=np.uint64)
+    a, b = 1, 0
+    for j in range(size):
+        a = (a * _LCG_A) & 0xFFFFFFFFFFFFFFFF
+        b = (b * _LCG_A + _LCG_C) & 0xFFFFFFFFFFFFFFFF
+        A[j] = a
+        B[j] = b
+    _POW_A, _POW_B = A, B
+
+
+def _rand_block(seed: int, keys: tuple, n: int) -> np.ndarray:
+    """First ``n`` draws of ``_rand(seed, *keys)`` as one uint64 array."""
+    _extend_lcg_tables(n)
+    x = seed & 0xFFFFFFFFFFFFFFFF
+    for k in keys:
+        x = _lcg(x ^ (k & 0xFFFFFFFFFFFFFFFF))
+    with np.errstate(over="ignore"):
+        return (_POW_A[:n] * np.uint64(x) + _POW_B[:n]) >> np.uint64(11)
+
+
+class _BlockRand:
+    """Cursor over a vectorized draw block; regenerates a doubled block
+    (cheap — one multiply-add) if a page draws past the estimate."""
+
+    __slots__ = ("seed", "keys", "draws", "ptr")
+
+    def __init__(self, seed: int, keys: tuple, n0: int):
+        self.seed = seed
+        self.keys = keys
+        self.draws = _rand_block(seed, keys, n0)
+        self.ptr = 0
+
+    def _refill(self, need: int) -> None:
+        n = len(self.draws)
+        while n < need:
+            n *= 2
+        self.draws = _rand_block(self.seed, self.keys, n)
+
+    def nxt(self) -> int:
+        if self.ptr >= len(self.draws):
+            self._refill(self.ptr + 1)
+        v = int(self.draws[self.ptr])
+        self.ptr += 1
+        return v
+
+    def take(self, cnt: int) -> np.ndarray:
+        if self.ptr + cnt > len(self.draws):
+            self._refill(self.ptr + cnt)
+        out = self.draws[self.ptr:self.ptr + cnt]
+        self.ptr += cnt
+        return out
 
 
 def host_name(k: int) -> str:
@@ -63,8 +139,15 @@ def _page_html(
     """Pseudo-article: 2–8 paragraphs (×``heft``), interleaved media, tree
     links fanout*i+1 .. fanout*i+fanout (same host; fanout=2 → binary
     tree), duplicate + tracking-param + relative link variants, ~10%
-    cross-host edges, a denied link, a 404 link, a binary decoy link."""
-    r = _rand(seed, k, i)
+    cross-host edges, a denied link, a 404 link, a binary decoy link.
+
+    Draws come from the VECTORIZED ``_rand`` block (same stream, same
+    consumption order — the count draw of each paragraph precedes its
+    word draws exactly as the original generator expression evaluated
+    them); per-word Python generator calls were ~75% of page cost."""
+    rr = _BlockRand(seed, (k, i), heft * 256 + 64)
+    nxt = rr.nxt
+    n_words = np.uint64(len(_WORDS))
     host = host_name(k)
     parts = [f"<html><head><title>Artikel {i} — {host}</title>"]
     parts.append(
@@ -72,43 +155,46 @@ def _page_html(
         f'content="2024-0{1 + i % 9}-{1 + i % 27:02d}T{i % 24:02d}:00:00Z">'
     )
     parts.append("</head><body>")
-    n_paras = 2 + next(r) % 7
+    n_paras = 2 + nxt() % 7
     links: list[str] = []
-    for c in range(fanout * i + 1, fanout * i + fanout + 1):
-        if c < n_pages:
-            links.append(page_path(c))
+    # clamp to the page range up front: at bench fanout (32768) the
+    # unclamped loop spun 32k Python iterations per page mostly failing
+    # the bound (profiled ~0.7 ms/page — the generator's hot spot)
+    for c in range(fanout * i + 1,
+                   min(fanout * i + fanout + 1, n_pages)):
+        links.append(page_path(c))
     if links:
         # duplicate with tracking junk + fragment (dedup/canonicalizer coverage)
         links.append(links[0] + "?utm_source=home&utm_medium=web#teaser")
         # relative with dot segments
         links.append(".." + links[0] if not links[0] == "/" else "/")
-    if next(r) % 10 == 0 and n_hosts > 1:
-        other = (k + 1 + next(r) % (n_hosts - 1)) % n_hosts
+    if nxt() % 10 == 0 and n_hosts > 1:
+        other = (k + 1 + nxt() % (n_hosts - 1)) % n_hosts
         links.append(f"https://{host_name(other)}/")
-    if next(r) % 7 == 0:
+    if nxt() % 7 == 0:
         links.append("/prive/geheim-%d" % i)          # robots-denied
-    if next(r) % 11 == 0:
+    if nxt() % 11 == 0:
         links.append("/weg/bestaat-niet-%d" % i)      # 404
-    if next(r) % 13 == 0:
+    if nxt() % 13 == 0:
         links.append("/media/foto-%d.jpg" % i)        # binary decoy (M2 filter)
-    if next(r) % 9 == 0:
+    if nxt() % 9 == 0:
         # 301 alias of THIS page (redirect coverage): fetching it must
         # resolve to the already-stored page and never duplicate a fetch
         links.append("/oud/artikel-%d" % i)
     li = 0
     for p in range(n_paras):
-        words = " ".join(
-            _WORDS[next(r) % len(_WORDS)] for _ in range(heft * (8 + next(r) % 18))
-        )
+        cnt = heft * (8 + nxt() % 18)
+        idx = (rr.take(cnt) % n_words).astype(np.int64)
+        words = " ".join(_WORDS_NP[idx])
         inline = ""
-        if li < len(links) and next(r) % 2:
+        if li < len(links) and nxt() % 2:
             inline = f' <a href="{links[li]}">lees verder</a>'
             li += 1
         parts.append(f"<p>{words}{inline}.</p>")
-        if next(r) % 3 == 0:
-            kind = "img" if next(r) % 4 else "video"
+        if nxt() % 3 == 0:
+            kind = "img" if nxt() % 4 else "video"
             src = f"/media/{kind}-{i}-{p}.{'jpg' if kind == 'img' else 'mp4'}"
-            alt = f' alt="beeld {p}"' if kind == "img" and next(r) % 2 else ""
+            alt = f' alt="beeld {p}"' if kind == "img" and nxt() % 2 else ""
             parts.append(f"<{kind} src=\"{src}\"{alt}>")
     while li < len(links):
         parts.append(f'<a href="{links[li]}">meer</a>')

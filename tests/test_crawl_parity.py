@@ -463,3 +463,16 @@ def test_anchor_text_parity(crawl_env):
         assert eng[k] == v, k
     anchors = {a for v in eng.values() for _, a in v}
     assert {"lees verder", "meer"} <= anchors  # fixture really varies them
+
+
+def test_rand_block_equals_generator():
+    """The vectorized LCG closed-form block must reproduce _rand's draw
+    stream exactly, across key tuples and past the table-extension
+    boundary (the miniweb fixture's byte-identity depends on it)."""
+    from crawlray.sources.miniweb import _rand, _rand_block
+
+    for keys in [(0, 0), (7, 123), (42,), (3, 99999)]:
+        for n in [1, 5, 100, 4096, 4097, 9000]:
+            r = _rand(42, *keys)
+            assert _rand_block(42, keys, n).tolist() == \
+                [next(r) for _ in range(n)], (keys, n)
