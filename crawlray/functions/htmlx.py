@@ -20,15 +20,16 @@ from dataclasses import dataclass, field
 from datetime import datetime
 from html.parser import HTMLParser
 
-_WS = re.compile(r"\s+")
-
 _MEDIA_TAGS = {"img": "image", "video": "video", "audio": "audio"}
 
 
 def norm_text(s: str) -> str:
     """M9: collapse whitespace runs, strip ends. (Entity unescape is done
-    by HTMLParser via convert_charrefs.)"""
-    return _WS.sub(" ", s).strip()
+    by HTMLParser via convert_charrefs.) str.split()/join — identical
+    semantics to the regex `\\s+` sub + strip (both use the unicode
+    whitespace property) at ~4× the speed; this runs per text span of
+    every parsed page (profiled as the parse stage's hottest line)."""
+    return " ".join(s.split())
 
 
 @dataclass
