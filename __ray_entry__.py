@@ -53,11 +53,13 @@ def _registry():
     from crawlray.pipelines.analytics import ANALYTICS_QUERIES
     from crawlray.pipelines.dataops import DATAOPS_QUERIES
     from crawlray.pipelines.relational import RELATIONAL_QUERIES
+    from crawlray.pipelines.tpch import TPCH_QUERIES
 
     merged: dict[str, tuple] = {}
     merged.update(RELATIONAL_QUERIES)
     merged.update(ANALYTICS_QUERIES)
     merged.update(DATAOPS_QUERIES)
+    merged.update(TPCH_QUERIES)
     return merged
 
 
