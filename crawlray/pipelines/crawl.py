@@ -8,8 +8,14 @@ wave (SURVEY §3.2):
                                                   hosts included) spreads
                                                   across the pool with NO
                                                   repartition all-to-all
-   → map_batches(Fetcher)                         actor pool, transport state
-   → map_batches(ParseAndSink)                    actor pool: parse, side-
+   → map_batches(fetch_batch)                     TASK stage, transport state
+                                                  memoized per worker process
+                                                  (stages/taskstate.py: a
+                                                  per-wave actor pool costs
+                                                  ~1 s spawn per stage per
+                                                  wave; tasks reuse Ray's
+                                                  long-lived workers)
+   → map_batches(parse_and_sink_batch)            TASK stage: parse, side-
                                                   write pages/wave=k fragment
                                                   per batch (deterministic
                                                   names, retry-idempotent),
@@ -59,6 +65,7 @@ import json
 import os
 import shutil
 import time
+import uuid
 
 import numpy as np
 import pyarrow as pa
@@ -66,16 +73,16 @@ import ray
 import ray.data as rd
 
 from ..sources import lance_compat
-from ..stages.fetch import Fetcher
+from ..stages.fetch import fetch_batch
 from ..stages.frontier import (
-    DedupNoveltyPolicy,
-    PartFrontierBuilder,
-    SeqAssigner,
     admit_seeds,
+    assign_seq,
+    build_part_frontier,
+    dedup_novelty_policy,
     explode_links,
     salt_gparts,
 )
-from ..stages.parse import ParseAndSink
+from ..stages.parse import parse_and_sink_batch
 from ..state.robots import RobotsPolicy
 from ..state.seen import make_shards
 from ..state.wavestats import WaveStats
@@ -195,6 +202,11 @@ class CrawlRun:
         self.cfg = cfg
         self.robots = robots
         self.robots_ref = ray.put(robots)
+        # run-scoped identity of cfg.transport for the task-stage
+        # instance cache (stages/taskstate.py): dicts don't hash, and a
+        # uuid is collision-free across the many runs one Ray session
+        # may execute
+        self._spec_token = uuid.uuid4().hex
         self.budgets: dict[str, int] = {}
         self.shards = None
         self.metrics: list[dict] = []
@@ -351,7 +363,7 @@ class CrawlRun:
         adds no new driver-side scaling class."""
         if self.cfg.robots_mode != "fetch":
             return
-        from ..state.robots import RobotsFetcher
+        from ..state.robots import fetch_robots_batch
 
         missing = sorted(set(self.budgets) - self.robots.known())
         if not missing:
@@ -360,11 +372,12 @@ class CrawlRun:
         rows = (
             rd.from_arrow(pa.table({"host": pa.array(missing, type=pa.string())}))
             .map_batches(
-                RobotsFetcher, batch_format="pyarrow", batch_size=128,
-                concurrency=(1, max(2, cfg.fetch_concurrency[1] // 2)),
+                fetch_robots_batch, batch_format="pyarrow", batch_size=128,
+                concurrency=max(2, cfg.fetch_concurrency[1] // 2),
                 num_cpus=cfg.fetch_num_cpus,
-                fn_constructor_kwargs={"transport_spec": cfg.transport,
-                                       "default_delay_ms": cfg.default_delay_ms},
+                fn_kwargs={"spec_token": self._spec_token,
+                           "transport_spec": cfg.transport,
+                           "default_delay_ms": cfg.default_delay_ms},
             )
             .take_all()
         )
@@ -444,10 +457,11 @@ class CrawlRun:
         )
         parsed = (
             src.map_batches(
-                Fetcher, batch_format="pyarrow", batch_size=64,
-                concurrency=(1, max(2, cfg.fetch_concurrency[1] // 2)),
+                fetch_batch, batch_format="pyarrow", batch_size=64,
+                concurrency=max(2, cfg.fetch_concurrency[1] // 2),
                 num_cpus=cfg.fetch_num_cpus,
-                fn_constructor_kwargs={"transport_spec": cfg.transport},
+                fn_kwargs={"spec_token": self._spec_token,
+                           "transport_spec": cfg.transport},
             )
             .map_batches(discover_batch, batch_format="pyarrow")
         )
@@ -575,16 +589,16 @@ class CrawlRun:
             # previous wave wrote — identical values for deterministic
             # transports (tested), fresher ones when real fetch latency
             # feeds back into budgets
-            from ..stages.schedule import HostScheduler
+            from ..stages.schedule import schedule_hosts
 
             drift_ref = (ray.put(dict(self.drift_ms))
                          if cfg.politeness_drift else None)
             ds = ds.groupby("part").map_groups(
-                HostScheduler,
+                schedule_hosts,
                 batch_format="pandas",
-                fn_constructor_kwargs={"robots_ref": self.robots_ref,
-                                       "drift_ref": drift_ref},
-                concurrency=(1, max(2, cfg.n_parts)),
+                fn_kwargs={"robots_ref": self.robots_ref,
+                           "drift_ref": drift_ref},
+                concurrency=max(2, cfg.n_parts),
                 num_cpus=cfg.seq_num_cpus,
             )
         # batch sizes scaled to the wave: a small wave of heavy pages
@@ -593,39 +607,35 @@ class CrawlRun:
                          n_front // (2 * cfg.fetch_concurrency[1])))
         pbs = max(1, min(cfg.parse_batch_size,
                          n_front // (2 * cfg.parse_concurrency[1])))
-        # pool minimums paired with those batch sizes (#batches drives
-        # how many actors can be busy): a 64-row wave 0 of heavy root
-        # pages still wants its actors up front, while autoscaling from
-        # min=1 would ramp for tens of seconds on a 300k-row wave
-        fconc = (max(1, min(cfg.fetch_concurrency[0], n_front // (2 * fbs))),
-                 cfg.fetch_concurrency[1])
-        pconc = (max(1, min(cfg.parse_concurrency[0], n_front // (2 * pbs))),
-                 cfg.parse_concurrency[1])
+        # fetch/parse are TASK stages (stages/taskstate.py): no per-wave
+        # actor-pool spawn, no min-pool ramp — concurrency is just the
+        # in-flight task cap
         fetched = ds.map_batches(
-            Fetcher,
+            fetch_batch,
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=fbs,
-            concurrency=fconc,
+            concurrency=cfg.fetch_concurrency[1],
             num_cpus=cfg.fetch_num_cpus,
-            fn_constructor_kwargs={"transport_spec": cfg.transport,
-                                   "validators_ref": validators_ref},
+            fn_kwargs={"spec_token": self._spec_token,
+                       "transport_spec": cfg.transport,
+                       "validators_ref": validators_ref},
         )
         sunk = fetched.map_batches(
-            ParseAndSink,
+            parse_and_sink_batch,
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=pbs,
-            concurrency=pconc,
+            concurrency=cfg.parse_concurrency[1],
             num_cpus=cfg.parse_num_cpus,
-            fn_constructor_kwargs={"pages_dir": pages_dir,
-                                   "extractors": cfg.extractors,
-                                   "stats": (self.stats if cfg.politeness_drift
-                                             else None),
-                                   "wave": wave,
-                                   "validators_dir":
-                                       self._p("validators", f"wave={wave}"),
-                                   "keep_languages": cfg.keep_languages},
+            fn_kwargs={"pages_dir": pages_dir,
+                       "extractors": cfg.extractors,
+                       "stats": (self.stats if cfg.politeness_drift
+                                 else None),
+                       "wave": wave,
+                       "validators_dir":
+                           self._p("validators", f"wave={wave}"),
+                       "keep_languages": cfg.keep_languages},
         )
         # coalesce the parse stream into few big blocks: (a) the
         # per-block dedup combiner sees more duplicates, (b) the
@@ -664,43 +674,43 @@ class CrawlRun:
                 batch_format="pyarrow", zero_copy_batch=True,
             )
             admitted = salted.groupby("gpart").map_groups(
-                DedupNoveltyPolicy,
+                dedup_novelty_policy,
                 batch_format="pandas",
-                fn_constructor_kwargs={"shards": self.shards,
-                                       "robots_ref": self.robots_ref,
-                                       "max_depth": cfg.max_depth,
-                                       "allowed_hosts": cfg.allowed_hosts,
-                                       "versions_dir": versions_dir,
-                                       "versions_ref": versions_ref},
-                concurrency=(1, max(2, cfg.n_parts)),
+                fn_kwargs={"shards": self.shards,
+                           "robots_ref": self.robots_ref,
+                           "max_depth": cfg.max_depth,
+                           "allowed_hosts": cfg.allowed_hosts,
+                           "versions_dir": versions_dir,
+                           "versions_ref": versions_ref},
+                concurrency=max(2, cfg.n_parts),
                 num_cpus=cfg.seq_num_cpus,
             )
             seqed = admitted.groupby("part").map_groups(
-                SeqAssigner,
+                assign_seq,
                 batch_format="pandas",
-                fn_constructor_kwargs={"budget_ref": budget_ref,
-                                       "cap": cfg.max_pages_per_host,
-                                       "wave": wave + 1,
-                                       "robots_ref": self.robots_ref,
-                                       "stats": self.stats},
-                concurrency=(1, max(2, cfg.n_parts)),
+                fn_kwargs={"budget_ref": budget_ref,
+                           "cap": cfg.max_pages_per_host,
+                           "wave": wave + 1,
+                           "robots_ref": self.robots_ref,
+                           "stats": self.stats},
+                concurrency=max(2, cfg.n_parts),
                 num_cpus=cfg.seq_num_cpus,
             )
         else:
             seqed = cands.groupby("part").map_groups(
-                PartFrontierBuilder,
+                build_part_frontier,
                 batch_format="pandas",
-                fn_constructor_kwargs={"shards": self.shards,
-                                       "robots_ref": self.robots_ref,
-                                       "budget_ref": budget_ref,
-                                       "cap": cfg.max_pages_per_host,
-                                       "wave": wave + 1,
-                                       "max_depth": cfg.max_depth,
-                                       "stats": self.stats,
-                                       "allowed_hosts": cfg.allowed_hosts,
-                                       "versions_dir": versions_dir,
-                                       "versions_ref": versions_ref},
-                concurrency=(1, max(2, cfg.n_parts)),
+                fn_kwargs={"shards": self.shards,
+                           "robots_ref": self.robots_ref,
+                           "budget_ref": budget_ref,
+                           "cap": cfg.max_pages_per_host,
+                           "wave": wave + 1,
+                           "max_depth": cfg.max_depth,
+                           "stats": self.stats,
+                           "allowed_hosts": cfg.allowed_hosts,
+                           "versions_dir": versions_dir,
+                           "versions_ref": versions_ref},
+                concurrency=max(2, cfg.n_parts),
                 num_cpus=cfg.seq_num_cpus,
             )
         next_dir = self._p("frontier", f"wave={wave + 1}")

@@ -72,3 +72,17 @@ class Fetcher:
                            pa.array((int(r[6]) for r in results),
                                     type=pa.int64()))
         )
+
+
+def fetch_batch(batch: pa.Table, *, spec_token: str, transport_spec: dict,
+                validators_ref=None) -> pa.Table:
+    """Task-based form of the fetch stage: runs in Ray's long-lived
+    worker processes (no per-wave actor-pool spawn — see
+    taskstate.py) with the Fetcher instance memoized per
+    (transport config, validators broadcast). ``spec_token`` is the
+    run-scoped identity of ``transport_spec`` (dicts don't hash)."""
+    from .taskstate import instance
+
+    f = instance("Fetcher", (spec_token, validators_ref),
+                 lambda: Fetcher(transport_spec, validators_ref))
+    return f(batch)

@@ -526,3 +526,54 @@ def admit_seeds(seed_urls: list[str], robots, shards, cfg: CrawlConfig) -> pa.Ta
     out.sort(key=lambda r: (r["part"], r["scheduled_ms"], r["host"], r["seq"]))
     df = pd.DataFrame(out)
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def build_part_frontier(df: pd.DataFrame, *, shards, robots_ref, budget_ref,
+                        cap: int, wave: int, max_depth: int, stats=None,
+                        allowed_hosts=None, versions_dir=None,
+                        versions_ref=None) -> pd.DataFrame:
+    """Task-based form of PartFrontierBuilder (see taskstate.py).
+    ``budget_ref`` is a fresh per-wave ray.put and ``robots_ref`` a
+    fresh per-run one, so the key scopes the memoized instance exactly;
+    the shard/stats actor handles are run-constant under that key."""
+    from .taskstate import instance
+
+    key = (robots_ref, budget_ref, wave, cap, max_depth,
+           versions_dir, versions_ref,
+           tuple(sorted(allowed_hosts)) if allowed_hosts else None)
+    b = instance("PartFrontierBuilder", key,
+                 lambda: PartFrontierBuilder(
+                     shards, robots_ref, budget_ref, cap, wave, max_depth,
+                     stats=stats, allowed_hosts=allowed_hosts,
+                     versions_dir=versions_dir, versions_ref=versions_ref))
+    return b(df)
+
+
+def dedup_novelty_policy(df: pd.DataFrame, *, shards, robots_ref,
+                         max_depth: int, allowed_hosts=None,
+                         versions_dir=None, versions_ref=None
+                         ) -> pd.DataFrame:
+    """Task-based form of DedupNoveltyPolicy (salted stage 1)."""
+    from .taskstate import instance
+
+    key = (robots_ref, max_depth, versions_dir, versions_ref,
+           tuple(sorted(allowed_hosts)) if allowed_hosts else None)
+    d = instance("DedupNoveltyPolicy", key,
+                 lambda: DedupNoveltyPolicy(
+                     shards, robots_ref, max_depth,
+                     allowed_hosts=allowed_hosts,
+                     versions_dir=versions_dir,
+                     versions_ref=versions_ref))
+    return d(df)
+
+
+def assign_seq(df: pd.DataFrame, *, budget_ref, cap: int, wave: int,
+               robots_ref=None, stats=None) -> pd.DataFrame:
+    """Task-based form of SeqAssigner (salted stage 2)."""
+    from .taskstate import instance
+
+    key = (budget_ref, cap, wave, robots_ref)
+    s = instance("SeqAssigner", key,
+                 lambda: SeqAssigner(budget_ref, cap, wave,
+                                     robots_ref=robots_ref, stats=stats))
+    return s(df)

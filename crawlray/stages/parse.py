@@ -248,3 +248,25 @@ class ParseAndSink:
             )
             proj = proj.append_column("redirect_final", finals)
         return proj
+
+
+def parse_and_sink_batch(batch: pa.Table, *, pages_dir: str,
+                         extractors: dict[str, str] | None = None,
+                         stats=None, wave: int = -1,
+                         validators_dir: str | None = None,
+                         keep_languages: tuple | None = None) -> pa.Table:
+    """Task-based form of the parse+sink stage (see taskstate.py for
+    why). ``pages_dir`` is unique per (run, wave), so it pins the
+    instance identity; the extractor registry and language gate ride in
+    the key too (hashable by construction)."""
+    from .taskstate import instance
+
+    key = (pages_dir, validators_dir, wave,
+           tuple(sorted((extractors or {}).items())),
+           tuple(keep_languages) if keep_languages else None)
+    p = instance("ParseAndSink", key,
+                 lambda: ParseAndSink(pages_dir, extractors=extractors,
+                                      stats=stats, wave=wave,
+                                      validators_dir=validators_dir,
+                                      keep_languages=keep_languages))
+    return p(batch)

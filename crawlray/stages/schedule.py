@@ -65,3 +65,14 @@ class HostScheduler:
         return df.sort_values(
             ["scheduled_ms", "host", "seq"], kind="mergesort", ignore_index=True
         )
+
+
+def schedule_hosts(df: pd.DataFrame, *, robots_ref, drift_ref=None
+                   ) -> pd.DataFrame:
+    """Task-based form of HostScheduler (see taskstate.py)."""
+    from .taskstate import instance
+
+    key = (robots_ref, drift_ref)
+    h = instance("HostScheduler", key,
+                 lambda: HostScheduler(robots_ref, drift_ref=drift_ref))
+    return h(df)

@@ -268,3 +268,19 @@ class RobotsFetcher:
             "fetched_ok": pa.array(oks, type=pa.bool_()),
             "sitemaps": pa.array(maps, type=pa.list_(pa.string())),
         })
+
+
+def fetch_robots_batch(batch, *, spec_token: str, transport_spec: dict,
+                       default_delay_ms: int = 1000,
+                       user_agent: str = DEFAULT_UA):
+    """Task-based form of RobotsFetcher (see stages/taskstate.py):
+    the transport is memoized per worker process instead of spawning a
+    fresh actor pool every wave."""
+    from ..stages.taskstate import instance
+
+    r = instance("RobotsFetcher",
+                 (spec_token, default_delay_ms, user_agent),
+                 lambda: RobotsFetcher(transport_spec,
+                                       default_delay_ms=default_delay_ms,
+                                       user_agent=user_agent))
+    return r(batch)
