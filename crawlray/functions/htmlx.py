@@ -37,9 +37,16 @@ class ParsedPage:
     title: str | None = None
     # ordered interleaved spans: (kind, text, media_ref)
     spans: list[tuple[str, str | None, str | None]] = field(default_factory=list)
-    # ordered links: (href, anchor_text)
+    # ordered links: (href, anchor_text); anchors carrying rel=nofollow
+    # are never appended (robots-meta semantics: don't follow)
     links: list[tuple[str, str]] = field(default_factory=list)
     published: datetime | None = None
+    # <meta name="robots">: noindex = store no content; nofollow =
+    # discover no links. <link rel="canonical">: raw href (resolution
+    # against the final URL happens at the consumer), first wins.
+    noindex: bool = False
+    nofollow: bool = False
+    canonical: str | None = None
 
 
 def parse_date(s: str) -> datetime | None:
@@ -106,8 +113,19 @@ class _Extractor(HTMLParser):
                 self.page.spans.append((_MEDIA_TAGS[tag], alt, src))
         elif tag == "a":
             href = (a.get("href") or "").strip()
-            self._a_href = href or None
+            # rel=nofollow anchors are rendered but never become
+            # discovery candidates (Google robots-meta semantics)
+            rel = (a.get("rel") or "").lower().split()
+            if "nofollow" in rel:
+                self._a_href = None
+            else:
+                self._a_href = href or None
             self._a_buf = []
+        elif tag == "link":
+            rel = (a.get("rel") or "").lower().split()
+            href = (a.get("href") or "").strip()
+            if "canonical" in rel and href and self.page.canonical is None:
+                self.page.canonical = href
         elif tag == "time":
             dt = a.get("datetime")
             if dt and self.page.published is None:
@@ -117,6 +135,13 @@ class _Extractor(HTMLParser):
             if prop in ("article:published_time", "date", "pubdate") and a.get("content"):
                 if self.page.published is None:
                     self.page.published = parse_date(a["content"])
+            elif prop == "robots" and a.get("content"):
+                toks = {t.strip().lower()
+                        for t in a["content"].split(",")}
+                if "noindex" in toks or "none" in toks:
+                    self.page.noindex = True
+                if "nofollow" in toks or "none" in toks:
+                    self.page.nofollow = True
 
     def handle_endtag(self, tag: str) -> None:
         if tag in ("script", "style"):

@@ -465,11 +465,13 @@ def q_market_share(sf_dir: str, supp_nation: str = "NATION_3",
     cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     supp = _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
     limit = _broadcast_limit()
+    y_lo = int(lo[:4])
+    n_years = int(hi[:4]) - y_lo + 1
     if (part.count() > limit or orders.count() > limit
             or cust.count() > limit or supp.count() > limit):
-        raise NotImplementedError(
-            "market_share join fallback not wired: at >5M-key dimensions "
-            "use the Q5/Q7 Dataset.join chain shape")
+        parts = _q8_join_partials(sf_dir, in_region, target_nk, p_type,
+                                  lo, hi, y_lo, n_years)
+        return _q8_finalize(parts, y_lo, n_years)
 
     pk = np.sort(_pull(part, {"p_partkey": pa.int64()})["p_partkey"]
                  .to_numpy(zero_copy_only=False))
@@ -494,8 +496,6 @@ def q_market_share(sf_dir: str, supp_nation: str = "NATION_3",
     o_in = np.isin(onat, np.fromiter(in_region, np.int64, len(in_region)))
     oyr = np.where(o_in, oyr, np.int64(-1))
     ord_ref = ray.put((ok, oyr))
-    y_lo = int(lo[:4])
-    n_years = int(hi[:4]) - y_lo + 1
 
     def partial(b: pa.Table) -> pa.Table:
         pks = ray.get(part_ref)
@@ -524,6 +524,12 @@ def q_market_share(sf_dir: str, supp_nation: str = "NATION_3",
     parts = _pull(li.map_batches(partial, batch_format="pyarrow",
                                  zero_copy_batch=True),
                   {"cell": pa.int64(), "rev_c4": pa.int64()})
+    return _q8_finalize(parts, y_lo, n_years)
+
+
+def _q8_finalize(parts: pa.Table, y_lo: int, n_years: int) -> pa.Table:
+    """Shared ≤2·years-cell fold + the ONE float division (identical
+    IEEE expression as the oracle) for both q8 plans."""
     cells = parts["cell"].to_numpy(zero_copy_only=False)
     rv = parts["rev_c4"].to_numpy(zero_copy_only=False)
     sums = np.bincount(cells, weights=rv, minlength=2 * n_years) \
@@ -538,6 +544,60 @@ def q_market_share(sf_dir: str, supp_nation: str = "NATION_3",
         shares.append(round(num / den, 6))
     return pa.table({"o_year": pa.array(years, pa.int64()),
                      "mkt_share": pa.array(shares, pa.float64())})
+
+
+def _q8_join_partials(sf_dir, in_region, target_nk, p_type, lo, hi,
+                      y_lo, n_years) -> pa.Table:
+    """Oversized-dimension plan for q_market_share: the full
+    Dataset.join chain (part semi-filter ⨝ orders ⨝ customer ⨝
+    supplier), then the same per-block conditional bincount into
+    ≤2·years cells as the broadcast plan."""
+    import pyarrow.dataset as pads
+
+    def rev(b: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "l_partkey": b["l_partkey"],
+                         "l_suppkey": b["l_suppkey"],
+                         "rev_c4": pa.array(_rev_c4(b))})
+
+    li = _t(sf_dir, "lineitem",
+            ["l_orderkey", "l_partkey", "l_suppkey",
+             "l_extendedprice", "l_discount"]) \
+        .map_batches(rev, batch_format="pyarrow", zero_copy_batch=True)
+    part = _t(sf_dir, "part", ["p_partkey"],
+              filter=pads.field("p_type") == p_type)
+    orders = _t(sf_dir, "orders",
+                ["o_orderkey", "o_custkey", "o_orderdate"],
+                filter=_date_window("o_orderdate", lo, hi))
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    supp = _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    j = li.join(part, join_type="inner", num_partitions=join_parts(),
+                on=("l_partkey",), right_on=("p_partkey",))
+    j = j.join(orders, join_type="inner", num_partitions=join_parts(),
+               on=("l_orderkey",), right_on=("o_orderkey",))
+    j = j.join(cust, join_type="inner", num_partitions=join_parts(),
+               on=("o_custkey",), right_on=("c_custkey",))
+    j = j.join(supp, join_type="inner", num_partitions=join_parts(),
+               on=("l_suppkey",), right_on=("s_suppkey",))
+    in_reg = np.fromiter(in_region, np.int64, len(in_region))
+
+    def cells(b: pa.Table) -> pa.Table:
+        cn = b["c_nationkey"].to_numpy(zero_copy_only=False)
+        keep = np.isin(cn, in_reg)
+        if not keep.any():
+            return pa.table({"cell": pa.array([], pa.int64()),
+                             "rev_c4": pa.array([], pa.int64())})
+        yr = pc.year(b["o_orderdate"]).to_numpy(zero_copy_only=False)[keep]
+        sn = b["s_nationkey"].to_numpy(zero_copy_only=False)[keep]
+        rv = b["rev_c4"].to_numpy(zero_copy_only=False)[keep]
+        cell = (sn == target_nk).astype(np.int64) * n_years + (yr - y_lo)
+        sums = np.bincount(cell, weights=rv, minlength=2 * n_years)
+        nz = np.nonzero(sums)[0]
+        return pa.table({"cell": pa.array(nz.astype(np.int64)),
+                         "rev_c4": pa.array(sums[nz].astype(np.int64))})
+
+    return _pull(j.map_batches(cells, batch_format="pyarrow"),
+                 {"cell": pa.int64(), "rev_c4": pa.int64()})
 
 
 SQL_MARKET_SHARE = """
@@ -719,9 +779,8 @@ def q_returned_item_losses(sf_dir: str, lo: str = "1996-01-01",
     orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"],
                 filter=_date_window("o_orderdate", lo, hi))
     if orders.count() > _broadcast_limit():
-        raise NotImplementedError(
-            "returned_item_losses join fallback not wired: use the "
-            "revenue_by_nation join-chain shape at >5M windowed orders")
+        cand = _q10_join_candidates(sf_dir, orders, k)
+        return _q10_finalize(sf_dir, cand, k)
     ot = _pull(orders, {"o_orderkey": pa.int64(), "o_custkey": pa.int64()})
     ok = ot["o_orderkey"].to_numpy(zero_copy_only=False)
     oc = ot["o_custkey"].to_numpy(zero_copy_only=False)
@@ -762,6 +821,14 @@ def q_returned_item_losses(sf_dir: str, lo: str = "1996-01-01",
                        zero_copy_batch=True)
         .groupby("kp").map_groups(fold_topk, batch_format="pandas"),
         {"c_custkey": pa.int64(), "rev_c4": pa.int64()})
+    return _q10_finalize(sf_dir, cand, k)
+
+
+def _q10_finalize(sf_dir: str, cand: pa.Table, k: int) -> pa.Table:
+    """Shared q10 finale: merge the ≤parts·k candidates, pull the ≤k
+    winners' names/nations through filtered dimension reads."""
+    import pyarrow.dataset as pads
+
     df = cand.to_pandas().sort_values(
         ["rev_c4", "c_custkey"], ascending=[False, True],
         kind="mergesort").head(k)
@@ -788,6 +855,52 @@ def q_returned_item_losses(sf_dir: str, lo: str = "1996-01-01",
                            pa.string()),
         "rev_c4": pa.array(df["rev_c4"].to_numpy(np.int64)),
     })
+
+
+def _q10_join_candidates(sf_dir: str, orders, k: int) -> pa.Table:
+    """Oversized-window plan for q_returned_item_losses: hash-join the
+    R-flagged lineitems to the windowed orders, then the same per-block
+    custkey partial → ONE custkey-hash fold → per-partition top-k as
+    the broadcast plan."""
+    import pyarrow.dataset as pads
+
+    n_parts = fold_parts()
+
+    def rev(b: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "rev_c4": pa.array(_rev_c4(b))})
+
+    li = _t(sf_dir, "lineitem",
+            ["l_orderkey", "l_extendedprice", "l_discount"],
+            filter=pads.field("l_returnflag") == "R") \
+        .map_batches(rev, batch_format="pyarrow", zero_copy_batch=True)
+    j = li.join(orders, join_type="inner", num_partitions=join_parts(),
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(b: pa.Table) -> pa.Table:
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(ck, return_inverse=True)
+        sums = np.bincount(
+            inv, weights=b["rev_c4"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        kp = (_splitmix64(uk).view(np.uint64)
+              % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({"c_custkey": pa.array(uk),
+                         "rev_c4": pa.array(sums),
+                         "kp": pa.array(kp)})
+
+    def fold_topk(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("c_custkey", sort=False)["rev_c4"].sum()
+        df = pd.DataFrame({"c_custkey": s.index.to_numpy(np.int64),
+                           "rev_c4": s.to_numpy(np.int64)})
+        df = df.sort_values(["rev_c4", "c_custkey"],
+                            ascending=[False, True], kind="mergesort")
+        return df.head(k)
+
+    return _pull(
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby("kp").map_groups(fold_topk, batch_format="pandas"),
+        {"c_custkey": pa.int64(), "rev_c4": pa.int64()})
 
 
 SQL_RETURNED_ITEM_LOSSES = """
@@ -961,9 +1074,7 @@ def q_supplier_part_counts(sf_dir: str):
               filter=(pads.field("p_type") != "PROMO")
                      & pads.field("p_size").isin(sizes))
     if part.count() > _broadcast_limit():
-        raise NotImplementedError(
-            "supplier_part_counts join fallback not wired: join part "
-            "attrs through a partkey-hash exchange at >5M filtered parts")
+        return _q16_join_fallback(sf_dir, part)
     pt = _pull(part, {"p_partkey": pa.int64(), "p_brand": pa.string(),
                       "p_size": pa.int64()})
     brands = sorted(set(pt["p_brand"].to_pylist()))
@@ -1030,6 +1141,68 @@ def q_supplier_part_counts(sf_dir: str):
     })
 
 
+def _q16_join_fallback(sf_dir: str, part) -> pa.Table:
+    """Oversized-part plan for q_supplier_part_counts: per-block
+    distinct (partkey, suppkey) pairs pre-shrink the exchange, then a
+    partkey-hash join carries the (brand, size) attrs, the NOT IN is a
+    broadcast probe (the negative-balance subset is a small slice of
+    the supplier dimension — the same side the broadcast plan ships),
+    and ONE (brand, size)-hash groupby counts distinct suppliers."""
+    import pyarrow.dataset as pads
+
+    def dpairs(b: pa.Table) -> pa.Table:
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        if len(pk) == 0:
+            return pa.table({"l_partkey": pa.array([], pa.int64()),
+                             "l_suppkey": pa.array([], pa.int64())})
+        order = np.lexsort((sk, pk))
+        pk, sk = pk[order], sk[order]
+        keep = np.ones(len(pk), bool)
+        keep[1:] = (pk[1:] != pk[:-1]) | (sk[1:] != sk[:-1])
+        return pa.table({"l_partkey": pa.array(pk[keep]),
+                         "l_suppkey": pa.array(sk[keep])})
+
+    pairs = _t(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]) \
+        .map_batches(dpairs, batch_format="pyarrow", zero_copy_batch=True)
+    j = pairs.join(part, join_type="inner", num_partitions=join_parts(),
+                   on=("l_partkey",), right_on=("p_partkey",))
+    excl = _pull(_t(sf_dir, "supplier", ["s_suppkey"],
+                    filter=pads.field("s_acctbal") < 0.0),
+                 {"s_suppkey": pa.int64()})
+    excl_ref = ray.put(np.sort(
+        excl["s_suppkey"].to_numpy(zero_copy_only=False)))
+
+    def keep_good(b: pa.Table) -> pa.Table:
+        ex = ray.get(excl_ref)
+        _, ehit = _probe(ex, b["l_suppkey"].to_numpy(zero_copy_only=False))
+        return b.filter(pa.array(~ehit)) \
+            .select(["p_brand", "p_size", "l_suppkey"])
+
+    def count_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "p_brand": [g["p_brand"].iloc[0]],
+            "p_size": np.array([g["p_size"].iloc[0]], np.int64),
+            "supplier_cnt": np.array([g["l_suppkey"].nunique()],
+                                     np.int64),
+        })
+
+    out = _pull(
+        j.map_batches(keep_good, batch_format="pyarrow")
+        .groupby(["p_brand", "p_size"])
+        .map_groups(count_distinct, batch_format="pandas"),
+        {"p_brand": pa.string(), "p_size": pa.int64(),
+         "supplier_cnt": pa.int64()})
+    # match the broadcast plan's (brand, size) ordering
+    df = out.to_pandas().sort_values(["p_brand", "p_size"],
+                                     ignore_index=True)
+    return pa.table({
+        "p_brand": pa.array(df["p_brand"], pa.string()),
+        "p_size": pa.array(df["p_size"].to_numpy(np.int64)),
+        "supplier_cnt": pa.array(df["supplier_cnt"].to_numpy(np.int64)),
+    })
+
+
 SQL_SUPPLIER_PART_COUNTS = """
 SELECT p.p_brand, CAST(p.p_size AS BIGINT) AS p_size,
        CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
@@ -1059,6 +1232,8 @@ def q_small_qty_revenue(sf_dir: str, brand: str = "Brand#23"):
 
     part = _t(sf_dir, "part", ["p_partkey"],
               filter=pads.field("p_brand") == brand)
+    if part.count() > _broadcast_limit():
+        return _q17_exchange_fallback(sf_dir, part)
     pk_arr = np.sort(_pull(part, {"p_partkey": pa.int64()})["p_partkey"]
                      .to_numpy(zero_copy_only=False))
     part_ref = ray.put(pk_arr)
@@ -1097,10 +1272,8 @@ def q_small_qty_revenue(sf_dir: str, brand: str = "Brand#23"):
                        zero_copy_batch=True)
         .groupby("kp").map_groups(fold_stats, batch_format="pandas"),
         {"l_partkey": pa.int64(), "sq": pa.int64(), "cnt": pa.int64()})
-    if stats.num_rows > _broadcast_limit():
-        raise NotImplementedError(
-            "small_qty_revenue stats side exceeds the broadcast guard: "
-            "join the per-part stats through a partkey hash join")
+    # stats rows ≤ the brand's part count, which already passed the
+    # broadcast guard above — safe to ship
     spk = stats["l_partkey"].to_numpy(zero_copy_only=False)
     ssq = stats["sq"].to_numpy(zero_copy_only=False)
     scnt = stats["cnt"].to_numpy(zero_copy_only=False)
@@ -1122,6 +1295,48 @@ def q_small_qty_revenue(sf_dir: str, brand: str = "Brand#23"):
     parts = _pull(li.map_batches(pass2, batch_format="pyarrow",
                                  zero_copy_batch=True),
                   {"loss_c": pa.int64()})
+    loss = int(pc.sum(parts["loss_c"]).as_py() or 0)
+    return pa.table({"loss_c": pa.array([loss], pa.int64()),
+                     "avg_yearly": pa.array([round(loss / 700.0, 6)],
+                                            pa.float64())})
+
+
+def _q17_exchange_fallback(sf_dir: str, part) -> pa.Table:
+    """Oversized-brand plan for q_small_qty_revenue: hash-join the
+    fact to the brand's parts, then ONE partkey-hash exchange
+    co-locates each part's rows so the per-part stats AND the
+    5·qty·cnt < Σqty cut are computed inside the owning group — no
+    stats broadcast at any scale."""
+    n_parts = fold_parts()
+
+    def keyed(b: pa.Table) -> pa.Table:
+        lk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        qty = pc.round(b["l_quantity"]).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        cents = pc.round(pc.multiply(b["l_extendedprice"],
+                                     pa.scalar(100.0))).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        kp = (_splitmix64(lk).view(np.uint64)
+              % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({"l_partkey": pa.array(lk), "qty": pa.array(qty),
+                         "cents": pa.array(cents), "kp": pa.array(kp)})
+
+    def cut_group(g: pd.DataFrame) -> pd.DataFrame:
+        grp = g.groupby("l_partkey", sort=False)["qty"]
+        sq = grp.transform("sum").to_numpy(np.int64)
+        cnt = grp.transform("size").to_numpy(np.int64)
+        keep = 5 * g["qty"].to_numpy(np.int64) * cnt < sq
+        return pd.DataFrame({"loss_c": np.array(
+            [g["cents"].to_numpy(np.int64)[keep].sum()], np.int64)})
+
+    li = _t(sf_dir, "lineitem",
+            ["l_partkey", "l_quantity", "l_extendedprice"])
+    j = li.join(part, join_type="inner", num_partitions=join_parts(),
+                on=("l_partkey",), right_on=("p_partkey",))
+    parts = _pull(
+        j.map_batches(keyed, batch_format="pyarrow")
+        .groupby("kp").map_groups(cut_group, batch_format="pandas"),
+        {"loss_c": pa.int64()})
     loss = int(pc.sum(parts["loss_c"]).as_py() or 0)
     return pa.table({"loss_c": pa.array([loss], pa.int64()),
                      "avg_yearly": pa.array([round(loss / 700.0, 6)],
@@ -1246,9 +1461,7 @@ def q_late_shipment_priority(sf_dir: str, lo: str = "1996-01-01",
                 ["o_orderkey", "o_orderdate", "o_orderpriority"],
                 filter=_date_window("o_orderdate", lo, hi))
     if orders.count() > _broadcast_limit():
-        raise NotImplementedError(
-            "late_shipment_priority join fallback not wired: hash-join "
-            "the windowed orders at >5M keys")
+        return _q4_join_fallback(sf_dir, orders, days)
     ot = _pull(orders, {"o_orderkey": pa.int64(),
                         "o_orderdate": pa.timestamp("us"),
                         "o_orderpriority": pa.string()})
@@ -1308,6 +1521,60 @@ def q_late_shipment_priority(sf_dir: str, lo: str = "1996-01-01",
     return pa.table({
         "o_orderpriority": pa.array([prios[i] for i in nz], pa.string()),
         "order_count": pa.array(agg[nz], pa.int64()),
+    })
+
+
+def _q4_join_fallback(sf_dir: str, orders, days: int) -> pa.Table:
+    """Oversized-window plan for q_late_shipment_priority: hash-join
+    lineitem to the windowed orders, evaluate the correlated date
+    arithmetic post-join, then ONE orderkey-hash exchange dedups the
+    EXISTS and bincounts priorities per partition."""
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    j = li.join(orders, join_type="inner", num_partitions=join_parts(),
+                on=("l_orderkey",), right_on=("o_orderkey",))
+    late_us = np.int64(days) * np.int64(86_400_000_000)
+    n_parts = fold_parts()
+
+    def late_rows(b: pa.Table) -> pa.Table:
+        ship = b["l_shipdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        od = b["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        late = ship > od + late_us
+        if not late.any():
+            return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                             "o_orderpriority": pa.array([], pa.string()),
+                             "kp": pa.array([], pa.int64())})
+        lk = b["l_orderkey"].to_numpy(zero_copy_only=False)[late]
+        keys, first = np.unique(lk, return_index=True)
+        prio = b["o_orderpriority"].take(
+            pa.array(np.flatnonzero(late)[first]))
+        kp = (_splitmix64(keys).view(np.uint64)
+              % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({"o_orderkey": pa.array(keys),
+                         "o_orderpriority": prio,
+                         "kp": pa.array(kp)})
+
+    def fold_prio(g: pd.DataFrame) -> pd.DataFrame:
+        dd = g.drop_duplicates("o_orderkey")
+        s = dd.groupby("o_orderpriority", sort=True).size()
+        return pd.DataFrame({
+            "o_orderpriority": s.index.to_numpy(object),
+            "order_count": s.to_numpy(np.int64),
+        })
+
+    parts = _pull(
+        j.map_batches(late_rows, batch_format="pyarrow")
+        .groupby("kp").map_groups(fold_prio, batch_format="pandas"),
+        {"o_orderpriority": pa.string(), "order_count": pa.int64()})
+    agg: dict[str, int] = {}
+    for p, c in zip(parts["o_orderpriority"].to_pylist(),
+                    parts["order_count"].to_pylist()):
+        agg[p] = agg.get(p, 0) + c
+    prios = sorted(agg)
+    return pa.table({
+        "o_orderpriority": pa.array(prios, pa.string()),
+        "order_count": pa.array([agg[p] for p in prios], pa.int64()),
     })
 
 
@@ -1410,6 +1677,176 @@ SELECT node, CAST(MIN(hop) AS BIGINT) AS hop FROM bfs GROUP BY 1
 """
 
 
+# =====================================================================
+# Q6: forecast revenue change — one-scan conditional sum
+# =====================================================================
+
+def q_forecast_revenue(sf_dir: str, lo: str = "1996-01-01",
+                       hi: str = "1997-01-01"):
+    """TPC-H Q6 family: revenue that would vanish if discounts in
+    [0.05, 0.07] on sub-24-quantity lines were dropped. One streamed
+    scan with the ship-date window pushed to the READ; the discount
+    band compares on exact rounded cents-of-discount (floats never
+    enter a boundary comparison — 0.05/0.07 are not representable);
+    revenue = Σ price·disc·10⁴ exact int64 partials."""
+    li = _t(sf_dir, "lineitem",
+            ["l_quantity", "l_extendedprice", "l_discount"],
+            filter=_date_window("l_shipdate", lo, hi))
+
+    def partial(b: pa.Table) -> pa.Table:
+        d_c = pc.round(pc.multiply(b["l_discount"], pa.scalar(100.0))) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        qty = pc.round(b["l_quantity"]).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        keep = (d_c >= 5) & (d_c <= 7) & (qty < 24)
+        rev = pc.round(pc.multiply(
+            pc.multiply(b["l_extendedprice"], b["l_discount"]),
+            pa.scalar(10000.0))).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({"rev_c4":
+                         pa.array([int(rev[keep].sum())], pa.int64())})
+
+    parts = _pull(li.map_batches(partial, batch_format="pyarrow",
+                                 zero_copy_batch=True),
+                  {"rev_c4": pa.int64()})
+    return pa.table({"rev_c4":
+                     pa.array([int(pc.sum(parts["rev_c4"]).as_py() or 0)],
+                              pa.int64())})
+
+
+SQL_FORECAST_REVENUE = """
+SELECT CAST(COALESCE(SUM(CAST(ROUND(l_extendedprice*l_discount*10000)
+                          AS BIGINT)), 0) AS BIGINT) AS rev_c4
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND CAST(ROUND(l_discount*100) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24
+"""
+
+
+# =====================================================================
+# Q9-adapted: revenue by supplier nation × ship year for a part family
+# =====================================================================
+
+def q_nation_profit(sf_dir: str, token: str = "widget"):
+    """TPC-H Q9 family adapted to the trimmed schema (no partsupp →
+    profit reduces to revenue): revenue grouped by (supplier nation,
+    ship year) over parts whose name contains `token`. Scale plan: the
+    name-matched partkeys and the supplier→nationkey map broadcast
+    (guarded; join fallback below), the fact scans ONCE, and per-block
+    partials bincount into ≤|nation|·years cells."""
+    import pyarrow.dataset as pads
+
+    nation = _pull(_t(sf_dir, "nation", ["n_nationkey", "n_name"]), {})
+    nat_name = dict(zip(nation["n_nationkey"].to_pylist(),
+                        nation["n_name"].to_pylist()))
+    part = _t(sf_dir, "part", ["p_partkey"],
+              filter=pc.match_substring(pads.field("p_name"), token))
+    supp = _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    limit = _broadcast_limit()
+    n_nat = max(nat_name) + 1
+    if part.count() > limit or supp.count() > limit:
+        return _q9_join_fallback(sf_dir, part, nat_name)
+
+    pk_ref = ray.put(np.sort(
+        _pull(part, {"p_partkey": pa.int64()})["p_partkey"]
+        .to_numpy(zero_copy_only=False)))
+    supp_ref = _bcast_sorted(
+        _pull(supp, {"s_suppkey": pa.int64(), "s_nationkey": pa.int64()}),
+        "s_suppkey", "s_nationkey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        pks = ray.get(pk_ref)
+        sks, snat = ray.get(supp_ref)
+        _, phit = _probe(pks, b["l_partkey"].to_numpy(zero_copy_only=False))
+        si, shit = _probe(sks, b["l_suppkey"].to_numpy(zero_copy_only=False))
+        keep = phit & shit
+        if not keep.any():
+            return pa.table({"cell": pa.array([], pa.int64()),
+                             "rev_c4": pa.array([], pa.int64())})
+        yr = pc.year(b["l_shipdate"]).to_numpy(zero_copy_only=False)[keep]
+        nk = snat[si][keep]
+        cell = nk * np.int64(8192) + yr
+        uc, inv = np.unique(cell, return_inverse=True)
+        sums = np.bincount(inv, weights=_rev_c4(b)[keep]).astype(np.int64)
+        return pa.table({"cell": pa.array(uc),
+                         "rev_c4": pa.array(sums)})
+
+    li = _t(sf_dir, "lineitem",
+            ["l_partkey", "l_suppkey", "l_shipdate",
+             "l_extendedprice", "l_discount"])
+    parts = _pull(li.map_batches(partial, batch_format="pyarrow",
+                                 zero_copy_batch=True),
+                  {"cell": pa.int64(), "rev_c4": pa.int64()})
+    agg: dict[int, int] = {}
+    for c, v in zip(parts["cell"].to_pylist(), parts["rev_c4"].to_pylist()):
+        agg[c] = agg.get(c, 0) + v
+    cc = sorted(agg)
+    return pa.table({
+        "n_name": pa.array([nat_name[c // 8192] for c in cc], pa.string()),
+        "l_year": pa.array([c % 8192 for c in cc], pa.int64()),
+        "rev_c4": pa.array([agg[c] for c in cc], pa.int64()),
+    })
+
+
+def _q9_join_fallback(sf_dir, part, nat_name) -> pa.Table:
+    """Oversized-side plan for q_nation_profit: part semi-filter and
+    supplier nation hop as hash joins, then a bounded
+    (nation, year) groupby."""
+    def rev(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_partkey": b["l_partkey"], "l_suppkey": b["l_suppkey"],
+            "l_year": pc.year(b["l_shipdate"]).cast(pa.int64()),
+            "rev_c4": pa.array(_rev_c4(b)),
+        })
+
+    li = _t(sf_dir, "lineitem",
+            ["l_partkey", "l_suppkey", "l_shipdate",
+             "l_extendedprice", "l_discount"]) \
+        .map_batches(rev, batch_format="pyarrow", zero_copy_batch=True)
+    supp = _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    j = li.join(part, join_type="inner", num_partitions=join_parts(),
+                on=("l_partkey",), right_on=("p_partkey",))
+    j = j.join(supp, join_type="inner", num_partitions=join_parts(),
+               on=("l_suppkey",), right_on=("s_suppkey",))
+
+    def named(b: pa.Table) -> pa.Table:
+        nk = b["s_nationkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_name": pa.array([nat_name[int(k)] for k in nk],
+                               pa.string()),
+            "l_year": b["l_year"], "rev_c4": b["rev_c4"],
+        })
+
+    out = _pull(
+        j.map_batches(named, batch_format="pyarrow")
+        .groupby(["n_name", "l_year"])
+        .aggregate(Sum("rev_c4", alias_name="rev_c4")),
+        {"n_name": pa.string(), "l_year": pa.int64(),
+         "rev_c4": pa.int64()})
+    df = out.to_pandas().sort_values(["n_name", "l_year"],
+                                     ignore_index=True)
+    return pa.table({
+        "n_name": pa.array(df["n_name"], pa.string()),
+        "l_year": pa.array(df["l_year"].to_numpy(np.int64)),
+        "rev_c4": pa.array(df["rev_c4"].to_numpy(np.int64)),
+    })
+
+
+SQL_NATION_PROFIT = """
+SELECT n.n_name,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice*(1-l.l_discount)*10000)
+                AS BIGINT)) AS BIGINT) AS rev_c4
+FROM lineitem l, part p, supplier s, nation n
+WHERE p.p_partkey = l.l_partkey AND s.s_suppkey = l.l_suppkey
+  AND s.s_nationkey = n.n_nationkey
+  AND p.p_name LIKE '%widget%'
+GROUP BY 1, 2
+"""
+
+
 TPCH_QUERIES = {
     "local_supplier_volume": (q_local_supplier_volume,
                               SQL_LOCAL_SUPPLIER_VOLUME),
@@ -1432,4 +1869,6 @@ TPCH_QUERIES = {
     "late_shipment_priority": (q_late_shipment_priority,
                                SQL_LATE_SHIPMENT_PRIORITY),
     "bfs_hops": (q_bfs_hops, SQL_BFS_HOPS),
+    "forecast_revenue": (q_forecast_revenue, SQL_FORECAST_REVENUE),
+    "nation_profit": (q_nation_profit, SQL_NATION_PROFIT),
 }

@@ -69,14 +69,29 @@ class PageParser:
         all_spans: list[list] = []
         all_links: list[list[str]] = []
         all_anchors: list[list[str]] = []
+        canonicals: list[str | None] = []
         for url, host, st, ct, body in zip(urls, hosts, statuses, ctypes, bodies):
             if st == 200 and (ct or "").startswith("text/html") and body:
                 # charset-sniffed decode BEFORE the extractor (header
                 # param → meta prescan → UTF-8), shared with the oracle
                 page = self._extractor(host)(decode_html(body, ct))
-                titles.append(page.title)
-                published.append(page.published)
-                all_spans.append(page.spans)
+                # <link rel=canonical> resolves against the final URL
+                # and rides the pages sink as metadata (a dedup/index
+                # signal — NOT a discovery channel; documented choice,
+                # mirrored by the oracle)
+                canonicals.append(canonicalize(page.canonical, base=url)
+                                  if page.canonical else None)
+                if page.noindex:
+                    # robots-meta noindex: fetch-log row survives,
+                    # content does not; links still discoverable
+                    # (unless nofollow also set)
+                    titles.append(None)
+                    published.append(None)
+                    all_spans.append([])
+                else:
+                    titles.append(page.title)
+                    published.append(page.published)
+                    all_spans.append(page.spans)
                 # anchors ride PARALLEL to links (same index): the
                 # reference keeps link text rows; a struct column here
                 # would force the discovery projection to re-shape, and
@@ -86,17 +101,19 @@ class PageParser:
                 links: list[str] = []
                 anchors: list[str] = []
                 seen_in_page: set[str] = set()
-                for href, anchor in page.links:
-                    cu = canonicalize(href, base=url)
-                    if cu and cu not in seen_in_page:
-                        seen_in_page.add(cu)
-                        links.append(cu)
-                        anchors.append(anchor)
-                        if len(links) >= MAX_LINKS_PER_PAGE:
-                            break
+                if not page.nofollow:
+                    for href, anchor in page.links:
+                        cu = canonicalize(href, base=url)
+                        if cu and cu not in seen_in_page:
+                            seen_in_page.add(cu)
+                            links.append(cu)
+                            anchors.append(anchor)
+                            if len(links) >= MAX_LINKS_PER_PAGE:
+                                break
                 all_links.append(links)
                 all_anchors.append(anchors)
             else:
+                canonicals.append(None)
                 titles.append(None)
                 published.append(None)
                 all_spans.append([])
@@ -125,6 +142,8 @@ class PageParser:
         if self._keep_langs is not None:
             out = out.append_column("lang",
                                     pa.array(langs, type=pa.string()))
+        out = out.append_column("canonical",
+                                pa.array(canonicals, type=pa.string()))
         out = out.append_column("title", pa.array(titles, type=pa.string()))
         out = out.append_column("published", pa.array(published, type=pa.timestamp("us")))
         out = out.append_column("spans", spans_to_arrow(all_spans))

@@ -51,6 +51,8 @@ class OracleResult:
     # conditional-refetch baseline recorded from response headers:
     # url_canon -> (etag, last_modified_us)
     resp_validators: dict = field(default_factory=dict)
+    # <link rel=canonical>, resolved against the final URL
+    canonicals: dict = field(default_factory=dict)
 
 
 def crawl_oracle(seed_urls, robots: RobotsPolicy, pages_index: dict,
@@ -303,24 +305,36 @@ def crawl_oracle(seed_urls, robots: RobotsPolicy, pages_index: dict,
                 page = extractor_for(r["host"])(decode_html(body, ctype))
                 # M10 content-language gate mirror: outside-set pages
                 # keep their fetch-log row, store nothing, discover
-                # nothing (engine: PageParser blanks the row)
+                # nothing (engine: PageParser blanks the row). noindex
+                # pages carry no spans, so the gate never sees them.
                 keep_langs = getattr(cfg, "keep_languages", None)
-                if keep_langs and page.spans:
+                if keep_langs and not page.noindex and page.spans:
                     from crawlray.functions.textstats import lang_id
 
                     text = " ".join(t for k, t, _m in page.spans
                                     if k == "text" and t)
                     if lang_id([text])[0] not in keep_langs:
                         continue
-                res.docs[final] = [
-                    (k, t, m, i) for i, (k, t, m) in enumerate(page.spans)
-                ]
+                # robots-meta mirror: noindex stores no content (links
+                # still discovered); nofollow discovers no links
+                # (content still stored); rel=canonical is recorded as
+                # metadata, resolved against the final URL
+                if page.canonical:
+                    cc = canonicalize(page.canonical, base=final)
+                    if cc:
+                        res.canonicals[final] = cc
+                if not page.noindex:
+                    res.docs[final] = [
+                        (k, t, m, i)
+                        for i, (k, t, m) in enumerate(page.spans)
+                    ]
                 links, seen_in_page = [], set()
-                for href, anchor in page.links:
-                    cu = canonicalize(href, base=final)
-                    if cu and cu not in seen_in_page:
-                        seen_in_page.add(cu)
-                        links.append((cu, anchor))
+                if not page.nofollow:
+                    for href, anchor in page.links:
+                        cu = canonicalize(href, base=final)
+                        if cu and cu not in seen_in_page:
+                            seen_in_page.add(cu)
+                            links.append((cu, anchor))
                 # anchor text is retained per doc (first occurrence of a
                 # canonical URL keeps its anchor — same winner as dedup)
                 res.links[final] = list(links)

@@ -306,6 +306,99 @@ def test_allowlist_cross_host_seen_but_never_fetched(ray_session, tmp_path):
         assert hash64s(u) in hashes
 
 
+def test_meta_robots_and_canonical_parity(ray_session, tmp_path):
+    """Robots-meta semantics engine ≡ oracle: noindex stores no content
+    but its links ARE discovered; nofollow stores content but discovers
+    NO links; ``none`` does both; per-anchor rel=nofollow drops only
+    that anchor; <link rel=canonical> is recorded (resolved against the
+    final URL) as pages-sink metadata and never becomes a discovery
+    candidate."""
+    from crawlray.pipelines.crawl import run_crawl
+    from tests.oracle import build_pages_index, crawl_oracle
+
+    host = "meta.nl"
+
+    def page(body_html, head=""):
+        return (f"<html><head><title>t</title>{head}</head>"
+                f"<body>{body_html}</body></html>").encode()
+
+    urls = {
+        "/": page('<p>wortel</p><a href="/noindex">a</a>'
+                  '<a href="/nofollow">b</a><a href="/none">c</a>'
+                  '<a href="/canon">d</a>'
+                  '<a rel="nofollow" href="/from-anchor">x</a>'),
+        "/noindex": page('<p>verborgen</p><a href="/from-noindex">v</a>',
+                         head='<meta name="robots" content="noindex">'),
+        "/nofollow": page('<p>zichtbaar</p><a href="/from-nofollow">w</a>',
+                          head='<meta name="robots" content="nofollow">'),
+        "/none": page('<p>weg</p><a href="/from-none">z</a>',
+                      head='<meta name="robots" content="none">'),
+        "/canon": page('<p>dubbel</p>',
+                       head='<link rel="canonical" '
+                            'href="/canonical-target">'),
+        "/from-noindex": page("<p>bereikt</p>"),
+        "/from-nofollow": page("<p>nooit</p>"),
+        "/from-none": page("<p>nooit</p>"),
+        "/from-anchor": page("<p>nooit</p>"),
+        "/canonical-target": page("<p>nooit</p>"),
+    }
+    pages = pa.table({
+        "url": [f"https://{host}{p}" for p in urls],
+        "host": [host] * len(urls),
+        "status": pa.array([200] * len(urls), type=pa.int16()),
+        "content_type": ["text/html"] * len(urls),
+        "html": pa.array(list(urls.values()), type=pa.large_binary()),
+        "latency_ms": pa.array([10.0] * len(urls), type=pa.float32()),
+    })
+    pages_path = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, pages_path)
+    robots_t = pa.table({
+        "host": [host], "allow": [[]], "deny": [[]],
+        "crawl_delay_ms": pa.array([10], type=pa.int32()),
+    })
+    cfg = CrawlConfig(
+        n_parts=2, seen_shards=1, max_depth=4, max_waves=4,
+        max_pages_per_host=20, fetch_concurrency=(1, 2),
+        parse_concurrency=(1, 2),
+        transport={"kind": "sim", "pages_path": pages_path},
+    )
+    run_dir = str(tmp_path / "run")
+    run_crawl(run_dir, [f"https://{host}/"], robots_t, cfg)
+    files = sorted(glob.glob(f"{run_dir}/pages/wave=*/*.parquet"))
+    t = pa.concat_tables(
+        [pq.read_table(f, columns=FETCH_COLS
+                       + ["spans", "final_url", "canonical", "links"])
+         for f in files])
+    rows = t.to_pylist()
+    fetched = {r["url_canon"] for r in rows}
+    u = lambda p: f"https://{host}{p}"  # noqa: E731
+    # noindex page's link IS followed; nofollow/none/anchor-nofollow
+    # links and the canonical target are NOT
+    assert u("/from-noindex") in fetched
+    for p in ("/from-nofollow", "/from-none", "/from-anchor",
+              "/canonical-target"):
+        assert u(p) not in fetched, p
+    stored = {r["final_url"] for r in rows
+              if r["status"] == 200 and len(r["spans"])}
+    assert u("/noindex") not in stored and u("/none") not in stored
+    assert u("/nofollow") in stored and u("/canon") in stored
+    # nofollow page stored with ZERO links
+    (nf_row,) = [r for r in rows if r["final_url"] == u("/nofollow")]
+    assert nf_row["links"] == []
+    # canonical metadata recorded, resolved against the final URL
+    eng_canon = {r["final_url"]: r["canonical"] for r in rows
+                 if r["canonical"]}
+    assert eng_canon == {u("/canon"): u("/canonical-target")}
+    ora = crawl_oracle(
+        [f"https://{host}/"], RobotsPolicy.from_arrow(robots_t),
+        build_pages_index(pages), cfg,
+    )
+    assert (sorted(_key(r) for r in rows)
+            == sorted(_key(r) for r in ora.fetch_log))
+    assert set(ora.docs) == stored
+    assert ora.canonicals == eng_canon
+
+
 def test_charset_span_parity(ray_session, tmp_path):
     """VERDICT r3 missing #1 'Done' criterion: a legacy ISO-8859-1 page
     with Dutch diacritics decodes through the charset sniffer (header

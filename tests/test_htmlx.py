@@ -111,3 +111,43 @@ def test_docs_table_roundtrip():
     assert back[1] == [("text", "solo", None, 0)]
     assert [s[:3] for s in back[0]] == pages[0].spans
     assert [s[3] for s in back[0]] == list(range(len(pages[0].spans)))
+
+
+def test_meta_robots_directives():
+    def pg(head, body="<p>x</p>"):
+        return parse_html(
+            f"<html><head>{head}</head><body>{body}</body></html>".encode())
+
+    p = pg('<meta name="robots" content="noindex">')
+    assert p.noindex and not p.nofollow
+    p = pg('<meta name="robots" content="NOFOLLOW">')
+    assert p.nofollow and not p.noindex
+    p = pg('<meta name="robots" content="noindex, nofollow">')
+    assert p.noindex and p.nofollow
+    p = pg('<meta name="robots" content="none">')
+    assert p.noindex and p.nofollow
+    p = pg('<meta name="robots" content="index, follow">')
+    assert not p.noindex and not p.nofollow
+    # unrelated metas don't trip it
+    p = pg('<meta name="viewport" content="noindex">')
+    assert not p.noindex and not p.nofollow
+
+
+def test_rel_canonical_and_anchor_nofollow():
+    p = parse_html(
+        b'<html><head><link rel="canonical" href="/echt"></head>'
+        b'<body><a href="/a">a</a>'
+        b'<a rel="nofollow" href="/skip">s</a>'
+        b'<a rel="NOFOLLOW external" href="/skip2">s2</a>'
+        b'<a href="/b">b</a></body></html>')
+    assert p.canonical == "/echt"
+    assert [h for h, _ in p.links] == ["/a", "/b"]
+    # first canonical wins
+    p2 = parse_html(
+        b'<link rel="canonical" href="/one">'
+        b'<link rel="canonical" href="/two">')
+    assert p2.canonical == "/one"
+    # nofollow anchor text still renders into open paragraphs
+    p3 = parse_html(b'<p>voor <a rel="nofollow" href="/x">link</a> na</p>')
+    assert p3.spans == [("text", "voor link na", None)]
+    assert p3.links == []

@@ -31,7 +31,13 @@ def _df(res) -> pd.DataFrame:
 
 
 @pytest.mark.parametrize("qname", ["local_supplier_volume",
-                                   "nation_trade_volume"])
+                                   "nation_trade_volume",
+                                   "market_share",
+                                   "returned_item_losses",
+                                   "supplier_part_counts",
+                                   "late_shipment_priority",
+                                   "small_qty_revenue",
+                                   "nation_profit"])
 def test_forced_join_fallback_equals_broadcast(ray_session, monkeypatch,
                                                qname):
     """The >5M-key Dataset.join path must produce byte-identical output
