@@ -1847,6 +1847,371 @@ GROUP BY 1, 2
 """
 
 
+# =====================================================================
+# Q2: min-cost supplier — the correlated scalar-MIN subquery shape
+# =====================================================================
+
+def _pair_reduce(pk: np.ndarray, sk: np.ndarray, v: np.ndarray, op):
+    """Per-block combiner: reduce v over distinct (pk, sk) pairs with a
+    ufunc (np.minimum / np.add) via lexsort + reduceat — no Python loop,
+    no hash table, output ≤ distinct pairs in the block."""
+    if len(pk) == 0:
+        return pk, sk, v
+    order = np.lexsort((sk, pk))
+    pk, sk, v = pk[order], sk[order], v[order]
+    new = np.ones(len(pk), bool)
+    new[1:] = (pk[1:] != pk[:-1]) | (sk[1:] != sk[:-1])
+    idx = np.nonzero(new)[0]
+    return pk[idx], sk[idx], op.reduceat(v, idx)
+
+
+def q_min_cost_supplier(sf_dir: str, region: str = "EUROPE",
+                        name_like: str = "widget"):
+    """TPC-H Q2 family: for each part matching the name filter, the
+    region supplier(s) achieving that part's MINIMUM observed supply
+    cost (min l_extendedprice over the lineitem supply relation, in
+    exact cents) — the correlated scalar-MIN subquery. Scale plan: the
+    filtered part keys and the region-filtered supplier attrs broadcast
+    as sorted lookups (guarded); the fact scan reduces each block to
+    per-(part, supplier) min-cost rows via lexsort+reduceat; ONE
+    partkey-hash exchange folds pair minima and keeps only rows equal
+    to the partition-local per-part min (ties preserved — every
+    qualifying pair lives in exactly one partition, so the local min IS
+    the global min). Oversized sides fall back to the Dataset.join
+    plan (forced-branch equality pinned in tests/test_tpch_shapes.py)."""
+    import pyarrow.dataset as pads
+
+    nation = _pull(_t(sf_dir, "nation"), {})
+    region_t = _pull(_t(sf_dir, "region"), {})
+    rk = {r: k for k, r in zip(region_t["r_regionkey"].to_pylist(),
+                               region_t["r_name"].to_pylist())}[region]
+    nat_name = dict(zip(nation["n_nationkey"].to_pylist(),
+                        nation["n_name"].to_pylist()))
+    in_region = sorted(k for k, nr in
+                       zip(nation["n_nationkey"].to_pylist(),
+                           nation["n_regionkey"].to_pylist()) if nr == rk)
+    # LIKE '%x%' is substring containment — applied with
+    # pc.match_substring on the bounded two-column pull below.
+    pt = _t(sf_dir, "part", ["p_partkey", "p_name"])
+    supp = _t(sf_dir, "supplier",
+              filter=pads.field("s_nationkey").isin(in_region))
+    limit = _broadcast_limit()
+    if pt.count() > limit or supp.count() > limit:
+        return _q2_join_fallback(sf_dir, in_region, nat_name, name_like)
+    ptab = _pull(pt, {"p_partkey": pa.int64(), "p_name": pa.string()})
+    keep = pc.match_substring(ptab["p_name"], name_like)
+    pks = np.sort(ptab.filter(keep)["p_partkey"]
+                  .to_numpy(zero_copy_only=False))
+    stab = _pull(supp, {"s_suppkey": pa.int64(), "s_name": pa.string(),
+                        "s_nationkey": pa.int64(), "s_acctbal": pa.float64()})
+    sk_arr = stab["s_suppkey"].to_numpy(zero_copy_only=False)
+    ssrt = np.argsort(sk_arr, kind="mergesort")
+    sk_sorted = sk_arr[ssrt]
+    s_name = np.asarray(stab["s_name"].to_pylist(), object)[ssrt]
+    s_nat = stab["s_nationkey"].to_numpy(zero_copy_only=False)[ssrt]
+    bal_c = np.round(stab["s_acctbal"].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)[ssrt]
+    keys_ref = ray.put((pks, sk_sorted))
+    n_parts = fold_parts()
+
+    def partial(b: pa.Table) -> pa.Table:
+        pka, ska = ray.get(keys_ref)
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        _, phit = _probe(pka, pk)
+        _, shit = _probe(ska, sk)
+        m = phit & shit
+        cost = pc.round(pc.multiply(b["l_extendedprice"],
+                                    pa.scalar(100.0))) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        pk, sk, cost = _pair_reduce(pk[m], sk[m], cost[m], np.minimum)
+        kp = (_splitmix64(pk).view(np.uint64)
+              % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({"l_partkey": pa.array(pk), "l_suppkey":
+                         pa.array(sk), "cost_c": pa.array(cost),
+                         "kp": pa.array(kp)})
+
+    def fold_min(g: pd.DataFrame) -> pd.DataFrame:
+        pair = g.groupby(["l_partkey", "l_suppkey"],
+                         sort=False)["cost_c"].min().reset_index()
+        part_min = pair.groupby("l_partkey")["cost_c"].transform("min")
+        w = pair[pair["cost_c"] == part_min]
+        return pd.DataFrame({
+            "l_partkey": w["l_partkey"].to_numpy(np.int64),
+            "l_suppkey": w["l_suppkey"].to_numpy(np.int64),
+            "cost_c": w["cost_c"].to_numpy(np.int64)})
+
+    li = _t(sf_dir, "lineitem",
+            ["l_partkey", "l_suppkey", "l_extendedprice"])
+    win = _pull(
+        li.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("kp").map_groups(fold_min, batch_format="pandas"),
+        {"l_partkey": pa.int64(), "l_suppkey": pa.int64(),
+         "cost_c": pa.int64()})
+    wpk = win["l_partkey"].to_numpy(zero_copy_only=False)
+    wsk = win["l_suppkey"].to_numpy(zero_copy_only=False)
+    wc = win["cost_c"].to_numpy(zero_copy_only=False)
+    si, shit = _probe(sk_sorted, wsk)
+    assert shit.all(), "winner supplier vanished from the broadcast side"
+    order = np.lexsort((wsk, wpk, -bal_c[si]))
+    si, wpk, wc = si[order], wpk[order], wc[order]
+    return pa.table({
+        "bal_c": pa.array(bal_c[si]),
+        "s_name": pa.array(s_name[si].tolist(), pa.string()),
+        "n_name": pa.array([nat_name[int(k)] for k in s_nat[si]],
+                           pa.string()),
+        "p_partkey": pa.array(wpk),
+        "cost_c": pa.array(wc),
+    })
+
+
+def _q2_join_fallback(sf_dir, in_region, nat_name, name_like):
+    """Oversized-side plan: pair minima still combine per block, then a
+    partkey hash join against the name-filtered part keys, a suppkey
+    join against the region-filtered supplier read, and the SAME
+    one-exchange per-part min-equality fold. Both join right sides stay
+    RAW parquet reads (filters pushed into the scan) — a map_batches'd
+    right side can hand the hash-join empty schema-less partitions
+    (Ray 2.49, same bug family as the run_crawl HASH_SHUFFLE note)."""
+    import pyarrow.dataset as pads
+
+    part = _t(sf_dir, "part", ["p_partkey"],
+              filter=pc.match_substring(pads.field("p_name"), name_like))
+    supp = _t(sf_dir, "supplier",
+              ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+              filter=pads.field("s_nationkey").isin(in_region))
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        cost = pc.round(pc.multiply(b["l_extendedprice"],
+                                    pa.scalar(100.0))) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        pk, sk, cost = _pair_reduce(pk, sk, cost, np.minimum)
+        return pa.table({"l_partkey": pa.array(pk),
+                         "l_suppkey": pa.array(sk),
+                         "cost_c": pa.array(cost)})
+
+    li = _t(sf_dir, "lineitem",
+            ["l_partkey", "l_suppkey", "l_extendedprice"]) \
+        .map_batches(pair_partial, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    j = li.join(part, join_type="inner", num_partitions=join_parts(),
+                on=("l_partkey",), right_on=("p_partkey",))
+    j = j.join(supp, join_type="inner", num_partitions=join_parts(),
+               on=("l_suppkey",), right_on=("s_suppkey",))
+
+    def fold_min(g: pd.DataFrame) -> pd.DataFrame:
+        pair = g.groupby(["l_partkey", "l_suppkey"], sort=False) \
+            .agg(cost_c=("cost_c", "min"), s_acctbal=("s_acctbal", "first"),
+                 s_name=("s_name", "first"),
+                 s_nationkey=("s_nationkey", "first")) \
+            .reset_index()
+        part_min = pair.groupby("l_partkey")["cost_c"].transform("min")
+        w = pair[pair["cost_c"] == part_min].copy()
+        w["bal_c"] = np.round(w["s_acctbal"].to_numpy(np.float64)
+                              * 100.0).astype(np.int64)
+        return w[["l_partkey", "l_suppkey", "cost_c", "bal_c",
+                  "s_name", "s_nationkey"]]
+
+    out = _pull(
+        j.groupby("l_partkey").map_groups(fold_min,
+                                          batch_format="pandas"),
+        {"l_partkey": pa.int64(), "l_suppkey": pa.int64(),
+         "cost_c": pa.int64(), "bal_c": pa.int64(),
+         "s_name": pa.string(), "s_nationkey": pa.int64()})
+    df = out.to_pandas()
+    df["n_name"] = [nat_name[int(k)] for k in df["s_nationkey"]]
+    df = df.sort_values(["bal_c", "l_partkey", "l_suppkey"],
+                        ascending=[False, True, True],
+                        ignore_index=True)
+    return pa.table({
+        "bal_c": pa.array(df["bal_c"].to_numpy(np.int64)),
+        "s_name": pa.array(df["s_name"], pa.string()),
+        "n_name": pa.array(df["n_name"], pa.string()),
+        "p_partkey": pa.array(df["l_partkey"].to_numpy(np.int64)),
+        "cost_c": pa.array(df["cost_c"].to_numpy(np.int64)),
+    })
+
+
+SQL_MIN_COST_SUPPLIER = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS cost_c
+  FROM lineitem GROUP BY 1, 2),
+sup AS (
+  SELECT s.s_suppkey, s.s_name,
+         CAST(ROUND(s.s_acctbal*100) AS BIGINT) AS bal_c, n.n_name
+  FROM supplier s, nation n, region r
+  WHERE s.s_nationkey = n.n_nationkey
+    AND n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'),
+flt AS (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%'),
+best AS (
+  SELECT ps.l_partkey, MIN(ps.cost_c) AS min_c
+  FROM ps JOIN sup ON ps.l_suppkey = sup.s_suppkey
+          JOIN flt ON ps.l_partkey = flt.p_partkey
+  GROUP BY 1)
+SELECT sup.bal_c, sup.s_name, sup.n_name,
+       ps.l_partkey AS p_partkey, ps.cost_c
+FROM ps JOIN sup ON ps.l_suppkey = sup.s_suppkey
+        JOIN best ON ps.l_partkey = best.l_partkey
+                 AND ps.cost_c = best.min_c
+"""
+
+
+# =====================================================================
+# Q20: dominant suppliers — the nested-aggregate IN-subquery shape
+# =====================================================================
+
+def q_dominant_supplier(sf_dir: str, name_like: str = "widget",
+                        lo: str = "1997-01-01", hi: str = "1998-01-01",
+                        regions: tuple = ("EUROPE", "ASIA")):
+    """TPC-H Q20 family: suppliers who shipped MORE THAN HALF of some
+    filtered part's total windowed volume — the nested-aggregate IN
+    subquery (partsupp availqty stands in as the observed shipped
+    share). Scale plan: the name-filtered part keys broadcast sorted
+    (guarded); the date window is pushed into the parquet read; blocks
+    reduce to per-(part, supplier) quantity sums via lexsort+reduceat;
+    ONE partkey-hash exchange computes per-part totals and keeps
+    2·pair > total rows (exact integers, no division); the qualifying
+    supplier set is output-bounded, so the nation/region finale is a
+    filtered dimension read. Oversized part side falls back to the
+    Dataset.join plan (forced-branch equality pinned)."""
+    import pyarrow.dataset as pads
+
+    nation = _pull(_t(sf_dir, "nation"), {})
+    region_t = _pull(_t(sf_dir, "region"), {})
+    rks = {k for k, r in zip(region_t["r_regionkey"].to_pylist(),
+                             region_t["r_name"].to_pylist())
+           if r in regions}
+    good_nat = sorted(k for k, nr in
+                      zip(nation["n_nationkey"].to_pylist(),
+                          nation["n_regionkey"].to_pylist()) if nr in rks)
+    pt = _t(sf_dir, "part", ["p_partkey", "p_name"])
+    if pt.count() > _broadcast_limit():
+        return _q20_join_fallback(sf_dir, good_nat, name_like, lo, hi)
+    ptab = _pull(pt, {"p_partkey": pa.int64(), "p_name": pa.string()})
+    pks = np.sort(ptab.filter(
+        pc.match_substring(ptab["p_name"], name_like))["p_partkey"]
+        .to_numpy(zero_copy_only=False))
+    pks_ref = ray.put(pks)
+    n_parts = fold_parts()
+
+    def partial(b: pa.Table) -> pa.Table:
+        pka = ray.get(pks_ref)
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        _, phit = _probe(pka, pk)
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        q = pc.round(b["l_quantity"]).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        pk, sk, q = _pair_reduce(pk[phit], sk[phit], q[phit], np.add)
+        kp = (_splitmix64(pk).view(np.uint64)
+              % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({"l_partkey": pa.array(pk),
+                         "l_suppkey": pa.array(sk),
+                         "q": pa.array(q), "kp": pa.array(kp)})
+
+    def fold_dominant(g: pd.DataFrame) -> pd.DataFrame:
+        pair = g.groupby(["l_partkey", "l_suppkey"],
+                         sort=False)["q"].sum().reset_index()
+        tot = pair.groupby("l_partkey")["q"].transform("sum")
+        w = pair[2 * pair["q"] > tot]
+        return pd.DataFrame({"s_suppkey": np.unique(
+            w["l_suppkey"].to_numpy(np.int64))})
+
+    li = _t(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity"],
+            filter=_date_window("l_shipdate", lo, hi))
+    cand = _pull(
+        li.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("kp").map_groups(fold_dominant, batch_format="pandas"),
+        {"s_suppkey": pa.int64()})
+    sks = sorted(set(cand["s_suppkey"].to_pylist()))
+    if not sks:
+        return pa.table({"s_name": pa.array([], pa.string())})
+    st = pads.dataset(os.path.join(sf_dir, "supplier.parquet")).to_table(
+        columns=["s_suppkey", "s_name", "s_nationkey"],
+        filter=pads.field("s_suppkey").isin(sks)
+               & pads.field("s_nationkey").isin(good_nat))
+    return pa.table({"s_name": pa.array(sorted(st["s_name"].to_pylist()),
+                                        pa.string())})
+
+
+def _q20_join_fallback(sf_dir, good_nat, name_like, lo, hi):
+    """Oversized-part plan: pair sums combine per block, partkey hash
+    join carries the name filter, and the SAME one-exchange dominance
+    fold runs per partkey group."""
+    def flt_parts(b: pa.Table) -> pa.Table:
+        return b.filter(pc.match_substring(b["p_name"], name_like)) \
+            .select(["p_partkey"])
+
+    part = _t(sf_dir, "part", ["p_partkey", "p_name"]) \
+        .map_batches(flt_parts, batch_format="pyarrow",
+                     zero_copy_batch=True)
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        q = pc.round(b["l_quantity"]).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        pk, sk, q = _pair_reduce(pk, sk, q, np.add)
+        return pa.table({"l_partkey": pa.array(pk),
+                         "l_suppkey": pa.array(sk), "q": pa.array(q)})
+
+    li = _t(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity"],
+            filter=_date_window("l_shipdate", lo, hi)) \
+        .map_batches(pair_partial, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    j = li.join(part, join_type="inner", num_partitions=join_parts(),
+                on=("l_partkey",), right_on=("p_partkey",))
+
+    def fold_dominant(g: pd.DataFrame) -> pd.DataFrame:
+        pair = g.groupby(["l_partkey", "l_suppkey"],
+                         sort=False)["q"].sum().reset_index()
+        tot = pair.groupby("l_partkey")["q"].transform("sum")
+        w = pair[2 * pair["q"] > tot]
+        return pd.DataFrame({"s_suppkey": np.unique(
+            w["l_suppkey"].to_numpy(np.int64))})
+
+    import pyarrow.dataset as pads
+
+    cand = _pull(
+        j.groupby("l_partkey").map_groups(fold_dominant,
+                                          batch_format="pandas"),
+        {"s_suppkey": pa.int64()})
+    sks = sorted(set(cand["s_suppkey"].to_pylist()))
+    if not sks:
+        return pa.table({"s_name": pa.array([], pa.string())})
+    st = pads.dataset(os.path.join(sf_dir, "supplier.parquet")).to_table(
+        columns=["s_suppkey", "s_name", "s_nationkey"],
+        filter=pads.field("s_suppkey").isin(sks)
+               & pads.field("s_nationkey").isin(good_nat))
+    return pa.table({"s_name": pa.array(sorted(st["s_name"].to_pylist()),
+                                        pa.string())})
+
+
+SQL_DOMINANT_SUPPLIER = """
+WITH w AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS q
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_name LIKE '%widget%'
+    AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+  GROUP BY 1, 2),
+tot AS (SELECT l_partkey, SUM(q) AS tq FROM w GROUP BY 1)
+SELECT DISTINCT s.s_name
+FROM w JOIN tot USING (l_partkey)
+       JOIN supplier s ON s.s_suppkey = w.l_suppkey
+       JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE 2*w.q > tot.tq
+  AND n.n_regionkey IN (SELECT r_regionkey FROM region
+                        WHERE r_name IN ('EUROPE', 'ASIA'))
+ORDER BY s.s_name
+"""
+
+
 TPCH_QUERIES = {
     "local_supplier_volume": (q_local_supplier_volume,
                               SQL_LOCAL_SUPPLIER_VOLUME),
@@ -1871,4 +2236,6 @@ TPCH_QUERIES = {
     "bfs_hops": (q_bfs_hops, SQL_BFS_HOPS),
     "forecast_revenue": (q_forecast_revenue, SQL_FORECAST_REVENUE),
     "nation_profit": (q_nation_profit, SQL_NATION_PROFIT),
+    "min_cost_supplier": (q_min_cost_supplier, SQL_MIN_COST_SUPPLIER),
+    "dominant_supplier": (q_dominant_supplier, SQL_DOMINANT_SUPPLIER),
 }

@@ -37,7 +37,9 @@ def _df(res) -> pd.DataFrame:
                                    "supplier_part_counts",
                                    "late_shipment_priority",
                                    "small_qty_revenue",
-                                   "nation_profit"])
+                                   "nation_profit",
+                                   "min_cost_supplier",
+                                   "dominant_supplier"])
 def test_forced_join_fallback_equals_broadcast(ray_session, monkeypatch,
                                                qname):
     """The >5M-key Dataset.join path must produce byte-identical output
