@@ -4856,7 +4856,220 @@ FROM events
 """
 
 
+# =====================================================================
+# window frame bounds: LEAD / FIRST_VALUE / LAST_VALUE (§2.9)
+# =====================================================================
+
+def q_window_bounds(sf_dir: str):
+    """LEAD plus unbounded-frame FIRST_VALUE / LAST_VALUE per user over
+    the event stream — the remaining navigation-function family next to
+    LAG (q_window_lag) and NTILE/PERCENT_RANK (q_window_rank). Scale
+    shape: ONE user-hash groupby exchange over 4 skinny columns; each
+    partition sorts its users' events once ((ts, event_id) is a total
+    order) and derives all three columns from vectorized shifts /
+    per-group boundary indices — no per-row Python. Partitioning
+    assumption: one user's events fit in a worker, the same per-PARTITION
+    assumption every window engine makes. The last row's LEAD is the
+    literal 'NONE' on both sides (COALESCE in the oracle) to avoid
+    null-ordering ambiguity in the driver's hash compare."""
+    import pyarrow.dataset as pads
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_id", "ts", "event_type"],
+        filter=pads.field("user_id") < 200,
+    )
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        et = g["event_type"].to_numpy()
+        lead = np.empty_like(et)
+        lead[:-1] = et[1:]
+        lead[-1] = "NONE"
+        return pd.DataFrame({
+            "user_id": g["user_id"].to_numpy(),
+            "event_id": g["event_id"].to_numpy(),
+            "lead_type": lead,
+            "first_type": np.full(len(et), et[0]),
+            "last_type": np.full(len(et), et[-1]),
+        })
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+SQL_WINDOW_BOUNDS = """
+SELECT user_id, event_id,
+  COALESCE(LEAD(event_type) OVER w, 'NONE') AS lead_type,
+  FIRST_VALUE(event_type) OVER w AS first_type,
+  LAST_VALUE(event_type) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type
+FROM events WHERE user_id < 200
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+# =====================================================================
+# sweep-line: max concurrent intervals per group
+# =====================================================================
+
+def q_max_concurrent(sf_dir: str):
+    """Peak number of simultaneously-open shipment intervals
+    [l_shipdate, l_shipdate + l_quantity days] per returnflag — the
+    classic sweep-line / room-scheduling operator (resource-peak
+    sizing). Each block emits ±1 boundary events; ONE flag-hash
+    exchange; each group does a vectorized lexsort + cumsum + max.
+    Tie rule pinned on BOTH sides: at equal timestamps starts sort
+    before ends (+1 before −1 → touching intervals count as
+    overlapping). Per-group events must fit a worker here; a group too
+    large for that switches to the two-pass distributed prefix-scan
+    (sort by t, per-block (sum, max-prefix) partials, tiny driver
+    offset fold — the q_running_total pattern) at the cost of a sort
+    instead of a hash exchange."""
+    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_shipdate", "l_quantity"])
+    day_us = 86_400_000_000
+
+    def bounds(b: pa.Table) -> pa.Table:
+        start = b["l_shipdate"].cast(pa.int64())
+        days = pc.round(b["l_quantity"]).cast(pa.int64())
+        end = pc.add(start, pc.multiply(days, pa.scalar(day_us)))
+        flags = b["l_returnflag"]
+        return pa.table({
+            "flag": pa.concat_arrays([flags.combine_chunks(),
+                                      flags.combine_chunks()]),
+            "t": pa.concat_arrays([start.combine_chunks(),
+                                   end.combine_chunks()]),
+            "d": pa.array(np.concatenate([
+                np.ones(b.num_rows, dtype=np.int64),
+                np.full(b.num_rows, -1, dtype=np.int64)])),
+        })
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        t = g["t"].to_numpy()
+        d = g["d"].to_numpy()
+        order = np.lexsort((-d, t))  # starts (+1) before ends (−1) at ties
+        peak = int(np.cumsum(d[order]).max())
+        return pd.DataFrame({"flag": [g["flag"].iloc[0]],
+                             "max_concurrent": np.array([peak], np.int64)})
+
+    return (ds.map_batches(bounds, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("flag").map_groups(sweep, batch_format="pandas"))
+
+
+SQL_MAX_CONCURRENT = """
+WITH ev AS (
+  SELECT l_returnflag AS flag, epoch_us(l_shipdate) AS t, 1 AS d
+  FROM lineitem
+  UNION ALL
+  SELECT l_returnflag,
+         epoch_us(l_shipdate) + CAST(ROUND(l_quantity) AS BIGINT) * 86400000000,
+         -1
+  FROM lineitem
+), s AS (
+  SELECT flag, SUM(d) OVER (PARTITION BY flag ORDER BY t, d DESC
+                            ROWS UNBOUNDED PRECEDING) AS conc
+  FROM ev
+)
+SELECT flag, CAST(MAX(conc) AS BIGINT) AS max_concurrent
+FROM s GROUP BY flag
+"""
+
+
+# =====================================================================
+# Welch's t-test per group (A/B experiment analysis)
+# =====================================================================
+
+def q_welch_ttest(sf_dir: str):
+    """Welch's two-sample t-statistic between the BUILDING and MACHINERY
+    market segments' account balances, per nation — the A/B-experiment
+    readout a training-data pipeline runs over bucketed corpora. Exact
+    integer moment sums (n, Σx, Σx² in cents) per (nation, segment)
+    ride ONE groupby exchange as 3 int64 partials per block×group; the
+    finale forms n·Σx² − (Σx)² in arbitrary-precision Python ints
+    (≡ DuckDB HUGEINT — Σx² of 10⁶-cent balances passes 2⁶³ near 10⁹
+    rows/group), then ONE identical IEEE expression per side:
+    t = (m₁−m₂)/√(v₁/n₁+v₂/n₂), rounded to 6 dp. Groups with a
+    degenerate side (n<2) are dropped on both sides."""
+    ds = _t(sf_dir, "customer", ["c_nationkey", "c_mktsegment", "c_acctbal"])
+    segs = ("BUILDING", "MACHINERY")
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(b["c_mktsegment"],
+                              value_set=pa.array(segs)))
+        x = _cents(b["c_acctbal"])
+        return pa.table({
+            "c_nationkey": b["c_nationkey"].cast(pa.int64()),
+            "seg": b["c_mktsegment"],
+            "x": x,
+            "xx": pc.multiply(x, x),
+        })
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["c_nationkey", "seg"])
+        .aggregate(Count(alias_name="n"),
+                   Sum("x", alias_name="sx"),
+                   Sum("xx", alias_name="sxx"))
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        # ≤ |nations|×2 rows at any scale — bounded driver-side fold
+        out = []
+        for nk, g in df.groupby("c_nationkey", sort=True):
+            m = {r.seg: r for r in g.itertuples()}
+            a, b_ = m.get(segs[0]), m.get(segs[1])
+            if a is None or b_ is None or a.n < 2 or b_.n < 2:
+                continue
+            stats = []
+            for r in (a, b_):
+                n, sx, sxx = int(r.n), int(r.sx), int(r.sxx)
+                num = n * sxx - sx * sx          # exact ints ≡ HUGEINT
+                mean = float(sx) / float(n)
+                var = float(num) / float(n * (n - 1))
+                stats.append((n, mean, var))
+            (n1, m1, v1), (n2, m2, v2) = stats
+            t = (m1 - m2) / math.sqrt(v1 / float(n1) + v2 / float(n2))
+            out.append((int(nk), int(n1), int(n2), float(np.round(t, 6))))
+        return pd.DataFrame(out, columns=["c_nationkey", "n1", "n2", "t_stat"])
+
+    part = agg.to_pandas()  # ≤ nations×2 rows — bounded materialization
+    return pa.Table.from_pandas(finalize(part), preserve_index=False)
+
+
+SQL_WELCH_TTEST = """
+WITH m AS (
+  SELECT c_nationkey, c_mktsegment AS seg,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS sx,
+         SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)
+             * CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS sxx
+  FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+  GROUP BY 1, 2
+), w AS (
+  SELECT a.c_nationkey,
+         a.n AS n1, b.n AS n2,
+         CAST(a.sx AS DOUBLE) / CAST(a.n AS DOUBLE) AS m1,
+         CAST(b.sx AS DOUBLE) / CAST(b.n AS DOUBLE) AS m2,
+         CAST(CAST(a.n AS HUGEINT) * a.sxx - a.sx * a.sx AS DOUBLE)
+           / CAST(a.n * (a.n - 1) AS DOUBLE) AS v1,
+         CAST(CAST(b.n AS HUGEINT) * b.sxx - b.sx * b.sx AS DOUBLE)
+           / CAST(b.n * (b.n - 1) AS DOUBLE) AS v2
+  FROM m a JOIN m b USING (c_nationkey)
+  WHERE a.seg = 'BUILDING' AND b.seg = 'MACHINERY'
+    AND a.n >= 2 AND b.n >= 2
+)
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, n1, n2,
+  ROUND((m1 - m2) / SQRT(v1 / CAST(n1 AS DOUBLE)
+                         + v2 / CAST(n2 AS DOUBLE)), 6) AS t_stat
+FROM w
+"""
+
+
 ANALYTICS_QUERIES = {
+    "window_bounds": (q_window_bounds, SQL_WINDOW_BOUNDS),
+    "max_concurrent": (q_max_concurrent, SQL_MAX_CONCURRENT),
+    "welch_ttest": (q_welch_ttest, SQL_WELCH_TTEST),
     "range_moving_sum": (q_range_moving_sum, SQL_RANGE_MOVING_SUM),
     "regr_per_group": (q_regr_per_group, SQL_REGR_PER_GROUP),
     "activity_streaks": (q_activity_streaks, SQL_ACTIVITY_STREAKS),
