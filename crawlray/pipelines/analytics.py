@@ -5066,10 +5066,225 @@ FROM w
 """
 
 
+# =====================================================================
+# association pairs: co-occurrence lift (market-basket over event types)
+# =====================================================================
+
+def q_pair_lift(sf_dir: str):
+    """Pairwise event-type co-occurrence LIFT across users — the
+    frequent-itemset / association readout (Agrawal-style support +
+    lift restricted to pairs). Scale shape: per-block DISTINCT
+    (user, type) combiner shrinks the stream before its ONE user-hash
+    exchange; each partition emits its local users' sorted type pairs
+    and folds them with value_counts, so the final fold is bounded by
+    |types|² + |types| + 1 rows per partition — never per-user data.
+    lift(a,b) = c_ab·U / (c_a·c_b) with the IDENTICAL IEEE expression
+    on both sides, 6 dp."""
+    from .sizing import fold_parts
+
+    n_parts = fold_parts()
+    ds = _t(sf_dir, "events", ["user_id", "event_type"])
+
+    def distinct_block(b: pa.Table) -> pa.Table:
+        t = b.group_by(["user_id", "event_type"]).aggregate([])
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            kp = ((uid.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                  % np.uint64(n_parts)).astype(np.int64)
+        return t.append_column("kp", pa.array(kp))
+
+    def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        # one hash partition: every row of a user lives here
+        g = g.drop_duplicates(["user_id", "event_type"])
+        rows = []
+        for _uid, types in g.groupby("user_id")["event_type"]:
+            ts = sorted(set(types))
+            for t_ in ts:
+                rows.append(("s", t_, ""))
+            for i in range(len(ts)):
+                for j in range(i + 1, len(ts)):
+                    rows.append(("p", ts[i], ts[j]))
+            rows.append(("u", "", ""))
+        df = pd.DataFrame(rows, columns=["kind", "ta", "tb"])
+        out = df.value_counts(["kind", "ta", "tb"]).reset_index(name="c")
+        out["c"] = out["c"].astype(np.int64)
+        return out
+
+    folded = (ds.map_batches(distinct_block, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby("kp").map_groups(pairs_part, batch_format="pandas")
+              .groupby(["kind", "ta", "tb"])
+              .aggregate(Sum("c", alias_name="c")))
+
+    part = folded.to_pandas()  # ≤ |types|²+|types|+1 rows — bounded
+    nu = int(part.loc[part["kind"] == "u", "c"].sum())
+    singles = {r.ta: int(r.c) for r in
+               part[part["kind"] == "s"].itertuples()}
+    pr = part[part["kind"] == "p"].sort_values(["ta", "tb"])
+    lifts = [float(np.round(
+        float(c) * float(nu) / (float(singles[a]) * float(singles[b])), 6))
+        for a, b, c in zip(pr["ta"], pr["tb"], pr["c"])]
+    return pa.table({
+        "ta": pa.array(pr["ta"], pa.string()),
+        "tb": pa.array(pr["tb"], pa.string()),
+        "cab": pa.array(pr["c"].astype(np.int64)),
+        "lift": pa.array(lifts, pa.float64()),
+    })
+
+
+SQL_PAIR_LIFT = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+u AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nu FROM events),
+s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c FROM ut GROUP BY 1),
+p AS (SELECT a.event_type AS ta, b.event_type AS tb,
+             CAST(COUNT(*) AS BIGINT) AS cab
+      FROM ut a JOIN ut b USING (user_id)
+      WHERE a.event_type < b.event_type GROUP BY 1, 2)
+SELECT ta, tb, cab,
+  ROUND(CAST(cab AS DOUBLE) * CAST(nu AS DOUBLE)
+        / (CAST(sa.c AS DOUBLE) * CAST(sb.c AS DOUBLE)), 6) AS lift
+FROM p CROSS JOIN u
+JOIN s sa ON sa.event_type = ta
+JOIN s sb ON sb.event_type = tb
+"""
+
+
+# =====================================================================
+# first-touch attribution
+# =====================================================================
+
+def q_first_touch(sf_dir: str):
+    """Marketing-style FIRST-TOUCH ATTRIBUTION: each user's lifetime
+    purchase revenue is credited to the event type of their very first
+    event. ONE user-hash exchange carries 5 skinny columns; each
+    partition derives, per local user, the argmin-(ts, event_id) first
+    type AND the purchase-cents sum in the same pass (both user-local
+    facts — no second exchange over raw events); the per-user rows then
+    reduce through Ray's distributive Sum/Count (per-block partials,
+    ≤ |types| groups)."""
+    ds = _t(sf_dir, "events",
+            ["user_id", "event_id", "ts", "event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = _cents(b["value"])
+        is_p = pc.equal(b["event_type"], pa.scalar("purchase"))
+        return pa.table({
+            "user_id": b["user_id"],
+            "event_id": b["event_id"],
+            "ts": b["ts"].cast(pa.int64()),
+            "event_type": b["event_type"],
+            "cents": pc.if_else(is_p, cents, pa.scalar(0, pa.int64())),
+        })
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        first = np.lexsort((eid, ts))[0]
+        return pd.DataFrame({
+            "first_type": [g["event_type"].iloc[first]],
+            "cents": np.array([g["cents"].to_numpy().sum()], np.int64),
+        })
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("user_id").map_groups(per_user, batch_format="pandas")
+           .groupby("first_type")
+           .aggregate(Count(alias_name="users"),
+                      Sum("cents", alias_name="cents")))
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "first_type": b["first_type"],
+            "users": b["users"],
+            "revenue": pc.divide(b["cents"].cast(pa.float64()),
+                                 pa.scalar(100.0)),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_FIRST_TOUCH = """
+WITH f AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn
+  FROM events),
+ft AS (SELECT user_id, event_type AS first_type FROM f WHERE rn = 1),
+rev AS (SELECT user_id,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS c
+        FROM events WHERE event_type = 'purchase' GROUP BY 1)
+SELECT first_type, CAST(COUNT(*) AS BIGINT) AS users,
+  CAST(CAST(SUM(COALESCE(c, 0)) AS BIGINT) AS DOUBLE) / 100.0 AS revenue
+FROM ft LEFT JOIN rev USING (user_id)
+GROUP BY 1
+"""
+
+
+# =====================================================================
+# trimmed (truncated) mean per group
+# =====================================================================
+
+def q_trimmed_mean(sf_dir: str, trim: float = 0.05):
+    """5%-each-side TRIMMED MEAN of extendedprice per returnflag — the
+    outlier-robust aggregate (rank-trim is well-defined on ties: the
+    cut lands inside a run of equal values, so the kept multiset — and
+    the sum — is tie-order-independent; ROW_NUMBER's arbitrary tie
+    order in the oracle is therefore harmless). Per-group sort here
+    (3 groups); a group too large for one worker switches to the exact
+    2-pass selection-quantile cut (q_median_selection's machinery) to
+    find the k-th / (n−k)-th values and block-local partial sums of
+    the kept range. k = ⌊trim·n⌋ and the mean expression are IEEE-
+    identical on both sides, 6 dp."""
+    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({"flag": b["l_returnflag"],
+                         "c": _cents(b["l_extendedprice"])})
+
+    def per_flag(g: pd.DataFrame) -> pd.DataFrame:
+        c = np.sort(g["c"].to_numpy())
+        n = len(c)
+        k = int(np.floor(trim * n))
+        kept = c[k:n - k]
+        mean = float(np.round(
+            float(kept.sum()) / float(len(kept)) / 100.0, 6))
+        return pd.DataFrame({
+            "flag": [g["flag"].iloc[0]],
+            "n_kept": np.array([len(kept)], np.int64),
+            "trimmed_mean": np.array([mean], np.float64),
+        })
+
+    return (ds.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("flag").map_groups(per_flag, batch_format="pandas"))
+
+
+SQL_TRIMMED_MEAN = """
+WITH r AS (
+  SELECT l_returnflag AS flag,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY CAST(ROUND(l_extendedprice * 100)
+                                          AS BIGINT)) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem)
+SELECT flag, CAST(COUNT(*) AS BIGINT) AS n_kept,
+  ROUND(CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE) / 100.0, 6) AS trimmed_mean
+FROM r
+WHERE rn > CAST(FLOOR(0.05 * n) AS BIGINT)
+  AND rn <= n - CAST(FLOOR(0.05 * n) AS BIGINT)
+GROUP BY flag
+"""
+
+
 ANALYTICS_QUERIES = {
     "window_bounds": (q_window_bounds, SQL_WINDOW_BOUNDS),
     "max_concurrent": (q_max_concurrent, SQL_MAX_CONCURRENT),
     "welch_ttest": (q_welch_ttest, SQL_WELCH_TTEST),
+    "pair_lift": (q_pair_lift, SQL_PAIR_LIFT),
+    "first_touch": (q_first_touch, SQL_FIRST_TOUCH),
+    "trimmed_mean": (q_trimmed_mean, SQL_TRIMMED_MEAN),
     "range_moving_sum": (q_range_moving_sum, SQL_RANGE_MOVING_SUM),
     "regr_per_group": (q_regr_per_group, SQL_REGR_PER_GROUP),
     "activity_streaks": (q_activity_streaks, SQL_ACTIVITY_STREAKS),
