@@ -5278,7 +5278,113 @@ GROUP BY flag
 """
 
 
+# =====================================================================
+# Z-order (Morton) layout: multi-dimensional zone-map clustering
+# =====================================================================
+
+def _morton_spread16(v: np.ndarray) -> np.ndarray:
+    """Spread the low 16 bits of each value to even bit positions
+    (0b...abcd → 0b...0a0b0c0d) — one half of a 2-D Morton code."""
+    v = v.astype(np.uint64) & np.uint64(0xFFFF)
+    v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+    v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    v = (v | (v << np.uint64(2))) & np.uint64(0x3333333333333333)
+    v = (v | (v << np.uint64(1))) & np.uint64(0x5555555555555555)
+    return v
+
+
+def q_zorder_layout(sf_dir: str):
+    """Z-ORDER (Morton-interleaved) storage layout: lineitem is
+    clustered by the bit-interleave of 16-bit-quantized (shipdate,
+    partkey), so parquet min/max zone maps prune on EITHER dimension —
+    the multi-column generalization of q_sorted_layout (a time-sorted
+    layout cannot prune a partkey-only predicate at all; the Z-layout
+    prunes both: tests/test_analytics_ops.py pins it). Quantization
+    bounds come from ONE bounded aggregate pre-pass (4 int64 partials
+    per block — ingest-time cost, paid once). The read back applies a
+    genuinely 2-D predicate as a parquet filter; at 100 TB the scan
+    fraction is ~(range₁/total₁)·O(√(range₂/total₂)) instead of a full
+    scan. Output aggregate is bounded (one row per month) and
+    integer-exact. Layout lands under ``CRAWLRAY_SCRATCH_ROOT`` (shared
+    storage on a multi-node cluster; /tmp is the single-node default)."""
+    import shutil
+    import tempfile
+
+    import pyarrow.dataset as pads
+
+    ds = _t(sf_dir, "lineitem", ["l_shipdate", "l_partkey", "l_quantity"])
+
+    bounds = ds.map_batches(
+        lambda b: pa.table({
+            "dmin": pa.array([pc.min(b["l_shipdate"]).cast(pa.int64()).as_py()]),
+            "dmax": pa.array([pc.max(b["l_shipdate"]).cast(pa.int64()).as_py()]),
+            "pmin": pa.array([pc.min(b["l_partkey"]).as_py()]),
+            "pmax": pa.array([pc.max(b["l_partkey"]).as_py()]),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).to_pandas()  # blocks×4 int64 — bounded pre-pass
+    dmin, dmax = int(bounds["dmin"].min()), int(bounds["dmax"].max())
+    pmin, pmax = int(bounds["pmin"].min()), int(bounds["pmax"].max())
+    dspan, pspan = max(1, dmax - dmin), max(1, pmax - pmin)
+
+    def add_z(b: pa.Table) -> pa.Table:
+        d = b["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        p = b["l_partkey"].to_numpy(zero_copy_only=False)
+        d16 = ((d - dmin).astype(np.uint64) * np.uint64(65535)
+               // np.uint64(dspan))
+        p16 = ((p - pmin).astype(np.uint64) * np.uint64(65535)
+               // np.uint64(pspan))
+        z = (_morton_spread16(d16)
+             | (_morton_spread16(p16) << np.uint64(1))).astype(np.int64)
+        return b.append_column("z", pa.array(z))
+
+    scratch = os.environ.get("CRAWLRAY_SCRATCH_ROOT")
+    if scratch:
+        os.makedirs(scratch, exist_ok=True)
+    out_dir = tempfile.mkdtemp(prefix="crawlray_zorder_", dir=scratch)
+    try:
+        (ds.map_batches(add_z, batch_format="pyarrow", zero_copy_batch=True)
+         .sort("z").write_parquet(out_dir))
+        lo = np.datetime64("1996-03-01", "us")
+        hi = np.datetime64("1996-09-01", "us")
+        back = rd.read_parquet(
+            out_dir,
+            columns=["l_shipdate", "l_partkey", "l_quantity"],
+            filter=(pads.field("l_shipdate") >= lo)
+                   & (pads.field("l_shipdate") < hi)
+                   & (pads.field("l_partkey") < 100),
+        )
+
+        rows = (
+            back.map_batches(
+                lambda b: pa.table({
+                    "month": pc.floor_temporal(b["l_shipdate"], unit="month"),
+                    "qty": pc.round(b["l_quantity"]).cast(pa.int64()),
+                }),
+                batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("month")
+            .aggregate(Count(alias_name="n"), Sum("qty", alias_name="qty"))
+            .take_all()  # bounded: one row per month in the window
+        )
+        return pa.Table.from_pylist(rows)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+SQL_ZORDER_LAYOUT = """
+SELECT date_trunc('month', l_shipdate) AS month,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l_shipdate < TIMESTAMP '1996-09-01'
+  AND l_partkey < 100
+GROUP BY 1
+"""
+
+
 ANALYTICS_QUERIES = {
+    "zorder_layout": (q_zorder_layout, SQL_ZORDER_LAYOUT),
     "window_bounds": (q_window_bounds, SQL_WINDOW_BOUNDS),
     "max_concurrent": (q_max_concurrent, SQL_MAX_CONCURRENT),
     "welch_ttest": (q_welch_ttest, SQL_WELCH_TTEST),

@@ -461,6 +461,75 @@ def test_sorted_layout_zone_maps_prune(ray_session, tmp_path):
     assert got == want
 
 
+def test_zorder_layout_prunes_both_dimensions(ray_session, tmp_path):
+    """The Z-order layout's distinctive claim: zone maps prune on
+    EITHER clustered dimension. A partkey-only predicate — which a
+    shipdate-sorted layout cannot prune at all (every row group spans
+    the full partkey domain) — must skip most row groups, and a
+    shipdate-only predicate must still prune too. Surviving rows are
+    exact vs DuckDB on both predicates."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from crawlray.pipelines.analytics import _morton_spread16
+
+    src = os.path.join(SF_DIR, "lineitem.parquet")
+    ds = rd.read_parquet(
+        src, columns=["l_shipdate", "l_partkey", "l_quantity"],
+        override_num_blocks=16,
+    )
+    lo_d = duckdb.sql(
+        f"SELECT MIN(epoch_us(l_shipdate)), MAX(epoch_us(l_shipdate)), "
+        f"MIN(l_partkey), MAX(l_partkey) FROM read_parquet('{src}')"
+    ).fetchone()
+    dmin, dmax, pmin, pmax = (int(v) for v in lo_d)
+    dspan, pspan = max(1, dmax - dmin), max(1, pmax - pmin)
+
+    def add_z(b: pa.Table) -> pa.Table:
+        d = b["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        p = b["l_partkey"].to_numpy(zero_copy_only=False)
+        d16 = (d - dmin).astype(np.uint64) * np.uint64(65535) // np.uint64(dspan)
+        p16 = (p - pmin).astype(np.uint64) * np.uint64(65535) // np.uint64(pspan)
+        z = (_morton_spread16(d16)
+             | (_morton_spread16(p16) << np.uint64(1))).astype(np.int64)
+        return b.append_column("z", pa.array(z))
+
+    out = str(tmp_path / "zorder")
+    ds.map_batches(add_z, batch_format="pyarrow").sort("z").write_parquet(out)
+
+    d = pads.dataset(out)
+    pk_cut = (pmax + 1) // 8
+    date_lo = np.datetime64("1996-01-01", "us")
+    date_hi = np.datetime64("1996-10-01", "us")
+    preds = {
+        "pk_only": (pads.field("l_partkey") < pk_cut,
+                    f"l_partkey < {pk_cut}"),
+        "date_only": ((pads.field("l_shipdate") >= date_lo)
+                      & (pads.field("l_shipdate") < date_hi),
+                      "l_shipdate >= TIMESTAMP '1996-01-01' "
+                      "AND l_shipdate < TIMESTAMP '1996-10-01'"),
+    }
+    for name, (filt, sql_pred) in preds.items():
+        total = matching = 0
+        for frag in d.get_fragments():
+            frag.ensure_complete_metadata()
+            total += frag.num_row_groups
+            matching += len(list(frag.split_by_row_group(filt, schema=d.schema)))
+        assert total >= 8, f"expected multi-file layout, got {total}"
+        assert matching < total, (
+            f"{name}: zone maps pruned nothing ({matching}/{total})")
+        if name == "pk_only":
+            # the dimension a time-sorted layout can never prune
+            assert matching <= total // 2, (
+                f"pk_only pruned weakly: {matching}/{total}")
+        want = duckdb.sql(
+            f"SELECT COUNT(*) FROM read_parquet('{src}') WHERE {sql_pred}"
+        ).fetchone()[0]
+        assert d.to_table(filter=filt).num_rows == want
+
+
 def test_bpe_train_matches_reference(ray_session):
     """The distributed-wordcount + driver-merge BPE trainer must equal
     an independent pure-python reference run over DuckDB's word counts
