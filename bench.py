@@ -275,7 +275,7 @@ def main() -> None:
         queries = ({} if (args.crawl_only or args.stress)
                    else run_query_bench(sf_dir))
         total = round(time.time() - t_all, 2)
-        _one_json_line({
+        full = {
             "metric": "crawl flagship + query suite wall time",
             "value": total,
             "unit": "sec",
@@ -283,7 +283,36 @@ def main() -> None:
             "sf": sf,
             "num_cpus": num_cpus,
             "crawl": crawl,
-        })
+        }
+        _one_json_line(full)
+        detail_path = os.environ.get("CRAWLRAY_BENCH_OUT",
+                                     "/tmp/crawlray_bench_full.json")
+        try:
+            with open(detail_path, "w") as fh:
+                json.dump(full, fh, indent=1)
+        except OSError:
+            pass
+        if queries:
+            # The driver keeps only the tail of stdout (~4 KiB) and scans
+            # it for a JSON line; with 180 per-query timings the full line
+            # above exceeds that window and truncates mid-line (round-3
+            # BENCH recorded parsed:null). Re-emit the same headline
+            # metrics as a short FINAL line — slowest-40 query subset plus
+            # suite aggregates — so the recorded artifact always parses;
+            # the full per-query table is the previous line + detail_path.
+            slow40 = sorted(queries, key=queries.get, reverse=True)[:40]
+            _one_json_line({
+                "metric": full["metric"],
+                "value": total,
+                "unit": "sec",
+                "queries": {k: queries[k] for k in sorted(slow40)},
+                "queries_n": len(queries),
+                "queries_total_s": round(sum(queries.values()), 2),
+                "queries_detail": detail_path,
+                "sf": sf,
+                "num_cpus": num_cpus,
+                "crawl": crawl,
+            })
     finally:
         if args.run_dir is None:  # keep user-specified dirs for inspection
             import shutil
