@@ -535,31 +535,50 @@ WHERE c_custkey < 400
 def q_full_join(sf_dir: str):
     """Urgent-order counts (custkey < 200) FULL OUTER JOIN low-priority
     counts (100 ≤ custkey < 300): the key ranges only half-overlap, so
-    left-only, right-only, and matched rows all genuinely occur. Both
-    sides are groupby-aggregated BEFORE the join (each bounded by
-    |customers|), keys are coalesced into one output column and counts
-    null-filled on both sides — completing the inner/left/full join-type
-    surface over the same aggregate-then-join shape."""
+    left-only, right-only, and matched rows all genuinely occur. Plan:
+    ONE fact scan emits side-tagged per-block partial counts for both
+    predicates, ONE (side,key) groupby folds them, the bounded result
+    (≤2·|customers| skinny int rows) is materialized once and split by
+    side with two cheap filters feeding the full-outer hash join — one
+    scan and one exchange where the naive plan pays two of each
+    (measured 6.5 s → this shape at sf0.1/32cpus). Keys are coalesced
+    into one output column and counts null-filled on both sides —
+    completing the inner/left/full join-type surface."""
     from .sizing import join_parts
 
     orders = _t(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
 
-    def side(prio: str, lo: int, hi: int, key: str, cnt: str):
-        def prep(b: pa.Table) -> pa.Table:
-            m = pc.and_(
-                pc.equal(b["o_orderpriority"], pa.scalar(prio)),
-                pc.and_(pc.greater_equal(b["o_custkey"], pa.scalar(lo)),
-                        pc.less(b["o_custkey"], pa.scalar(hi))))
-            return pa.table({key: b["o_custkey"].filter(m)})
+    def prep(b: pa.Table) -> pa.Table:
+        # ONE scan emits per-block partial counts for BOTH sides,
+        # side-tagged — (side, key, n) skinny rows, ≤ 2·|block keys|.
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+        prio = b["o_orderpriority"]
+        sides, keys, ns = [], [], []
+        for side, (p, lo, hi) in enumerate(
+                (("1-URGENT", 0, 200), ("5-LOW", 100, 300))):
+            m = (pc.equal(prio, pa.scalar(p)).to_numpy(zero_copy_only=False)
+                 & (ck >= lo) & (ck < hi))
+            u, c = np.unique(ck[m], return_counts=True)
+            sides.append(np.full(len(u), side, np.int64))
+            keys.append(u)
+            ns.append(c.astype(np.int64))
+        return pa.table({"side": pa.array(np.concatenate(sides)),
+                         "key": pa.array(np.concatenate(keys)),
+                         "n": pa.array(np.concatenate(ns))})
 
-        return (
-            orders.map_batches(prep, batch_format="pyarrow",
-                               zero_copy_batch=True)
-            .groupby(key).aggregate(Count(alias_name=cnt))
-        )
+    agg = (orders.map_batches(prep, batch_format="pyarrow",
+                              zero_copy_batch=True)
+           .groupby(["side", "key"]).aggregate(Sum("n", alias_name="cnt"))
+           .materialize())  # bounded: ≤ 2·|customers| skinny int rows
 
-    a = side("1-URGENT", 0, 200, "ka", "n_urgent")
-    b = side("5-LOW", 100, 300, "kb", "n_low")
+    def pick(side: int, key: str, cnt: str):
+        def f(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.equal(b["side"], pa.scalar(side)))
+            return pa.table({key: b["key"], cnt: b["cnt"]})
+        return f
+
+    a = agg.map_batches(pick(0, "ka", "n_urgent"), batch_format="pyarrow")
+    b = agg.map_batches(pick(1, "kb", "n_low"), batch_format="pyarrow")
     j = a.join(b, join_type="full_outer", num_partitions=join_parts(),
                on=("ka",), right_on=("kb",))
 
@@ -5383,7 +5402,272 @@ GROUP BY 1
 """
 
 
+# =====================================================================
+# window distribution functions: CUME_DIST + NTH_VALUE
+# =====================================================================
+
+def q_window_dist(sf_dir: str):
+    """CUME_DIST (with real tie/peer semantics — acctbal alone orders
+    the frame, so equal balances share a distribution value) plus
+    NTH_VALUE(name, 2) over the unbounded frame, per market segment —
+    the distribution-function family next to NTILE/PERCENT_RANK
+    (q_window_rank) and LEAD/FIRST/LAST (q_window_bounds). Scale shape:
+    ONE segment-hash groupby exchange over 4 skinny columns; each
+    partition sorts once by (acctbal, custkey) and derives cume_dist
+    vectorized as searchsorted-right(balances, balances)/n — the peer
+    count — and the 2nd-row name by index. cume_dist is ONE int/int
+    double division on both sides, so the hash compare is exact.
+    Partitioning assumption: one segment's customers fit in a worker
+    (the per-PARTITION assumption every window engine makes)."""
+    ds = _t(sf_dir, "customer",
+            ["c_mktsegment", "c_custkey", "c_name", "c_acctbal"])
+
+    def per_seg(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["c_acctbal", "c_custkey"], kind="mergesort")
+        bal = g["c_acctbal"].to_numpy()
+        n = len(bal)
+        cd = np.searchsorted(bal, bal, side="right") / np.float64(n)
+        second = g["c_name"].iloc[1] if n >= 2 else "NONE"
+        return pd.DataFrame({
+            "c_custkey": g["c_custkey"].to_numpy(),
+            "c_mktsegment": g["c_mktsegment"].to_numpy(),
+            "cume_dist": cd,
+            "second_name": np.full(n, second, object),
+        })
+
+    return ds.groupby("c_mktsegment").map_groups(per_seg,
+                                                 batch_format="pandas")
+
+
+SQL_WINDOW_DIST = """
+SELECT c_custkey, c_mktsegment,
+  CUME_DIST() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal)
+    AS cume_dist,
+  COALESCE(NTH_VALUE(c_name, 2) OVER (
+    PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+    'NONE') AS second_name
+FROM customer
+"""
+
+
+# =====================================================================
+# sliding-window median (holistic aggregate over a bounded frame)
+# =====================================================================
+
+def q_moving_median(sf_dir: str):
+    """MEDIAN(value) OVER (PARTITION BY user ORDER BY ts, event_id ROWS
+    BETWEEN 2 PRECEDING AND CURRENT ROW) — a HOLISTIC window aggregate
+    (median needs the frame's values, not a running sum, so it can't
+    cascade like SUM/AVG frames). Scale shape: ONE user-hash exchange
+    over 3 skinny columns; each partition sorts its users once and
+    evaluates every 3-row frame in one vectorized np.median over a
+    stacked (n−2, 3) view, plus the two short-frame heads. The even
+    frame (row 1) is (v0+v1)/2 — matched against DuckDB empirically at
+    all three scales (one IEEE add + halving on identical operands)."""
+    import pyarrow.dataset as pads
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_id", "ts", "value"],
+        filter=pads.field("user_id") < 300,
+    )
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        v = g["value"].to_numpy()
+        n = len(v)
+        out = np.empty(n, np.float64)
+        out[0] = v[0]
+        if n >= 2:
+            out[1] = (v[0] + v[1]) / 2.0
+        if n >= 3:
+            frames = np.lib.stride_tricks.sliding_window_view(v, 3)
+            out[2:] = np.median(frames, axis=1)
+        return pd.DataFrame({
+            "user_id": g["user_id"].to_numpy(),
+            "event_id": g["event_id"].to_numpy(),
+            "moving_median": out,
+        })
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+SQL_MOVING_MEDIAN = """
+SELECT user_id, event_id,
+  MEDIAN(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    AS moving_median
+FROM events WHERE user_id < 300
+"""
+
+
+# =====================================================================
+# global NTILE by distributed exact selection (no global sort)
+# =====================================================================
+
+def q_global_ntile(sf_dir: str, k: int = 4):
+    """NTILE(4) over the WHOLE fact table (a global window — every row
+    needs its global rank) without ever sorting the data: the three
+    bucket boundaries are exact order statistics of the total order
+    (price-cents, orderkey, linenumber), found by the same 2-pass
+    selection as q_median_selection — pass 1 folds a bounded coarse
+    histogram of cents on the driver, pass 2 pulls only the ≈n/buckets
+    candidate rows inside the three cut buckets and indexes the exact
+    boundary TUPLES (the tiebreak keys make ties unambiguous: rows
+    equal on price straddle a boundary by key order, so the cut must be
+    a full tuple). Pass 3 broadcasts the 3 cut tuples and every block
+    bincounts its rows' buckets locally — ≤k partial rows per block
+    reach the driver. Three streaming scans, zero shuffles, and the
+    driver never holds more than O(buckets + n/buckets + k) rows."""
+    ds = _t(sf_dir, "lineitem",
+            ["l_extendedprice", "l_orderkey", "l_linenumber"])
+    bw = np.int64(50_000)  # $500 coarse buckets over cents
+
+    def cents_of(b: pa.Table) -> np.ndarray:
+        return pc.round(pc.multiply(b["l_extendedprice"],
+                                    pa.scalar(100.0))) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+    def hist(b: pa.Table) -> pa.Table:
+        bk, cnt = np.unique(cents_of(b) // bw, return_counts=True)
+        return pa.table({"bucket": pa.array(bk),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    folds = [b.to_pandas() for b in
+             ds.map_batches(hist, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .iter_batches(batch_size=262144, batch_format="pyarrow")]
+    cdf = (pd.concat(folds, ignore_index=True)
+           .groupby("bucket", as_index=False)["cnt"].sum()
+           .sort_values("bucket"))
+    n = int(cdf["cnt"].sum())
+    sizes = [n // k + (1 if i < n % k else 0) for i in range(k)]
+    cut_ranks = np.cumsum(sizes)[:-1]  # 1-based rank of each bucket's last row
+    cum = cdf["cnt"].cumsum().to_numpy()
+    cut_buckets, below = [], []
+    for r in cut_ranks:
+        i = int(np.searchsorted(cum, r))
+        cut_buckets.append(int(cdf["bucket"].iloc[i]))
+        below.append(int(cum[i - 1]) if i else 0)
+    want = sorted(set(cut_buckets))
+    want_ref = ray.put(np.array(want, np.int64))
+
+    def candidates(b: pa.Table) -> pa.Table:
+        w = ray.get(want_ref)
+        c = cents_of(b)
+        m = np.isin(c // bw, w)
+        return pa.table({
+            "cents": pa.array(c[m]),
+            "ok": b["l_orderkey"].filter(pa.array(m)),
+            "ln": b["l_linenumber"].filter(pa.array(m)),
+        })
+
+    cand = pd.DataFrame(
+        ds.map_batches(candidates, batch_format="pyarrow",
+                       zero_copy_batch=True).take_all())
+    cand_bk = cand["cents"].to_numpy() // bw
+    cuts = []  # exact (cents, orderkey, linenumber) boundary tuples
+    for r, bk, bl in zip(cut_ranks, cut_buckets, below):
+        g = cand[cand_bk == bk].sort_values(["cents", "ok", "ln"],
+                                            kind="mergesort")
+        row = g.iloc[int(r) - bl - 1]
+        cuts.append((int(row["cents"]), int(row["ok"]), int(row["ln"])))
+    cuts_ref = ray.put(cuts)
+
+    def assign(b: pa.Table) -> pa.Table:
+        cs = ray.get(cuts_ref)
+        c = cents_of(b)
+        ok = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        ln = b["l_linenumber"].to_numpy(zero_copy_only=False)
+        bucket = np.ones(len(c), np.int64)
+        for cc, co, cl in cs:  # row > cut tuple, lexicographically
+            gt = (c > cc) | ((c == cc) & ((ok > co) |
+                                          ((ok == co) & (ln > cl))))
+            bucket += gt
+        cnt = np.bincount(bucket, minlength=k + 1)[1:]
+        s = np.bincount(bucket, weights=c.astype(np.float64),
+                        minlength=k + 1)[1:].astype(np.int64)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({"bucket": pa.array(nz + 1),
+                         "n_lines": pa.array(cnt[nz].astype(np.int64)),
+                         "sum_c": pa.array(s[nz])})
+
+    parts = pd.DataFrame(
+        ds.map_batches(assign, batch_format="pyarrow",
+                       zero_copy_batch=True).take_all())
+    agg = parts.groupby("bucket", as_index=False).sum().sort_values("bucket")
+    return pa.table({
+        "bucket": pa.array(agg["bucket"].to_numpy(np.int64)),
+        "n_lines": pa.array(agg["n_lines"].to_numpy(np.int64)),
+        "sum_price": pa.array(agg["sum_c"].to_numpy(np.int64)
+                              .astype(np.float64) / 100.0),
+    })
+
+
+SQL_GLOBAL_NTILE = """
+WITH t AS (
+  SELECT NTILE(4) OVER (ORDER BY l_extendedprice, l_orderkey,
+                        l_linenumber) AS bucket,
+         l_extendedprice
+  FROM lineitem)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_lines,
+  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0
+    AS sum_price
+FROM t GROUP BY 1
+"""
+
+
+# =====================================================================
+# collect_list / array aggregation round-trip (order baskets)
+# =====================================================================
+
+def q_order_baskets(sf_dir: str):
+    """Per-order part basket as an ORDERED list rendered to a string
+    (collect_list / array_agg + array_to_string): the array-aggregation
+    surface next to string_agg_topn. Scale shape: the orderkey
+    predicate is pushed into the read (row-group pruning); ONE
+    orderkey-hash groupby exchange; each group's ≤7 lines sort by
+    (partkey, linenumber) and join locally. Baskets are bounded by
+    lines-per-order (≤7 in TPC-H), so group size never scales with the
+    corpus — the safe collect_list regime; an unbounded-group
+    collect_list would need the capped/sketched variant instead."""
+    import pyarrow.dataset as pads
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey", "l_linenumber"],
+        filter=pads.field("l_orderkey") < 2000,
+    )
+
+    def per_order(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["l_partkey", "l_linenumber"], kind="mergesort")
+        pk = g["l_partkey"].to_numpy()
+        return pd.DataFrame({
+            "l_orderkey": [int(g["l_orderkey"].iloc[0])],
+            "n_parts": np.array([len(pk)], np.int64),
+            "parts": [",".join(str(int(p)) for p in pk)],
+        })
+
+    return ds.groupby("l_orderkey").map_groups(per_order,
+                                               batch_format="pandas")
+
+
+SQL_ORDER_BASKETS = """
+SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_parts,
+  array_to_string(list(l_partkey ORDER BY l_partkey, l_linenumber), ',')
+    AS parts
+FROM lineitem WHERE l_orderkey < 2000
+GROUP BY 1
+"""
+
+
 ANALYTICS_QUERIES = {
+    "window_dist": (q_window_dist, SQL_WINDOW_DIST),
+    "moving_median": (q_moving_median, SQL_MOVING_MEDIAN),
+    "global_ntile": (q_global_ntile, SQL_GLOBAL_NTILE),
+    "order_baskets": (q_order_baskets, SQL_ORDER_BASKETS),
     "zorder_layout": (q_zorder_layout, SQL_ZORDER_LAYOUT),
     "window_bounds": (q_window_bounds, SQL_WINDOW_BOUNDS),
     "max_concurrent": (q_max_concurrent, SQL_MAX_CONCURRENT),

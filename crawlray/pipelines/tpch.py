@@ -2212,6 +2212,121 @@ ORDER BY s.s_name
 """
 
 
+# =====================================================================
+# Q12: lines per ship class split by order-priority band
+# =====================================================================
+
+_HIGH_PRIOS = ("1-URGENT", "2-HIGH")
+
+
+def q_priority_line_classes(sf_dir: str, lo: str = "1996-01-01",
+                            hi: str = "1997-01-01"):
+    """TPC-H Q12 family (shipmode is absent from the trimmed schema, so
+    l_linestatus stands in for the ship-class axis): for lines shipped
+    inside the date window, count per class the lines whose order is
+    HIGH priority (1-URGENT / 2-HIGH) vs everything else. Scale plan:
+    the fact scan is windowed AT THE READ; each block probes the
+    broadcast orderkey→is-high bitmap (searchsorted over sorted int64
+    keys + one int8 bit array — the only order attribute the query
+    needs) and bincounts (class, band) locally, so nothing is exchanged
+    at all: the driver folds ≤ 2·|classes| skinny rows per block. Past
+    ``_BROADCAST_KEY_LIMIT`` orderkeys the bitmap is replaced by a
+    Dataset.join on the orderkey with the identical post-join bincount
+    (forced-branch equality pinned in tests/test_tpch_shapes.py)."""
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_linestatus"],
+            filter=_date_window("l_shipdate", lo, hi))
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    if orders.count() > _broadcast_limit():
+        counted = _q12_join_fallback(li, orders)
+    else:
+        ot = _pull(orders, {"o_orderkey": pa.int64(),
+                            "o_orderpriority": pa.string()})
+        ok = ot["o_orderkey"].to_numpy(zero_copy_only=False)
+        hi_bit = pc.is_in(ot["o_orderpriority"],
+                          value_set=pa.array(_HIGH_PRIOS)) \
+            .to_numpy(zero_copy_only=False).astype(np.int8)
+        srt = np.argsort(ok, kind="mergesort")
+        ord_ref = ray.put((ok[srt], hi_bit[srt]))
+
+        def probe_count(b: pa.Table) -> pa.Table:
+            oks, bits = ray.get(ord_ref)
+            lk = b["l_orderkey"].to_numpy(zero_copy_only=False)
+            oi, ohit = _probe(oks, lk)
+            return _band_partial(b["l_linestatus"],
+                                 bits[oi].astype(bool) & ohit, ohit)
+
+        counted = li.map_batches(probe_count, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    parts = _pull(counted, {"ship_class": pa.string(),
+                            "high_line_count": pa.int64(),
+                            "low_line_count": pa.int64()})
+    agg: dict[str, list[int]] = {}
+    for c, h, l in zip(parts["ship_class"].to_pylist(),
+                       parts["high_line_count"].to_pylist(),
+                       parts["low_line_count"].to_pylist()):
+        cur = agg.setdefault(c, [0, 0])
+        cur[0] += h
+        cur[1] += l
+    classes = sorted(agg)
+    return pa.table({
+        "ship_class": pa.array(classes, pa.string()),
+        "high_line_count": pa.array([agg[c][0] for c in classes],
+                                    pa.int64()),
+        "low_line_count": pa.array([agg[c][1] for c in classes],
+                                   pa.int64()),
+    })
+
+
+def _band_partial(status: pa.ChunkedArray | pa.Array, is_high: np.ndarray,
+                  keep: np.ndarray) -> pa.Table:
+    """Per-block (class, band) bincount → ≤2·|classes| partial rows."""
+    sdf = pd.Series(
+        status.to_pandas() if isinstance(status, pa.ChunkedArray)
+        else status.to_pandas())
+    codes, classes = pd.factorize(sdf, sort=True)
+    m = keep.astype(bool)
+    if not m.any():
+        return pa.table({"ship_class": pa.array([], pa.string()),
+                         "high_line_count": pa.array([], pa.int64()),
+                         "low_line_count": pa.array([], pa.int64())})
+    hi_cnt = np.bincount(codes[m & is_high], minlength=len(classes))
+    lo_cnt = np.bincount(codes[m & ~is_high], minlength=len(classes))
+    return pa.table({
+        "ship_class": pa.array(classes.astype(str), pa.string()),
+        "high_line_count": pa.array(hi_cnt.astype(np.int64)),
+        "low_line_count": pa.array(lo_cnt.astype(np.int64)),
+    })
+
+
+def _q12_join_fallback(li, orders):
+    """Oversized-orders plan for q_priority_line_classes: Dataset.join
+    on the orderkey, then the identical per-block bincount partials."""
+    j = li.join(orders, join_type="inner", num_partitions=join_parts(),
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def band_count(b: pa.Table) -> pa.Table:
+        is_high = pc.is_in(b["o_orderpriority"],
+                           value_set=pa.array(_HIGH_PRIOS)) \
+            .to_numpy(zero_copy_only=False).astype(bool)
+        return _band_partial(b["l_linestatus"], is_high,
+                             np.ones(b.num_rows, bool))
+
+    return j.map_batches(band_count, batch_format="pyarrow")
+
+
+SQL_PRIORITY_LINE_CLASSES = """
+SELECT l_linestatus AS ship_class,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY 1
+"""
+
+
 TPCH_QUERIES = {
     "local_supplier_volume": (q_local_supplier_volume,
                               SQL_LOCAL_SUPPLIER_VOLUME),
@@ -2238,4 +2353,6 @@ TPCH_QUERIES = {
     "nation_profit": (q_nation_profit, SQL_NATION_PROFIT),
     "min_cost_supplier": (q_min_cost_supplier, SQL_MIN_COST_SUPPLIER),
     "dominant_supplier": (q_dominant_supplier, SQL_DOMINANT_SUPPLIER),
+    "priority_line_classes": (q_priority_line_classes,
+                              SQL_PRIORITY_LINE_CLASSES),
 }

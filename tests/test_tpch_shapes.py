@@ -39,7 +39,8 @@ def _df(res) -> pd.DataFrame:
                                    "small_qty_revenue",
                                    "nation_profit",
                                    "min_cost_supplier",
-                                   "dominant_supplier"])
+                                   "dominant_supplier",
+                                   "priority_line_classes"])
 def test_forced_join_fallback_equals_broadcast(ray_session, monkeypatch,
                                                qname):
     """The >5M-key Dataset.join path must produce byte-identical output
