@@ -29,8 +29,11 @@ from ray.data.aggregate import Count, Max, Min, Sum
 
 
 def _t(sf_dir: str, table: str, columns=None):
-    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
-                           columns=columns)
+    from .sizing import read_blocks
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    return rd.read_parquet(path, columns=columns,
+                           override_num_blocks=read_blocks(path))
 
 
 def _cents(arr, scale: int = 100) -> pa.Array:
@@ -5663,7 +5666,102 @@ GROUP BY 1
 """
 
 
+# =====================================================================
+# EXCEPT ALL — multiset (bag) difference with multiplicity
+# =====================================================================
+
+def q_except_all(sf_dir: str):
+    """January custkeys EXCEPT ALL February custkeys — bag semantics,
+    where a key ordering 3× in January and 1× in February survives
+    TWICE (q_intersect_except's set-bit plan cannot express this:
+    multiplicity, not membership, decides). Plan: ONE scan emits
+    per-block (key, n_jan, n_feb) partial counts, ONE key groupby sums
+    them, and each output group re-emits its key max(0, n_jan − n_feb)
+    times via a vectorized np.repeat — output size is the answer size,
+    and nothing wider than 3 int64 columns ever shuffles."""
+    ds = _t(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        m = pc.month(b["o_orderdate"]).to_numpy(zero_copy_only=False)
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+        keep = (m == 1) | (m == 2)
+        ck, m = ck[keep], m[keep]
+        # per-block combiner: (key, month) pair counts packed as one int
+        pairs = ck * 16 + m
+        up, cnt = np.unique(pairs, return_counts=True)
+        k2, m2 = up // 16, up % 16
+        return pa.table({
+            "key": pa.array(k2.astype(np.int64)),
+            "n_jan": pa.array(np.where(m2 == 1, cnt, 0).astype(np.int64)),
+            "n_feb": pa.array(np.where(m2 == 2, cnt, 0).astype(np.int64)),
+        })
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("key")
+           .aggregate(Sum("n_jan", alias_name="n_jan"),
+                      Sum("n_feb", alias_name="n_feb")))
+
+    def emit(b: pa.Table) -> pa.Table:
+        k = b["key"].to_numpy(zero_copy_only=False)
+        d = (b["n_jan"].to_numpy(zero_copy_only=False)
+             - b["n_feb"].to_numpy(zero_copy_only=False))
+        d = np.maximum(d, 0)
+        return pa.table({"o_custkey": pa.array(np.repeat(k, d))})
+
+    return agg.map_batches(emit, batch_format="pyarrow")
+
+
+SQL_EXCEPT_ALL = """
+SELECT o_custkey FROM orders WHERE month(o_orderdate) = 1
+EXCEPT ALL
+SELECT o_custkey FROM orders WHERE month(o_orderdate) = 2
+"""
+
+
+# =====================================================================
+# global ORDER BY ... LIMIT k OFFSET m without a global sort
+# =====================================================================
+
+def q_limit_offset(sf_dir: str, limit: int = 20, offset: int = 50):
+    """Page 'rows 50..69 of customers by balance DESC' — global
+    LIMIT+OFFSET pagination. A global sort just for one page is the
+    classic anti-plan; instead every block reduces to its own top-
+    (limit+offset) candidates (partial top-k, the q_top_customers
+    pattern), the ≤(limit+offset)·blocks candidate rows fold once, and
+    the page is sliced driver-side — the data never shuffles and the
+    driver holds O(page·blocks) skinny rows. Deterministic total order
+    via the (acctbal DESC, custkey) tiebreak."""
+    need = limit + offset
+    ds = _t(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["c_acctbal", "c_custkey"],
+                              ascending=[False, True],
+                              kind="mergesort").head(need)
+
+    cand = pd.DataFrame(
+        ds.map_batches(partial, batch_format="pandas").take_all())
+    page = (cand.sort_values(["c_acctbal", "c_custkey"],
+                             ascending=[False, True], kind="mergesort")
+            .iloc[offset:offset + limit])
+    return pa.table({
+        "c_custkey": pa.array(page["c_custkey"].to_numpy(np.int64)),
+        "c_name": pa.array(page["c_name"].to_numpy(object), pa.string()),
+        "c_acctbal": pa.array(page["c_acctbal"].to_numpy(np.float64)),
+    })
+
+
+SQL_LIMIT_OFFSET = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer ORDER BY c_acctbal DESC, c_custkey
+LIMIT 20 OFFSET 50
+"""
+
+
 ANALYTICS_QUERIES = {
+    "except_all": (q_except_all, SQL_EXCEPT_ALL),
+    "limit_offset": (q_limit_offset, SQL_LIMIT_OFFSET),
     "window_dist": (q_window_dist, SQL_WINDOW_DIST),
     "moving_median": (q_moving_median, SQL_MOVING_MEDIAN),
     "global_ntile": (q_global_ntile, SQL_GLOBAL_NTILE),

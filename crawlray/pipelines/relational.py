@@ -29,7 +29,11 @@ from .sizing import join_parts
 
 
 def _t(sf_dir: str, table: str, columns=None):
-    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+    from .sizing import read_blocks
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    return rd.read_parquet(path, columns=columns,
+                           override_num_blocks=read_blocks(path))
 
 
 def _cents(arr, scale: int = 100) -> pa.Array:

@@ -47,3 +47,34 @@ def fold_parts(cap: int = 2048) -> int:
     folds, cheap enough that the per-partition pandas/numpy pass
     dominates its own dispatch."""
     return int(min(cap, max(2, 2 * cluster_cpus())))
+
+
+def read_blocks(path: str, min_rows: int = 8192,
+                target_rows: int = 65536) -> int | None:
+    """``override_num_blocks`` for a SINGLE-FILE parquet read, sized
+    from the footer row count (one cheap metadata read, no data I/O).
+    Ray's default splits every file ~64 ways for parallelism, which is
+    right for a fat fact scan but hands every downstream stage 64
+    near-empty blocks on a dimension table — and per-task dispatch
+    (~20–70 ms each) then dominates the query (measured: a 15k-row
+    map_batches+take_all fell 1.5 s → 0.18 s going 64 → 16 blocks).
+    Sizing: enough blocks that no block exceeds ``target_rows``, at
+    least the cluster CPU count when the table can fill it (≥
+    ``min_rows`` per block), floor 1. Directories / remote URIs return
+    None (keep Ray's own heuristic — multi-file reads already split by
+    file)."""
+    import math
+    import os
+
+    try:
+        if not os.path.isfile(path):
+            return None
+        import pyarrow.parquet as pq
+
+        n = pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return None
+    if n <= 0:
+        return 1
+    return max(1, min(math.ceil(n / min_rows),
+                      max(cluster_cpus(), math.ceil(n / target_rows))))

@@ -54,8 +54,11 @@ from .sizing import fold_parts, join_parts
 
 
 def _t(sf_dir: str, table: str, columns=None, filter=None):
-    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
-                           columns=columns, filter=filter)
+    from .sizing import read_blocks
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    return rd.read_parquet(path, columns=columns, filter=filter,
+                           override_num_blocks=read_blocks(path))
 
 
 def _splitmix64(x: np.ndarray) -> np.ndarray:
