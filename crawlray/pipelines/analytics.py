@@ -28,12 +28,21 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
 
-def _t(sf_dir: str, table: str, columns=None):
+def _sized_read(path, **kw):
+    """rd.read_parquet with footer-derived block sizing (see
+    sizing.read_blocks) — keeps downstream stages from paying 64-way
+    task dispatch on small single-file tables. Directories fall back to
+    Ray's own per-file splitting."""
     from .sizing import read_blocks
 
-    path = os.path.join(sf_dir, f"{table}.parquet")
-    return rd.read_parquet(path, columns=columns,
-                           override_num_blocks=read_blocks(path))
+    if "override_num_blocks" not in kw:
+        kw["override_num_blocks"] = read_blocks(path)
+    return rd.read_parquet(path, **kw)
+
+
+def _t(sf_dir: str, table: str, columns=None):
+    return _sized_read(os.path.join(sf_dir, f"{table}.parquet"),
+                       columns=columns)
 
 
 def _cents(arr, scale: int = 100) -> pa.Array:
@@ -68,7 +77,7 @@ def q_window_lag(sf_dir: str):
     both sides (avoids nullable-int round-trip ambiguity)."""
     import pyarrow.dataset as pads
 
-    ds = rd.read_parquet(
+    ds = _sized_read(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_custkey", "o_orderkey", "o_orderdate"],
         filter=pads.field("o_custkey") < 300,
@@ -477,12 +486,12 @@ def q_left_join(sf_dir: str):
 
     from .sizing import join_parts
 
-    cust = rd.read_parquet(
+    cust = _sized_read(
         os.path.join(sf_dir, "customer.parquet"),
         columns=["c_custkey", "c_name"],
         filter=pads.field("c_custkey") < 400,
     )
-    orders = rd.read_parquet(
+    orders = _sized_read(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_custkey", "o_orderpriority", "o_totalprice"],
         filter=pads.field("o_custkey") < 400,
@@ -627,7 +636,7 @@ def q_moving_avg(sf_dir: str):
     sum/(n_frame*100) uses the identical expression on both sides."""
     import pyarrow.dataset as pads
 
-    ds = rd.read_parquet(
+    ds = _sized_read(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
         filter=pads.field("o_custkey") < 300,
@@ -671,7 +680,7 @@ def q_window_rank(sf_dir: str):
     float division (0.0 for a single-row partition, per spec)."""
     import pyarrow.dataset as pads
 
-    ds = rd.read_parquet(
+    ds = _sized_read(
         os.path.join(sf_dir, "customer.parquet"),
         columns=["c_mktsegment", "c_custkey", "c_acctbal"],
         filter=pads.field("c_custkey") < 500,
@@ -871,7 +880,7 @@ def q_running_total(sf_dir: str):
     compare is exact."""
     import pyarrow.dataset as pads
 
-    ds = rd.read_parquet(
+    ds = _sized_read(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
         filter=pads.field("o_custkey") < 300,
@@ -1019,7 +1028,7 @@ def q_shipping_priority(sf_dir: str):
 
     n_parts = fold_parts()
 
-    li = rd.read_parquet(
+    li = _sized_read(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
         filter=pads.field("l_shipdate") > np.datetime64("1995-03-15", "us"),
@@ -1053,7 +1062,7 @@ def q_shipping_priority(sf_dir: str):
         .map_groups(fold_part, batch_format="pandas")
     )
 
-    cust = rd.read_parquet(
+    cust = _sized_read(
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"],
         filter=pads.field("c_mktsegment") == "BUILDING",
     )
@@ -1061,7 +1070,7 @@ def q_shipping_priority(sf_dir: str):
 
     if cust.count() > _BROADCAST_KEY_LIMIT:
         # oversized segment: real semi join instead of a broadcast set
-        orders = rd.read_parquet(
+        orders = _sized_read(
             os.path.join(sf_dir, "orders.parquet"),
             columns=["o_orderkey", "o_custkey", "o_orderdate"],
             filter=pads.field("o_orderdate") < np.datetime64("1995-03-15", "us"),
@@ -1076,7 +1085,7 @@ def q_shipping_priority(sf_dir: str):
         or [np.empty(0, np.int64)]).astype(np.int64))
     keys_ref = ray.put(keys)
 
-    orders = rd.read_parquet(
+    orders = _sized_read(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
         filter=pads.field("o_orderdate") < np.datetime64("1995-03-15", "us"),
@@ -1296,7 +1305,7 @@ def q_cuckoo_semi_join(sf_dir: str):
 
     import pyarrow.dataset as pads
 
-    dim = rd.read_parquet(
+    dim = _sized_read(
         os.path.join(sf_dir, "part.parquet"), columns=["p_partkey"],
         filter=pads.field("p_brand") == "Brand#2",
     )
@@ -1856,7 +1865,7 @@ def q_unpivot(sf_dir: str):
     irrelevant under the driver's sorted compare."""
     import pyarrow.dataset as pads
 
-    ds = rd.read_parquet(
+    ds = _sized_read(
         os.path.join(sf_dir, "part.parquet"),
         columns=["p_partkey", "p_size", "p_retailprice"],
         filter=pads.field("p_partkey") < 100,
@@ -1900,7 +1909,7 @@ def q_date_parts(sf_dir: str):
     pinned against DuckDB's isodow/weekofyear conventions."""
     import pyarrow.dataset as pads
 
-    ds = rd.read_parquet(
+    ds = _sized_read(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_orderdate"],
         filter=pads.field("o_orderkey") < 600,
@@ -2087,7 +2096,7 @@ def q_partitioned_sink(sf_dir: str):
     out_dir = tempfile.mkdtemp(prefix="crawlray_psink_")
     try:
         ds.write_parquet(out_dir, partition_cols=["l_returnflag"])
-        back = rd.read_parquet(os.path.join(out_dir, "l_returnflag=R"))
+        back = _sized_read(os.path.join(out_dir, "l_returnflag=R"))
 
         def prep(b: pa.Table) -> pa.Table:
             return pa.table({
@@ -2178,7 +2187,7 @@ def q_inverted_index(sf_dir: str):
     shards giant tokens by doc-range into list segments."""
     import pyarrow.dataset as pads
 
-    ds = rd.read_parquet(
+    ds = _sized_read(
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "text"],
         filter=pads.field("doc_id") < 50,
@@ -2955,7 +2964,7 @@ def q_mode_per_group(sf_dir: str):
     ≤ |users|·|types| aggregate on the driver."""
     import pyarrow.dataset as pads
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ds = _sized_read(os.path.join(sf_dir, "events.parquet"),
                          columns=["user_id", "event_type"],
                          filter=pads.field("user_id") < 40)
 
@@ -3555,7 +3564,7 @@ def q_triangle_count(sf_dir: str):
     groupby swap. The oracle is the 3-way self-join."""
     import pyarrow.dataset as pads
 
-    ds = rd.read_parquet(
+    ds = _sized_read(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_partkey", "l_suppkey"],
         filter=pads.field("l_partkey") < 200)
@@ -3823,7 +3832,7 @@ def q_sorted_layout(sf_dir: str):
         ds.sort("l_shipdate").write_parquet(out_dir)
         lo = np.datetime64("1997-01-01", "us")
         hi = np.datetime64("1997-04-01", "us")
-        back = rd.read_parquet(
+        back = _sized_read(
             out_dir,
             filter=(pads.field("l_shipdate") >= lo)
                    & (pads.field("l_shipdate") < hi),
@@ -4130,7 +4139,7 @@ def q_date_spine(sf_dir: str):
     data."""
     import pyarrow.dataset as pads
 
-    ds = rd.read_parquet(
+    ds = _sized_read(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_custkey", "o_orderpriority", "o_orderdate",
                  "o_totalprice"],
@@ -4536,7 +4545,7 @@ def q_idle_rich_customers(sf_dir: str):
     import pyarrow.dataset as pads
 
     # materialized: count() and the key pull below must not re-execute
-    active = rd.read_parquet(
+    active = _sized_read(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"],
         filter=pads.field("o_totalprice") > 350000.0,
     ).map_batches(
@@ -4896,7 +4905,7 @@ def q_window_bounds(sf_dir: str):
     null-ordering ambiguity in the driver's hash compare."""
     import pyarrow.dataset as pads
 
-    ds = rd.read_parquet(
+    ds = _sized_read(
         os.path.join(sf_dir, "events.parquet"),
         columns=["user_id", "event_id", "ts", "event_type"],
         filter=pads.field("user_id") < 200,
@@ -5369,7 +5378,7 @@ def q_zorder_layout(sf_dir: str):
          .sort("z").write_parquet(out_dir))
         lo = np.datetime64("1996-03-01", "us")
         hi = np.datetime64("1996-09-01", "us")
-        back = rd.read_parquet(
+        back = _sized_read(
             out_dir,
             columns=["l_shipdate", "l_partkey", "l_quantity"],
             filter=(pads.field("l_shipdate") >= lo)
@@ -5470,7 +5479,7 @@ def q_moving_median(sf_dir: str):
     all three scales (one IEEE add + halving on identical operands)."""
     import pyarrow.dataset as pads
 
-    ds = rd.read_parquet(
+    ds = _sized_read(
         os.path.join(sf_dir, "events.parquet"),
         columns=["user_id", "event_id", "ts", "value"],
         filter=pads.field("user_id") < 300,
@@ -5638,7 +5647,7 @@ def q_order_baskets(sf_dir: str):
     collect_list would need the capped/sketched variant instead."""
     import pyarrow.dataset as pads
 
-    ds = rd.read_parquet(
+    ds = _sized_read(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_partkey", "l_linenumber"],
         filter=pads.field("l_orderkey") < 2000,

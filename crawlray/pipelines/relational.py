@@ -699,10 +699,14 @@ def q_topk_per_group(sf_dir: str):
     bound is pushed into the parquet scan (row-group pruning)."""
     import pyarrow.dataset as pads
 
+    from .sizing import read_blocks
+
+    opath = os.path.join(sf_dir, "orders.parquet")
     ds = rd.read_parquet(
-        os.path.join(sf_dir, "orders.parquet"),
+        opath,
         columns=["o_custkey", "o_orderkey", "o_totalprice"],
         filter=pads.field("o_custkey") < 400,
+        override_num_blocks=read_blocks(opath),
     )
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
