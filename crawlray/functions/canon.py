@@ -159,6 +159,40 @@ def host_of(url_canon: str) -> str:
     return urlsplit(url_canon).hostname or ""
 
 
+TRAP_MAX_RUN = 2       # a path segment repeated consecutively > this
+TRAP_MAX_SEGMENTS = 24  # unbounded-depth guard
+
+
+def is_trap_path(url_canon: str, max_run: int = TRAP_MAX_RUN,
+                 max_segments: int = TRAP_MAX_SEGMENTS) -> bool:
+    """M2 crawler-trap heuristic: infinite URL spaces (calendar loops,
+    relative-link cycles, session-path echoes) show up as a path segment
+    repeated consecutively (``/a/a/a/…``) or as unboundedly deep paths.
+    Real sites virtually never repeat a segment more than twice in a row,
+    so the guard prunes the trap branch at the policy gate — the engine
+    admits the URL to the SEEN set (dedup identity intact) but never
+    fetches it, exactly like the depth and allowlist gates. True=trap."""
+    path = urlsplit(url_canon).path
+    segs = path.split("/")
+    n = 0
+    run = 1
+    prev = None
+    for s in segs:
+        if not s:
+            continue
+        n += 1
+        if n > max_segments:
+            return True
+        if s == prev:
+            run += 1
+            if run > max_run:
+                return True
+        else:
+            run = 1
+            prev = s
+    return False
+
+
 def is_crawlable(
     url_canon: str,
     *,
@@ -166,7 +200,7 @@ def is_crawlable(
     max_len: int = 2048,
 ) -> bool:
     """M2 validation: http(s) canonical URL, optional host allowlist, no
-    binary-extension paths, bounded length."""
+    binary-extension paths, bounded length, not a crawler-trap path."""
     if not url_canon or len(url_canon) > max_len:
         return False
     parts = urlsplit(url_canon)
@@ -175,6 +209,8 @@ def is_crawlable(
     if allowed_hosts is not None and (parts.hostname or "") not in allowed_hosts:
         return False
     if _BINARY_EXT.search(parts.path):
+        return False
+    if is_trap_path(url_canon):
         return False
     return True
 

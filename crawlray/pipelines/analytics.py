@@ -5768,7 +5768,242 @@ LIMIT 20 OFFSET 50
 """
 
 
+# =====================================================================
+# Markov transition matrix over per-user event sequences
+# =====================================================================
+
+def q_markov_transitions(sf_dir: str):
+    """First-order Markov transition matrix over the event stream: for
+    every (current event type → next event type) pair, the observed
+    count and the row-normalized transition probability — the
+    user-journey model a recommendation / next-action pipeline fits.
+    Scale plan: ONE user-hash exchange carries (user, ts, event_id,
+    type-code) skinny rows; each partition lexsorts once by
+    (user, ts, event_id) and derives every consecutive pair with a
+    single vectorized shift (no per-user Python loop), folding pairs to
+    ≤|types|² partial counts via bincount before they leave the task.
+    The finale is a ≤|types|² driver fold; p = n / Σ_cur n with ONE
+    identical IEEE division per cell both sides."""
+    from .sizing import fold_parts
+
+    n_parts = fold_parts()
+    ds = _t(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kp = (_splitmix64(uid).view(np.uint64)
+              % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({
+            "user_id": b["user_id"],
+            "ts_us": b["ts"].cast(pa.int64()),
+            "event_id": b["event_id"],
+            "event_type": b["event_type"],
+            "kp": pa.array(kp),
+        })
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        types, codes = np.unique(g["event_type"].to_numpy(object),
+                                 return_inverse=True)
+        order = np.lexsort((eid, ts, uid))
+        u, c = uid[order], codes[order]
+        same = u[:-1] == u[1:]          # consecutive rows, same user
+        cur, nxt = c[:-1][same], c[1:][same]
+        k = len(types)
+        cnt = np.bincount(cur * k + nxt, minlength=k * k)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame({
+            "cur": types[nz // k],
+            "nxt": types[nz % k],
+            "n": cnt[nz].astype(np.int64),
+        })
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("kp").map_groups(pairs, batch_format="pandas")
+           .groupby(["cur", "nxt"])
+           .aggregate(Sum("n", alias_name="n")))
+
+    df = agg.to_pandas()  # ≤ |event types|² rows — bounded fold
+    tot = df.groupby("cur")["n"].transform("sum")
+    df["p"] = np.round(df["n"].astype(np.float64)
+                       / tot.astype(np.float64), 6)
+    df = df.sort_values(["cur", "nxt"], kind="mergesort")
+    return pa.table({
+        "cur": pa.array(df["cur"].to_numpy(object), pa.string()),
+        "nxt": pa.array(df["nxt"].to_numpy(object), pa.string()),
+        "n": pa.array(df["n"].to_numpy(np.int64)),
+        "p": pa.array(df["p"].to_numpy(np.float64)),
+    })
+
+
+SQL_MARKOV_TRANSITIONS = """
+WITH s AS (
+  SELECT event_type AS cur,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events
+), c AS (
+  SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n
+  FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2
+)
+SELECT cur, nxt, n,
+       ROUND(CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY cur) AS DOUBLE), 6) AS p
+FROM c
+"""
+
+
+# =====================================================================
+# chi-square test of independence (per-cell observed vs expected)
+# =====================================================================
+
+def q_chi2_independence(sf_dir: str):
+    """Chi-square independence readout between two categorical columns
+    (document language × source): per cell, the observed count, the
+    expected count under independence, and the cell's χ² contribution —
+    the corpus-balance diagnostic a training-mix pipeline runs before
+    re-weighting sources. Scale plan: per-block Arrow group_by combiner
+    shrinks the stream to ≤|langs|·|sources| cells per block before ONE
+    tiny groupby exchange; the finale is a bounded driver fold. Per-cell
+    floats come from EXACT integer moments (expected = r·c/n, contrib =
+    (n·o − r·c)²/(n·r·c) with python-int ≡ HUGEINT numerators), one
+    correctly-rounded division per term — per-cell rows mean NO
+    cross-side float-sum ordering exists to diverge."""
+    ds = _t(sf_dir, "documents", ["lang", "source"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        return (pa.table({"lang": b["lang"], "source": b["source"]})
+                .group_by(["lang", "source"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["lang", "source", "o"]))
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["lang", "source"])
+           .aggregate(Sum("o", alias_name="o")))
+
+    df = agg.to_pandas()  # ≤ |langs|×|sources| rows — bounded fold
+    df = df.sort_values(["lang", "source"], kind="mergesort")
+    r = df.groupby("lang")["o"].transform("sum")
+    c = df.groupby("source")["o"].transform("sum")
+    n = int(df["o"].sum())
+    exp, contrib = [], []
+    for o_, r_, c_ in zip(df["o"], r, c):
+        o_, r_, c_ = int(o_), int(r_), int(c_)
+        exp.append(np.round(float(r_ * c_) / float(n), 6))
+        num = n * o_ - r_ * c_          # exact ints ≡ HUGEINT
+        contrib.append(np.round(float(num * num) / float(n * r_ * c_), 6))
+    return pa.table({
+        "lang": pa.array(df["lang"].to_numpy(object), pa.string()),
+        "source": pa.array(df["source"].to_numpy(object), pa.string()),
+        "o": pa.array(df["o"].to_numpy(np.int64)),
+        "expected": pa.array(np.array(exp, dtype=np.float64)),
+        "chi2_contrib": pa.array(np.array(contrib, dtype=np.float64)),
+    })
+
+
+SQL_CHI2_INDEPENDENCE = """
+WITH o AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+  FROM documents GROUP BY 1, 2
+), r AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS r FROM o GROUP BY 1),
+c AS (SELECT source, CAST(SUM(o) AS BIGINT) AS c FROM o GROUP BY 1),
+t AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM o)
+SELECT o.lang, o.source, o.o,
+  ROUND(CAST(CAST(r.r AS HUGEINT) * c.c AS DOUBLE)
+        / CAST(t.n AS DOUBLE), 6) AS expected,
+  ROUND(CAST((CAST(t.n AS HUGEINT) * o.o - CAST(r.r AS HUGEINT) * c.c)
+             * (CAST(t.n AS HUGEINT) * o.o - CAST(r.r AS HUGEINT) * c.c)
+             AS DOUBLE)
+        / CAST(CAST(t.n AS HUGEINT) * r.r * c.c AS DOUBLE), 6)
+    AS chi2_contrib
+FROM o JOIN r USING (lang) JOIN c USING (source) CROSS JOIN t
+"""
+
+
+# =====================================================================
+# sequence gap detection (ordered scan with block-boundary fold)
+# =====================================================================
+
+def q_sequence_gaps(sf_dir: str):
+    """Missing-id ranges in the finished orders' orderkey sequence —
+    the integrity check an ingest ledger runs to find dropped batches
+    (SQL needs a global LAG; a naive engine port would be a single-task
+    ordered scan). Scale plan: ONE range-partitioning sort, then each
+    block finds its internal gaps with a vectorized diff and emits one
+    skinny (block min, max) stats row; the ONLY sequential work is the
+    ≤#blocks boundary fold on the driver (adjacent blocks' max→min
+    seams), unioned back as a tiny from_arrow dataset. The gap rows ARE
+    the result — nothing else materializes."""
+    ds = (_t(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+          .filter(expr="o_orderstatus == 'F'")
+          .select_columns(["o_orderkey"])
+          .sort("o_orderkey"))
+
+    def block_gaps(b: pa.Table) -> pa.Table:
+        k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        if len(k) == 0:
+            return pa.table({"gap_start": pa.array([], pa.int64()),
+                             "gap_end": pa.array([], pa.int64()),
+                             "kind": pa.array([], pa.int64())})
+        d = np.flatnonzero(np.diff(k) > 1)
+        gs = np.concatenate((k[d] + 1, [k[0]]))          # kind 0: gaps
+        ge = np.concatenate((k[d + 1] - 1, [k[-1]]))     # kind 1: stats
+        kind = np.concatenate((np.zeros(len(d), np.int64), [1]))
+        return pa.table({"gap_start": pa.array(gs.astype(np.int64)),
+                         "gap_end": pa.array(ge.astype(np.int64)),
+                         "kind": pa.array(kind)})
+
+    mapped = ds.map_batches(block_gaps, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+    internal = mapped.filter(expr="kind == 0") \
+                     .select_columns(["gap_start", "gap_end"])
+
+    # ≤ 1 stats row per block — bounded boundary fold
+    stats = []
+    for b in mapped.filter(expr="kind == 1") \
+                   .iter_batches(batch_format="pyarrow"):
+        stats.extend(zip(b["gap_start"].to_pylist(),
+                         b["gap_end"].to_pylist()))
+    stats.sort()
+    seam_s, seam_e = [], []
+    for (lo_prev, hi_prev), (lo_next, _) in zip(stats, stats[1:]):
+        if lo_next - hi_prev > 1:
+            seam_s.append(hi_prev + 1)
+            seam_e.append(lo_next - 1)
+    out = internal
+    if seam_s:  # skip the union when no block seam hides a gap
+        out = out.union(rd.from_arrow(pa.table({
+            "gap_start": pa.array(seam_s, pa.int64()),
+            "gap_end": pa.array(seam_e, pa.int64()),
+        })))
+
+    def length(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "gap_len", pc.add(pc.subtract(b["gap_end"], b["gap_start"]),
+                              pa.scalar(1, pa.int64())))
+
+    return out.map_batches(length, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+SQL_SEQUENCE_GAPS = """
+WITH k AS (SELECT o_orderkey AS k FROM orders WHERE o_orderstatus = 'F'),
+s AS (SELECT k, LAG(k) OVER (ORDER BY k) AS prev FROM k)
+SELECT CAST(prev + 1 AS BIGINT) AS gap_start,
+       CAST(k - 1 AS BIGINT) AS gap_end,
+       CAST(k - prev - 1 AS BIGINT) AS gap_len
+FROM s WHERE prev IS NOT NULL AND k - prev > 1
+"""
+
+
 ANALYTICS_QUERIES = {
+    "markov_transitions": (q_markov_transitions, SQL_MARKOV_TRANSITIONS),
+    "chi2_independence": (q_chi2_independence, SQL_CHI2_INDEPENDENCE),
+    "sequence_gaps": (q_sequence_gaps, SQL_SEQUENCE_GAPS),
     "except_all": (q_except_all, SQL_EXCEPT_ALL),
     "limit_offset": (q_limit_offset, SQL_LIMIT_OFFSET),
     "window_dist": (q_window_dist, SQL_WINDOW_DIST),

@@ -2064,6 +2064,89 @@ FROM part GROUP BY d
 """
 
 
+def _jaro(s: str, t: str) -> float:
+    """Jaro similarity, matching DuckDB's semantics exactly (verified
+    pairwise over every distinct p_name × p_name at sf0.1): matching
+    window max(|s|,|t|)//2 − 1, greedy left-to-right matching, and the
+    transposition half-count FLOORED (t//2) — plus the empty-string
+    convention jaro('','') = 0.0 (classic Jaro says 1.0; DuckDB says 0)."""
+    ls, lt = len(s), len(t)
+    if ls == 0 or lt == 0:
+        return 0.0
+    win = max(max(ls, lt) // 2 - 1, 0)
+    sm = [False] * ls
+    tm = [False] * lt
+    m = 0
+    for i, ch in enumerate(s):
+        for j in range(max(0, i - win), min(lt, i + win + 1)):
+            if not tm[j] and t[j] == ch:
+                sm[i] = tm[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    k = trans = 0
+    for i in range(ls):
+        if sm[i]:
+            while not tm[k]:
+                k += 1
+            if s[i] != t[k]:
+                trans += 1
+            k += 1
+    half = trans // 2
+    return (m / ls + m / lt + (m - half) / m) / 3.0
+
+
+def _jaro_winkler(s: str, t: str) -> float:
+    """Jaro–Winkler: prefix boost p=0.1, prefix cap 4, applied only when
+    jaro > 0.7 (the boost threshold DuckDB uses — probed empirically:
+    jw('aXXXXX','aYYYYY') == jaro despite the shared prefix)."""
+    j = _jaro(s, t)
+    if j > 0.7:
+        l = 0
+        for a, b in zip(s[:4], t[:4]):
+            if a != b:
+                break
+            l += 1
+        j = j + 0.1 * l * (1.0 - j)
+    return j
+
+
+def q_jaro_winkler(sf_dir: str, probe: str = "red ring"):
+    """Distribution of Jaro–Winkler similarities from every part name to
+    a probe string — the fuzzy-match scoring step of an entity-resolution
+    pipeline (complements edit_distance's Levenshtein with the
+    prefix-weighted metric record linkage actually uses). Same
+    memoize-by-unique plan: the O(|s|·|t|) scorer runs once per DISTINCT
+    name per block (a vectorized gather fans it back out), then one tiny
+    groupby. Engine and oracle agree on the exact double (pairwise-pinned
+    vs DuckDB's jaro_winkler_similarity); ROUND(...,6) on both sides."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_name"])
+
+    def sims(b: pa.Table) -> pa.Table:
+        enc = b["p_name"].combine_chunks().dictionary_encode()
+        uniq = enc.dictionary.to_pylist()
+        s_per_uniq = np.round(
+            np.array([_jaro_winkler(u, probe) for u in uniq],
+                     dtype=np.float64), 6)
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        return pa.table({"jw": pa.array(s_per_uniq[idx])})
+
+    return (
+        ds.map_batches(sims, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("jw")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+SQL_JARO_WINKLER = """
+SELECT ROUND(jaro_winkler_similarity(p_name, 'red ring'), 6) AS jw,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM part GROUP BY jw
+"""
+
+
 # =====================================================================
 # dedup grouping: connected components over near-dup pairs (rows-only)
 # =====================================================================
@@ -5275,5 +5358,6 @@ DATAOPS_QUERIES = {
     "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
     "tfidf_topterms": (q_tfidf_topterms, SQL_TFIDF_TOPTERMS),
     "edit_distance": (q_edit_distance, SQL_EDIT_DISTANCE),
+    "jaro_winkler": (q_jaro_winkler, SQL_JARO_WINKLER),
     "dedup_groups": (q_dedup_groups, None),
 }

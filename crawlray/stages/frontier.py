@@ -155,7 +155,9 @@ def policy_mask(df: pd.DataFrame, robots, max_depth: int,
                 allowed_hosts) -> np.ndarray:
     """The engine's M2 policy gate over a candidate frame (pandas form,
     shared by the fused and salted frontier builders): within depth, not
-    a binary asset, sane length, robots-allowed, and — when the crawl is
+    a binary asset, sane length, not a crawler-trap path (repeated /
+    unboundedly deep segments — canon.is_trap_path), robots-allowed,
+    and — when the crawl is
     scoped to a closed host set (the reference's news-domain allowlist) —
     on the list. Candidates failing it were ALREADY seen-marked: the gate
     decides fetching, not dedup identity."""
@@ -165,6 +167,9 @@ def policy_mask(df: pd.DataFrame, robots, max_depth: int,
         _BINARY_EXT.pattern, case=False, regex=True
     ).to_numpy(dtype=bool, na_value=False)
     ok &= (df["url_canon"].str.len() <= 2048).to_numpy(dtype=bool, na_value=False)
+    from ..functions.canon import is_trap_path
+    ok &= np.fromiter((not is_trap_path(u) for u in df["url_canon"]),
+                      dtype=bool, count=len(df))
     ok &= np.asarray(robots.allowed_many(df["url_canon"].tolist()), dtype=bool)
     if allowed_hosts is not None:
         ok &= df["host"].isin(allowed_hosts).to_numpy(dtype=bool)

@@ -70,6 +70,22 @@ def test_host_and_crawlable():
     assert not is_crawlable("x" * 3000)
 
 
+def test_trap_guard():
+    from crawlray.functions.canon import is_trap_path
+
+    # consecutive repeats beyond the run limit are traps
+    assert is_trap_path("https://x.nl/a/a/a/p")
+    assert is_trap_path("https://x.nl/cal/2020/2020/2020")
+    assert not is_trap_path("https://x.nl/a/a/p")        # run of 2 is fine
+    assert not is_trap_path("https://x.nl/a/b/a/b/a/b")  # alternating ok
+    # unbounded depth is a trap
+    assert is_trap_path("https://x.nl/" + "/".join(f"s{i}" for i in range(30)))
+    assert not is_trap_path("https://x.nl/" + "/".join(f"s{i}" for i in range(20)))
+    # empty segments (//) don't count toward runs or depth
+    assert not is_trap_path("https://x.nl/a//a/p")
+    assert not is_crawlable("https://news-1.nl/d/d/d/artikel")
+
+
 def test_fast_path_equals_slow_path():
     """The hot-loop fast path must return byte-identical results to the
     full pipeline for every input it accepts (and defer otherwise)."""

@@ -569,3 +569,60 @@ def test_rand_block_equals_generator():
             r = _rand(42, *keys)
             assert _rand_block(42, keys, n).tolist() == \
                 [next(r) for _ in range(n)], (keys, n)
+
+
+def test_trap_path_seen_but_never_fetched(ray_session, tmp_path):
+    """M2 trap guard: a link into an infinite URL space (repeated path
+    segment — the calendar/relative-link-loop signature) is admitted to
+    the seen set (dedup identity preserved) but NEVER fetched, so the
+    crawl cannot descend the trap branch. Engine ≡ oracle on the full
+    fetch log under the guard."""
+    from crawlray.pipelines.config import CrawlConfig
+    from crawlray.pipelines.crawl import run_crawl
+    from tests.oracle import build_pages_index, crawl_oracle
+
+    host = "x.nl"
+    trap = f"https://{host}/d/d/d/artikel-1"
+    legit = f"https://{host}/sectie/1/artikel-1"
+
+    def html(links):
+        body = "".join(f'<a href="{u}">l</a>' for u in links)
+        return (f"<html><head><title>t</title></head>"
+                f"<body>{body}</body></html>").encode()
+
+    pages = pa.table({
+        "url": [f"https://{host}/", trap, legit],
+        "host": [host] * 3,
+        "status": pa.array([200, 200, 200], type=pa.int16()),
+        "content_type": ["text/html"] * 3,
+        "html": pa.array([
+            html([trap, legit]),
+            html([f"https://{host}/d/d/d/d/artikel-1"]),  # deeper trap
+            html([]),
+        ], type=pa.large_binary()),
+        "latency_ms": pa.array([10.0, 5.0, 10.0], type=pa.float32()),
+    })
+    pages_path = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, pages_path)
+    robots_t = pa.table({
+        "host": [host], "allow": [[]], "deny": [[]],
+        "crawl_delay_ms": pa.array([10], type=pa.int32()),
+    })
+    cfg = CrawlConfig(
+        n_parts=2, seen_shards=1, max_depth=5, max_waves=5,
+        max_pages_per_host=50, fetch_concurrency=(1, 2),
+        parse_concurrency=(1, 2),
+        transport={"kind": "sim", "pages_path": pages_path},
+    )
+    run_dir = str(tmp_path / "run")
+    run_crawl(run_dir, [f"https://{host}/"], robots_t, cfg)
+    rows = _engine_log(run_dir)
+    fetched = sorted(r["url_canon"] for r in rows)
+    assert trap not in fetched           # the guard held
+    assert legit in fetched              # normal pages still crawl
+    ora = crawl_oracle(
+        [f"https://{host}/"], RobotsPolicy.from_arrow(robots_t),
+        build_pages_index(pages), cfg,
+    )
+    assert sorted(_key(r) for r in rows) == sorted(_key(r) for r in ora.fetch_log)
+    assert trap in ora.seen              # seen-marked at admission
