@@ -5925,6 +5925,275 @@ FROM o JOIN r USING (lang) JOIN c USING (source) CROSS JOIN t
 
 
 # =====================================================================
+# Spearman rank correlation (global average ranks, exact int moments)
+# =====================================================================
+
+def q_spearman_corr(sf_dir: str):
+    """Spearman rank correlation between quantity and extended price —
+    Pearson over GLOBAL average ranks, the tie-robust monotonic-
+    association statistic (corr_stats is its Pearson sibling). Ranks are
+    doubled so tie-averaged ranks stay exact integers (avg2 = 2·RANK +
+    c − 1). Scale plan: quantity's rank map is tiny (bounded distinct)
+    and broadcasts; price's distinct values get their average ranks from
+    a distinct-count groupby + value sort + PREFIX-OFFSET BOUNDARY FOLD
+    (per-block totals fold on the driver, ≤#blocks rows — the global-
+    ranking primitive without a global window), then ONE price-hash
+    exchange co-locates rank map and fact rows to form per-partition
+    moment partials. The big products (rank²·rank²) are accumulated as
+    SPLIT hi/lo int64 pairs (p>>32 and p&0xffffffff summed separately),
+    reconstructed exactly as python ints on the driver — Σrx2·ry2 of
+    10¹⁰ doubled ranks passes 2⁶³ per ROW, so a plain int64 Sum cannot
+    carry it; the split pair can (per-partition hi ≤ rows·4n²/2³²).
+    Finale: ONE identical IEEE expression per side, 6 dp."""
+    from .sizing import fold_parts
+
+    n_parts = fold_parts()
+    ds = _t(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "q": b["l_quantity"].cast(pa.int64()),
+            "p": _cents(b["l_extendedprice"]),
+        })
+
+    # three consumers (quantity fold, price distinct, the tagged join) —
+    # materialize the 16-byte/row projection once instead of re-scanning
+    # parquet three times; the object store spills it at corpus scale
+    fact = ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+
+    # quantity rank map: bounded distinct — driver fold + broadcast
+    qc = fact.groupby("q").aggregate(Count(alias_name="c")).to_pandas()
+    qc = qc.sort_values("q", kind="mergesort")
+    c = qc["c"].to_numpy(np.int64)
+    before = np.concatenate(([0], np.cumsum(c)[:-1]))
+    q_avg2 = {int(v): int(2 * b_ + cc + 1)
+              for v, b_, cc in zip(qc["q"], before, c)}
+    q_ref = ray.put(q_avg2)
+
+    # price rank map: distinct counts → value sort → prefix-offset fold
+    pc_counts = (fact.groupby("p").aggregate(Count(alias_name="c"))
+                 .sort("p").materialize())
+
+    def block_totals(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"first_p": pa.array([], pa.int64()),
+                             "tot": pa.array([], pa.int64())})
+        return pa.table({
+            "first_p": pa.array([b["p"][0].as_py()], pa.int64()),
+            "tot": pa.array([int(pc.sum(b["c"]).as_py())], pa.int64()),
+        })
+
+    # ≤ 1 row per block — bounded boundary fold
+    bt = sorted(
+        (r["first_p"], r["tot"]) for batch in
+        pc_counts.map_batches(block_totals, batch_format="pyarrow",
+                              zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow")
+        for r in batch.to_pylist())
+    offs = {fp: int(o) for (fp, _), o in
+            zip(bt, np.concatenate(([0], np.cumsum([t for _, t in bt])[:-1])))}
+    offs_ref = ray.put(offs)
+
+    def price_ranks(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"p": pa.array([], pa.int64()),
+                             "ry2": pa.array([], pa.int64()),
+                             "is_dim": pa.array([], pa.bool_()),
+                             "kp": pa.array([], pa.int64())})
+        off = ray.get(offs_ref)[b["p"][0].as_py()]
+        cc = b["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bef = off + np.concatenate(([0], np.cumsum(cc)[:-1]))
+        p = b["p"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kp = (_splitmix64(p).view(np.uint64)
+              % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({
+            "p": pa.array(p),
+            "ry2": pa.array(2 * bef + cc + 1),
+            "is_dim": pa.array(np.ones(len(p), np.bool_)),
+            "kp": pa.array(kp),
+        })
+
+    rank_map = pc_counts.map_batches(price_ranks, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+
+    def tag_fact(b: pa.Table) -> pa.Table:
+        p = b["p"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qm = ray.get(q_ref)
+        q = b["q"].to_numpy(zero_copy_only=False)
+        rx2 = np.fromiter((qm[int(v)] for v in q), dtype=np.int64,
+                          count=len(q))
+        kp = (_splitmix64(p).view(np.uint64)
+              % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({
+            "p": pa.array(p),
+            "ry2": pa.array(rx2),     # carries rx2 until the join
+            "is_dim": pa.array(np.zeros(len(p), np.bool_)),
+            "kp": pa.array(kp),
+        })
+
+    tagged = fact.map_batches(tag_fact, batch_format="pyarrow",
+                              zero_copy_batch=True).union(rank_map)
+
+    def moments(g: pd.DataFrame) -> pd.DataFrame:
+        dim = g[g["is_dim"]]
+        f = g[~g["is_dim"]]
+        lut = pd.Series(dim["ry2"].to_numpy(np.int64),
+                        index=dim["p"].to_numpy(np.int64))
+        rx2 = f["ry2"].to_numpy(np.int64)
+        ry2 = lut.loc[f["p"].to_numpy(np.int64)].to_numpy(np.int64)
+
+        def split_sum(prod: np.ndarray) -> tuple[int, int]:
+            return (int((prod >> 32).sum()),
+                    int((prod & np.int64(0xFFFFFFFF)).sum()))
+
+        sxx_h, sxx_l = split_sum(rx2 * rx2)
+        syy_h, syy_l = split_sum(ry2 * ry2)
+        sxy_h, sxy_l = split_sum(rx2 * ry2)
+        return pd.DataFrame({
+            "n": [len(f)], "sx": [int(rx2.sum())], "sy": [int(ry2.sum())],
+            "sxx_h": [sxx_h], "sxx_l": [sxx_l],
+            "syy_h": [syy_h], "syy_l": [syy_l],
+            "sxy_h": [sxy_h], "sxy_l": [sxy_l],
+        })
+
+    parts = (tagged.groupby("kp").map_groups(moments, batch_format="pandas")
+             .to_pandas())  # ≤ n_parts rows — bounded fold
+    n = int(parts["n"].sum())
+    sx, sy = int(parts["sx"].sum()), int(parts["sy"].sum())
+
+    def joined(h: str, l_: str) -> int:
+        return sum((int(hh) << 32) + int(ll)
+                   for hh, ll in zip(parts[h], parts[l_]))
+
+    sxx, syy, sxy = (joined("sxx_h", "sxx_l"), joined("syy_h", "syy_l"),
+                     joined("sxy_h", "sxy_l"))
+    num = n * sxy - sx * sy          # exact ints ≡ HUGEINT
+    rho = float(num) / (math.sqrt(float(n * sxx - sx * sx))
+                        * math.sqrt(float(n * syy - sy * sy)))
+    return pa.table({"rho": pa.array([np.round(rho, 6)]),
+                     "n": pa.array([n], pa.int64())})
+
+
+SQL_SPEARMAN_CORR = """
+WITH r AS (
+  SELECT 2 * RANK() OVER (ORDER BY CAST(l_quantity AS BIGINT))
+           + COUNT(*) OVER (PARTITION BY CAST(l_quantity AS BIGINT)) - 1
+           AS rx2,
+         2 * RANK() OVER (ORDER BY CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+           + COUNT(*) OVER (PARTITION BY
+                            CAST(ROUND(l_extendedprice * 100) AS BIGINT)) - 1
+           AS ry2
+  FROM lineitem
+), m AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(CAST(rx2 AS HUGEINT)) AS sx, SUM(CAST(ry2 AS HUGEINT)) AS sy,
+         SUM(CAST(rx2 AS HUGEINT) * rx2) AS sxx,
+         SUM(CAST(ry2 AS HUGEINT) * ry2) AS syy,
+         SUM(CAST(rx2 AS HUGEINT) * ry2) AS sxy
+  FROM r
+)
+SELECT ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                * SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS rho,
+       CAST(n AS BIGINT) AS n
+FROM m
+"""
+
+
+# =====================================================================
+# point-in-time (temporal validity) join — fact → SCD2 version at ts
+# =====================================================================
+
+def q_temporal_join(sf_dir: str):
+    """Point-in-time join: every click event picks up the purchase-value
+    VERSION that was valid at its timestamp — the feature-store /
+    SCD2-lookup join (as-of joins pick the nearest row; a PIT join picks
+    the validity interval [valid_from, valid_to) containing ts, with
+    LEAD-closed intervals so same-ts duplicate versions resolve to the
+    newest, exactly like the warehouse semantics). Scale plan: dimension
+    and fact are tagged and ride ONE user-hash exchange together; each
+    partition runs a single vectorized pandas merge_asof (backward,
+    by=user) — per-version LEAD intervals never materialize. Facts
+    before a user's first version drop (inner semantics)."""
+    from .sizing import fold_parts
+
+    n_parts = fold_parts()
+    ds = _t(sf_dir, "events", ["event_id", "ts", "user_id",
+                               "event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(b["event_type"],
+                              value_set=pa.array(["purchase", "click"])))
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kp = (_splitmix64(uid).view(np.uint64)
+              % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({
+            "event_id": b["event_id"],
+            "user_id": b["user_id"],
+            "ts_us": b["ts"].cast(pa.int64()),
+            "is_dim": pc.equal(b["event_type"], pa.scalar("purchase")),
+            "value": b["value"],
+            "kp": pa.array(kp),
+        })
+
+    def pit(g: pd.DataFrame) -> pd.DataFrame:
+        dim = g[g["is_dim"]].sort_values(
+            ["ts_us", "event_id"], kind="mergesort")
+        fact = g[~g["is_dim"]].sort_values("ts_us", kind="mergesort")
+        if not len(dim) or not len(fact):
+            return pd.DataFrame({
+                "event_id": pd.Series(dtype=np.int64),
+                "user_id": pd.Series(dtype=np.int64),
+                "purchase_value": pd.Series(dtype=np.float64),
+                "valid_from": pd.Series(dtype="datetime64[us]"),
+            })
+        j = pd.merge_asof(
+            fact[["event_id", "user_id", "ts_us"]],
+            dim[["user_id", "ts_us", "value"]].rename(
+                columns={"value": "purchase_value"}),
+            on="ts_us", by="user_id", direction="backward",
+        ).dropna(subset=["purchase_value"])
+        # merge_asof picks the LAST dim row with ts <= fact ts — with the
+        # (ts, event_id) dim sort that IS the newest same-ts version,
+        # i.e. the row whose LEAD interval contains the fact timestamp.
+        # valid_from: re-attach the matched version's start stamp
+        vf = pd.merge_asof(
+            fact[["ts_us", "user_id"]],
+            dim[["user_id", "ts_us"]].assign(vf=dim["ts_us"].to_numpy()),
+            on="ts_us", by="user_id", direction="backward",
+        )["vf"]
+        j["valid_from"] = pd.to_datetime(
+            vf.loc[j.index].astype(np.int64), unit="us")
+        return pd.DataFrame({
+            "event_id": j["event_id"].to_numpy(np.int64),
+            "user_id": j["user_id"].to_numpy(np.int64),
+            "purchase_value": j["purchase_value"].to_numpy(np.float64),
+            "valid_from": j["valid_from"].to_numpy(),
+        })
+
+    return (ds.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("kp").map_groups(pit, batch_format="pandas"))
+
+
+SQL_TEMPORAL_JOIN = """
+WITH dim AS (
+  SELECT user_id, ts AS valid_from, value AS purchase_value,
+         COALESCE(LEAD(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id),
+                  TIMESTAMP '9999-12-31') AS valid_to
+  FROM events WHERE event_type = 'purchase'
+), f AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT f.event_id, f.user_id, dim.purchase_value, dim.valid_from
+FROM f JOIN dim ON f.user_id = dim.user_id
+  AND f.ts >= dim.valid_from AND f.ts < dim.valid_to
+"""
+
+
+# =====================================================================
 # sequence gap detection (ordered scan with block-boundary fold)
 # =====================================================================
 
@@ -6004,6 +6273,8 @@ ANALYTICS_QUERIES = {
     "markov_transitions": (q_markov_transitions, SQL_MARKOV_TRANSITIONS),
     "chi2_independence": (q_chi2_independence, SQL_CHI2_INDEPENDENCE),
     "sequence_gaps": (q_sequence_gaps, SQL_SEQUENCE_GAPS),
+    "temporal_join": (q_temporal_join, SQL_TEMPORAL_JOIN),
+    "spearman_corr": (q_spearman_corr, SQL_SPEARMAN_CORR),
     "except_all": (q_except_all, SQL_EXCEPT_ALL),
     "limit_offset": (q_limit_offset, SQL_LIMIT_OFFSET),
     "window_dist": (q_window_dist, SQL_WINDOW_DIST),

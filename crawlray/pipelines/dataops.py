@@ -1199,6 +1199,51 @@ FROM embeddings WHERE vec_id < 100
 """
 
 
+def q_embedding_dim_stats(sf_dir: str):
+    """Per-DIMENSION value range over the embedding column — the
+    feature-inspection pass a vector pipeline runs before quantization
+    (PQ codebook clipping, scale calibration): min / max / count for
+    each of the d dimensions. Scale plan: each block zero-copy-reshapes
+    its list<float> column to an (n, d) matrix and emits ONE (d, 3)
+    columnwise partial — the groupby exchange carries blocks×d skinny
+    rows, never the vectors. Min/max are comparisons (no float
+    arithmetic), so engine ≡ oracle exactly; the float32→float64 cast is
+    exact widening on both sides."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"i": pa.array([], pa.int64()),
+                             "mn": pa.array([], pa.float64()),
+                             "mx": pa.array([], pa.float64()),
+                             "n": pa.array([], pa.int64())})
+        emb = _embedding_matrix(b["embedding"])
+        d = emb.shape[1]
+        return pa.table({
+            "i": pa.array(np.arange(1, d + 1, dtype=np.int64)),
+            "mn": pa.array(emb.min(axis=0).astype(np.float64)),
+            "mx": pa.array(emb.max(axis=0).astype(np.float64)),
+            "n": pa.array(np.full(d, b.num_rows, dtype=np.int64)),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("i")
+            .aggregate(Min("mn", alias_name="mn"),
+                       Max("mx", alias_name="mx"),
+                       Sum("n", alias_name="n")))
+
+
+SQL_EMBEDDING_DIM_STATS = """
+SELECT t.i, MIN(CAST(embedding[t.i] AS DOUBLE)) AS mn,
+       MAX(CAST(embedding[t.i] AS DOUBLE)) AS mx,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+GROUP BY t.i
+"""
+
+
 # =====================================================================
 # text analysis
 # =====================================================================
@@ -5359,5 +5404,6 @@ DATAOPS_QUERIES = {
     "tfidf_topterms": (q_tfidf_topterms, SQL_TFIDF_TOPTERMS),
     "edit_distance": (q_edit_distance, SQL_EDIT_DISTANCE),
     "jaro_winkler": (q_jaro_winkler, SQL_JARO_WINKLER),
+    "embedding_dim_stats": (q_embedding_dim_stats, SQL_EMBEDDING_DIM_STATS),
     "dedup_groups": (q_dedup_groups, None),
 }
