@@ -5925,6 +5925,70 @@ FROM o JOIN r USING (lang) JOIN c USING (source) CROSS JOIN t
 
 
 # =====================================================================
+# Gini concentration coefficient (revenue inequality across suppliers)
+# =====================================================================
+
+def q_gini_concentration(sf_dir: str):
+    """Gini coefficient of revenue concentration across suppliers — the
+    inequality statistic a sourcing/mix dashboard tracks (its corpus
+    twin: how skewed the per-domain document share is). Per-supplier
+    revenue folds to tenth-cent int64 partials in ONE suppkey groupby;
+    the Gini finale G = Σᵢ(2i−n−1)·xᵢ / (n·Σx) over the ASCENDING
+    per-supplier totals is tie-invariant (permuting equal xᵢ leaves the
+    sum unchanged), computed on the driver over the bounded supplier
+    vector with python-int (≡ HUGEINT) numerators — suppliers ≪ rows by
+    construction; past a driver bound the sorted-prefix boundary fold
+    (q_spearman_corr's ranking primitive) is the distributed plan.
+    ONE identical IEEE division per side, 6 dp."""
+    ds = _t(sf_dir, "lineitem",
+            ["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        rev = pc.round(pc.multiply(
+            pc.multiply(b["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), b["l_discount"])),
+            pa.scalar(10000.0))).cast(pa.int64())
+        return pa.table({"l_suppkey": b["l_suppkey"], "rev": rev})
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("l_suppkey")
+           .aggregate(Sum("rev", alias_name="rev")))
+
+    df = agg.to_pandas()  # ≤ |suppliers| rows — bounded fold
+    x = np.sort(df["rev"].to_numpy(np.int64))
+    n = len(x)
+    i = np.arange(1, n + 1, dtype=np.int64)
+    # object-dtype products: (2i−n−1)·xᵢ can pass 2⁶³ long before the
+    # bounded supplier vector itself is a problem
+    num = int(((2 * i - n - 1).astype(object) * x.astype(object)).sum())
+    tot = int(x.sum())
+    gini = float(num) / float(n * tot)
+    return pa.table({"gini": pa.array([np.round(gini, 6)]),
+                     "n_suppliers": pa.array([n], pa.int64())})
+
+
+SQL_GINI_CONCENTRATION = """
+WITH s AS (
+  SELECT l_suppkey,
+         SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 10000)
+                  AS BIGINT)) AS rev
+  FROM lineitem GROUP BY 1
+), r AS (
+  SELECT rev, ROW_NUMBER() OVER (ORDER BY rev) AS i,
+         COUNT(*) OVER () AS n
+  FROM s
+)
+SELECT ROUND(CAST(SUM((2 * CAST(i AS HUGEINT) - n - 1) * rev) AS DOUBLE)
+             / CAST(MAX(CAST(n AS HUGEINT))
+                    * (SELECT SUM(CAST(rev AS HUGEINT)) FROM s) AS DOUBLE),
+             6) AS gini,
+       CAST(MAX(n) AS BIGINT) AS n_suppliers
+FROM r
+"""
+
+
+# =====================================================================
 # Spearman rank correlation (global average ranks, exact int moments)
 # =====================================================================
 
@@ -6275,6 +6339,7 @@ ANALYTICS_QUERIES = {
     "sequence_gaps": (q_sequence_gaps, SQL_SEQUENCE_GAPS),
     "temporal_join": (q_temporal_join, SQL_TEMPORAL_JOIN),
     "spearman_corr": (q_spearman_corr, SQL_SPEARMAN_CORR),
+    "gini_concentration": (q_gini_concentration, SQL_GINI_CONCENTRATION),
     "except_all": (q_except_all, SQL_EXCEPT_ALL),
     "limit_offset": (q_limit_offset, SQL_LIMIT_OFFSET),
     "window_dist": (q_window_dist, SQL_WINDOW_DIST),

@@ -1244,6 +1244,81 @@ GROUP BY t.i
 """
 
 
+def q_pr_curve(sf_dir: str, step: int = 25, nthr: int = 25):
+    """Precision/recall threshold sweep — the calibration readout a
+    quality-classifier gate needs before picking its keep threshold:
+    score = document length (n_chars), label = lang='en', thresholds on
+    a fixed integer grid. Scale plan: every block bincounts its rows
+    into (score-bucket × label) cells — 2·nthr int64 partials per block,
+    nothing else leaves the task; the driver suffix-sums the folded grid
+    so threshold t's TP/FP are exact integers and precision/recall are
+    ONE division each (identical IEEE both sides, 6 dp). Thresholds that
+    predict nothing positive drop on both sides."""
+    ds = _docs(sf_dir, ["lang", "n_chars"])
+    k = nthr  # buckets 0..k-1, threshold t_j = j*step
+
+    def partial(b: pa.Table) -> pa.Table:
+        nc = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = pc.equal(b["lang"], pa.scalar("en")).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        bucket = np.minimum(nc // step, k - 1)
+        cnt = np.bincount(bucket * 2 + y, minlength=2 * k)
+        return pa.table({
+            "cell": pa.array(np.arange(2 * k, dtype=np.int64)),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    folded = np.zeros(2 * k, dtype=np.int64)
+    for b in (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .iter_batches(batch_format="pyarrow")):
+        # np.add.at: a fold batch can concatenate several blocks'
+        # partials, so cell indices repeat — fancy += would drop them
+        np.add.at(folded, b["cell"].to_numpy(zero_copy_only=False),
+                  b["n"].to_numpy(zero_copy_only=False))
+    neg = folded[0::2]
+    pos = folded[1::2]
+    pos_total = int(pos.sum())
+    # suffix sums: predicted positive at threshold j*step = buckets >= j
+    tp = np.cumsum(pos[::-1])[::-1]
+    pp = np.cumsum((pos + neg)[::-1])[::-1]
+    rows = []
+    for j in range(k):
+        if pp[j] == 0:
+            continue
+        rows.append((
+            j * step, int(tp[j]), int(pp[j]),
+            float(np.round(float(tp[j]) / float(pp[j]), 6)),
+            float(np.round(float(tp[j]) / float(pos_total), 6)),
+        ))
+    t, tpv, ppv, prec, rec = zip(*rows)
+    return pa.table({
+        "t": pa.array(t, pa.int64()),
+        "tp": pa.array(tpv, pa.int64()),
+        "pp": pa.array(ppv, pa.int64()),
+        "precision": pa.array(prec, pa.float64()),
+        "recall": pa.array(rec, pa.float64()),
+    })
+
+
+SQL_PR_CURVE = """
+WITH thr AS (SELECT 25 * i AS t FROM UNNEST(generate_series(0, 24)) AS s(i)),
+g AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             LEAST(n_chars // 25, 24) * 25 AS tmax
+      FROM documents),
+tot AS (SELECT CAST(SUM(y) AS BIGINT) AS pos_total FROM g),
+c AS (
+  SELECT t, CAST(SUM(CASE WHEN tmax >= t THEN y ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN tmax >= t THEN 1 ELSE 0 END) AS BIGINT) AS pp
+  FROM thr, g GROUP BY t
+)
+SELECT t, tp, pp,
+       ROUND(CAST(tp AS DOUBLE) / CAST(pp AS DOUBLE), 6) AS precision,
+       ROUND(CAST(tp AS DOUBLE) / CAST(pos_total AS DOUBLE), 6) AS recall
+FROM c CROSS JOIN tot WHERE pp > 0
+"""
+
+
 # =====================================================================
 # text analysis
 # =====================================================================
@@ -5405,5 +5480,6 @@ DATAOPS_QUERIES = {
     "edit_distance": (q_edit_distance, SQL_EDIT_DISTANCE),
     "jaro_winkler": (q_jaro_winkler, SQL_JARO_WINKLER),
     "embedding_dim_stats": (q_embedding_dim_stats, SQL_EMBEDDING_DIM_STATS),
+    "pr_curve": (q_pr_curve, SQL_PR_CURVE),
     "dedup_groups": (q_dedup_groups, None),
 }
