@@ -145,6 +145,11 @@ def _slow_canonicalize(url: str, base: str | None = None) -> str | None:
             if not piece:
                 continue
             k, _, v = piece.partition("=")
+            if not k and not v:
+                # a bare "=" piece: emitting it would round-trip to an
+                # empty piece (dropped above) — idempotence demands we
+                # drop it NOW (hypothesis: c("?0&=") must equal c²)
+                continue
             if TRACKING_PARAMS.match(unquote(k)):
                 continue
             kept.append((_renc(k, _SAFE_QUERY.replace("&", "").replace("=", "")),

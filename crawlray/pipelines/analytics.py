@@ -5721,6 +5721,49 @@ def q_except_all(sf_dir: str):
     return agg.map_batches(emit, batch_format="pyarrow")
 
 
+def q_intersect_all(sf_dir: str):
+    """INTERSECT ALL — the bag-semantics sibling of q_except_all (a key
+    ordering 3× in January and 2× in February survives TWICE). Same
+    plan: per-block (key, n_jan, n_feb) combiner, ONE key groupby,
+    vectorized np.repeat of min(n_jan, n_feb)."""
+    ds = _t(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        m = pc.month(b["o_orderdate"]).to_numpy(zero_copy_only=False)
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+        keep = (m == 1) | (m == 2)
+        ck, m = ck[keep], m[keep]
+        pairs = ck * 16 + m
+        up, cnt = np.unique(pairs, return_counts=True)
+        k2, m2 = up // 16, up % 16
+        return pa.table({
+            "key": pa.array(k2.astype(np.int64)),
+            "n_jan": pa.array(np.where(m2 == 1, cnt, 0).astype(np.int64)),
+            "n_feb": pa.array(np.where(m2 == 2, cnt, 0).astype(np.int64)),
+        })
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("key")
+           .aggregate(Sum("n_jan", alias_name="n_jan"),
+                      Sum("n_feb", alias_name="n_feb")))
+
+    def emit(b: pa.Table) -> pa.Table:
+        k = b["key"].to_numpy(zero_copy_only=False)
+        d = np.minimum(b["n_jan"].to_numpy(zero_copy_only=False),
+                       b["n_feb"].to_numpy(zero_copy_only=False))
+        return pa.table({"o_custkey": pa.array(np.repeat(k, d))})
+
+    return agg.map_batches(emit, batch_format="pyarrow")
+
+
+SQL_INTERSECT_ALL = """
+SELECT o_custkey FROM orders WHERE month(o_orderdate) = 1
+INTERSECT ALL
+SELECT o_custkey FROM orders WHERE month(o_orderdate) = 2
+"""
+
+
 SQL_EXCEPT_ALL = """
 SELECT o_custkey FROM orders WHERE month(o_orderdate) = 1
 EXCEPT ALL
@@ -5921,6 +5964,120 @@ SELECT o.lang, o.source, o.o,
         / CAST(CAST(t.n AS HUGEINT) * r.r * c.c AS DOUBLE), 6)
     AS chi2_contrib
 FROM o JOIN r USING (lang) JOIN c USING (source) CROSS JOIN t
+"""
+
+
+# =====================================================================
+# conversion lag (signup → first purchase latency distribution)
+# =====================================================================
+
+def q_conversion_lag(sf_dir: str):
+    """Signup → first-purchase latency histogram: for every user with a
+    purchase at-or-after their first signup, the whole-day lag between
+    the two — the conversion-velocity readout growth teams watch. Scale
+    plan: both event types ride ONE user-hash exchange; each partition
+    derives per-user argmin stamps with two vectorized groupby-mins and
+    emits ≤|days| bucket partials; the finale is a tiny groupby. Lag =
+    floor((tp − ts0) / 86400s) on exact integer microseconds, identical
+    on both sides (no calendar-boundary date_diff ambiguity)."""
+    from .sizing import fold_parts
+
+    n_parts = fold_parts()
+    ds = _t(sf_dir, "events", ["user_id", "ts", "event_type"])
+    day_us = 86_400_000_000
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(b["event_type"],
+                              value_set=pa.array(["signup", "purchase"])))
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kp = (_splitmix64(uid).view(np.uint64)
+              % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({
+            "user_id": b["user_id"],
+            "ts_us": b["ts"].cast(pa.int64()),
+            "is_signup": pc.equal(b["event_type"], pa.scalar("signup")),
+            "kp": pa.array(kp),
+        })
+
+    def lags(g: pd.DataFrame) -> pd.DataFrame:
+        s = (g[g["is_signup"]].groupby("user_id")["ts_us"].min()
+             .rename("ts0"))
+        p = g[~g["is_signup"]][["user_id", "ts_us"]]
+        j = p.join(s, on="user_id", how="inner")
+        j = j[j["ts_us"] >= j["ts0"]]
+        if not len(j):
+            return pd.DataFrame({"lag_days": pd.Series(dtype=np.int64),
+                                 "n_users": pd.Series(dtype=np.int64)})
+        tp = j.groupby("user_id")["ts_us"].min()
+        lag = ((tp - s.loc[tp.index]) // day_us).astype(np.int64)
+        vc = lag.value_counts()
+        return pd.DataFrame({"lag_days": vc.index.to_numpy(np.int64),
+                             "n_users": vc.to_numpy(np.int64)})
+
+    return (ds.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("kp").map_groups(lags, batch_format="pandas")
+            .groupby("lag_days")
+            .aggregate(Sum("n_users", alias_name="n_users")))
+
+
+SQL_CONVERSION_LAG = """
+WITH s AS (SELECT user_id, MIN(ts) AS ts0 FROM events
+           WHERE event_type = 'signup' GROUP BY 1),
+p AS (SELECT e.user_id,
+             MIN(epoch_us(e.ts)) - MIN(epoch_us(s.ts0)) AS lag_us
+      FROM events e JOIN s USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts >= s.ts0
+      GROUP BY e.user_id)
+SELECT CAST(lag_us // 86400000000 AS BIGINT) AS lag_days,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM p GROUP BY 1
+"""
+
+
+# =====================================================================
+# cumulative onboarding curve (first-seen day → new / cumulative users)
+# =====================================================================
+
+def q_daily_new_users(sf_dir: str):
+    """Daily NEW users and the cumulative onboarding curve — first-seen
+    attribution, the growth chart every ingest/user pipeline reports.
+    Scale plan: argmin-per-user folds in ONE user groupby (Min of the
+    day-truncated stamp); the per-day counts are a tiny second exchange
+    and the running total is a ≤#days driver cumsum — the event stream
+    itself never re-sorts."""
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"],
+            "day": pc.floor_temporal(b["ts"], unit="day"),
+        })
+
+    first = (ds.map_batches(prep, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby("user_id")
+             .aggregate(Min("day", alias_name="day")))
+    per_day = (first.groupby("day")
+               .aggregate(Count(alias_name="new_users")))
+
+    df = per_day.to_pandas()  # ≤ #days rows — bounded fold
+    df = df.sort_values("day", kind="mergesort")
+    df["cum_users"] = df["new_users"].cumsum().astype(np.int64)
+    return pa.table({
+        "day": pa.array(df["day"].to_numpy()),
+        "new_users": pa.array(df["new_users"].to_numpy(np.int64)),
+        "cum_users": pa.array(df["cum_users"].to_numpy(np.int64)),
+    })
+
+
+SQL_DAILY_NEW_USERS = """
+WITH f AS (SELECT user_id, MIN(date_trunc('day', ts)) AS day
+           FROM events GROUP BY 1),
+d AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users FROM f GROUP BY 1)
+SELECT day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+FROM d
 """
 
 
@@ -6340,7 +6497,10 @@ ANALYTICS_QUERIES = {
     "temporal_join": (q_temporal_join, SQL_TEMPORAL_JOIN),
     "spearman_corr": (q_spearman_corr, SQL_SPEARMAN_CORR),
     "gini_concentration": (q_gini_concentration, SQL_GINI_CONCENTRATION),
+    "daily_new_users": (q_daily_new_users, SQL_DAILY_NEW_USERS),
+    "conversion_lag": (q_conversion_lag, SQL_CONVERSION_LAG),
     "except_all": (q_except_all, SQL_EXCEPT_ALL),
+    "intersect_all": (q_intersect_all, SQL_INTERSECT_ALL),
     "limit_offset": (q_limit_offset, SQL_LIMIT_OFFSET),
     "window_dist": (q_window_dist, SQL_WINDOW_DIST),
     "moving_median": (q_moving_median, SQL_MOVING_MEDIAN),

@@ -708,3 +708,28 @@ def test_logreg_train_both_paths_agree(ray_session):
     finally:
         dop._LR_DRIVER_LIMIT = old
     assert np.allclose(got_d["weight"].to_numpy(), w, atol=1e-8)
+
+
+def test_jaro_winkler_matches_duckdb_pairwise():
+    """The q_jaro_winkler oracle is only sound if the engine's scorer
+    reproduces DuckDB's jaro_winkler_similarity EXACTLY (floored
+    transposition half-count, prefix cap 4, boost gate jaro > 0.7,
+    '' vs '' = 0.0). Pin the full distinct-name cross product plus the
+    classic textbook pairs, compared as raw doubles (no rounding)."""
+    import duckdb
+
+    from crawlray.pipelines.dataops import _jaro_winkler
+
+    con = duckdb.connect()
+    names = [r[0] for r in con.sql(
+        f"SELECT DISTINCT p_name FROM '{SF_DIR}/part.parquet'").fetchall()]
+    extra = ["MARTIN", "MARHTA", "DWAYNE", "DUANE", "CRATE", "TRACE",
+             "aXXXXX", "aYYYYY", "abcdefgh", "abcdefzz", "", "red ring"]
+    vals = names + extra
+    con.sql("CREATE TABLE v AS SELECT * FROM (VALUES "
+            + ",".join(f"('{s}')" for s in vals) + ") t(s)")
+    got = con.sql("SELECT a.s, b.s, jaro_winkler_similarity(a.s, b.s) "
+                  "FROM v a, v b").fetchall()
+    assert len(got) == len(vals) ** 2
+    for a, b, d in got:
+        assert _jaro_winkler(a, b) == d, (a, b)
