@@ -1244,6 +1244,123 @@ GROUP BY t.i
 """
 
 
+def q_time_travel(sf_dir: str):
+    """Versioned (time-travel) reads on the lance-compat table layout —
+    Lance's `dataset(version=...)` semantics on the parquet+manifest
+    fallback (SURVEY §0.4): commit v1 with three sources, APPEND two
+    more as v2 (new fragments only; nothing rewritten), then read each
+    committed version back BY ITS MANIFEST SNAPSHOT and aggregate.
+    Version 1's read must not see version 2's fragments even though
+    they share the directory. The aggregate is oracled against the
+    source table's equivalent slices."""
+    import shutil
+    import tempfile
+
+    from ..sources.lance_compat import append_table, read_table_version
+
+    v1_srcs = ["src0", "src1", "src2"]
+    v2_srcs = ["src3", "src4"]
+    scratch = os.environ.get("CRAWLRAY_SCRATCH_ROOT")
+    if scratch:
+        os.makedirs(scratch, exist_ok=True)
+    uri = tempfile.mkdtemp(prefix="crawlray_tt_", dir=scratch)
+    try:
+        docs = _docs(sf_dir, ["source", "n_chars"])
+        append_table(docs.filter(
+            expr=f"source in {v1_srcs}"), uri)
+        append_table(docs.filter(
+            expr=f"source in {v2_srcs}"), uri)
+        out = []
+        for v in (1, 2):
+            t = pa.concat_tables(
+                read_table_version(uri, v)
+                .map_batches(lambda b: pa.table({
+                    "n": pa.array([b.num_rows], pa.int64()),
+                    "sum_chars": pa.array(
+                        [int(pc.sum(b["n_chars"]).as_py() or 0)],
+                        pa.int64()),
+                }), batch_format="pyarrow", zero_copy_batch=True)
+                .iter_batches(batch_format="pyarrow"))
+            out.append((v, int(pc.sum(t["n"]).as_py()),
+                        int(pc.sum(t["sum_chars"]).as_py())))
+        return pa.table({
+            "version": pa.array([r[0] for r in out], pa.int64()),
+            "n_docs": pa.array([r[1] for r in out], pa.int64()),
+            "sum_chars": pa.array([r[2] for r in out], pa.int64()),
+        })
+    finally:
+        shutil.rmtree(uri, ignore_errors=True)
+
+
+SQL_TIME_TRAVEL = """
+SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents WHERE source IN ('src0', 'src1', 'src2')
+UNION ALL
+SELECT 2, CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(n_chars) AS BIGINT)
+FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')
+"""
+
+
+def q_compact_small_files(sf_dir: str, target_files: int = 4):
+    """Small-file compaction — the table-maintenance op every streaming
+    sink eventually needs (a 100 TB table accreting 10⁶ tiny fragments
+    reads 100× slower than the same bytes in right-sized files): write
+    the documents projection DELIBERATELY fragmented (64 files), compact
+    it to `target_files` via one repartition → write, stamp the
+    lance-compat manifest, and aggregate FROM the compacted files. The
+    n_files column pins that compaction actually happened; the content
+    columns pin that it was lossless."""
+    import shutil
+    import tempfile
+
+    from ..sources.lance_compat import finalize_fragment_dir
+
+    scratch = os.environ.get("CRAWLRAY_SCRATCH_ROOT")
+    if scratch:
+        os.makedirs(scratch, exist_ok=True)
+    frag_dir = tempfile.mkdtemp(prefix="crawlray_frag_", dir=scratch)
+    out_dir = tempfile.mkdtemp(prefix="crawlray_compact_", dir=scratch)
+    try:
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["source", "n_chars"],
+                        override_num_blocks=64).write_parquet(frag_dir)
+        n_before = len([f for f in os.listdir(frag_dir)
+                        if f.endswith(".parquet")])
+        (rd.read_parquet(frag_dir)
+         .repartition(target_files)
+         .write_parquet(out_dir))
+        m = finalize_fragment_dir(out_dir, note=f"compacted {n_before}")
+        n_after = len(m["fragments"])
+        agg = pa.concat_tables(
+            rd.read_parquet(out_dir)
+            .map_batches(lambda b: pa.table({
+                "n": pa.array([b.num_rows], pa.int64()),
+                "sum_chars": pa.array(
+                    [int(pc.sum(b["n_chars"]).as_py() or 0)], pa.int64()),
+            }), batch_format="pyarrow", zero_copy_batch=True)
+            .iter_batches(batch_format="pyarrow"))
+        return pa.table({
+            "n_files_before": pa.array([n_before], pa.int64()),
+            "n_files_after": pa.array([n_after], pa.int64()),
+            "n_docs": pa.array([int(pc.sum(agg["n"]).as_py())], pa.int64()),
+            "sum_chars": pa.array([int(pc.sum(agg["sum_chars"]).as_py())],
+                                  pa.int64()),
+        })
+    finally:
+        shutil.rmtree(frag_dir, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+SQL_COMPACT_SMALL_FILES = """
+SELECT 64 AS n_files_before, 4 AS n_files_after,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+"""
+
+
 def q_pr_curve(sf_dir: str, step: int = 25, nthr: int = 25):
     """Precision/recall threshold sweep — the calibration readout a
     quality-classifier gate needs before picking its keep threshold:
@@ -5481,5 +5598,7 @@ DATAOPS_QUERIES = {
     "jaro_winkler": (q_jaro_winkler, SQL_JARO_WINKLER),
     "embedding_dim_stats": (q_embedding_dim_stats, SQL_EMBEDDING_DIM_STATS),
     "pr_curve": (q_pr_curve, SQL_PR_CURVE),
+    "time_travel": (q_time_travel, SQL_TIME_TRAVEL),
+    "compact_small_files": (q_compact_small_files, SQL_COMPACT_SMALL_FILES),
     "dedup_groups": (q_dedup_groups, None),
 }

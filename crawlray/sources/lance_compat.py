@@ -100,3 +100,55 @@ def read_manifest(uri: str) -> dict | None:
         with open(p) as f:
             return json.load(f)
     return None
+
+
+# ---------------------------------------------------------------------
+# versioned manifests (Lance-style time travel on the compat layout)
+# ---------------------------------------------------------------------
+
+def append_table(ds, uri: str) -> dict:
+    """Append a Ray Dataset's rows to a lance-compat table as NEW
+    fragments and commit a NEW manifest version — the Lance append
+    semantics on the parquet fallback. Fragment files are never
+    rewritten (Ray names them uniquely per run), so every committed
+    version's fragment list stays readable forever: version v is the
+    snapshot `_versions/v{v}.json`, `_manifest.json` is the latest.
+    Returns the committed manifest."""
+    prior = read_manifest(uri)
+    prior_frags = set(prior["fragments"]) if prior else set()
+    version = int(prior.get("version", 1)) + 1 if prior else 1
+    ds.write_parquet(uri)
+    frags = sorted(f for f in os.listdir(uri) if f.endswith(".parquet"))
+    rows = 0
+    for f in frags:
+        rows += pq.read_metadata(os.path.join(uri, f)).num_rows
+    sch = pq.read_schema(os.path.join(uri, frags[0]))
+    manifest = {
+        "format": "lance-compat-parquet",
+        "version": version,
+        "fragments": frags,
+        "new_fragments": sorted(set(frags) - prior_frags),
+        "num_rows": rows,
+        "schema": [{"name": n, "type": str(sch.field(n).type)}
+                   for n in sch.names],
+    }
+    _atomic_write_json(
+        os.path.join(uri, "_versions", f"v{version}.json"), manifest)
+    _atomic_write_json(os.path.join(uri, "_manifest.json"), manifest)
+    return manifest
+
+
+def read_table_version(uri: str, version: int | None = None):
+    """Time-travel read: the table AS OF a committed manifest version
+    (None = latest). Only the fragments that version's snapshot lists
+    are opened — later appends are invisible, exactly Lance's
+    `dataset(version=...)` contract."""
+    import ray.data as rd
+
+    if version is None:
+        m = read_manifest(uri)
+    else:
+        with open(os.path.join(uri, "_versions", f"v{version}.json")) as f:
+            m = json.load(f)
+    paths = [os.path.join(uri, f) for f in m["fragments"]]
+    return rd.read_parquet(paths)
