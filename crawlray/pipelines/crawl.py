@@ -592,7 +592,8 @@ class CrawlRun:
             from ..stages.schedule import schedule_hosts
 
             drift_ref = (ray.put(dict(self.drift_ms))
-                         if cfg.politeness_drift else None)
+                         if (cfg.politeness_drift or self.drift_ms)
+                         else None)
             ds = ds.groupby("part").map_groups(
                 schedule_hosts,
                 batch_format="pandas",
@@ -630,8 +631,14 @@ class CrawlRun:
             num_cpus=cfg.parse_num_cpus,
             fn_kwargs={"pages_dir": pages_dir,
                        "extractors": cfg.extractors,
-                       "stats": (self.stats if cfg.politeness_drift
+                       # stats feeds latency drift AND Retry-After
+                       # penalties; the latter apply whenever the
+                       # wave-start scheduler can honor floors
+                       "stats": (self.stats
+                                 if (cfg.politeness_drift
+                                     or cfg.schedule_mode == "wave_start")
                                  else None),
+                       "fold_latency": cfg.politeness_drift,
                        "wave": wave,
                        "validators_dir":
                            self._p("validators", f"wave={wave}"),
@@ -768,6 +775,18 @@ class CrawlRun:
                 h: int(round(cfg.drift_factor * s / n))
                 for h, (s, n) in lat.items() if n
             }
+        if cfg.politeness_drift or cfg.schedule_mode == "wave_start":
+            # RFC 9110 Retry-After: a 429/503's delay-seconds raises the
+            # host's NEXT-wave politeness floor (max with any drift
+            # floor). Without latency drift the floors are penalties
+            # only, so they RESET each wave — a Retry-After shields the
+            # wave after it was served, not the rest of the crawl.
+            pen = ray.get(self.stats.drain_penalty.remote(wave))
+            if not cfg.politeness_drift:
+                self.drift_ms = {}
+            for h, ms in pen.items():
+                if ms > self.drift_ms.get(h, 0):
+                    self.drift_ms[h] = ms
         self._commit(wave)
         return {"wave": wave, "frontier": n_front, "pages": n_pages, "next": n_next}
 

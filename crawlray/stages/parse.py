@@ -28,6 +28,21 @@ from ..schemas import SPAN
 MAX_LINKS_PER_PAGE = 65535  # link_idx must fit the 16-bit srckey field
 
 
+def retry_after_ms(status: int, body) -> int:
+    """RFC 9110 §10.2.3 Retry-After (delay-seconds form) on rate-limit /
+    unavailable responses: the transports surface the header value as
+    the (otherwise unused) body of the 429/503 — the same channel 3xx
+    responses use for Location. Shared by the engine's penalty fold and
+    the sequential oracle. -1 = no penalty."""
+    if status in (429, 503) and body:
+        try:
+            return int(round(float(
+                bytes(body).decode("ascii", "replace").strip()) * 1000.0))
+        except ValueError:
+            return -1
+    return -1
+
+
 class PageParser:
     """M5–M11 + §2.10: per-site extractor registry — hosts matching a
     configured pattern parse through their registered extractor (resolved
@@ -139,6 +154,11 @@ class PageParser:
                     all_links[i] = []
                     all_anchors[i] = []
         out = batch.drop_columns(["body"])
+        out = out.append_column(
+            "retry_after_ms",
+            pa.array([retry_after_ms(st, body)
+                      for st, body in zip(statuses, bodies)],
+                     type=pa.int64()))
         if self._keep_langs is not None:
             out = out.append_column("lang",
                                     pa.array(langs, type=pa.string()))
@@ -174,11 +194,13 @@ class ParseAndSink:
 
     def __init__(self, pages_dir: str, extractors: dict[str, str] | None = None,
                  stats=None, wave: int = -1, validators_dir: str | None = None,
-                 keep_languages: tuple | None = None):
+                 keep_languages: tuple | None = None,
+                 fold_latency: bool = True):
         os.makedirs(pages_dir, exist_ok=True)
         self._dir = pages_dir
         self._parse = PageParser(extractors, keep_languages=keep_languages)
         self._stats = stats   # politeness-drift latency fold (WaveStats)
+        self._fold_lat = fold_latency  # False: stats is penalty-only
         self._wave = wave
         # conditional-refetch baseline: responses bearing ETag /
         # Last-Modified are recorded (url_hash → validators) as a
@@ -200,6 +222,28 @@ class ParseAndSink:
                 .to_pylist():
             sums[rec["host"]] = (float(rec["lat_sum"]), int(rec["lat_count"]))
         ray.get(self._stats.put_latency.remote(self._wave, frag, sums))
+
+    def _fold_penalty(self, parsed: pa.Table, frag: str) -> None:
+        """Per-host max Retry-After ms of this batch (429/503 rows) →
+        WaveStats. The driver raises the host's NEXT-wave politeness
+        floor to it — the crawler's RFC-compliant back-off response.
+        Same synchronous, fragment-keyed idempotence as _fold_latency."""
+        import pyarrow.compute as pc
+        import ray
+
+        rows = parsed.filter(pc.greater_equal(
+            parsed["retry_after_ms"], pa.scalar(0, type=pa.int64())))
+        if not rows.num_rows:
+            return
+        pen = {
+            rec["host"]: int(rec["retry_after_ms_max"])
+            for rec in pa.table({
+                "host": rows["host"],
+                "retry_after_ms": rows["retry_after_ms"],
+            }).group_by("host").aggregate([("retry_after_ms", "max")])
+            .to_pylist()
+        }
+        ray.get(self._stats.put_penalty.remote(self._wave, frag, pen))
 
     @staticmethod
     def _frag_name(batch: pa.Table) -> str:
@@ -247,7 +291,9 @@ class ParseAndSink:
                 and "etag" in parsed.column_names):
             self._record_validators(parsed, name)
         if self._stats is not None:
-            self._fold_latency(batch, name)
+            if self._fold_lat:
+                self._fold_latency(batch, name)
+            self._fold_penalty(parsed, name)
         # discovery projection: out-links + the redirect FINAL url (null
         # for direct fetches) — the frontier build marks finals as seen
         # without admitting them (the body is already stored under them)
@@ -273,7 +319,8 @@ def parse_and_sink_batch(batch: pa.Table, *, pages_dir: str,
                          extractors: dict[str, str] | None = None,
                          stats=None, wave: int = -1,
                          validators_dir: str | None = None,
-                         keep_languages: tuple | None = None) -> pa.Table:
+                         keep_languages: tuple | None = None,
+                         fold_latency: bool = True) -> pa.Table:
     """Task-based form of the parse+sink stage (see taskstate.py for
     why). ``pages_dir`` is unique per (run, wave), so it pins the
     instance identity; the extractor registry and language gate ride in
@@ -282,10 +329,12 @@ def parse_and_sink_batch(batch: pa.Table, *, pages_dir: str,
 
     key = (pages_dir, validators_dir, wave,
            tuple(sorted((extractors or {}).items())),
-           tuple(keep_languages) if keep_languages else None)
+           tuple(keep_languages) if keep_languages else None,
+           bool(fold_latency))
     p = instance("ParseAndSink", key,
                  lambda: ParseAndSink(pages_dir, extractors=extractors,
                                       stats=stats, wave=wave,
                                       validators_dir=validators_dir,
-                                      keep_languages=keep_languages))
+                                      keep_languages=keep_languages,
+                                      fold_latency=fold_latency))
     return p(batch)

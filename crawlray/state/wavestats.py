@@ -25,6 +25,8 @@ class WaveStats:
         self._by_wave: dict[int, dict[int, dict[str, int]]] = {}
         # politeness drift: per-wave, per-batch-key → {host: (lat_sum, n)}
         self._lat: dict[int, dict[str, dict[str, tuple[float, int]]]] = {}
+        # Retry-After penalties: per-wave, per-batch-key → {host: ms}
+        self._pen: dict[int, dict[str, dict[str, int]]] = {}
 
     def put(self, wave: int, part: int, counts: dict[str, int]) -> None:
         self._by_wave.setdefault(wave, {})[part] = counts
@@ -49,4 +51,19 @@ class WaveStats:
             for h, (s, n) in sums.items():
                 ps, pn = folded.get(h, (0.0, 0))
                 folded[h] = (ps + s, pn + n)
+        return folded
+
+    def put_penalty(self, wave: int, batch_key: str,
+                    pen: dict[str, int]) -> None:
+        """Per-host max Retry-After ms observed in one parse batch
+        (429/503 responses, RFC 9110 §10.2.3); same idempotent
+        batch-key contract as put_latency."""
+        self._pen.setdefault(wave, {})[batch_key] = pen
+
+    def drain_penalty(self, wave: int) -> dict[str, int]:
+        folded: dict[str, int] = {}
+        for pen in self._pen.pop(wave, {}).values():
+            for h, ms in pen.items():
+                if ms > folded.get(h, -1):
+                    folded[h] = ms
         return folded

@@ -71,6 +71,7 @@ def crawl_oracle(seed_urls, robots: RobotsPolicy, pages_index: dict,
     from crawlray.sources.transport import (
         NO_LASTMOD, follow_redirects, validators_match,
     )
+    from crawlray.stages.parse import retry_after_ms
 
     res = OracleResult()
     host_pages: dict[str, int] = {}  # admitted per host (cap budget)
@@ -268,6 +269,7 @@ def crawl_oracle(seed_urls, robots: RobotsPolicy, pages_index: dict,
         frontier.sort(key=lambda r: (r["part"], r["seq"]))
         host_j: dict[str, int] = {}
         lat_sums: dict[str, list] = {}
+        pen_wave: dict[str, int] = {}
         candidates = []
         redirect_finals: list[str] = []
         # conditional-refetch baseline snapshot at wave start (engine:
@@ -289,6 +291,12 @@ def crawl_oracle(seed_urls, robots: RobotsPolicy, pages_index: dict,
             acc = lat_sums.setdefault(r["host"], [0.0, 0])
             acc[0] += float(lat)
             acc[1] += 1
+            # RFC 9110 Retry-After mirror (engine: PageParser column +
+            # ParseAndSink._fold_penalty): 429/503 delay-seconds → max
+            # per host, raising the next wave's politeness floor
+            ra = retry_after_ms(int(status), body)
+            if ra >= 0 and ra > pen_wave.get(r["host"], -1):
+                pen_wave[r["host"]] = ra
             res.fetch_log.append(
                 {
                     "wave": wave,
@@ -371,6 +379,16 @@ def crawl_oracle(seed_urls, robots: RobotsPolicy, pages_index: dict,
                 h: int(round(cfg.drift_factor * s / n))
                 for h, (s, n) in lat_sums.items() if n
             }
+        if (getattr(cfg, "politeness_drift", False)
+                or getattr(cfg, "schedule_mode", "") == "wave_start"):
+            # Retry-After penalties ride the same floor channel as drift
+            # (engine: crawl.py post-wave merge); penalty-only floors
+            # reset each wave
+            if not getattr(cfg, "politeness_drift", False):
+                drift_ms = {}
+            for h, ms in pen_wave.items():
+                if ms > drift_ms.get(h, 0):
+                    drift_ms[h] = ms
         frontier = admit(candidates, finals=redirect_finals)
         wave += 1
     res.hosts = set(host_pages) | prior_hosts

@@ -101,3 +101,66 @@ def test_drift_spacing_respected(drift_env):
 def test_drift_requires_wave_start():
     with pytest.raises(ValueError):
         CrawlConfig(politeness_drift=True)  # schedule_mode defaults to write
+
+
+def test_retry_after_penalty_parity(ray_session, tmp_path):
+    """RFC 9110 Retry-After: a 429 whose delay-seconds value the
+    transport surfaces (body channel, like 3xx Location) raises the
+    host's NEXT-wave politeness floor — and ONLY the next wave's (no
+    latency drift ⇒ penalty floors reset per wave). Engine ≡ oracle on
+    the full fetch log including the penalty-scaled clocks."""
+    from crawlray.pipelines.crawl import run_crawl
+    from tests.oracle import build_pages_index, crawl_oracle
+
+    host = "rl.nl"
+
+    def html(links):
+        body = "".join(f'<a href="{u}">l</a>' for u in links)
+        return (f"<html><head><title>t</title></head>"
+                f"<body>{body}</body></html>").encode()
+
+    p = [f"https://{host}/p{i}" for i in range(3)]
+    q = [f"https://{host}/q{i}" for i in range(3)]
+    urls = [f"https://{host}/", f"https://{host}/throttle"] + p + q
+    pages = pa.table({
+        "url": urls,
+        "host": [host] * len(urls),
+        "status": pa.array([200, 429] + [200] * 6, type=pa.int16()),
+        "content_type": ["text/html"] * len(urls),
+        "html": pa.array(
+            [html(p + [f"https://{host}/throttle"]),
+             b"5"]                       # Retry-After: 5 (seconds)
+            + [html(q) for _ in p]
+            + [html([]) for _ in q], type=pa.large_binary()),
+        "latency_ms": pa.array([10.0] * len(urls), type=pa.float32()),
+    })
+    pages_path = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, pages_path)
+    robots_t = pa.table({
+        "host": [host], "allow": [[]], "deny": [[]],
+        "crawl_delay_ms": pa.array([10], type=pa.int32()),
+    })
+    cfg = CrawlConfig(
+        n_parts=2, seen_shards=1, max_depth=5, max_waves=5,
+        max_pages_per_host=50, fetch_concurrency=(1, 2),
+        parse_concurrency=(1, 2), discover_feeds=False,
+        transport={"kind": "sim", "pages_path": pages_path},
+        schedule_mode="wave_start", politeness_drift=False,
+    )
+    run_dir = str(tmp_path / "run")
+    run_crawl(run_dir, [f"https://{host}/"], robots_t, cfg)
+    rows = _log(run_dir)
+    ora = crawl_oracle(
+        [f"https://{host}/"], RobotsPolicy.from_arrow(robots_t),
+        build_pages_index(pages), cfg,
+    )
+    assert rows == sorted(tuple(r[c] for c in FETCH_COLS)
+                          for r in ora.fetch_log)
+    by_wave = {}
+    for r in rows:
+        by_wave.setdefault(r[0], []).append(r)
+    # wave 1 fetched the 429 (spacing still the 10 ms robots delay)
+    assert any(r[7] == 429 for r in by_wave[1])
+    assert max(r[6] for r in by_wave[1]) == 30.0      # 4 fetches × 10 ms
+    # wave 2's clock is spaced by the 5000 ms Retry-After penalty
+    assert sorted(r[6] for r in by_wave[2]) == [0.0, 5000.0, 10000.0]
