@@ -53,6 +53,13 @@ class CrawlConfig:
     # detected language rides as a `lang` column in the pages sink.
     # None = store everything.
     keep_languages: tuple | None = None
+    # RFC 9110 Retry-After, retry half: when on, a 429/503 response's
+    # URL is RE-ADMITTED next wave (seen-set bypass via the force
+    # channel, seen_only=2) and fetched again under the raised
+    # politeness floor (the penalty half is always on in wave_start
+    # mode). Off by default: re-fetching is a budget decision — the
+    # fetch-log keeps the 429 row either way.
+    retry_rate_limited: bool = False
     # §2.10 per-site extraction rules: {host_pattern: extractor NAME}
     # (names resolved in functions/extractors.EXTRACTORS; exact host or
     # dot-suffix patterns, longest wins; unmatched hosts parse generic)

@@ -94,11 +94,12 @@ _DEDUP_COLS = ["srckey64", "url_canon", "host", "host_hash", "part"]
 def _partial_dedup(t: pa.Table) -> pa.Table:
     """Per-block combiner before the global dedup shuffle: one candidate
     row per url_hash per block (min srckey64; other cols are constant
-    within a url_hash group; seen_only is OR-merged — if any source says
-    the url's body is already stored, the merged row only marks seen,
-    which is the same end state as processing both rows; lastmod_us is
-    max-merged — the freshest feed stamp observed for the url wins,
-    which is exactly the refresh-crawl version semantics)."""
+    within a url_hash group; seen_only is MAX-merged — a mark (1) beats
+    plain rows (the body is stored either way), and a Retry-After retry
+    (2) dominates both: the url was fetched and throttled, so re-fetching
+    is the correct end state; lastmod_us is max-merged — the freshest
+    feed stamp observed for the url wins, which is exactly the
+    refresh-crawl version semantics)."""
     g = t.group_by("url_hash").aggregate(
         [(c, "min") for c in _DEDUP_COLS]
         + [("seen_only", "max"), ("lastmod_us", "max")])
@@ -639,6 +640,7 @@ class CrawlRun:
                                      or cfg.schedule_mode == "wave_start")
                                  else None),
                        "fold_latency": cfg.politeness_drift,
+                       "retry_rate_limited": cfg.retry_rate_limited,
                        "wave": wave,
                        "validators_dir":
                            self._p("validators", f"wave={wave}"),

@@ -124,6 +124,23 @@ def explode_links(batch: pa.Table, n_parts: int) -> pa.Table:
             zeros = np.zeros(mask.sum(), dtype=np.int64)
             pieces.append(_candidate_table(finals, src_part, src_seq,
                                            zeros, depth, n_parts, 1))
+    if "retry_url" in batch.column_names:
+        # Retry-After retry rows (seen_only=2): re-admit the 429/503 URL
+        # at its OWN depth (same URL, not a new hop) — the builders'
+        # force channel bypasses the seen check for these
+        ru = batch["retry_url"].combine_chunks()
+        mask = pc.is_valid(ru).to_numpy(zero_copy_only=False)
+        if mask.any():
+            urls = ru.filter(pa.array(mask))
+            src_part = batch["part"].to_numpy(
+                zero_copy_only=False).astype(np.int64)[mask]
+            src_seq = batch["seq"].to_numpy(
+                zero_copy_only=False).astype(np.int64)[mask]
+            depth = batch["depth"].to_numpy(
+                zero_copy_only=False).astype(np.int64)[mask]
+            zeros = np.zeros(int(mask.sum()), dtype=np.int64)
+            pieces.append(_candidate_table(urls, src_part, src_seq,
+                                           zeros, depth, n_parts, 2))
     if not pieces:
         return _EMPTY_CANDIDATES
     return pa.concat_tables(pieces) if len(pieces) > 1 else pieces[0]
@@ -296,6 +313,25 @@ def refetch_overrides(df: pd.DataFrame, novel: np.ndarray,
     return novel | ((~novel) & (lm > recorded))
 
 
+def apply_force(df: pd.DataFrame, mask: np.ndarray) -> np.ndarray:
+    """Retry-After force channel (seen_only=2 → mark_redirect_finals'
+    ``force`` column): a retried URL bypasses the seen check — it is in
+    the seen set by definition (it was fetched and 429'd)."""
+    if "force" in df.columns:
+        mask = mask | df["force"].to_numpy(dtype=bool)
+    return mask
+
+
+def fold_force(df: pd.DataFrame) -> pd.DataFrame:
+    """Before the min-srckey dedup: OR the force flag across each
+    url_hash's rows, so a retry row losing the dedup to a plain link row
+    cannot silently drop the retry."""
+    if "force" in df.columns and df["force"].any():
+        df = df.assign(force=df.groupby("url_hash")["force"]
+                       .transform("max").astype(bool))
+    return df
+
+
 def mark_redirect_finals(df: pd.DataFrame, novelty, shards) -> pd.DataFrame:
     """Split off ``seen_only=1`` rows (redirect final urls), insert their
     hashes into the cuckoo shards (idempotent), and return the normal
@@ -305,12 +341,18 @@ def mark_redirect_finals(df: pd.DataFrame, novelty, shards) -> pd.DataFrame:
     if "seen_only" not in df.columns:
         return df
     flags = df["seen_only"].to_numpy()
-    if flags.any():
+    if (flags == 1).any():
         marks = df[flags == 1]
         novelty(shards,
                 np.unique(marks["url_hash"].to_numpy().astype(np.int64)))
-        df = df[flags == 0]
-    return df.drop(columns=["seen_only"]).reset_index(drop=True)
+        df = df[flags != 1]
+        flags = flags[flags != 1]
+    df = df.drop(columns=["seen_only"]).reset_index(drop=True)
+    if (flags == 2).any():
+        # Retry-After retry rows: carry the force flag through dedup so
+        # the builders can bypass the seen check for these url_hashes
+        df = df.assign(force=(flags == 2))
+    return df
 
 
 class PartFrontierBuilder:
@@ -373,14 +415,18 @@ class PartFrontierBuilder:
         if self._versions is not None and len(df):
             df = df.assign(lastmod_us=df.groupby("url_hash")["lastmod_us"]
                            .transform("max"))
-        # 1. intra-wave dedup: min srckey64 wins (sorted → keep first)
+        # 1. intra-wave dedup: min srckey64 wins (sorted → keep first);
+        #    retry flags OR across a url's rows first
+        df = fold_force(df)
         df = df.sort_values("srckey64", kind="mergesort", ignore_index=True)
         df = df.drop_duplicates("url_hash", keep="first", ignore_index=True)
         # 2. cross-wave novelty: offer the wave-unique hashes to the
         #    cuckoo shards (admission-time seen semantics, oracle parity)
         #    — plus refresh re-admission for strictly-newer feed stamps
+        #    and the Retry-After force channel
         mask = self._novelty(self._shards, df["url_hash"].to_numpy().astype(np.int64))
         mask = refetch_overrides(df, mask, self._versions)
+        mask = apply_force(df, mask)
         df = df[mask].reset_index(drop=True)
         # 3. policy gate (shared predicates: depth/binary/len/robots/
         #    host allowlist)
@@ -388,8 +434,9 @@ class PartFrontierBuilder:
         df = df[ok].reset_index(drop=True)
         # the stamp's job (version fold + refetch) is done — keep the
         # frontier parquet lean
-        if "lastmod_us" in df.columns:
-            df = df.drop(columns=["lastmod_us"])
+        drop = [c for c in ("lastmod_us", "force") if c in df.columns]
+        if drop:
+            df = df.drop(columns=drop)
         # 4. per-host page-cap budget, consumed in srckey order
         within = df.groupby("host", sort=False).cumcount()
         prior = df["host"].map(self._prior).fillna(0).astype(np.int64)
@@ -466,14 +513,17 @@ class DedupNoveltyPolicy:
         if self._versions is not None and len(df):
             df = df.assign(lastmod_us=df.groupby("url_hash")["lastmod_us"]
                            .transform("max"))
+        df = fold_force(df)
         df = df.sort_values("srckey64", kind="mergesort", ignore_index=True)
         df = df.drop_duplicates("url_hash", keep="first", ignore_index=True)
         mask = self._novelty(self._shards, df["url_hash"].to_numpy().astype(np.int64))
         mask = refetch_overrides(df, mask, self._versions)
+        mask = apply_force(df, mask)
         df = df[mask].reset_index(drop=True)
         ok = policy_mask(df, self._robots, self._max_depth, self._allowed)
         df = df[ok].reset_index(drop=True)
-        drop = [c for c in ("gpart", "lastmod_us") if c in df.columns]
+        drop = [c for c in ("gpart", "lastmod_us", "force")
+                if c in df.columns]
         return df.drop(columns=drop).reset_index(drop=True)
 
 

@@ -195,12 +195,14 @@ class ParseAndSink:
     def __init__(self, pages_dir: str, extractors: dict[str, str] | None = None,
                  stats=None, wave: int = -1, validators_dir: str | None = None,
                  keep_languages: tuple | None = None,
-                 fold_latency: bool = True):
+                 fold_latency: bool = True,
+                 retry_rate_limited: bool = False):
         os.makedirs(pages_dir, exist_ok=True)
         self._dir = pages_dir
         self._parse = PageParser(extractors, keep_languages=keep_languages)
         self._stats = stats   # politeness-drift latency fold (WaveStats)
         self._fold_lat = fold_latency  # False: stats is penalty-only
+        self._retry = retry_rate_limited
         self._wave = wave
         # conditional-refetch baseline: responses bearing ETag /
         # Last-Modified are recorded (url_hash → validators) as a
@@ -312,6 +314,18 @@ class ParseAndSink:
                 type=pa.string(),
             )
             proj = proj.append_column("redirect_final", finals)
+        if self._retry:
+            # retry half of Retry-After: 429/503 URLs become next-wave
+            # candidates that BYPASS the seen check (seen_only=2 in
+            # explode_links). Fresh contiguous array, not pc.if_else —
+            # same Ray 2.49 serializer caveat as redirect_final above.
+            retry_urls = pa.array(
+                [u if st in (429, 503) else None
+                 for st, u in zip(parsed["status"].to_pylist(),
+                                  parsed["url_canon"].to_pylist())],
+                type=pa.string(),
+            )
+            proj = proj.append_column("retry_url", retry_urls)
         return proj
 
 
@@ -320,7 +334,8 @@ def parse_and_sink_batch(batch: pa.Table, *, pages_dir: str,
                          stats=None, wave: int = -1,
                          validators_dir: str | None = None,
                          keep_languages: tuple | None = None,
-                         fold_latency: bool = True) -> pa.Table:
+                         fold_latency: bool = True,
+                         retry_rate_limited: bool = False) -> pa.Table:
     """Task-based form of the parse+sink stage (see taskstate.py for
     why). ``pages_dir`` is unique per (run, wave), so it pins the
     instance identity; the extractor registry and language gate ride in
@@ -330,11 +345,12 @@ def parse_and_sink_batch(batch: pa.Table, *, pages_dir: str,
     key = (pages_dir, validators_dir, wave,
            tuple(sorted((extractors or {}).items())),
            tuple(keep_languages) if keep_languages else None,
-           bool(fold_latency))
+           bool(fold_latency), bool(retry_rate_limited))
     p = instance("ParseAndSink", key,
                  lambda: ParseAndSink(pages_dir, extractors=extractors,
                                       stats=stats, wave=wave,
                                       validators_dir=validators_dir,
                                       keep_languages=keep_languages,
-                                      fold_latency=fold_latency))
+                                      fold_latency=fold_latency,
+                                      retry_rate_limited=retry_rate_limited))
     return p(batch)

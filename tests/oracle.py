@@ -115,7 +115,7 @@ def crawl_oracle(seed_urls, robots: RobotsPolicy, pages_index: dict,
             ext_cache[host] = fn
         return fn
 
-    def admit(candidates, finals=()):
+    def admit(candidates, finals=(), forced=()):
         """candidates: [(url_canon, src_part, src_seq, link_idx, depth,
         lastmod_us)] → next frontier rows, applying dedup/seen/robots/
         crawlable/budgets. ``finals``: redirect final urls whose bodies
@@ -140,9 +140,11 @@ def crawl_oracle(seed_urls, robots: RobotsPolicy, pages_index: dict,
         # admission iterates in srckey order — the per-host page cap must
         # consume budget deterministically (engine sorts by srckey too)
         for url in sorted(best, key=lambda u: best[u][0]):
-            if url in res.seen:
+            if url in res.seen and url not in forced:
                 # refresh re-admission: strictly-newer stamp than the
-                # RECORDED version (urls without a baseline never refetch)
+                # RECORDED version (urls without a baseline never
+                # refetch). ``forced``: Retry-After retries bypass the
+                # seen check (engine: seen_only=2 force channel)
                 if not (refetch_on and url in res.versions
                         and stamps.get(url, -1) > res.versions[url]):
                     continue
@@ -270,6 +272,7 @@ def crawl_oracle(seed_urls, robots: RobotsPolicy, pages_index: dict,
         host_j: dict[str, int] = {}
         lat_sums: dict[str, list] = {}
         pen_wave: dict[str, int] = {}
+        forced_next: set[str] = set()
         candidates = []
         redirect_finals: list[str] = []
         # conditional-refetch baseline snapshot at wave start (engine:
@@ -297,6 +300,14 @@ def crawl_oracle(seed_urls, robots: RobotsPolicy, pages_index: dict,
             ra = retry_after_ms(int(status), body)
             if ra >= 0 and ra > pen_wave.get(r["host"], -1):
                 pen_wave[r["host"]] = ra
+            if (int(status) in (429, 503)
+                    and getattr(cfg, "retry_rate_limited", False)):
+                # retry half: re-admit the throttled URL next wave at its
+                # own depth, bypassing the seen set (engine: retry_url →
+                # seen_only=2 force channel)
+                candidates.append((r["url_canon"], r["part"], r["seq"],
+                                   0, r["depth"], -1))
+                forced_next.add(r["url_canon"])
             res.fetch_log.append(
                 {
                     "wave": wave,
@@ -389,7 +400,8 @@ def crawl_oracle(seed_urls, robots: RobotsPolicy, pages_index: dict,
             for h, ms in pen_wave.items():
                 if ms > drift_ms.get(h, 0):
                     drift_ms[h] = ms
-        frontier = admit(candidates, finals=redirect_finals)
+        frontier = admit(candidates, finals=redirect_finals,
+                         forced=forced_next)
         wave += 1
     res.hosts = set(host_pages) | prior_hosts
     return res

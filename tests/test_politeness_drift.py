@@ -164,3 +164,64 @@ def test_retry_after_penalty_parity(ray_session, tmp_path):
     assert max(r[6] for r in by_wave[1]) == 30.0      # 4 fetches × 10 ms
     # wave 2's clock is spaced by the 5000 ms Retry-After penalty
     assert sorted(r[6] for r in by_wave[2]) == [0.0, 5000.0, 10000.0]
+
+
+def test_retry_rate_limited_refetches_under_penalty(ray_session, tmp_path):
+    """The retry half of Retry-After (cfg.retry_rate_limited): a 429'd
+    URL re-enters the next wave's frontier through the seen-set-bypass
+    force channel and is fetched again under the raised floor — every
+    wave, for as long as the server keeps throttling. Engine ≡ oracle on
+    the full fetch log (repeated rows per retry included)."""
+    from crawlray.pipelines.crawl import run_crawl
+    from tests.oracle import build_pages_index, crawl_oracle
+
+    host = "rl.nl"
+
+    def html(links):
+        body = "".join(f'<a href="{u}">l</a>' for u in links)
+        return (f"<html><head><title>t</title></head>"
+                f"<body>{body}</body></html>").encode()
+
+    p = [f"https://{host}/p{i}" for i in range(3)]
+    q = [f"https://{host}/q{i}" for i in range(3)]
+    throttle = f"https://{host}/throttle"
+    urls = [f"https://{host}/", throttle] + p + q
+    pages = pa.table({
+        "url": urls,
+        "host": [host] * len(urls),
+        "status": pa.array([200, 429] + [200] * 6, type=pa.int16()),
+        "content_type": ["text/html"] * len(urls),
+        "html": pa.array([html(p + [throttle]), b"5"]
+                         + [html(q) for _ in p]
+                         + [html([]) for _ in q], type=pa.large_binary()),
+        "latency_ms": pa.array([10.0] * len(urls), type=pa.float32()),
+    })
+    pages_path = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, pages_path)
+    robots_t = pa.table({
+        "host": [host], "allow": [[]], "deny": [[]],
+        "crawl_delay_ms": pa.array([10], type=pa.int32()),
+    })
+    cfg = CrawlConfig(
+        n_parts=2, seen_shards=1, max_depth=5, max_waves=4,
+        max_pages_per_host=50, fetch_concurrency=(1, 2),
+        parse_concurrency=(1, 2), discover_feeds=False,
+        transport={"kind": "sim", "pages_path": pages_path},
+        schedule_mode="wave_start", politeness_drift=False,
+        retry_rate_limited=True,
+    )
+    run_dir = str(tmp_path / "run")
+    run_crawl(run_dir, [f"https://{host}/"], robots_t, cfg)
+    rows = _log(run_dir)
+    ora = crawl_oracle(
+        [f"https://{host}/"], RobotsPolicy.from_arrow(robots_t),
+        build_pages_index(pages), cfg,
+    )
+    assert rows == sorted(tuple(r[c] for c in FETCH_COLS)
+                          for r in ora.fetch_log)
+    # the throttled URL was retried every remaining wave
+    t_waves = sorted(r[0] for r in rows if r[4] == throttle)
+    assert t_waves == [1, 2, 3]
+    # wave 2 runs the 3 q-pages AND the retry under the 5 s floor
+    w2 = sorted(r[6] for r in rows if r[0] == 2)
+    assert w2 == [0.0, 5000.0, 10000.0, 15000.0]
