@@ -5968,6 +5968,125 @@ FROM o JOIN r USING (lang) JOIN c USING (source) CROSS JOIN t
 
 
 # =====================================================================
+# data-quality check suite (dbt-style: nulls / uniqueness / FK / range)
+# =====================================================================
+
+def q_dq_checks(sf_dir: str):
+    """dbt-style data-quality suite over the star schema — the four
+    canonical checks an ingest gate runs per load: NOT NULL, key
+    uniqueness, referential integrity (lineitem.l_orderkey →
+    orders.o_orderkey), and an accepted-range rule. One row per check
+    with its violation count. Scale shapes: null/range checks fold as
+    per-block counts (zero shuffle); uniqueness counts rows minus
+    distinct keys through ONE key groupby; the FK check tags dimension
+    and fact keys through ONE shared key-hash exchange and counts fact
+    keys with no dimension partner (no broadcast, no join
+    materialization)."""
+    from .sizing import fold_parts
+
+    n_parts = fold_parts()
+
+    def scalar_fold(ds, fn) -> int:
+        tot = 0
+        for b in ds.map_batches(fn, batch_format="pyarrow",
+                                zero_copy_batch=True) \
+                   .iter_batches(batch_format="pyarrow"):
+            tot += int(pc.sum(b["n"]).as_py() or 0)
+        return tot
+
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    # 1. NOT NULL — per-block null counts, zero shuffle
+    nulls = scalar_fold(orders, lambda b: pa.table({
+        "n": pa.array([b["o_custkey"].null_count], pa.int64())}))
+
+    # 2. uniqueness — rows minus distinct keys, one key groupby
+    def key_partial(b: pa.Table) -> pa.Table:
+        u = b["o_orderkey"].combine_chunks().unique()
+        return pa.table({"k": u})
+
+    n_rows = scalar_fold(orders, lambda b: pa.table({
+        "n": pa.array([b.num_rows], pa.int64())}))
+    n_keys = (orders.map_batches(key_partial, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+              .groupby("k").aggregate(Count(alias_name="c"))
+              .count())
+    dups = n_rows - int(n_keys)
+
+    # 3. referential integrity — tagged union through ONE exchange
+    def tag(col: str, is_dim: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            k = b[col].combine_chunks()
+            if is_dim:
+                k = k.unique()
+            arr = k.to_numpy(zero_copy_only=False).astype(np.int64)
+            kp = (_splitmix64(arr).view(np.uint64)
+                  % np.uint64(n_parts)).astype(np.int64)
+            return pa.table({
+                "k": pa.array(arr),
+                "is_dim": pa.array(
+                    np.full(len(arr), is_dim, dtype=np.bool_)),
+                "kp": pa.array(kp),
+            })
+        return fn
+
+    def orphans(g: pd.DataFrame) -> pd.DataFrame:
+        dim = g.loc[g["is_dim"], "k"].to_numpy()
+        fact = g.loc[~g["is_dim"], "k"].to_numpy()
+        bad = int((~np.isin(fact, dim)).sum())
+        return pd.DataFrame({"n": [bad]})
+
+    tagged = (orders.map_batches(tag("o_orderkey", True),
+                                 batch_format="pyarrow",
+                                 zero_copy_batch=True)
+              .union(li.map_batches(tag("l_orderkey", False),
+                                    batch_format="pyarrow",
+                                    zero_copy_batch=True)))
+    orphan_rows = sum(
+        int(pc.sum(b["n"]).as_py() or 0) for b in
+        tagged.groupby("kp").map_groups(orphans, batch_format="pandas")
+        .iter_batches(batch_format="pyarrow"))
+
+    # 4. accepted range (a rule real rows VIOLATE, proving the check
+    #    detects, not just passes) — per-block counts, zero shuffle
+    bad_qty = scalar_fold(li, lambda b: pa.table({
+        "n": pa.array([int(pc.sum(pc.cast(pc.or_(
+            pc.less_equal(b["l_quantity"], pa.scalar(0.0)),
+            pc.greater(b["l_quantity"], pa.scalar(40.0))),
+            pa.int64())).as_py() or 0)], pa.int64())}))
+
+    return pa.table({
+        "check": pa.array(["fk_lineitem_orders", "null_custkey",
+                           "qty_range", "unique_orderkey"]),
+        "n_violations": pa.array([orphan_rows, nulls, bad_qty, dups],
+                                 pa.int64()),
+    })
+
+
+SQL_DQ_CHECKS = """
+SELECT 'fk_lineitem_orders' AS check,
+       CAST((SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey))
+            AS BIGINT) AS n_violations
+UNION ALL
+SELECT 'null_custkey',
+       CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'qty_range',
+       CAST(COUNT(*) FILTER (WHERE l_quantity <= 0 OR l_quantity > 40)
+            AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'unique_orderkey',
+       CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+FROM orders
+"""
+
+
+# =====================================================================
 # conversion lag (signup → first purchase latency distribution)
 # =====================================================================
 
@@ -6499,6 +6618,7 @@ ANALYTICS_QUERIES = {
     "gini_concentration": (q_gini_concentration, SQL_GINI_CONCENTRATION),
     "daily_new_users": (q_daily_new_users, SQL_DAILY_NEW_USERS),
     "conversion_lag": (q_conversion_lag, SQL_CONVERSION_LAG),
+    "dq_checks": (q_dq_checks, SQL_DQ_CHECKS),
     "except_all": (q_except_all, SQL_EXCEPT_ALL),
     "intersect_all": (q_intersect_all, SQL_INTERSECT_ALL),
     "limit_offset": (q_limit_offset, SQL_LIMIT_OFFSET),
