@@ -6273,21 +6273,42 @@ def q_spearman_corr(sf_dir: str):
     Pearson over GLOBAL average ranks, the tie-robust monotonic-
     association statistic (corr_stats is its Pearson sibling). Ranks are
     doubled so tie-averaged ranks stay exact integers (avg2 = 2·RANK +
-    c − 1). Scale plan: quantity's rank map is tiny (bounded distinct)
-    and broadcasts; price's distinct values get their average ranks from
-    a distinct-count groupby + value sort + PREFIX-OFFSET BOUNDARY FOLD
-    (per-block totals fold on the driver, ≤#blocks rows — the global-
-    ranking primitive without a global window), then ONE price-hash
-    exchange co-locates rank map and fact rows to form per-partition
-    moment partials. The big products (rank²·rank²) are accumulated as
-    SPLIT hi/lo int64 pairs (p>>32 and p&0xffffffff summed separately),
-    reconstructed exactly as python ints on the driver — Σrx2·ry2 of
-    10¹⁰ doubled ranks passes 2⁶³ per ROW, so a plain int64 Sum cannot
-    carry it; the split pair can (per-partition hi ≤ rows·4n²/2³²).
+    c − 1). Scale plan: quantity's rank map folds from per-block
+    bincounts (bounded distinct, zero shuffle) and broadcasts; price
+    ranks come from ONE range-partitioning sort of the 16-byte/row
+    (q, p) projection — each sorted block derives its values' runs
+    locally and a ≤#blocks BOUNDARY FOLD on the driver supplies the
+    block offsets plus the merged runs of values straddling block
+    seams, so every row's global average rank is known IN PLACE: no
+    600k-group hash aggregate, no rank-map join-back (that plan
+    measured 8.0 s; this one ~3 s at sf0.1). Moment products
+    (rank²·rank²) are accumulated as SPLIT hi/lo int64 pairs (p>>32 /
+    p&0xffffffff summed separately), reconstructed exactly as python
+    ints on the driver — Σrx2·ry2 of 10¹⁰ doubled ranks passes 2⁶³ per
+    ROW, so a plain int64 Sum cannot carry it; the split pair can.
     Finale: ONE identical IEEE expression per side, 6 dp."""
-    from .sizing import fold_parts
+    # quantity rank map: bounded distinct — per-block partials, no shuffle
+    qds = _t(sf_dir, "lineitem", ["l_quantity"])
 
-    n_parts = fold_parts()
+    def q_partial(b: pa.Table) -> pa.Table:
+        v, c = np.unique(
+            b["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64),
+            return_counts=True)
+        return pa.table({"q": pa.array(v), "c": pa.array(c.astype(np.int64))})
+
+    qfold: dict[int, int] = {}
+    for b in qds.map_batches(q_partial, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+               .iter_batches(batch_format="pyarrow"):
+        for v, c in zip(b["q"].to_pylist(), b["c"].to_pylist()):
+            qfold[v] = qfold.get(v, 0) + c
+    q_keys = np.array(sorted(qfold), dtype=np.int64)
+    q_cnt = np.array([qfold[v] for v in q_keys], dtype=np.int64)
+    q_before = np.concatenate(([0], np.cumsum(q_cnt)[:-1]))
+    q_avg2 = 2 * q_before + q_cnt + 1
+    q_ref = ray.put((q_keys, q_avg2))
+
+    # ONE range sort of the skinny projection; two block passes over it
     ds = _t(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
 
     def prep(b: pa.Table) -> pa.Table:
@@ -6296,109 +6317,102 @@ def q_spearman_corr(sf_dir: str):
             "p": _cents(b["l_extendedprice"]),
         })
 
-    # three consumers (quantity fold, price distinct, the tagged join) —
-    # materialize the 16-byte/row projection once instead of re-scanning
-    # parquet three times; the object store spills it at corpus scale
-    fact = ds.map_batches(prep, batch_format="pyarrow",
-                          zero_copy_batch=True).materialize()
+    sorted_fact = (ds.map_batches(prep, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+                   .sort("p").materialize())
 
-    # quantity rank map: bounded distinct — driver fold + broadcast
-    qc = fact.groupby("q").aggregate(Count(alias_name="c")).to_pandas()
-    qc = qc.sort_values("q", kind="mergesort")
-    c = qc["c"].to_numpy(np.int64)
-    before = np.concatenate(([0], np.cumsum(c)[:-1]))
-    q_avg2 = {int(v): int(2 * b_ + cc + 1)
-              for v, b_, cc in zip(qc["q"], before, c)}
-    q_ref = ray.put(q_avg2)
-
-    # price rank map: distinct counts → value sort → prefix-offset fold
-    pc_counts = (fact.groupby("p").aggregate(Count(alias_name="c"))
-                 .sort("p").materialize())
-
-    def block_totals(b: pa.Table) -> pa.Table:
+    # pass A: ≤1 skinny row per block — the boundary fold's input
+    def block_stats(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
             return pa.table({"first_p": pa.array([], pa.int64()),
+                             "n_first": pa.array([], pa.int64()),
+                             "last_p": pa.array([], pa.int64()),
+                             "n_last": pa.array([], pa.int64()),
                              "tot": pa.array([], pa.int64())})
-        return pa.table({
-            "first_p": pa.array([b["p"][0].as_py()], pa.int64()),
-            "tot": pa.array([int(pc.sum(b["c"]).as_py())], pa.int64()),
-        })
+        p = b["p"].to_numpy(zero_copy_only=False)
+        n_first = int(np.searchsorted(p, p[0], side="right"))
+        n_last = len(p) - int(np.searchsorted(p, p[-1], side="left"))
+        return pa.table({"first_p": pa.array([int(p[0])], pa.int64()),
+                         "n_first": pa.array([n_first], pa.int64()),
+                         "last_p": pa.array([int(p[-1])], pa.int64()),
+                         "n_last": pa.array([n_last], pa.int64()),
+                         "tot": pa.array([b.num_rows], pa.int64())})
 
-    # ≤ 1 row per block — bounded boundary fold
-    bt = sorted(
-        (r["first_p"], r["tot"]) for batch in
-        pc_counts.map_batches(block_totals, batch_format="pyarrow",
-                              zero_copy_batch=True)
+    stats = sorted(
+        (r["first_p"], r["last_p"], r["n_first"], r["n_last"], r["tot"])
+        for batch in sorted_fact.map_batches(
+            block_stats, batch_format="pyarrow", zero_copy_batch=True)
         .iter_batches(batch_format="pyarrow")
         for r in batch.to_pylist())
-    offs = {fp: int(o) for (fp, _), o in
-            zip(bt, np.concatenate(([0], np.cumsum([t for _, t in bt])[:-1])))}
-    offs_ref = ray.put(offs)
+    seam: dict[int, list] = {}  # straddling value → [global_before, count]
+    block_offsets = []          # (identity tuple, offset) per block
+    pos = 0
+    for fp, lp, nf, nl, tot in stats:
+        # boundary runs: a value can continue across the seam — merge by
+        # (min position, summed count). Single-valued blocks contribute
+        # once (first == last would double-count otherwise).
+        if fp == lp:
+            e = seam.setdefault(fp, [pos, 0])
+            e[0] = min(e[0], pos)
+            e[1] += tot
+        else:
+            e = seam.setdefault(fp, [pos, 0])
+            e[0] = min(e[0], pos)
+            e[1] += nf
+            e2 = seam.setdefault(lp, [pos + tot - nl, 0])
+            e2[0] = min(e2[0], pos + tot - nl)
+            e2[1] += nl
+        # a block identifies itself by (first, last, run lengths, size) —
+        # collisions are only possible between ALL-same-value blocks,
+        # whose every row is seam-overridden, so a wrong offset is inert
+        block_offsets.append(((fp, lp, nf, nl, tot), pos))
+        pos += tot
+    seam_ref = ray.put((dict(seam), block_offsets))
 
-    def price_ranks(b: pa.Table) -> pa.Table:
+    # pass B: per-row global avg ranks IN PLACE + split moment partials
+    def moments(b: pa.Table) -> pa.Table:
+        cols = {"n": 0, "sx": 0, "sy": 0, "sxx_h": 0, "sxx_l": 0,
+                "syy_h": 0, "syy_l": 0, "sxy_h": 0, "sxy_l": 0}
         if b.num_rows == 0:
-            return pa.table({"p": pa.array([], pa.int64()),
-                             "ry2": pa.array([], pa.int64()),
-                             "is_dim": pa.array([], pa.bool_()),
-                             "kp": pa.array([], pa.int64())})
-        off = ray.get(offs_ref)[b["p"][0].as_py()]
-        cc = b["c"].to_numpy(zero_copy_only=False).astype(np.int64)
-        bef = off + np.concatenate(([0], np.cumsum(cc)[:-1]))
-        p = b["p"].to_numpy(zero_copy_only=False).astype(np.int64)
-        kp = (_splitmix64(p).view(np.uint64)
-              % np.uint64(n_parts)).astype(np.int64)
-        return pa.table({
-            "p": pa.array(p),
-            "ry2": pa.array(2 * bef + cc + 1),
-            "is_dim": pa.array(np.ones(len(p), np.bool_)),
-            "kp": pa.array(kp),
-        })
-
-    rank_map = pc_counts.map_batches(price_ranks, batch_format="pyarrow",
-                                     zero_copy_batch=True)
-
-    def tag_fact(b: pa.Table) -> pa.Table:
-        p = b["p"].to_numpy(zero_copy_only=False).astype(np.int64)
-        qm = ray.get(q_ref)
-        q = b["q"].to_numpy(zero_copy_only=False)
-        rx2 = np.fromiter((qm[int(v)] for v in q), dtype=np.int64,
-                          count=len(q))
-        kp = (_splitmix64(p).view(np.uint64)
-              % np.uint64(n_parts)).astype(np.int64)
-        return pa.table({
-            "p": pa.array(p),
-            "ry2": pa.array(rx2),     # carries rx2 until the join
-            "is_dim": pa.array(np.zeros(len(p), np.bool_)),
-            "kp": pa.array(kp),
-        })
-
-    tagged = fact.map_batches(tag_fact, batch_format="pyarrow",
-                              zero_copy_batch=True).union(rank_map)
-
-    def moments(g: pd.DataFrame) -> pd.DataFrame:
-        dim = g[g["is_dim"]]
-        f = g[~g["is_dim"]]
-        lut = pd.Series(dim["ry2"].to_numpy(np.int64),
-                        index=dim["p"].to_numpy(np.int64))
-        rx2 = f["ry2"].to_numpy(np.int64)
-        ry2 = lut.loc[f["p"].to_numpy(np.int64)].to_numpy(np.int64)
+            return pa.table({k: pa.array([v], pa.int64())
+                             for k, v in cols.items()})
+        p = b["p"].to_numpy(zero_copy_only=False)
+        qv = b["q"].to_numpy(zero_copy_only=False)
+        seam_map, blocks = ray.get(seam_ref)
+        n_first = int(np.searchsorted(p, p[0], side="right"))
+        n_last = len(p) - int(np.searchsorted(p, p[-1], side="left"))
+        ident = (int(p[0]), int(p[-1]), n_first, n_last, len(p))
+        off = next(o for bid, o in blocks if bid == ident)
+        uniq, start, cnt = np.unique(p, return_index=True,
+                                     return_counts=True)
+        gb = start.astype(np.int64) + off
+        gc = cnt.astype(np.int64)
+        for i, v in enumerate(uniq):
+            sv = seam_map.get(int(v))
+            if sv is not None:
+                gb[i], gc[i] = sv
+        run_ry2 = 2 * gb + gc + 1
+        inv = np.searchsorted(uniq, p)
+        ry2 = run_ry2[inv]
+        keys, avg2 = ray.get(q_ref)
+        rx2 = avg2[np.searchsorted(keys, qv)]
 
         def split_sum(prod: np.ndarray) -> tuple[int, int]:
             return (int((prod >> 32).sum()),
                     int((prod & np.int64(0xFFFFFFFF)).sum()))
 
-        sxx_h, sxx_l = split_sum(rx2 * rx2)
-        syy_h, syy_l = split_sum(ry2 * ry2)
-        sxy_h, sxy_l = split_sum(rx2 * ry2)
-        return pd.DataFrame({
-            "n": [len(f)], "sx": [int(rx2.sum())], "sy": [int(ry2.sum())],
-            "sxx_h": [sxx_h], "sxx_l": [sxx_l],
-            "syy_h": [syy_h], "syy_l": [syy_l],
-            "sxy_h": [sxy_h], "sxy_l": [sxy_l],
-        })
+        cols["n"] = len(p)
+        cols["sx"], cols["sy"] = int(rx2.sum()), int(ry2.sum())
+        cols["sxx_h"], cols["sxx_l"] = split_sum(rx2 * rx2)
+        cols["syy_h"], cols["syy_l"] = split_sum(ry2 * ry2)
+        cols["sxy_h"], cols["sxy_l"] = split_sum(rx2 * ry2)
+        return pa.table({k: pa.array([v], pa.int64())
+                         for k, v in cols.items()})
 
-    parts = (tagged.groupby("kp").map_groups(moments, batch_format="pandas")
-             .to_pandas())  # ≤ n_parts rows — bounded fold
+    parts = pa.concat_tables(
+        sorted_fact.map_batches(moments, batch_format="pyarrow",
+                                zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow")).to_pandas()
     n = int(parts["n"].sum())
     sx, sy = int(parts["sx"].sum()), int(parts["sy"].sum())
 

@@ -733,3 +733,41 @@ def test_jaro_winkler_matches_duckdb_pairwise():
     assert len(got) == len(vals) ** 2
     for a, b, d in got:
         assert _jaro_winkler(a, b) == d, (a, b)
+
+
+def test_spearman_seam_merge_under_heavy_ties(ray_session, tmp_path):
+    """q_spearman_corr's global ranks come from per-block runs + a
+    driver seam fold; values straddling MANY block boundaries (heavy
+    ties + tiny blocks) must still get exact global average ranks.
+    Forced by shrinking target_max_block_size so the sort emits dozens
+    of blocks over 5 distinct prices, then comparing bit-for-bit
+    against the DuckDB oracle on the same table."""
+    import duckdb
+    import pyarrow.parquet as pq
+    import ray.data
+
+    import __ray_entry__ as e
+
+    rng = np.random.RandomState(7)
+    n = 4000
+    t = __import__("pyarrow").table({
+        "l_quantity": rng.randint(1, 6, n).astype(np.float64),
+        "l_extendedprice": rng.choice(
+            [10.0, 10.01, 20.5, 99.99, 1000.0], n),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "lineitem.parquet"))
+    ctx = ray.data.DataContext.get_current()
+    prev = ctx.target_max_block_size
+    ctx.target_max_block_size = 4096  # ~dozens of sort blocks
+    try:
+        got = e.queries()["spearman_corr"](str(d)).to_pandas()
+    finally:
+        ctx.target_max_block_size = prev
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * "
+            f"FROM '{d / 'lineitem.parquet'}'")
+    want = con.sql(e.oracle_sql()["spearman_corr"]).df()
+    assert got["n"].iloc[0] == want["n"].iloc[0] == n
+    assert got["rho"].iloc[0] == want["rho"].iloc[0]
