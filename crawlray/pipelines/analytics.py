@@ -6623,7 +6623,292 @@ FROM s WHERE prev IS NOT NULL AND k - prev > 1
 """
 
 
+# =====================================================================
+# Mann-Whitney U rank-sum test (purchase vs click values)
+# =====================================================================
+
+def _hi_lo(p: int) -> tuple[int, int]:
+    """Split a nonnegative python int into (p >> 32, p & 0xffffffff) so a
+    > 2^63 partial can ride two int64 columns (spearman's trick)."""
+    return p >> 32, p & 0xFFFFFFFF
+
+
+def q_mann_whitney(sf_dir: str):
+    """Mann-Whitney U rank-sum test: are purchase values stochastically
+    larger than click values? The nonparametric two-sample test an
+    experimentation pipeline runs when values are skewed (its corpus
+    twin: compare quality-score distributions between two sources).
+
+    Scale plan: ranks never materialize per row. Values fold to a
+    UNIQUE-value table (vc -> n_v, a_v) in ONE cent-key groupby (the
+    cent domain is bounded, ~50k states); one range sort of that skinny
+    table lets each block derive its values' doubled average ranks from
+    LOCAL prefix sums, and the global offset enters LINEARLY
+    (R1 += 2*offset*SUM(a_v in block)) so a single <=#blocks driver fold
+    finishes the rank sum - no second pass, no join-back. Per-block
+    partials accumulate as python ints and ride hi/lo int64 pairs
+    (a_v*(2*before+n_v+1) passes 2^63 near N~10^10; the tie term
+    SUM(t^3-t) even sooner). Finale: U1 exact integer; z from the
+    IDENTICAL IEEE expression both sides, 6 dp."""
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b["event_type"],
+                        value_set=pa.array(["purchase", "click"]))
+        t = b.filter(keep)
+        g = pa.table({
+            "vc": _cents(t["value"]),
+            "a": pc.equal(t["event_type"], pa.scalar("purchase"))
+                   .cast(pa.int64()),
+        }).group_by("vc").aggregate([("a", "sum"), ([], "count_all")])
+        return pa.table({"vc": g["vc"], "a": g["a_sum"],
+                         "n": g["count_all"]})
+
+    uniq = (ds.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("vc")
+            .aggregate(Sum("a", alias_name="a"), Sum("n", alias_name="n"))
+            .sort("vc"))
+
+    def block_part(b: pa.Table) -> pa.Table:
+        cols = ["first_vc", "sum_n", "sum_a", "r1_hi", "r1_lo",
+                "tie_hi", "tie_lo"]
+        if b.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        n_v = b["n"].to_numpy(zero_copy_only=False).astype(object)
+        a_v = b["a"].to_numpy(zero_copy_only=False).astype(object)
+        before = np.concatenate(([0], np.cumsum(n_v)[:-1]))
+        r1 = int((a_v * (2 * before + n_v + 1)).sum())
+        tie = int((n_v * n_v * n_v - n_v).sum())
+        r1_hi, r1_lo = _hi_lo(r1)
+        tie_hi, tie_lo = _hi_lo(tie)
+        vals = [int(b["vc"][0].as_py()), int(n_v.sum()), int(a_v.sum()),
+                r1_hi, r1_lo, tie_hi, tie_lo]
+        return pa.table({c: pa.array([v], pa.int64())
+                         for c, v in zip(cols, vals)})
+
+    parts = sorted(
+        (dict(zip(b.column_names, row))
+         for b in uniq.map_batches(block_part, batch_format="pyarrow")
+                      .iter_batches(batch_format="pyarrow")
+         for row in zip(*(b[c].to_pylist() for c in b.column_names))),
+        key=lambda r: r["first_vc"])
+    n1 = sum(p["sum_a"] for p in parts)
+    n = sum(p["sum_n"] for p in parts)
+    n2 = n - n1
+    off = 0
+    r1_2 = 0
+    tie3 = 0
+    for p in parts:
+        r1_2 += (p["r1_hi"] << 32) + p["r1_lo"] + 2 * off * p["sum_a"]
+        tie3 += (p["tie_hi"] << 32) + p["tie_lo"]
+        off += p["sum_n"]
+    u1 = (r1_2 - n1 * (n1 + 1)) // 2
+    n1f, n2f, nf = float(n1), float(n2), float(n)
+    mu = n1f * n2f / 2.0
+    var = n1f * n2f / 12.0 * ((nf + 1.0) - float(tie3) / (nf * (nf - 1.0)))
+    z = (float(u1) - mu) / math.sqrt(var)
+    return pa.table({"u1": pa.array([u1], pa.int64()),
+                     "n1": pa.array([n1], pa.int64()),
+                     "n2": pa.array([n2], pa.int64()),
+                     "z": pa.array([np.round(z, 6)], pa.float64())})
+
+
+SQL_MANN_WHITNEY = """
+WITH v AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS vc,
+         (event_type = 'purchase') AS a
+  FROM events WHERE event_type IN ('purchase', 'click')
+), r AS (
+  SELECT a,
+         CAST(RANK() OVER (ORDER BY vc) AS HUGEINT) AS rk,
+         CAST(COUNT(*) OVER (PARTITION BY vc) AS HUGEINT) AS t
+  FROM v
+), s AS (
+  SELECT SUM(CASE WHEN a THEN 2 * rk + t - 1 END) AS r1_2,
+         CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS HUGEINT) AS n1,
+         CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS HUGEINT) AS n2
+  FROM r
+), tt AS (
+  SELECT SUM(t * t * t - t) AS tie3
+  FROM (SELECT CAST(COUNT(*) AS HUGEINT) AS t FROM v GROUP BY vc)
+)
+SELECT CAST((r1_2 - n1 * (n1 + 1)) // 2 AS BIGINT) AS u1,
+       CAST(n1 AS BIGINT) AS n1,
+       CAST(n2 AS BIGINT) AS n2,
+       ROUND((CAST((r1_2 - n1 * (n1 + 1)) // 2 AS DOUBLE)
+              - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+             / SQRT(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+                    * ((CAST(n1 + n2 AS DOUBLE) + 1.0)
+                       - CAST(tie3 AS DOUBLE)
+                         / (CAST(n1 + n2 AS DOUBLE)
+                            * (CAST(n1 + n2 AS DOUBLE) - 1.0)))),
+             6) AS z
+FROM s, tt
+"""
+
+
+# =====================================================================
+# two-sample Kolmogorov-Smirnov statistic (purchase vs view values)
+# =====================================================================
+
+def q_ks_test(sf_dir: str):
+    """Two-sample Kolmogorov-Smirnov D: the max ECDF gap between
+    purchase and view value distributions - the distribution-drift
+    check a data-quality monitor runs between two sources or two
+    snapshot days. D compares as EXACT integers: at each support point
+    |s1*n2 - s2*n1| with s = inclusive cumulative counts, so no float
+    ECDF ever exists; ONE division at the end, 6 dp.
+
+    Scale plan: same bounded unique-value fold as mann_whitney (ONE
+    cent-key groupby); after the range sort each block reports only
+    (sum1, sum2, gmax, gmin) of its LOCAL prefix gap g = lc1*n2 - lc2*n1
+    - the global offset shifts every g by the same s, and
+    max|s + g| = max(s + gmax, -(s + gmin)), so a <=#blocks driver fold
+    finishes exactly. Bound: n1*n2 < 2^63 (per-arm N < ~3e9; past that
+    the hi/lo pair rides here too)."""
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b["event_type"],
+                        value_set=pa.array(["purchase", "view"]))
+        t = b.filter(keep)
+        g = pa.table({
+            "vc": _cents(t["value"]),
+            "a": pc.equal(t["event_type"], pa.scalar("purchase"))
+                   .cast(pa.int64()),
+        }).group_by("vc").aggregate([("a", "sum"), ([], "count_all")])
+        return pa.table({"vc": g["vc"], "c1": g["a_sum"],
+                         "c2": pc.subtract(g["count_all"], g["a_sum"])})
+
+    uniq = (ds.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("vc")
+            .aggregate(Sum("c1", alias_name="c1"),
+                       Sum("c2", alias_name="c2"))
+            .sort("vc")
+            .materialize())
+
+    tot = uniq.aggregate(Sum("c1"), Sum("c2"))
+    n1, n2 = int(tot["sum(c1)"]), int(tot["sum(c2)"])
+
+    def block_part(b: pa.Table, n1=n1, n2=n2) -> pa.Table:
+        cols = ["first_vc", "s1", "s2", "gmax", "gmin"]
+        if b.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        c1 = b["c1"].to_numpy(zero_copy_only=False)
+        c2 = b["c2"].to_numpy(zero_copy_only=False)
+        lc1, lc2 = np.cumsum(c1), np.cumsum(c2)
+        g = lc1 * n2 - lc2 * n1
+        vals = [int(b["vc"][0].as_py()), int(lc1[-1]), int(lc2[-1]),
+                int(g.max()), int(g.min())]
+        return pa.table({c: pa.array([v], pa.int64())
+                         for c, v in zip(cols, vals)})
+
+    parts = sorted(
+        (dict(zip(b.column_names, row))
+         for b in uniq.map_batches(block_part, batch_format="pyarrow")
+                      .iter_batches(batch_format="pyarrow")
+         for row in zip(*(b[c].to_pylist() for c in b.column_names))),
+        key=lambda r: r["first_vc"])
+    off1 = off2 = 0
+    d_num = 0
+    for p in parts:
+        s = off1 * n2 - off2 * n1
+        d_num = max(d_num, s + p["gmax"], -(s + p["gmin"]))
+        off1 += p["s1"]
+        off2 += p["s2"]
+    d = float(d_num) / float(n1 * n2)
+    return pa.table({"d": pa.array([np.round(d, 6)], pa.float64()),
+                     "n1": pa.array([n1], pa.int64()),
+                     "n2": pa.array([n2], pa.int64())})
+
+
+SQL_KS_TEST = """
+WITH v AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS vc,
+         (event_type = 'purchase') AS a
+  FROM events WHERE event_type IN ('purchase', 'view')
+), u AS (
+  SELECT vc,
+         SUM(CASE WHEN a THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN a THEN 0 ELSE 1 END) AS c2
+  FROM v GROUP BY vc
+), t AS (
+  SELECT CAST(SUM(c1) AS HUGEINT) AS n1, CAST(SUM(c2) AS HUGEINT) AS n2
+  FROM u
+), c AS (
+  SELECT CAST(SUM(c1) OVER (ORDER BY vc) AS HUGEINT) AS s1,
+         CAST(SUM(c2) OVER (ORDER BY vc) AS HUGEINT) AS s2
+  FROM u
+)
+SELECT ROUND(CAST(MAX(ABS(s1 * n2 - s2 * n1)) AS DOUBLE)
+             / CAST(n1 * n2 AS DOUBLE), 6) AS d,
+       CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2
+FROM c, t GROUP BY n1, n2
+"""
+
+
+# =====================================================================
+# Benford first-significant-digit audit
+# =====================================================================
+
+def q_benford_digits(sf_dir: str):
+    """Benford's-law first-digit audit over order totals - the classic
+    fabricated-data screen (its corpus twin: audit synthetic/generated
+    documents whose numeric fields were sampled uniformly instead of
+    organically). First significant digits are derived from EXACT cent
+    integers by repeated integer division (a <=10-step vectorized loop,
+    no log10 boundary risk); digits fold per block to <=9 partial rows,
+    so the exchange is blocks x 9 and the frequency division happens
+    once per digit on the driver. Expected Benford mass log10(1 + 1/d)
+    is the identical expression both sides, 6 dp."""
+    ds = _t(sf_dir, "orders", ["o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        x = _cents(b["o_totalprice"]).to_numpy(zero_copy_only=False).copy()
+        while (x >= 10).any():
+            big = x >= 10
+            x[big] //= 10
+        d, n = np.unique(x, return_counts=True)
+        return pa.table({"digit": pa.array(d, pa.int64()),
+                         "n": pa.array(n.astype(np.int64))})
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("digit")
+           .aggregate(Sum("n", alias_name="n")))
+    df = agg.to_pandas()  # <= 9 rows - bounded fold
+    df = df.sort_values("digit", ignore_index=True)
+    total = float(int(df["n"].sum()))
+    obs = np.round(df["n"].to_numpy(np.int64).astype(np.float64) / total, 6)
+    exp = np.round(np.log10(1.0 + 1.0 / df["digit"].to_numpy(np.float64)), 6)
+    return pa.table({"digit": pa.array(df["digit"].to_numpy(np.int64)),
+                     "n": pa.array(df["n"].to_numpy(np.int64)),
+                     "obs_freq": pa.array(obs, pa.float64()),
+                     "benford_freq": pa.array(exp, pa.float64())})
+
+
+SQL_BENFORD_DIGITS = """
+WITH d AS (
+  SELECT CAST(SUBSTR(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders
+), g AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit
+)
+SELECT digit, n,
+       ROUND(CAST(n AS DOUBLE) / CAST((SELECT SUM(n) FROM g) AS DOUBLE),
+             6) AS obs_freq,
+       ROUND(LOG10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS benford_freq
+FROM g
+"""
+
+
 ANALYTICS_QUERIES = {
+    "mann_whitney": (q_mann_whitney, SQL_MANN_WHITNEY),
+    "ks_test": (q_ks_test, SQL_KS_TEST),
+    "benford_digits": (q_benford_digits, SQL_BENFORD_DIGITS),
     "markov_transitions": (q_markov_transitions, SQL_MARKOV_TRANSITIONS),
     "chi2_independence": (q_chi2_independence, SQL_CHI2_INDEPENDENCE),
     "sequence_gaps": (q_sequence_gaps, SQL_SEQUENCE_GAPS),
