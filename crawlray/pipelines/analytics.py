@@ -6905,7 +6905,316 @@ FROM g
 """
 
 
+# =====================================================================
+# per-group skewness / kurtosis from exact integer raw moments
+# =====================================================================
+
+def q_skew_kurtosis(sf_dir: str):
+    """Per-group population skewness g1 = m3/m2^1.5 and excess kurtosis
+    g2 = m4/m2^2 - 3 over quantities - the shape statistics a
+    distribution-drift monitor tracks next to mean/variance (corr_stats'
+    higher-moment siblings). Raw moment sums S1..S4 fold as int64
+    per-block Arrow partials (quantity <= 50 keeps x^4 <= 6.25e6; the
+    documented bound is SUM(x^4) < 2^63, past which the hi/lo pair
+    rides); central moments come from the EXACT integer identities
+    M2 = n*S2 - S1^2, M3 = n^2*S3 - 3n*S1*S2 + 2*S1^3,
+    M4 = n^3*S4 - 4n^2*S1*S3 + 6n*S1^2*S2 - 3*S1^4 in python ints
+    (== HUGEINT) on the <=|flags| driver rows, so no float cancellation
+    ever happens. Finale: IDENTICAL IEEE expression both sides
+    (sqrt not pow - pow is not correctly rounded across libms), 6 dp."""
+    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        q = pc.round(b["l_quantity"]).cast(pa.int64())
+        q2 = pc.multiply(q, q)
+        t = pa.table({
+            "flag": b["l_returnflag"], "s1": q, "s2": q2,
+            "s3": pc.multiply(q2, q), "s4": pc.multiply(q2, q2),
+        })
+        g = t.group_by("flag").aggregate(
+            [("s1", "sum"), ("s2", "sum"), ("s3", "sum"), ("s4", "sum"),
+             ([], "count_all")])
+        return g.rename_columns(["flag", "s1", "s2", "s3", "s4", "n"])
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("flag")
+           .aggregate(Sum("s1", alias_name="s1"), Sum("s2", alias_name="s2"),
+                      Sum("s3", alias_name="s3"), Sum("s4", alias_name="s4"),
+                      Sum("n", alias_name="n")))
+    df = agg.to_pandas()  # <= |flags| rows - bounded fold
+    df = df.sort_values("flag", ignore_index=True)
+    rows = {"flag": [], "n": [], "skew": [], "kurt": []}
+    for _, r in df.iterrows():
+        n, s1, s2, s3, s4 = (int(r["n"]), int(r["s1"]), int(r["s2"]),
+                             int(r["s3"]), int(r["s4"]))
+        m2i = n * s2 - s1 * s1
+        m3i = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 ** 3
+        m4i = (n ** 3 * s4 - 4 * n * n * s1 * s3
+               + 6 * n * s1 * s1 * s2 - 3 * s1 ** 4)
+        nf = float(n)
+        m2 = float(m2i) / (nf * nf)
+        m3 = float(m3i) / (nf * nf * nf)
+        m4 = float(m4i) / (nf * nf * nf * nf)
+        rows["flag"].append(r["flag"])
+        rows["n"].append(n)
+        rows["skew"].append(np.round(m3 / (m2 * math.sqrt(m2)), 6))
+        rows["kurt"].append(np.round(m4 / (m2 * m2) - 3.0, 6))
+    return pa.table({"flag": pa.array(rows["flag"], pa.string()),
+                     "n": pa.array(rows["n"], pa.int64()),
+                     "skew": pa.array(rows["skew"], pa.float64()),
+                     "kurt": pa.array(rows["kurt"], pa.float64())})
+
+
+SQL_SKEW_KURTOSIS = """
+WITH m AS (
+  SELECT l_returnflag AS flag,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(CAST(CAST(ROUND(l_quantity) AS BIGINT) AS HUGEINT)) AS s1,
+         SUM(CAST(CAST(ROUND(l_quantity) AS BIGINT) AS HUGEINT)
+             * CAST(ROUND(l_quantity) AS BIGINT)) AS s2,
+         SUM(CAST(CAST(ROUND(l_quantity) AS BIGINT) AS HUGEINT)
+             * CAST(ROUND(l_quantity) AS BIGINT)
+             * CAST(ROUND(l_quantity) AS BIGINT)) AS s3,
+         SUM(CAST(CAST(ROUND(l_quantity) AS BIGINT) AS HUGEINT)
+             * CAST(ROUND(l_quantity) AS BIGINT)
+             * CAST(ROUND(l_quantity) AS BIGINT)
+             * CAST(ROUND(l_quantity) AS BIGINT)) AS s4
+  FROM lineitem GROUP BY 1
+), c AS (
+  SELECT flag, n,
+         CAST(n * s2 - s1 * s1 AS DOUBLE)
+           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS m2,
+         CAST(n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 AS DOUBLE)
+           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+           AS m3,
+         CAST(n * n * n * s4 - 4 * n * n * s1 * s3
+              + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1 AS DOUBLE)
+           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+              * CAST(n AS DOUBLE)) AS m4
+  FROM m
+)
+SELECT flag, CAST(n AS BIGINT) AS n,
+       ROUND(m3 / (m2 * SQRT(m2)), 6) AS skew,
+       ROUND(m4 / (m2 * m2) - 3.0, 6) AS kurt
+FROM c
+"""
+
+
+# =====================================================================
+# exact distributed weighted median per group
+# =====================================================================
+
+def q_weighted_median(sf_dir: str):
+    """Quantity-weighted median price per return flag - the robust
+    center a pricing/quality dashboard wants when heavy rows should
+    count more (corpus twin: token-weighted median quality score per
+    source). Selection is EXACT-integer: the median is the smallest
+    price with 2*cumweight >= totweight, so no float CDF exists.
+
+    Scale plan: (flag, cent) pairs fold to a unique table in ONE
+    groupby; after the (flag, vc) range sort, pass A ships <=1 skinny
+    row per (block, flag) and the driver derives per-flag totals and
+    per-block starting offsets (flags are contiguous under the sort);
+    pass B re-scans the sorted table with the offset map broadcast and
+    emits at most one candidate per (block, flag) - the driver keeps
+    each flag's smallest. The corpus-sized table is scanned twice but
+    never re-sorted, and nothing larger than blocks x flags ever reaches
+    the driver."""
+    ds = _t(sf_dir, "lineitem",
+            ["l_returnflag", "l_extendedprice", "l_quantity"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "flag": b["l_returnflag"],
+            "vc": _cents(b["l_extendedprice"]),
+            "w": pc.round(b["l_quantity"]).cast(pa.int64()),
+        })
+        g = t.group_by(["flag", "vc"]).aggregate([("w", "sum")])
+        return g.rename_columns(["flag", "vc", "w"])
+
+    uniq = (ds.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["flag", "vc"])
+            .aggregate(Sum("w", alias_name="w"))
+            .sort(["flag", "vc"])
+            .materialize())
+
+    def pass_a(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"bflag": pa.array([], pa.string()),
+                             "bvc": pa.array([], pa.int64()),
+                             "flag": pa.array([], pa.string()),
+                             "w": pa.array([], pa.int64())})
+        g = b.group_by("flag").aggregate([("w", "sum")])
+        k = g.num_rows
+        return pa.table({
+            "bflag": pa.array([b["flag"][0].as_py()] * k, pa.string()),
+            "bvc": pa.array([b["vc"][0].as_py()] * k, pa.int64()),
+            "flag": g["flag"], "w": g["w_sum"]})
+
+    parts = []
+    for b in uniq.map_batches(pass_a, batch_format="pyarrow") \
+                 .iter_batches(batch_format="pyarrow"):
+        parts.extend(zip(b["bflag"].to_pylist(), b["bvc"].to_pylist(),
+                         b["flag"].to_pylist(), b["w"].to_pylist()))
+    # blocks ordered by their first (flag, vc); flags contiguous under it
+    parts.sort(key=lambda r: (r[0], r[1], r[2]))
+    totals: dict[str, int] = {}
+    offsets: dict[tuple, int] = {}
+    for bflag, bvc, flag, w in sorted(parts, key=lambda r: (r[2], r[0], r[1])):
+        offsets[(bflag, bvc, flag)] = totals.get(flag, 0)
+        totals[flag] = totals.get(flag, 0) + w
+    off_ref = ray.put((offsets, totals))
+
+    def pass_b(b: pa.Table) -> pa.Table:
+        empty = pa.table({"flag": pa.array([], pa.string()),
+                          "vc": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        offs, tots = ray.get(off_ref)
+        bkey = (b["flag"][0].as_py(), b["vc"][0].as_py())
+        flags = b["flag"].to_pylist()
+        vcs = b["vc"].to_numpy(zero_copy_only=False)
+        ws = b["w"].to_numpy(zero_copy_only=False)
+        out_f, out_v = [], []
+        i = 0
+        while i < len(flags):
+            j = i
+            while j < len(flags) and flags[j] == flags[i]:
+                j += 1
+            cum = offs[(bkey[0], bkey[1], flags[i])] + np.cumsum(ws[i:j])
+            hit = np.flatnonzero(2 * cum >= tots[flags[i]])
+            if len(hit):
+                out_f.append(flags[i])
+                out_v.append(int(vcs[i + hit[0]]))
+            i = j
+        return pa.table({"flag": pa.array(out_f, pa.string()),
+                         "vc": pa.array(out_v, pa.int64())})
+
+    cand: dict[str, int] = {}
+    for b in uniq.map_batches(pass_b, batch_format="pyarrow") \
+                 .iter_batches(batch_format="pyarrow"):
+        for f, v in zip(b["flag"].to_pylist(), b["vc"].to_pylist()):
+            cand[f] = min(cand.get(f, v), v)
+    flags = sorted(cand)
+    return pa.table({
+        "flag": pa.array(flags, pa.string()),
+        "wmedian": pa.array([float(cand[f]) / 100.0 for f in flags],
+                            pa.float64()),
+        "tot_weight": pa.array([totals[f] for f in flags], pa.int64())})
+
+
+SQL_WEIGHTED_MEDIAN = """
+WITH w AS (
+  SELECT l_returnflag AS flag,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS vc,
+         CAST(ROUND(l_quantity) AS BIGINT) AS wt
+  FROM lineitem
+), u AS (
+  SELECT flag, vc, CAST(SUM(wt) AS HUGEINT) AS w FROM w GROUP BY 1, 2
+), c AS (
+  SELECT flag, vc,
+         SUM(w) OVER (PARTITION BY flag ORDER BY vc) AS cum,
+         SUM(w) OVER (PARTITION BY flag) AS tot
+  FROM u
+)
+SELECT flag, CAST(MIN(vc) AS DOUBLE) / 100.0 AS wmedian,
+       CAST(MIN(tot) AS BIGINT) AS tot_weight
+FROM c WHERE 2 * cum >= tot GROUP BY flag
+"""
+
+
+# =====================================================================
+# one-way ANOVA F statistic, exact-rational (no float cancellation)
+# =====================================================================
+
+def q_anova_f(sf_dir: str):
+    """One-way ANOVA F across three event arms - does mean value differ
+    between click/view/purchase? (corpus twin: does mean quality score
+    differ between sources?). SSB is a difference of ~equal huge terms,
+    so the float path would cancel catastrophically; instead F reduces
+    to ONE division of exact integers via the common denominator
+    D = n1*n2*n3: with T = SUM_g S_g^2 * (D/n_g),
+    F = (N*T - S^2*D)*(N-k) / (N*(Q*D - T)*(k-1)). Per-group (n, S, Q)
+    fold as int64 per-block Arrow partials through a k-row exchange;
+    the finale is python-int (== HUGEINT) on <= k driver rows.
+    Documented bound: N*T*(N-k) < 2^127 (holds through sf ~0.3 at cent
+    scale; past that, scale cents down or split the product)."""
+    arms = ["click", "view", "purchase"]
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b["event_type"], value_set=pa.array(arms))
+        t = b.filter(keep)
+        vc = _cents(t["value"])
+        g = pa.table({
+            "g": t["event_type"], "s": vc, "q": pc.multiply(vc, vc),
+        }).group_by("g").aggregate(
+            [("s", "sum"), ("q", "sum"), ([], "count_all")])
+        return g.rename_columns(["g", "s", "q", "n"])
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("g")
+           .aggregate(Sum("s", alias_name="s"), Sum("q", alias_name="q"),
+                      Sum("n", alias_name="n")))
+    df = agg.to_pandas()  # <= k rows - bounded fold
+    stats = {r["g"]: (int(r["n"]), int(r["s"]), int(r["q"]))
+             for _, r in df.iterrows()}
+    k = len(arms)
+    ns = [stats[a][0] for a in arms]
+    ss = [stats[a][1] for a in arms]
+    n_tot = sum(ns)
+    s_tot = sum(ss)
+    q_tot = sum(stats[a][2] for a in arms)
+    d = ns[0] * ns[1] * ns[2]
+    t_sum = sum(s * s * (d // n) for s, n in zip(ss, ns))
+    num = (n_tot * t_sum - s_tot * s_tot * d) * (n_tot - k)
+    den = n_tot * (q_tot * d - t_sum) * (k - 1)
+    f = float(num) / float(den)
+    return pa.table({"f": pa.array([np.round(f, 6)], pa.float64()),
+                     "n": pa.array([n_tot], pa.int64()),
+                     "k": pa.array([k], pa.int64())})
+
+
+SQL_ANOVA_F = """
+WITH m AS (
+  SELECT event_type AS g,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(CAST(CAST(ROUND(value * 100) AS BIGINT) AS HUGEINT)) AS s,
+         SUM(CAST(CAST(ROUND(value * 100) AS BIGINT) AS HUGEINT)
+             * CAST(ROUND(value * 100) AS BIGINT)) AS q
+  FROM events WHERE event_type IN ('click', 'view', 'purchase')
+  GROUP BY 1
+), p AS (
+  SELECT SUM(n) AS nn, SUM(s) AS stot, SUM(q) AS qtot,
+         MAX(CASE WHEN g = 'click' THEN n END) AS n1,
+         MAX(CASE WHEN g = 'view' THEN n END) AS n2,
+         MAX(CASE WHEN g = 'purchase' THEN n END) AS n3,
+         MAX(CASE WHEN g = 'click' THEN s END) AS s1,
+         MAX(CASE WHEN g = 'view' THEN s END) AS s2,
+         MAX(CASE WHEN g = 'purchase' THEN s END) AS s3
+  FROM m
+), e AS (
+  SELECT nn, qtot, n1 * n2 * n3 AS d,
+         s1 * s1 * (n2 * n3) + s2 * s2 * (n1 * n3)
+           + s3 * s3 * (n1 * n2) AS t,
+         stot * stot AS s2tot
+  FROM p
+)
+SELECT ROUND(CAST((nn * t - s2tot * d) * (nn - 3) AS DOUBLE)
+             / CAST(nn * (qtot * d - t) * 2 AS DOUBLE), 6) AS f,
+       CAST(nn AS BIGINT) AS n,
+       CAST(3 AS BIGINT) AS k
+FROM e
+"""
+
+
 ANALYTICS_QUERIES = {
+    "skew_kurtosis": (q_skew_kurtosis, SQL_SKEW_KURTOSIS),
+    "weighted_median": (q_weighted_median, SQL_WEIGHTED_MEDIAN),
+    "anova_f": (q_anova_f, SQL_ANOVA_F),
     "mann_whitney": (q_mann_whitney, SQL_MANN_WHITNEY),
     "ks_test": (q_ks_test, SQL_KS_TEST),
     "benford_digits": (q_benford_digits, SQL_BENFORD_DIGITS),
