@@ -5532,7 +5532,223 @@ def q_remove_dup_substrings(sf_dir: str, n: int = 8):
                           zero_copy_batch=True)
 
 
+# =====================================================================
+# deterministic md5 train/val/test split
+# =====================================================================
+
+def q_md5_split(sf_dir: str):
+    """Deterministic train/val/test assignment by md5(doc_id) - the
+    reproducible split every training-data pipeline needs: stable across
+    runs, machines and row order, and verifiable by ANY engine that has
+    md5 (which is exactly what the oracle does). Bucket = first 8 hex
+    chars as an int mod 10: <8 train, 8 val, 9 test. Embarrassingly
+    parallel - per-block hashing plus a 3-row exchange; md5 is per-row
+    by nature (documented), but it runs once per doc_id, never rehashed
+    downstream: the split column is what ships."""
+    import hashlib
+
+    ds = _docs(sf_dir, ["doc_id", "n_chars"])
+
+    def assign(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        buckets = np.fromiter(
+            (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 10
+             for i in ids), dtype=np.int64, count=len(ids))
+        split = np.where(buckets < 8, "train",
+                         np.where(buckets == 8, "val", "test"))
+        g = pa.table({
+            "split": pa.array(split.tolist(), pa.string()),
+            "nc": b["n_chars"],
+        }).group_by("split").aggregate([("nc", "sum"), ([], "count_all")])
+        return g.rename_columns(["split", "sum_chars", "n_docs"])
+
+    return (ds.map_batches(assign, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("split")
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("sum_chars", alias_name="sum_chars")))
+
+
+SQL_MD5_SPLIT = """
+WITH b AS (
+  SELECT CAST(CONCAT('0x', SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 10 AS bucket,
+         n_chars
+  FROM documents
+)
+SELECT CASE WHEN bucket < 8 THEN 'train'
+            WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM b GROUP BY 1
+"""
+
+
+# =====================================================================
+# token unnest with ordinality (flat_map row expansion)
+# =====================================================================
+
+def q_split_unnest(sf_dir: str):
+    """Explode each document's first 10 tokens to (doc_id, tok, pos)
+    rows - the row-expanding flat_map every tokenize/chunk stage is
+    built on, with ordinality preserved so downstream windows can see
+    token position. Fully vectorized: ONE pc.split_pattern per block,
+    list_slice to the position cap, then a values-buffer flatten with
+    np.repeat/arange for ids and positions - no per-row Python. Output
+    is ~cap x docs rows but stays streamed: each block expands
+    independently, nothing materializes."""
+    cap = 10
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        toks = pc.list_slice(pc.split_pattern(b["text"], " "), 0, cap)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        ids = np.repeat(b["doc_id"].to_numpy(zero_copy_only=False),
+                        lens.astype(np.int64))
+        pos = np.concatenate([np.arange(1, n + 1) for n in lens])             if len(lens) else np.array([], np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "tok": pc.list_flatten(toks),
+            "pos": pa.array(pos.astype(np.int64)),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+SQL_SPLIT_UNNEST = """
+SELECT doc_id,
+       unnest(list_slice(string_split(text, ' '), 1, 10)) AS tok,
+       unnest(range(1, least(len(string_split(text, ' ')), 10) + 1)) AS pos
+FROM documents
+"""
+
+
+# =====================================================================
+# sorted-neighborhood (SNM) near-duplicate candidate pairs
+# =====================================================================
+
+def q_snm_dedup(sf_dir: str, w: int = 3, max_d: int = 4):
+    """Sorted-neighborhood dedup (Hernandez & Stolfo 1995): sort records
+    by a blocking key, compare each record only to its w successors, and
+    keep pairs within edit distance max_d - the O(n*w) entity-resolution
+    workhorse that replaces the O(n^2) all-pairs matrix. Scale plan: ONE
+    (p_name, p_partkey) range sort; every block emits its internal
+    shifted-window pairs independently, plus its first/last w rows as
+    skinny edge strips; the driver reconstructs global row numbers from
+    block lengths and verifies only CROSS-block strip pairs (<= 2w per
+    seam) - so the all-to-all is the sort and nothing else. The
+    Levenshtein verify runs on <= w*n candidate pairs total (the whole
+    point of SNM); _levenshtein matches DuckDB's levenshtein() exactly
+    (pinned by the edit_distance oracle)."""
+    ds = (_t_part(sf_dir)
+          .sort(["p_name", "p_partkey"])
+          .materialize())
+
+    def block_pairs(b: pa.Table) -> pa.Table:
+        cols = {"kind": pa.int64(), "ka": pa.int64(), "kb": pa.int64(),
+                "d": pa.int64(), "bkey": pa.int64(), "idx": pa.int64(),
+                "blen": pa.int64(), "name": pa.string()}
+        if b.num_rows == 0:
+            return pa.table({c: pa.array([], t) for c, t in cols.items()})
+        names = b["p_name"].to_pylist()
+        keys = b["p_partkey"].to_pylist()
+        n = len(names)
+        ka, kb, dd = [], [], []
+        for shift in range(1, w + 1):
+            for i in range(n - shift):
+                d = _levenshtein(names[i], names[i + shift])
+                if d <= max_d:
+                    ka.append(keys[i])
+                    kb.append(keys[i + shift])
+                    dd.append(d)
+        # edge strips: first w and last w rows, tagged with in-block idx
+        # (idx < 0 counts from the END: -1 = last row)
+        lo = list(range(min(w, n)))
+        hi = [i - n for i in range(max(n - w, 0), n)]
+        strip_idx = lo + hi
+        z = [0] * len(ka)
+        return pa.table({
+            "kind": pa.array([0] * len(ka) + [1] * len(strip_idx),
+                             pa.int64()),
+            "ka": pa.array(ka + [keys[i] for i in strip_idx], pa.int64()),
+            "kb": pa.array(kb + z[:0] + [0] * len(strip_idx), pa.int64()),
+            "d": pa.array(dd + [0] * len(strip_idx), pa.int64()),
+            "bkey": pa.array(z + [keys[0]] * len(strip_idx), pa.int64()),
+            "idx": pa.array(z + strip_idx, pa.int64()),
+            "blen": pa.array(z + [n] * len(strip_idx), pa.int64()),
+            "name": pa.array([""] * len(ka) + [names[i] for i in strip_idx],
+                             pa.string()),
+        })
+
+    mapped = ds.map_batches(block_pairs, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+    internal = mapped.filter(expr="kind == 0") \
+                     .select_columns(["ka", "kb", "d"])
+
+    # bounded driver fold: <= 2w strip rows per block
+    strips: dict[int, list] = {}
+    for b in mapped.filter(expr="kind == 1") \
+                   .iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            strips.setdefault(r["bkey"], []).append(r)
+    # block order = sort order of their first partkey's (name, key):
+    # recover it from each strip row's own name at idx 0
+    blocks = sorted(strips.values(),
+                    key=lambda rows: min((r["name"], r["ka"]) for r in rows
+                                         if r["idx"] == 0))
+    offset = 0
+    rows_g = []  # (global_rn, block_no, key, name)
+    for bno, rows in enumerate(blocks):
+        blen = rows[0]["blen"]
+        for r in rows:
+            rn = offset + (r["idx"] if r["idx"] >= 0 else blen + r["idx"])
+            rows_g.append((rn, bno, r["ka"], r["name"]))
+        offset += blen
+    rows_g = sorted(set(rows_g))
+    ska, skb, sdd = [], [], []
+    for i, (rn_a, b_a, k_a, n_a) in enumerate(rows_g):
+        for rn_b, b_b, k_b, n_b in rows_g[i + 1:]:
+            if rn_b - rn_a > w:
+                break
+            if b_a == b_b:
+                continue  # internal pair, already emitted by its block
+            d = _levenshtein(n_a, n_b)
+            if d <= max_d:
+                ska.append(k_a)
+                skb.append(k_b)
+                sdd.append(d)
+    if ska:
+        internal = internal.union(rd.from_arrow(pa.table({
+            "ka": pa.array(ska, pa.int64()),
+            "kb": pa.array(skb, pa.int64()),
+            "d": pa.array(sdd, pa.int64()),
+        })))
+    return internal
+
+
+def _t_part(sf_dir: str):
+    return rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
+                           columns=["p_partkey", "p_name"])
+
+
+SQL_SNM_DEDUP = """
+WITH s AS (
+  SELECT p_partkey, p_name,
+         ROW_NUMBER() OVER (ORDER BY p_name, p_partkey) AS rn
+  FROM part
+)
+SELECT a.p_partkey AS ka, b.p_partkey AS kb,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS d
+FROM s a JOIN s b ON b.rn > a.rn AND b.rn <= a.rn + 3
+WHERE levenshtein(a.p_name, b.p_name) <= 4
+"""
+
+
 DATAOPS_QUERIES = {
+    "md5_split": (q_md5_split, SQL_MD5_SPLIT),
+    "split_unnest": (q_split_unnest, SQL_SPLIT_UNNEST),
+    "snm_dedup": (q_snm_dedup, SQL_SNM_DEDUP),
     "url_canonicalize": (q_url_canonicalize, SQL_URL_CANONICALIZE),
     "murmur3_hash": (q_murmur3, None),
     "docs_spans": (q_docs_spans, SQL_DOCS_SPANS),
