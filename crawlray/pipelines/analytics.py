@@ -7211,7 +7211,278 @@ FROM e
 """
 
 
+# =====================================================================
+# year-over-year growth by month
+# =====================================================================
+
+def q_yoy_growth(sf_dir: str):
+    """Monthly revenue with year-over-year growth - the seasonality-
+    aware trend every revenue (or crawl-volume) dashboard leads with.
+    Month revenues fold as int64 cent partials per block through a
+    <=#months exchange; the YoY join is a driver dict lookup on the
+    bounded month table keyed by (year-1, month) - no LAG(12) gap
+    fragility when months are missing. growth = (rev - prev)/prev with
+    ONE identical IEEE expression, 6 dp; NULL when no prior year."""
+    ds = _t(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "y": pc.year(b["o_orderdate"]),
+            "m": pc.month(b["o_orderdate"]),
+            "rev": _cents(b["o_totalprice"]),
+        })
+        g = t.group_by(["y", "m"]).aggregate([("rev", "sum")])
+        return g.rename_columns(["y", "m", "rev"])
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["y", "m"])
+           .aggregate(Sum("rev", alias_name="rev")))
+    df = agg.to_pandas()  # <= #months rows - bounded fold
+    df = df.sort_values(["y", "m"], ignore_index=True)
+    prev = {(int(r["y"]), int(r["m"])): int(r["rev"])
+            for _, r in df.iterrows()}
+    growth = []
+    for _, r in df.iterrows():
+        p = prev.get((int(r["y"]) - 1, int(r["m"])))
+        growth.append(
+            None if p is None else
+            np.round((float(int(r["rev"])) - float(p)) / float(p), 6))
+    return pa.table({
+        "y": pa.array(df["y"].to_numpy(np.int64)),
+        "m": pa.array(df["m"].to_numpy(np.int64)),
+        "revenue": pa.array(
+            [float(v) / 100.0 for v in df["rev"].to_numpy(np.int64)],
+            pa.float64()),
+        "yoy": pa.array(growth, pa.float64()),
+    })
+
+
+SQL_YOY_GROWTH = """
+WITH m AS (
+  SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS y,
+         CAST(MONTH(o_orderdate) AS BIGINT) AS m,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1, 2
+)
+SELECT a.y, a.m, CAST(a.rev AS DOUBLE) / 100.0 AS revenue,
+       ROUND((CAST(a.rev AS DOUBLE) - CAST(b.rev AS DOUBLE))
+             / CAST(b.rev AS DOUBLE), 6) AS yoy
+FROM m a LEFT JOIN m b ON b.y = a.y - 1 AND b.m = a.m
+"""
+
+
+# =====================================================================
+# event path trigrams (sequential pattern counts)
+# =====================================================================
+
+def q_path_trigrams(sf_dir: str):
+    """Counts of consecutive event-type TRIPLES per user journey - the
+    order-3 sequential patterns (signup->view->purchase vs
+    view->view->view) a funnel or next-action model mines; markov's
+    order-2 sibling. Same scale plan as markov_transitions: skinny rows
+    ride ONE user-hash exchange, each partition lexsorts once by
+    (user, ts, event_id) and derives every consecutive triple with two
+    vectorized shifts, folding to <=|types|^3 bincount partials before
+    anything leaves the task; the finale is a bounded driver-side
+    groupby fold."""
+    from .sizing import fold_parts
+
+    n_parts = fold_parts()
+    ds = _t(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kp = (_splitmix64(uid).view(np.uint64)
+              % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({
+            "user_id": b["user_id"],
+            "ts_us": b["ts"].cast(pa.int64()),
+            "event_id": b["event_id"],
+            "event_type": b["event_type"],
+            "kp": pa.array(kp),
+        })
+
+    def triples(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        types, codes = np.unique(g["event_type"].to_numpy(object),
+                                 return_inverse=True)
+        order = np.lexsort((eid, ts, uid))
+        u, c = uid[order], codes[order]
+        same = (u[:-2] == u[1:-1]) & (u[1:-1] == u[2:])
+        a, b2, c3 = c[:-2][same], c[1:-1][same], c[2:][same]
+        k = len(types)
+        cnt = np.bincount((a * k + b2) * k + c3, minlength=k * k * k)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame({
+            "t1": types[nz // (k * k)],
+            "t2": types[(nz // k) % k],
+            "t3": types[nz % k],
+            "n": cnt[nz].astype(np.int64),
+        })
+
+    return (ds.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("kp").map_groups(triples, batch_format="pandas")
+            .groupby(["t1", "t2", "t3"])
+            .aggregate(Sum("n", alias_name="n")))
+
+
+SQL_PATH_TRIGRAMS = """
+WITH s AS (
+  SELECT event_type AS t1,
+         LEAD(event_type, 1) OVER w AS t2,
+         LEAD(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n
+FROM s WHERE t3 IS NOT NULL GROUP BY 1, 2, 3
+"""
+
+
+# =====================================================================
+# RFM customer segmentation (3 global NTILE(4) dimensions)
+# =====================================================================
+
+def _ntile_pairs(rfm, metric: str, k: int = 4):
+    """(ck, tile) pairs for NTILE(k) OVER (ORDER BY metric DESC, ck)
+    over a materialized per-entity Dataset: ONE range sort of the skinny
+    (metric, ck) table, a <=1-row-per-block pass A for lengths, then a
+    pass B with the <=#blocks offset map broadcast assigns every row its
+    global row number IN PLACE - NTILE's uneven tile sizes (first n%k
+    tiles get one extra) are reproduced exactly."""
+    srt = rfm.sort([metric, "ck"], descending=[True, False]).materialize()
+
+    # block order: recovered by sorting block stats on (metric desc, ck)
+    # of each block's first row - the full pair is unique per block
+    def pass_a2(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"fm": pa.array([], pa.float64()),
+                             "fck": pa.array([], pa.int64()),
+                             "nrows": pa.array([], pa.int64())})
+        return pa.table({
+            "fm": pa.array([float(b[metric][0].as_py())], pa.float64()),
+            "fck": pa.array([b["ck"][0].as_py()], pa.int64()),
+            "nrows": pa.array([b.num_rows], pa.int64())})
+
+    stats = []
+    for b in srt.map_batches(pass_a2, batch_format="pyarrow") \
+                .iter_batches(batch_format="pyarrow"):
+        stats.extend(zip(b["fm"].to_pylist(), b["fck"].to_pylist(),
+                         b["nrows"].to_pylist()))
+    stats.sort(key=lambda r: (-r[0], r[1]))
+    n = sum(s[2] for s in stats)
+    offsets = {}
+    pos = 0
+    for fm, fck, nr in stats:
+        offsets[(fm, fck)] = pos
+        pos += nr
+    q, r = n // k, n % k
+    off_ref = ray.put(offsets)
+
+    def pass_b(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"ck": pa.array([], pa.int64()),
+                             "tile": pa.array([], pa.int64())})
+        offs = ray.get(off_ref)
+        start = offs[(float(b[metric][0].as_py()), b["ck"][0].as_py())]
+        rn = start + np.arange(b.num_rows, dtype=np.int64)
+        big = r * (q + 1)
+        tile = np.where(rn < big, rn // (q + 1) + 1,
+                        r + (rn - big) // max(q, 1) + 1)
+        return pa.table({"ck": b["ck"],
+                         "tile": pa.array(tile.astype(np.int64))})
+
+    return srt.map_batches(pass_b, batch_format="pyarrow")
+
+
+def q_rfm_segments(sf_dir: str):
+    """RFM segmentation: every customer scored into recency / frequency
+    / monetary quartiles, segments counted - the classic lifecycle
+    grid (corpus twin: score sources by last-crawl recency, page count,
+    and byte volume). Per-customer RFM folds in ONE custkey exchange;
+    each NTILE(4) dimension is one range sort of the SKINNY per-customer
+    table plus an offset fold (no rank join-back), and the three (ck,
+    tile) pair sets re-assemble by riding ONE more custkey exchange as
+    tagged columns (Sum-able because exactly one is nonzero per
+    dimension). Ties are impossible by construction: the full sort key
+    (metric, ck) is unique. Finale: <=64 segment rows."""
+    ds = _t(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "ck": b["o_custkey"],
+            "dt": b["o_orderdate"].cast(pa.int64()),
+            "mon": _cents(b["o_totalprice"]),
+        })
+        g = t.group_by("ck").aggregate(
+            [("dt", "max"), ("mon", "sum"), ([], "count_all")])
+        return g.rename_columns(["ck", "last_dt", "mon", "freq"])
+
+    rfm = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("ck")
+           .aggregate(Max("last_dt", alias_name="last_dt"),
+                      Sum("freq", alias_name="freq"),
+                      Sum("mon", alias_name="mon"))
+           .materialize())
+
+    def tag(which: int):
+        def fn(b: pa.Table) -> pa.Table:
+            tiles = b["tile"].to_numpy(zero_copy_only=False)
+            z = np.zeros(len(tiles), np.int64)
+            cols = [tiles if which == i else z for i in range(3)]
+            return pa.table({"ck": b["ck"],
+                             "r_q": pa.array(cols[0]),
+                             "f_q": pa.array(cols[1]),
+                             "m_q": pa.array(cols[2])})
+        return fn
+
+    pairs = None
+    for i, metric in enumerate(["last_dt", "freq", "mon"]):
+        p = _ntile_pairs(rfm.select_columns([metric, "ck"]), metric) \
+            .map_batches(tag(i), batch_format="pyarrow")
+        pairs = p if pairs is None else pairs.union(p)
+
+    seg = (pairs.groupby("ck")
+           .aggregate(Sum("r_q", alias_name="r_q"),
+                      Sum("f_q", alias_name="f_q"),
+                      Sum("m_q", alias_name="m_q")))
+
+    def seg_counts(b: pa.Table) -> pa.Table:
+        g = b.group_by(["r_q", "f_q", "m_q"]).aggregate([([], "count_all")])
+        return g.rename_columns(["r_q", "f_q", "m_q", "n"])
+
+    return (seg.map_batches(seg_counts, batch_format="pyarrow")
+            .groupby(["r_q", "f_q", "m_q"])
+            .aggregate(Sum("n", alias_name="n")))
+
+
+SQL_RFM_SEGMENTS = """
+WITH rfm AS (
+  SELECT o_custkey AS ck, MAX(o_orderdate) AS last_dt,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS mon
+  FROM orders GROUP BY 1
+), t AS (
+  SELECT ck,
+         CAST(NTILE(4) OVER (ORDER BY last_dt DESC, ck) AS BIGINT) AS r_q,
+         CAST(NTILE(4) OVER (ORDER BY freq DESC, ck) AS BIGINT) AS f_q,
+         CAST(NTILE(4) OVER (ORDER BY mon DESC, ck) AS BIGINT) AS m_q
+  FROM rfm
+)
+SELECT r_q, f_q, m_q, CAST(COUNT(*) AS BIGINT) AS n
+FROM t GROUP BY 1, 2, 3
+"""
+
+
 ANALYTICS_QUERIES = {
+    "yoy_growth": (q_yoy_growth, SQL_YOY_GROWTH),
+    "path_trigrams": (q_path_trigrams, SQL_PATH_TRIGRAMS),
+    "rfm_segments": (q_rfm_segments, SQL_RFM_SEGMENTS),
     "skew_kurtosis": (q_skew_kurtosis, SQL_SKEW_KURTOSIS),
     "weighted_median": (q_weighted_median, SQL_WEIGHTED_MEDIAN),
     "anova_f": (q_anova_f, SQL_ANOVA_F),
