@@ -7479,7 +7479,219 @@ FROM t GROUP BY 1, 2, 3
 """
 
 
+# =====================================================================
+# interval-union coverage per user (sweep-free fixed-length union)
+# =====================================================================
+
+def q_interval_union(sf_dir: str, length_s: int = 300):
+    """Total covered time per user when every event opens a fixed
+    5-minute activity window - the union-of-intervals length that
+    sessionization, billing, and crawl-politeness audits all need.
+    Fixed-length intervals make the union GAP-LOCAL: sorted by start,
+    interval i contributes min(next_start - start, L) and the last
+    contributes L, so no sweep state crosses rows. Scale plan: skinny
+    (user, ts) rows ride ONE user-hash exchange; each partition lexsorts
+    once and the per-user fold is a vectorized minimum over shifted
+    starts - exact int64 microseconds end to end, no float time."""
+    from .sizing import fold_parts
+
+    n_parts = fold_parts()
+    length_us = length_s * 1_000_000
+    ds = _t(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kp = (_splitmix64(uid).view(np.uint64)
+              % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({
+            "user_id": b["user_id"],
+            "ts_us": b["ts"].cast(pa.int64()),
+            "event_id": b["event_id"],
+            "kp": pa.array(kp),
+        })
+
+    def cover(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        u, t = uid[order], ts[order]
+        same = u[:-1] == u[1:]
+        gap = np.minimum(t[1:] - t[:-1], length_us)
+        # per-user: sum of capped gaps for non-last rows + L for the last
+        users, idx, counts = np.unique(u, return_index=True,
+                                       return_counts=True)
+        covered = np.add.reduceat(
+            np.concatenate((np.where(same, gap, 0), [0])), idx) \
+            + length_us
+        return pd.DataFrame({
+            "user_id": users.astype(np.int64),
+            "covered_us": covered.astype(np.int64),
+            "n_events": counts.astype(np.int64),
+        })
+
+    return (ds.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("kp").map_groups(cover, batch_format="pandas")
+            .select_columns(["user_id", "covered_us", "n_events"]))
+
+
+SQL_INTERVAL_UNION = """
+WITH s AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id) AS nxt
+  FROM events
+)
+SELECT user_id,
+       CAST(SUM(CASE WHEN nxt IS NULL THEN 300000000
+                     ELSE LEAST(nxt - t, 300000000) END) AS BIGINT)
+         AS covered_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id
+"""
+
+
+# =====================================================================
+# event debounce (drop rapid same-user same-type repeats)
+# =====================================================================
+
+def q_event_debounce(sf_dir: str, window_s: int = 5):
+    """Debounce: an event is NOISE if the same user fired the same type
+    within the previous 5 seconds - the double-click / double-submit
+    filter every event collector applies before counting (crawl twin:
+    collapse rapid refetches of one URL). LAG semantics (distance to the
+    previous event of the same (user, type), kept or not) make the
+    predicate row-local after ONE user-hash exchange + per-partition
+    lexsort by (user, type, ts, event_id); kept/dropped tallies fold as
+    <=|types|x2 bincount partials inside each task."""
+    from .sizing import fold_parts
+
+    n_parts = fold_parts()
+    win_us = window_s * 1_000_000
+    ds = _t(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kp = (_splitmix64(uid).view(np.uint64)
+              % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({
+            "user_id": b["user_id"],
+            "ts_us": b["ts"].cast(pa.int64()),
+            "event_id": b["event_id"],
+            "event_type": b["event_type"],
+            "kp": pa.array(kp),
+        })
+
+    def tally(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        types, codes = np.unique(g["event_type"].to_numpy(object),
+                                 return_inverse=True)
+        order = np.lexsort((eid, ts, codes, uid))
+        u, c, t = uid[order], codes[order], ts[order]
+        same = (u[:-1] == u[1:]) & (c[:-1] == c[1:])
+        noise = np.concatenate(
+            ([False], same & (t[1:] - t[:-1] <= win_us)))
+        k = len(types)
+        cnt = np.bincount(c * 2 + noise, minlength=2 * k)
+        return pd.DataFrame({
+            "event_type": types,
+            "kept": cnt[0::2].astype(np.int64),
+            "dropped": cnt[1::2].astype(np.int64),
+        })
+
+    return (ds.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("kp").map_groups(tally, batch_format="pandas")
+            .groupby("event_type")
+            .aggregate(Sum("kept", alias_name="kept"),
+                       Sum("dropped", alias_name="dropped")))
+
+
+SQL_EVENT_DEBOUNCE = """
+WITH s AS (
+  SELECT event_type,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+             PARTITION BY user_id, event_type
+             ORDER BY epoch_us(ts), event_id) AS gap
+  FROM events
+)
+SELECT event_type,
+       CAST(SUM(CASE WHEN gap IS NULL OR gap > 5000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+       CAST(SUM(CASE WHEN gap IS NOT NULL AND gap <= 5000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS dropped
+FROM s GROUP BY event_type
+"""
+
+
+# =====================================================================
+# per-source language-mix entropy
+# =====================================================================
+
+def q_lang_entropy(sf_dir: str):
+    """Shannon entropy of each source's language mix - the diversity
+    score a corpus-curation dashboard tracks per domain (a source that
+    suddenly goes monolingual or uniform-random flags a crawl or
+    labeling bug). Counts fold exactly (per-block Arrow partials through
+    a <=|sources x langs| exchange); H = ln n - (SUM c*ln c)/n runs on
+    the bounded driver rows with the term sum in SORTED lang order (the
+    same convention as token_entropy), 6 dp both sides."""
+    ds = _docs_cols(sf_dir)
+
+    def prep(b: pa.Table) -> pa.Table:
+        g = b.group_by(["source", "lang"]).aggregate([([], "count_all")])
+        return g.rename_columns(["source", "lang", "c"])
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["source", "lang"])
+           .aggregate(Sum("c", alias_name="c")))
+    df = agg.to_pandas()  # <= |sources| x |langs| rows - bounded fold
+    df = df.sort_values(["source", "lang"], ignore_index=True)
+    out_s, out_n, out_h = [], [], []
+    for src, g in df.groupby("source", sort=True):
+        n = int(g["c"].sum())
+        s = 0.0
+        for c in g["c"]:  # sorted lang order - deterministic float sum
+            c = float(int(c))
+            s = s + c * math.log(c)
+        h = math.log(float(n)) - s / float(n)
+        out_s.append(src)
+        out_n.append(n)
+        out_h.append(np.round(h, 6))
+    return pa.table({"source": pa.array(out_s, pa.string()),
+                     "n_docs": pa.array(out_n, pa.int64()),
+                     "h": pa.array(out_h, pa.float64())})
+
+
+def _docs_cols(sf_dir: str):
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["source", "lang"])
+
+
+SQL_LANG_ENTROPY = """
+WITH c AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+), s AS (
+  SELECT source, SUM(c) AS n,
+         SUM(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE))
+             ORDER BY lang) AS clnc
+  FROM c GROUP BY source
+)
+SELECT source, CAST(n AS BIGINT) AS n_docs,
+       ROUND(LN(CAST(n AS DOUBLE)) - clnc / CAST(n AS DOUBLE), 6) AS h
+FROM s
+"""
+
+
 ANALYTICS_QUERIES = {
+    "interval_union": (q_interval_union, SQL_INTERVAL_UNION),
+    "event_debounce": (q_event_debounce, SQL_EVENT_DEBOUNCE),
+    "lang_entropy": (q_lang_entropy, SQL_LANG_ENTROPY),
     "yoy_growth": (q_yoy_growth, SQL_YOY_GROWTH),
     "path_trigrams": (q_path_trigrams, SQL_PATH_TRIGRAMS),
     "rfm_segments": (q_rfm_segments, SQL_RFM_SEGMENTS),
