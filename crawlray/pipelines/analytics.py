@@ -7688,7 +7688,181 @@ FROM s
 """
 
 
+# =====================================================================
+# nearest-match as-of join (bidirectional, tie -> earlier)
+# =====================================================================
+
+def q_asof_nearest(sf_dir: str):
+    """Nearest-neighbor temporal join: each purchase matched to the
+    user's CLOSEST view in time, either direction, ties to the earlier
+    view - the attribution variant when influence can trail a purchase
+    (backward-only asof_join's sibling, J6). Per-user ts-duplicate views
+    collapse to MAX(value) first on BOTH sides so the match is
+    well-defined. Scale plan: one user exchange; per partition the
+    candidate set is just searchsorted's two neighbors per purchase
+    (vectorized), never a pairwise matrix - the oracle's O(V*P) join is
+    exactly what this plan avoids. Distances stay exact int64 us."""
+    ds = _t(sf_dir, "events",
+            ["event_id", "user_id", "ts", "event_type", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        views = (g[g["event_type"] == "view"]
+                 .assign(ts_us=lambda d: d["ts"].astype("int64"))
+                 .groupby("ts_us", sort=True)["value"].max().reset_index())
+        buys = g[g["event_type"] == "purchase"]
+        empty = pd.DataFrame(
+            {"event_id": pd.Series([], dtype="int64"),
+             "user_id": pd.Series([], dtype="int64"),
+             "nearest_view_value": pd.Series([], dtype="float64"),
+             "dist_us": pd.Series([], dtype="int64")})
+        if len(buys) == 0 or len(views) == 0:
+            return empty
+        vts = views["ts_us"].to_numpy()
+        vval = views["value"].to_numpy()
+        bts = buys["ts"].astype("int64").to_numpy()
+        right = np.searchsorted(vts, bts, side="left")
+        left = right - 1
+        d_left = np.where(left >= 0,
+                          np.abs(bts - vts[np.clip(left, 0, None)]),
+                          np.iinfo(np.int64).max)
+        d_right = np.where(right < len(vts),
+                           np.abs(vts[np.clip(right, None, len(vts) - 1)]
+                                  - bts),
+                           np.iinfo(np.int64).max)
+        pick_left = d_left <= d_right  # tie -> earlier view
+        idx = np.where(pick_left, np.clip(left, 0, None),
+                       np.clip(right, None, len(vts) - 1))
+        return pd.DataFrame({
+            "event_id": buys["event_id"].to_numpy(),
+            "user_id": buys["user_id"].to_numpy(),
+            "nearest_view_value": vval[idx],
+            "dist_us": np.where(pick_left, d_left, d_right)
+                         .astype(np.int64),
+        })
+
+    return ds.groupby("user_id").map_groups(per_user,
+                                            batch_format="pandas")
+
+
+SQL_ASOF_NEAREST = """
+WITH v AS (
+  SELECT user_id, epoch_us(ts) AS vts, MAX(value) AS value
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+), p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS pts
+  FROM events WHERE event_type = 'purchase'
+), j AS (
+  SELECT p.event_id, p.user_id, v.value,
+         ABS(p.pts - v.vts) AS d,
+         ROW_NUMBER() OVER (PARTITION BY p.event_id
+                            ORDER BY ABS(p.pts - v.vts), v.vts) AS rn
+  FROM p JOIN v ON p.user_id = v.user_id
+)
+SELECT event_id, user_id, value AS nearest_view_value,
+       CAST(d AS BIGINT) AS dist_us
+FROM j WHERE rn = 1
+"""
+
+
+# =====================================================================
+# LOCF gap-fill onto a daily spine (time-series resampling)
+# =====================================================================
+
+def q_locf_fill(sf_dir: str):
+    """Daily revenue per event type resampled onto the FULL day spine
+    with last-observation-carried-forward - the gap-filling every
+    time-series join/feature pipeline needs before aligning series
+    (missing days otherwise silently vanish from windows). Day sums
+    fold exactly (int64 cents) through a <=|types x days| exchange; the
+    spine bounds come from ONE tiny Min/Max aggregate; the fill itself
+    is a vectorized per-type forward index (np.maximum.accumulate over
+    observed-day positions) inside map_groups - rows before a type's
+    first observation stay NULL, exactly LAST_VALUE IGNORE NULLS."""
+    ds = _t(sf_dir, "events", ["event_type", "ts", "value"])
+    day_us = 86_400_000_000
+
+    lim = ds.aggregate(Min("ts"), Max("ts"))
+    lo = int(pd.Timestamp(lim["min(ts)"]).value // 1000) // day_us * day_us
+    hi = int(pd.Timestamp(lim["max(ts)"]).value // 1000) // day_us * day_us
+    spine = np.arange(lo, hi + day_us, day_us, dtype=np.int64)
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "event_type": b["event_type"],
+            "day": pc.multiply(
+                pc.divide(b["ts"].cast(pa.int64()),
+                          pa.scalar(day_us, pa.int64())).cast(pa.int64()),
+                pa.scalar(day_us, pa.int64())),
+            "rev": _cents(b["value"]),
+        })
+        g = t.group_by(["event_type", "day"]).aggregate([("rev", "sum")])
+        return g.rename_columns(["event_type", "day", "rev"])
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["event_type", "day"])
+           .aggregate(Sum("rev", alias_name="rev")))
+
+    def fill(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("day", kind="mergesort")
+        days = g["day"].to_numpy()
+        revs = g["rev"].to_numpy(np.int64)
+        pos = np.searchsorted(days, spine, side="right") - 1
+        locf = np.where(pos >= 0,
+                        revs[np.clip(pos, 0, None)].astype(np.float64)
+                        / 100.0,
+                        np.nan)
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]] * len(spine),
+            "day": spine,
+            "rev_locf": locf,
+            "filled": ~np.isin(spine, days),
+        })
+
+    out = agg.groupby("event_type").map_groups(fill,
+                                               batch_format="pandas")
+
+    def typed(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b["event_type"],
+            "day": b["day"].cast(pa.timestamp("us")),
+            "rev_locf": b["rev_locf"],
+            "filled": b["filled"],
+        })
+
+    return out.map_batches(typed, batch_format="pyarrow")
+
+
+SQL_LOCF_FILL = """
+WITH b AS (
+  SELECT date_trunc('day', MIN(ts)) AS lo, date_trunc('day', MAX(ts)) AS hi
+  FROM events
+), days AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b
+), t AS (
+  SELECT DISTINCT event_type FROM events
+), a AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS rev
+  FROM events GROUP BY 1, 2
+), sp AS (
+  SELECT t.event_type, d.day, a.rev
+  FROM t CROSS JOIN days d
+  LEFT JOIN a ON a.event_type = t.event_type AND a.day = d.day
+)
+SELECT event_type, day,
+       CAST(LAST_VALUE(rev IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / 100.0 AS rev_locf,
+       (rev IS NULL) AS filled
+FROM sp
+"""
+
+
 ANALYTICS_QUERIES = {
+    "asof_nearest": (q_asof_nearest, SQL_ASOF_NEAREST),
+    "locf_fill": (q_locf_fill, SQL_LOCF_FILL),
     "interval_union": (q_interval_union, SQL_INTERVAL_UNION),
     "event_debounce": (q_event_debounce, SQL_EVENT_DEBOUNCE),
     "lang_entropy": (q_lang_entropy, SQL_LANG_ENTROPY),

@@ -86,6 +86,53 @@ FROM documents
 """
 
 
+
+def q_url_components(sf_dir: str):
+    """M1 companion: canonicalize the synthesized messy URL, then PARSE
+    the canonical form back into (scheme, host, path, query) columns -
+    the component projection every per-host stage (politeness, robots,
+    allowlists) keys on. The parse is real string splitting on the
+    canonicalizer's output, not a re-synthesis; the oracle builds the
+    expected components directly from the generating formula."""
+    from ..functions.canon import canonicalize_batch
+
+    ds = _docs(sf_dir, ["doc_id", "source"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        raw = [
+            f"HTTPS://{s}.NL/a/../doc/{d}?utm_source=x&b=2&a=1#frag"
+            for s, d in zip(b["source"].to_pylist(), b["doc_id"].to_pylist())
+        ]
+        scheme, host, path, query = [], [], [], []
+        for u in canonicalize_batch(raw):
+            sch, rest = u.split("://", 1)
+            hostpart, _, tail = rest.partition("/")
+            pathpart, _, q = ("/" + tail).partition("?")
+            scheme.append(sch)
+            host.append(hostpart)
+            path.append(pathpart)
+            query.append(q)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "scheme": pa.array(scheme, pa.string()),
+            "host": pa.array(host, pa.string()),
+            "path": pa.array(path, pa.string()),
+            "query": pa.array(query, pa.string()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_URL_COMPONENTS = """
+SELECT doc_id,
+       'https' AS scheme,
+       source || '.nl' AS host,
+       '/doc/' || CAST(doc_id AS VARCHAR) AS path,
+       'a=1&b=2' AS query
+FROM documents
+"""
+
+
 def q_murmur3(sf_dir: str):
     """M4 murmur3 column (rows-only: SQL has no murmur3; the kernel is
     pinned by published-vector unit tests instead)."""
@@ -5746,6 +5793,7 @@ WHERE levenshtein(a.p_name, b.p_name) <= 4
 
 
 DATAOPS_QUERIES = {
+    "url_components": (q_url_components, SQL_URL_COMPONENTS),
     "md5_split": (q_md5_split, SQL_MD5_SPLIT),
     "split_unnest": (q_split_unnest, SQL_SPLIT_UNNEST),
     "snm_dedup": (q_snm_dedup, SQL_SNM_DEDUP),
