@@ -7012,15 +7012,18 @@ def q_weighted_median(sf_dir: str):
     source). Selection is EXACT-integer: the median is the smallest
     price with 2*cumweight >= totweight, so no float CDF exists.
 
-    Scale plan: (flag, cent) pairs fold to a unique table in ONE
-    groupby; after the (flag, vc) range sort, pass A ships <=1 skinny
-    row per (block, flag) and the driver derives per-flag totals and
-    per-block starting offsets (flags are contiguous under the sort);
-    pass B re-scans the sorted table with the offset map broadcast and
-    emits at most one candidate per (block, flag) - the driver keeps
-    each flag's smallest. The corpus-sized table is scanned twice but
-    never re-sorted, and nothing larger than blocks x flags ever reaches
-    the driver."""
+    Scale plan: NO hash aggregate at all - (flag, cent, weight) rows
+    pre-fold block-locally (Arrow group_by, shrinks the sort payload for
+    free) and go straight into ONE (flag, vc) range sort; duplicates of
+    a pair MAY straddle block seams, and that is fine: pass A ships <=1
+    skinny row per (block, flag) and the driver derives per-flag totals
+    and per-block starting offsets (block order = (first, last) key of
+    each block; blocks with identical first=last keys hold a single
+    repeated value, so their relative order cannot change the crossing
+    value); pass B re-scans the sorted table with the offset map
+    broadcast and emits at most one candidate per (block, flag) - the
+    driver keeps each flag's smallest. Nothing larger than blocks x
+    flags ever reaches the driver."""
     ds = _t(sf_dir, "lineitem",
             ["l_returnflag", "l_extendedprice", "l_quantity"])
 
@@ -7033,37 +7036,42 @@ def q_weighted_median(sf_dir: str):
         g = t.group_by(["flag", "vc"]).aggregate([("w", "sum")])
         return g.rename_columns(["flag", "vc", "w"])
 
-    uniq = (ds.map_batches(prep, batch_format="pyarrow",
-                           zero_copy_batch=True)
-            .groupby(["flag", "vc"])
-            .aggregate(Sum("w", alias_name="w"))
-            .sort(["flag", "vc"])
-            .materialize())
+    srt = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .sort(["flag", "vc"])
+           .materialize())
 
     def pass_a(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
             return pa.table({"bflag": pa.array([], pa.string()),
                              "bvc": pa.array([], pa.int64()),
+                             "lflag": pa.array([], pa.string()),
+                             "lvc": pa.array([], pa.int64()),
                              "flag": pa.array([], pa.string()),
                              "w": pa.array([], pa.int64())})
         g = b.group_by("flag").aggregate([("w", "sum")])
         k = g.num_rows
+        last = b.num_rows - 1
         return pa.table({
             "bflag": pa.array([b["flag"][0].as_py()] * k, pa.string()),
             "bvc": pa.array([b["vc"][0].as_py()] * k, pa.int64()),
+            "lflag": pa.array([b["flag"][last].as_py()] * k, pa.string()),
+            "lvc": pa.array([b["vc"][last].as_py()] * k, pa.int64()),
             "flag": g["flag"], "w": g["w_sum"]})
 
     parts = []
-    for b in uniq.map_batches(pass_a, batch_format="pyarrow") \
-                 .iter_batches(batch_format="pyarrow"):
+    for b in srt.map_batches(pass_a, batch_format="pyarrow") \
+                .iter_batches(batch_format="pyarrow"):
         parts.extend(zip(b["bflag"].to_pylist(), b["bvc"].to_pylist(),
+                         b["lflag"].to_pylist(), b["lvc"].to_pylist(),
                          b["flag"].to_pylist(), b["w"].to_pylist()))
-    # blocks ordered by their first (flag, vc); flags contiguous under it
-    parts.sort(key=lambda r: (r[0], r[1], r[2]))
     totals: dict[str, int] = {}
     offsets: dict[tuple, int] = {}
-    for bflag, bvc, flag, w in sorted(parts, key=lambda r: (r[2], r[0], r[1])):
-        offsets[(bflag, bvc, flag)] = totals.get(flag, 0)
+    # block order: (first key, last key); identical-key collisions can
+    # only be all-one-value blocks, where order is provably irrelevant
+    for bflag, bvc, lflag, lvc, flag, w in sorted(
+            parts, key=lambda r: (r[4], r[0], r[1], r[2], r[3])):
+        offsets[(bflag, bvc, lflag, lvc, flag)] = totals.get(flag, 0)
         totals[flag] = totals.get(flag, 0) + w
     off_ref = ray.put((offsets, totals))
 
@@ -7073,7 +7081,9 @@ def q_weighted_median(sf_dir: str):
         if b.num_rows == 0:
             return empty
         offs, tots = ray.get(off_ref)
-        bkey = (b["flag"][0].as_py(), b["vc"][0].as_py())
+        last = b.num_rows - 1
+        bkey = (b["flag"][0].as_py(), b["vc"][0].as_py(),
+                b["flag"][last].as_py(), b["vc"][last].as_py())
         flags = b["flag"].to_pylist()
         vcs = b["vc"].to_numpy(zero_copy_only=False)
         ws = b["w"].to_numpy(zero_copy_only=False)
@@ -7083,7 +7093,7 @@ def q_weighted_median(sf_dir: str):
             j = i
             while j < len(flags) and flags[j] == flags[i]:
                 j += 1
-            cum = offs[(bkey[0], bkey[1], flags[i])] + np.cumsum(ws[i:j])
+            cum = offs[bkey + (flags[i],)] + np.cumsum(ws[i:j])
             hit = np.flatnonzero(2 * cum >= tots[flags[i]])
             if len(hit):
                 out_f.append(flags[i])
@@ -7093,8 +7103,8 @@ def q_weighted_median(sf_dir: str):
                          "vc": pa.array(out_v, pa.int64())})
 
     cand: dict[str, int] = {}
-    for b in uniq.map_batches(pass_b, batch_format="pyarrow") \
-                 .iter_batches(batch_format="pyarrow"):
+    for b in srt.map_batches(pass_b, batch_format="pyarrow") \
+                .iter_batches(batch_format="pyarrow"):
         for f, v in zip(b["flag"].to_pylist(), b["vc"].to_pylist()):
             cand[f] = min(cand.get(f, v), v)
     flags = sorted(cand)
