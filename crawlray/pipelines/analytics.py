@@ -7870,7 +7870,130 @@ FROM sp
 """
 
 
+# =====================================================================
+# per-group min-max feature scaling (broadcast stats, no join-back)
+# =====================================================================
+
+def q_minmax_scale(sf_dir: str):
+    """Per-group min-max normalization of prices to [0, 1] - the feature
+    scaling every training pipeline applies before mixing columns of
+    different magnitude. Scale plan: group min/max fold in one TINY
+    exchange (<=|flags| rows), broadcast as a dict, and every block
+    scales IN PLACE - no join-back of group stats to rows, which is the
+    shuffle this op classically wastes. Numerator/denominator subtract
+    as exact int64 cents BEFORE the single division (identical IEEE
+    expression both sides), 6 dp."""
+    ds = _t(sf_dir, "lineitem",
+            ["l_orderkey", "l_linenumber", "l_returnflag",
+             "l_extendedprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = pa.table({"flag": b["l_returnflag"],
+                      "vc": _cents(b["l_extendedprice"])})
+        g = t.group_by("flag").aggregate([("vc", "min"), ("vc", "max")])
+        return g.rename_columns(["flag", "mn", "mx"])
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("flag")
+           .aggregate(Min("mn", alias_name="mn"),
+                      Max("mx", alias_name="mx")))
+    stats = {r["flag"]: (int(r["mn"]), int(r["mx"]))
+             for _, r in agg.to_pandas().iterrows()}
+    stats_ref = ray.put(stats)
+
+    def scale(b: pa.Table) -> pa.Table:
+        st = ray.get(stats_ref)
+        flags = b["l_returnflag"].to_pylist()
+        vc = _cents(b["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        mn = np.fromiter((st[f][0] for f in flags), np.int64, len(flags))
+        mx = np.fromiter((st[f][1] for f in flags), np.int64, len(flags))
+        scaled = (vc - mn).astype(np.float64) / (mx - mn).astype(np.float64)
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "l_linenumber": b["l_linenumber"],
+            "flag": b["l_returnflag"],
+            "scaled": pa.array(np.round(scaled, 6)),
+        })
+
+    return ds.map_batches(scale, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+SQL_MINMAX_SCALE = """
+WITH v AS (
+  SELECT l_orderkey, l_linenumber, l_returnflag AS flag,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS vc
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber, flag,
+       ROUND(CAST(vc - MIN(vc) OVER (PARTITION BY flag) AS DOUBLE)
+             / CAST(MAX(vc) OVER (PARTITION BY flag)
+                    - MIN(vc) OVER (PARTITION BY flag) AS DOUBLE),
+             6) AS scaled
+FROM v
+"""
+
+
+# =====================================================================
+# smoothed target encoding (categorical -> prior-blended mean)
+# =====================================================================
+
+def q_target_encoding(sf_dir: str, m: int = 10):
+    """Smoothed target encoding of p_brand by mean retail price:
+    enc = (sum + m*prior) / (n + m) with the GLOBAL mean as prior - the
+    leakage-resistant categorical feature (rare brands shrink toward the
+    prior instead of memorizing noise). The blend stays EXACT until one
+    division: enc = (sum_c*N + m*S_tot) / (N*(n+m)) in python ints
+    (== HUGEINT), then /100 for dollars - no float prior ever exists.
+    One tiny brand exchange; the global sums ride the same fold."""
+    ds = _t(sf_dir, "part", ["p_brand", "p_retailprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = pa.table({"brand": b["p_brand"],
+                      "vc": _cents(b["p_retailprice"])})
+        g = t.group_by("brand").aggregate([("vc", "sum"), ([], "count_all")])
+        return g.rename_columns(["brand", "s", "n"])
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("brand")
+           .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n")))
+    df = agg.to_pandas()  # <= |brands| rows - bounded fold
+    df = df.sort_values("brand", ignore_index=True)
+    s_tot = int(df["s"].sum())
+    n_tot = int(df["n"].sum())
+    enc = []
+    for _, r in df.iterrows():
+        num = int(r["s"]) * n_tot + m * s_tot
+        den = n_tot * (int(r["n"]) + m)
+        enc.append(np.round(float(num) / float(den) / 100.0, 6))
+    return pa.table({"brand": pa.array(df["brand"].to_numpy(object),
+                                       pa.string()),
+                     "n": pa.array(df["n"].to_numpy(np.int64)),
+                     "enc": pa.array(enc, pa.float64())})
+
+
+SQL_TARGET_ENCODING = """
+WITH b AS (
+  SELECT p_brand AS brand,
+         SUM(CAST(CAST(ROUND(p_retailprice * 100) AS BIGINT) AS HUGEINT))
+           AS s,
+         CAST(COUNT(*) AS HUGEINT) AS n
+  FROM part GROUP BY 1
+), g AS (
+  SELECT SUM(s) AS s_tot, SUM(n) AS n_tot FROM b
+)
+SELECT brand, CAST(n AS BIGINT) AS n,
+       ROUND(CAST(s * n_tot + 10 * s_tot AS DOUBLE)
+             / CAST(n_tot * (n + 10) AS DOUBLE) / 100.0, 6) AS enc
+FROM b, g
+"""
+
+
 ANALYTICS_QUERIES = {
+    "minmax_scale": (q_minmax_scale, SQL_MINMAX_SCALE),
+    "target_encoding": (q_target_encoding, SQL_TARGET_ENCODING),
     "asof_nearest": (q_asof_nearest, SQL_ASOF_NEAREST),
     "locf_fill": (q_locf_fill, SQL_LOCF_FILL),
     "interval_union": (q_interval_union, SQL_INTERVAL_UNION),

@@ -133,6 +133,52 @@ FROM documents
 """
 
 
+
+# =====================================================================
+# feature hashing (the hashing trick over tokens)
+# =====================================================================
+
+def q_feature_hashing(sf_dir: str, buckets: int = 64):
+    """The hashing trick (Weinberger et al. 2009): project an unbounded
+    token vocabulary into a FIXED 64-dim count vector via md5 - the
+    vocabulary-free featurizer a streaming training pipeline uses when
+    it cannot afford a vocab pass. md5 makes the bucket assignment
+    engine-independent (the oracle reproduces it in SQL); the per-token
+    cost amortizes by hashing each block's DISTINCT tokens once
+    (np.unique + inverse gather - vocabularies are Zipfian) and buckets
+    fold as <=64-row bincount partials before leaving the task."""
+    import hashlib
+
+    ds = _docs(sf_dir, ["text"])
+
+    def hash_tokens(b: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(b["text"], " "))
+        arr = toks.to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(arr, return_inverse=True)
+        ub = np.fromiter(
+            (int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % buckets
+             for t in uniq), dtype=np.int64, count=len(uniq))
+        cnt = np.bincount(ub[inv], minlength=buckets)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"bucket": pa.array(nz.astype(np.int64)),
+                         "n": pa.array(cnt[nz].astype(np.int64))})
+
+    return (ds.map_batches(hash_tokens, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("bucket")
+            .aggregate(Sum("n", alias_name="n")))
+
+
+SQL_FEATURE_HASHING = """
+WITH t AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+)
+SELECT CAST(CONCAT('0x', SUBSTR(md5(tok), 1, 8)) AS BIGINT) % 64 AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM t GROUP BY 1
+"""
+
+
 def q_murmur3(sf_dir: str):
     """M4 murmur3 column (rows-only: SQL has no murmur3; the kernel is
     pinned by published-vector unit tests instead)."""
@@ -5793,6 +5839,7 @@ WHERE levenshtein(a.p_name, b.p_name) <= 4
 
 
 DATAOPS_QUERIES = {
+    "feature_hashing": (q_feature_hashing, SQL_FEATURE_HASHING),
     "url_components": (q_url_components, SQL_URL_COMPONENTS),
     "md5_split": (q_md5_split, SQL_MD5_SPLIT),
     "split_unnest": (q_split_unnest, SQL_SPLIT_UNNEST),
