@@ -7991,7 +7991,195 @@ FROM b, g
 """
 
 
+# =====================================================================
+# Cramer's V association strength (chi2_independence's scalar finale)
+# =====================================================================
+
+def q_cramers_v(sf_dir: str):
+    """Cramer's V between event type and value sign-bucket - the
+    normalized [0,1] association strength a feature-selection pass
+    ranks categorical pairs by (chi2_independence readies the cells;
+    this op finishes the scalar). chi2's numerator terms (n*o - r*c)^2
+    stay exact python ints (== HUGEINT) over the bounded contingency
+    cells; V = sqrt(chi2 / (n*min(r-1, c-1))) with chi2 = SUM of ONE
+    exact-ratio division per cell in sorted cell order, 6 dp."""
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "et": b["event_type"],
+            "hi": pc.greater(b["value"], pa.scalar(100.0)).cast(pa.int64()),
+        })
+        g = t.group_by(["et", "hi"]).aggregate([([], "count_all")])
+        return g.rename_columns(["et", "hi", "o"])
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["et", "hi"])
+           .aggregate(Sum("o", alias_name="o")))
+    df = agg.to_pandas()  # <= |types| x 2 cells - bounded fold
+    df = df.sort_values(["et", "hi"], ignore_index=True)
+    n = int(df["o"].sum())
+    row_t = df.groupby("et")["o"].sum().to_dict()
+    col_t = df.groupby("hi")["o"].sum().to_dict()
+    chi2 = 0.0
+    for _, r in df.iterrows():  # sorted cell order - deterministic sum
+        rt, ct, o = int(row_t[r["et"]]), int(col_t[r["hi"]]), int(r["o"])
+        num = (n * o - rt * ct) ** 2
+        chi2 = chi2 + float(num) / float(n * rt * ct)
+    k = min(len(row_t), len(col_t))
+    v = math.sqrt(chi2 / float(n * (k - 1)))
+    return pa.table({"v": pa.array([np.round(v, 6)], pa.float64()),
+                     "n": pa.array([n], pa.int64()),
+                     "chi2": pa.array([np.round(chi2, 6)], pa.float64())})
+
+
+SQL_CRAMERS_V = """
+WITH c AS (
+  SELECT event_type AS et, CAST(value > 100.0 AS BIGINT) AS hi,
+         CAST(COUNT(*) AS HUGEINT) AS o
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT et, hi, o,
+         SUM(o) OVER () AS n,
+         SUM(o) OVER (PARTITION BY et) AS rt,
+         SUM(o) OVER (PARTITION BY hi) AS ct
+  FROM c
+), s AS (
+  SELECT MAX(n) AS n,
+         SUM(CAST((n * o - rt * ct) * (n * o - rt * ct) AS DOUBLE)
+             / CAST(n * rt * ct AS DOUBLE) ORDER BY et, hi) AS chi2,
+         LEAST(COUNT(DISTINCT et), COUNT(DISTINCT hi)) AS k
+  FROM t
+)
+SELECT ROUND(SQRT(chi2 / CAST(n * (k - 1) AS DOUBLE)), 6) AS v,
+       CAST(n AS BIGINT) AS n,
+       ROUND(chi2, 6) AS chi2
+FROM s
+"""
+
+
+# =====================================================================
+# binned statistics (equal-width bins, per-bin target aggregate)
+# =====================================================================
+
+def q_binned_stats(sf_dir: str, width_c: int = 1_000_000):
+    """Equal-width price bins with per-bin count and mean quantity -
+    scipy's binned_statistic / the histogram-with-a-target that every
+    feature-vs-response diagnostic plots. Bin ids come from exact cent
+    integer division (no float edge ambiguity); counts and quantity
+    sums fold as int64 per-block partials through a <=#bins exchange;
+    ONE identical IEEE division per bin, 6 dp."""
+    ds = _t(sf_dir, "lineitem", ["l_extendedprice", "l_quantity"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "bin": pc.divide(_cents(b["l_extendedprice"]),
+                             pa.scalar(width_c, pa.int64())),
+            "qty": pc.round(b["l_quantity"]).cast(pa.int64()),
+        })
+        g = t.group_by("bin").aggregate([("qty", "sum"), ([], "count_all")])
+        return g.rename_columns(["bin", "qty", "n"])
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("bin")
+           .aggregate(Sum("qty", alias_name="qty"),
+                      Sum("n", alias_name="n")))
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "bin": b["bin"],
+            "n": b["n"],
+            "avg_qty": pc.round(
+                pc.divide(b["qty"].cast(pa.float64()),
+                          b["n"].cast(pa.float64())),
+                ndigits=6, round_mode="half_towards_infinity"),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_BINNED_STATS = """
+WITH v AS (
+  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) // 1000000 AS bin,
+         CAST(ROUND(l_quantity) AS BIGINT) AS qty
+  FROM lineitem
+)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(qty) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS avg_qty
+FROM v GROUP BY bin
+"""
+
+
+# =====================================================================
+# join cardinality WITHOUT executing the join
+# =====================================================================
+
+def q_join_cardinality(sf_dir: str):
+    """|orders JOIN lineitem| computed WITHOUT materializing a single
+    joined row: per-key counts from BOTH sides ride ONE tagged key-hash
+    exchange and the answer is SUM(n_left * n_right) - the planner-side
+    cardinality pass that decides broadcast-vs-shuffle and detects
+    blowup keys before a join runs. Per-block Arrow partials shrink
+    each side to distinct keys first; products and the final sum are
+    exact int64 (documented bound SUM(na*nb) < 2^63 - a 10^18-row
+    output would be the real problem long before the counter)."""
+    orders = _t(sf_dir, "orders", ["o_orderkey"])
+    li = _t(sf_dir, "lineitem", ["l_orderkey"])
+
+    def side(col, tag):
+        def fn(b: pa.Table) -> pa.Table:
+            k, c = np.unique(b[col].to_numpy(zero_copy_only=False),
+                             return_counts=True)
+            z = np.zeros(len(k), np.int64)
+            return pa.table({
+                "key": pa.array(k.astype(np.int64)),
+                "na": pa.array(c.astype(np.int64) if tag == 0 else z),
+                "nb": pa.array(c.astype(np.int64) if tag == 1 else z),
+            })
+        return fn
+
+    both = (orders.map_batches(side("o_orderkey", 0),
+                               batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .union(li.map_batches(side("l_orderkey", 1),
+                                  batch_format="pyarrow",
+                                  zero_copy_batch=True))
+            .groupby("key")
+            .aggregate(Sum("na", alias_name="na"),
+                       Sum("nb", alias_name="nb")))
+
+    def prod(b: pa.Table) -> pa.Table:
+        na = b["na"].to_numpy(zero_copy_only=False)
+        nb = b["nb"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "rows": pa.array([int((na * nb).sum())], pa.int64()),
+            "keys": pa.array([int(((na > 0) & (nb > 0)).sum())], pa.int64()),
+        })
+
+    out = (both.map_batches(prod, batch_format="pyarrow")
+           .aggregate(Sum("rows"), Sum("keys")))
+    return pa.table({
+        "join_rows": pa.array([int(out["sum(rows)"])], pa.int64()),
+        "matched_keys": pa.array([int(out["sum(keys)"])], pa.int64()),
+    })
+
+
+SQL_JOIN_CARDINALITY = """
+WITH a AS (SELECT o_orderkey AS key, COUNT(*) AS na FROM orders GROUP BY 1),
+b AS (SELECT l_orderkey AS key, COUNT(*) AS nb FROM lineitem GROUP BY 1)
+SELECT CAST(SUM(na * nb) AS BIGINT) AS join_rows,
+       CAST(COUNT(*) AS BIGINT) AS matched_keys
+FROM a JOIN b USING (key)
+"""
+
+
 ANALYTICS_QUERIES = {
+    "cramers_v": (q_cramers_v, SQL_CRAMERS_V),
+    "binned_stats": (q_binned_stats, SQL_BINNED_STATS),
+    "join_cardinality": (q_join_cardinality, SQL_JOIN_CARDINALITY),
     "minmax_scale": (q_minmax_scale, SQL_MINMAX_SCALE),
     "target_encoding": (q_target_encoding, SQL_TARGET_ENCODING),
     "asof_nearest": (q_asof_nearest, SQL_ASOF_NEAREST),
