@@ -8176,7 +8176,189 @@ FROM a JOIN b USING (key)
 """
 
 
+# =====================================================================
+# dynamic partition pruning (dimension predicate pushed into the read)
+# =====================================================================
+
+def q_dynamic_pruning(sf_dir: str):
+    """Revenue from one nation's suppliers with the supplier-key set
+    PUSHED INTO THE FACT SCAN - dynamic partition pruning, the
+    read-prune that makes a 100 TB star join affordable: the dimension
+    side resolves first (one tiny read), and the fact read carries an
+    `isin` predicate so parquet row groups whose zone maps exclude every
+    wanted supplier never leave storage. No join executes at all; the
+    probe IS the scan filter. Revenue folds as exact tenth-cent int64
+    partials; one division at the end."""
+    import pyarrow.dataset as pads
+
+    sup_all = rd.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    # anchor nation = the first supplier's nation: nonempty at EVERY
+    # scale (a named nation can have zero suppliers at tiny sf)
+    nk = int(sup_all.loc[sup_all["s_suppkey"].idxmin(), "s_nationkey"])
+    keys = sup_all.loc[sup_all["s_nationkey"] == nk, "s_suppkey"] \
+        .to_numpy(np.int64)
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+        filter=pads.field("l_suppkey").isin(keys.tolist()))
+
+    def prep(b: pa.Table) -> pa.Table:
+        rev = pc.round(pc.multiply(
+            pc.multiply(b["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), b["l_discount"])),
+            pa.scalar(10000.0))).cast(pa.int64())
+        return pa.table({
+            "rev": pa.array([int(pc.sum(rev).as_py() or 0)], pa.int64()),
+            "n": pa.array([b.num_rows], pa.int64()),
+        })
+
+    out = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .aggregate(Sum("rev"), Sum("n")))
+    return pa.table({
+        "revenue": pa.array([float(int(out["sum(rev)"] or 0)) / 10000.0],
+                            pa.float64()),
+        "n_rows": pa.array([int(out["sum(n)"] or 0)], pa.int64()),
+        "n_suppliers": pa.array([len(keys)], pa.int64()),
+    })
+
+
+SQL_DYNAMIC_PRUNING = """
+WITH s AS (
+  SELECT s_suppkey FROM supplier
+  WHERE s_nationkey = (SELECT s_nationkey FROM supplier
+                       WHERE s_suppkey = (SELECT MIN(s_suppkey)
+                                          FROM supplier))
+)
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 10000)
+                     AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS n_suppliers
+FROM lineitem WHERE l_suppkey IN (SELECT s_suppkey FROM s)
+"""
+
+
+# =====================================================================
+# stratified k-fold assignment (deterministic, md5-keyed)
+# =====================================================================
+
+def q_stratified_kfold(sf_dir: str, k: int = 5):
+    """Deterministic stratified k-fold CV assignment: every document
+    lands in fold md5(doc_id) % k, and the per-(stratum, fold) counts
+    verify the folds stay balanced WITHIN each language stratum - the
+    split audit a training pipeline runs before cross-validation
+    (md5_split's k-fold sibling). Embarrassingly parallel; the exchange
+    carries <= |langs| x k partial rows."""
+    import hashlib
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "lang"])
+
+    def fold(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        f = np.fromiter(
+            (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % k
+             for i in ids), dtype=np.int64, count=len(ids))
+        g = pa.table({"lang": b["lang"], "fold": pa.array(f)}) \
+            .group_by(["lang", "fold"]).aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "fold", "n"])
+
+    return (ds.map_batches(fold, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["lang", "fold"])
+            .aggregate(Sum("n", alias_name="n")))
+
+
+SQL_STRATIFIED_KFOLD = """
+SELECT lang,
+       CAST(CONCAT('0x', SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+            AS BIGINT) % 5 AS fold,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM documents GROUP BY 1, 2
+"""
+
+
+# =====================================================================
+# top-k movers between two periods (trending detection)
+# =====================================================================
+
+def q_topk_movers(sf_dir: str):
+    """Which event types are TRENDING: counts in the first vs second
+    half of the time range, absolute delta and the exact-rational ratio
+    - the period-over-period mover board every monitoring dashboard
+    keeps. The midpoint comes from ONE tiny Min/Max fold; per-(type,
+    half) counts ride a <= |types| x 2 exchange as per-block partials;
+    deltas and the cross-multiplied ratio stay exact integers until one
+    division, 6 dp."""
+    ds = _t(sf_dir, "events", ["event_type", "ts"])
+
+    lim = ds.aggregate(Min("ts"), Max("ts"))
+    lo = int(pd.Timestamp(lim["min(ts)"]).value // 1000)
+    hi = int(pd.Timestamp(lim["max(ts)"]).value // 1000)
+    mid = lo + (hi - lo) // 2
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "event_type": b["event_type"],
+            "late": pc.greater(b["ts"].cast(pa.int64()),
+                               pa.scalar(mid, pa.int64())).cast(pa.int64()),
+        })
+        g = t.group_by(["event_type", "late"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "late", "n"])
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["event_type", "late"])
+           .aggregate(Sum("n", alias_name="n")))
+    df = agg.to_pandas()  # <= |types| x 2 rows - bounded fold
+    piv = {}
+    for _, r in df.iterrows():
+        piv.setdefault(r["event_type"], [0, 0])[int(r["late"])] = int(r["n"])
+    types = sorted(piv)
+    early = [piv[t][0] for t in types]
+    late = [piv[t][1] for t in types]
+    return pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "n_early": pa.array(early, pa.int64()),
+        "n_late": pa.array(late, pa.int64()),
+        "delta": pa.array([b - a for a, b in zip(early, late)], pa.int64()),
+        "ratio": pa.array(
+            [np.round(float(b) / float(a), 6) if a else None
+             for a, b in zip(early, late)], pa.float64()),
+    })
+
+
+SQL_TOPK_MOVERS = """
+WITH b AS (
+  SELECT epoch_us(MIN(ts)) AS lo, epoch_us(MAX(ts)) AS hi FROM events
+), c AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) > lo + (hi - lo) // 2 AS BIGINT) AS late,
+         COUNT(*) AS n
+  FROM events, b GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(COALESCE(SUM(CASE WHEN late = 0 THEN n END), 0) AS BIGINT)
+         AS n_early,
+       CAST(COALESCE(SUM(CASE WHEN late = 1 THEN n END), 0) AS BIGINT)
+         AS n_late,
+       CAST(COALESCE(SUM(CASE WHEN late = 1 THEN n END), 0)
+            - COALESCE(SUM(CASE WHEN late = 0 THEN n END), 0) AS BIGINT)
+         AS delta,
+       ROUND(CAST(COALESCE(SUM(CASE WHEN late = 1 THEN n END), 0) AS DOUBLE)
+             / CAST(SUM(CASE WHEN late = 0 THEN n END) AS DOUBLE), 6)
+         AS ratio
+FROM c GROUP BY event_type
+"""
+
+
 ANALYTICS_QUERIES = {
+    "dynamic_pruning": (q_dynamic_pruning, SQL_DYNAMIC_PRUNING),
+    "stratified_kfold": (q_stratified_kfold, SQL_STRATIFIED_KFOLD),
+    "topk_movers": (q_topk_movers, SQL_TOPK_MOVERS),
     "cramers_v": (q_cramers_v, SQL_CRAMERS_V),
     "binned_stats": (q_binned_stats, SQL_BINNED_STATS),
     "join_cardinality": (q_join_cardinality, SQL_JOIN_CARDINALITY),
