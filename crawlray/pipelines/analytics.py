@@ -6633,40 +6633,16 @@ def _hi_lo(p: int) -> tuple[int, int]:
     return p >> 32, p & 0xFFFFFFFF
 
 
-def q_mann_whitney(sf_dir: str):
-    """Mann-Whitney U rank-sum test: are purchase values stochastically
-    larger than click values? The nonparametric two-sample test an
-    experimentation pipeline runs when values are skewed (its corpus
-    twin: compare quality-score distributions between two sources).
-
-    Scale plan: ranks never materialize per row. Values fold to a
-    UNIQUE-value table (vc -> n_v, a_v) in ONE cent-key groupby (the
-    cent domain is bounded, ~50k states); one range sort of that skinny
-    table lets each block derive its values' doubled average ranks from
-    LOCAL prefix sums, and the global offset enters LINEARLY
-    (R1 += 2*offset*SUM(a_v in block)) so a single <=#blocks driver fold
-    finishes the rank sum - no second pass, no join-back. Per-block
-    partials accumulate as python ints and ride hi/lo int64 pairs
-    (a_v*(2*before+n_v+1) passes 2^63 near N~10^10; the tie term
-    SUM(t^3-t) even sooner). Finale: U1 exact integer; z from the
-    IDENTICAL IEEE expression both sides, 6 dp."""
-    ds = _t(sf_dir, "events", ["event_type", "value"])
-
-    def prep(b: pa.Table) -> pa.Table:
-        keep = pc.is_in(b["event_type"],
-                        value_set=pa.array(["purchase", "click"]))
-        t = b.filter(keep)
-        g = pa.table({
-            "vc": _cents(t["value"]),
-            "a": pc.equal(t["event_type"], pa.scalar("purchase"))
-                   .cast(pa.int64()),
-        }).group_by("vc").aggregate([("a", "sum"), ([], "count_all")])
-        return pa.table({"vc": g["vc"], "a": g["a_sum"],
-                         "n": g["count_all"]})
-
-    uniq = (ds.map_batches(prep, batch_format="pyarrow",
-                           zero_copy_batch=True)
-            .groupby("vc")
+def _rank_sum_u(prepped) -> tuple[int, int, int, int]:
+    """Exact Mann-Whitney U machinery over a Dataset of per-block
+    (vc, a, n) partials (a = arm-A count, n = total count per value):
+    ONE value-key groupby to the unique table, ONE range sort, per-block
+    doubled-average-rank partials whose global offset enters LINEARLY,
+    one <=#blocks driver fold. hi/lo int64 pairs carry the >2^63
+    products. Returns (u1, n1, n2, tie3) as exact python ints —
+    q_mann_whitney's test statistic and q_roc_auc's numerator share this
+    (AUC = U / (n1*n2) is the rank-sum identity)."""
+    uniq = (prepped.groupby("vc")
             .aggregate(Sum("a", alias_name="a"), Sum("n", alias_name="n"))
             .sort("vc"))
 
@@ -6704,6 +6680,43 @@ def q_mann_whitney(sf_dir: str):
         tie3 += (p["tie_hi"] << 32) + p["tie_lo"]
         off += p["sum_n"]
     u1 = (r1_2 - n1 * (n1 + 1)) // 2
+    return u1, n1, n2, tie3
+
+
+def q_mann_whitney(sf_dir: str):
+    """Mann-Whitney U rank-sum test: are purchase values stochastically
+    larger than click values? The nonparametric two-sample test an
+    experimentation pipeline runs when values are skewed (its corpus
+    twin: compare quality-score distributions between two sources).
+
+    Scale plan: ranks never materialize per row. Values fold to a
+    UNIQUE-value table (vc -> n_v, a_v) in ONE cent-key groupby (the
+    cent domain is bounded, ~50k states); one range sort of that skinny
+    table lets each block derive its values' doubled average ranks from
+    LOCAL prefix sums, and the global offset enters LINEARLY
+    (R1 += 2*offset*SUM(a_v in block)) so a single <=#blocks driver fold
+    finishes the rank sum - no second pass, no join-back. Per-block
+    partials accumulate as python ints and ride hi/lo int64 pairs
+    (a_v*(2*before+n_v+1) passes 2^63 near N~10^10; the tie term
+    SUM(t^3-t) even sooner). Finale: U1 exact integer; z from the
+    IDENTICAL IEEE expression both sides, 6 dp."""
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b["event_type"],
+                        value_set=pa.array(["purchase", "click"]))
+        t = b.filter(keep)
+        g = pa.table({
+            "vc": _cents(t["value"]),
+            "a": pc.equal(t["event_type"], pa.scalar("purchase"))
+                   .cast(pa.int64()),
+        }).group_by("vc").aggregate([("a", "sum"), ([], "count_all")])
+        return pa.table({"vc": g["vc"], "a": g["a_sum"],
+                         "n": g["count_all"]})
+
+    u1, n1, n2, tie3 = _rank_sum_u(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True))
+    n = n1 + n2
     n1f, n2f, nf = float(n1), float(n2), float(n)
     mu = n1f * n2f / 2.0
     var = n1f * n2f / 12.0 * ((nf + 1.0) - float(tie3) / (nf * (nf - 1.0)))
@@ -8355,7 +8368,148 @@ FROM c GROUP BY event_type
 """
 
 
+# =====================================================================
+# ROC AUC via the rank-sum identity (no threshold sweep)
+# =====================================================================
+
+def q_roc_auc(sf_dir: str):
+    """ROC AUC of document length as a predictor of lang = 'en' - the
+    classifier-eval scalar, computed EXACTLY through the rank-sum
+    identity AUC = U / (n1*n2) instead of a threshold sweep (pr_curve
+    is the sweep sibling; this is the integral). Shares q_mann_whitney's
+    distributed machinery (_rank_sum_u): ranks never materialize, ties
+    average exactly via doubled ranks, and AUC is ONE division of exact
+    integers, 6 dp."""
+    ds = _t(sf_dir, "documents", ["lang", "n_chars"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        g = pa.table({
+            "vc": b["n_chars"],
+            "a": pc.equal(b["lang"], pa.scalar("en")).cast(pa.int64()),
+        }).group_by("vc").aggregate([("a", "sum"), ([], "count_all")])
+        return pa.table({"vc": g["vc"], "a": g["a_sum"],
+                         "n": g["count_all"]})
+
+    u1, n1, n2, _tie3 = _rank_sum_u(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True))
+    auc = float(u1) / float(n1 * n2)
+    return pa.table({"auc": pa.array([np.round(auc, 6)], pa.float64()),
+                     "n_pos": pa.array([n1], pa.int64()),
+                     "n_neg": pa.array([n2], pa.int64())})
+
+
+SQL_ROC_AUC = """
+WITH v AS (
+  SELECT n_chars AS vc, (lang = 'en') AS a FROM documents
+), r AS (
+  SELECT a,
+         CAST(RANK() OVER (ORDER BY vc) AS HUGEINT) AS rk,
+         CAST(COUNT(*) OVER (PARTITION BY vc) AS HUGEINT) AS t
+  FROM v
+), s AS (
+  SELECT SUM(CASE WHEN a THEN 2 * rk + t - 1 END) AS r1_2,
+         CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS HUGEINT) AS n1,
+         CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS HUGEINT) AS n2
+  FROM r
+)
+SELECT ROUND(CAST((r1_2 - n1 * (n1 + 1)) // 2 AS DOUBLE)
+             / CAST(n1 * n2 AS DOUBLE), 6) AS auc,
+       CAST(n1 AS BIGINT) AS n_pos,
+       CAST(n2 AS BIGINT) AS n_neg
+FROM s
+"""
+
+
+# =====================================================================
+# pairwise source token-set overlap (Jaccard of vocabularies)
+# =====================================================================
+
+def q_source_overlap(sf_dir: str):
+    """Jaccard overlap of the DISTINCT-token vocabularies of every
+    source pair - the corpus-mix diagnostic that flags mirrored or
+    plagiarizing sources before dedup even runs. Scale plan: per-block
+    distinct (source, token) partials fold in ONE groupby to the
+    bounded presence table (|sources| x |vocab|); the driver packs each
+    token's source set into a BITMASK (sources are bounded by
+    construction) and every pair's intersection is a popcount fold over
+    <=|vocab| masks - the |sources|^2 x |vocab| join never exists.
+    Exact integers until one division per pair, 6 dp."""
+    ds = _t(sf_dir, "documents", ["source", "text"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b["text"], " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        src = np.repeat(b["source"].to_numpy(zero_copy_only=False),
+                        lens.astype(np.int64))
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        d = pd.DataFrame({"source": src, "tok": flat}).drop_duplicates()
+        return pa.table({"source": pa.array(d["source"].to_numpy(object),
+                                            pa.string()),
+                         "tok": pa.array(d["tok"].to_numpy(object),
+                                         pa.string())})
+
+    pres = (ds.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["source", "tok"])
+            .aggregate(Count(alias_name="c")))
+    df = pres.to_pandas()  # <= |sources| x |vocab| rows - bounded fold
+    sources = sorted(df["source"].unique())
+    sidx = {s: i for i, s in enumerate(sources)}
+    masks: dict[str, int] = {}
+    for _, r in df.iterrows():
+        masks[r["tok"]] = masks.get(r["tok"], 0) | (1 << sidx[r["source"]])
+    sizes = [0] * len(sources)
+    for m in masks.values():
+        for i in range(len(sources)):
+            if m >> i & 1:
+                sizes[i] += 1
+    out = {"src_a": [], "src_b": [], "inter": [], "uni": [], "jaccard": []}
+    for i, a in enumerate(sources):
+        for j in range(i + 1, len(sources)):
+            inter = sum(1 for m in masks.values()
+                        if (m >> i & 1) and (m >> j & 1))
+            if inter == 0:
+                continue
+            uni = sizes[i] + sizes[j] - inter
+            out["src_a"].append(a)
+            out["src_b"].append(sources[j])
+            out["inter"].append(inter)
+            out["uni"].append(uni)
+            out["jaccard"].append(np.round(float(inter) / float(uni), 6))
+    return pa.table({
+        "src_a": pa.array(out["src_a"], pa.string()),
+        "src_b": pa.array(out["src_b"], pa.string()),
+        "inter": pa.array(out["inter"], pa.int64()),
+        "uni": pa.array(out["uni"], pa.int64()),
+        "jaccard": pa.array(out["jaccard"], pa.float64()),
+    })
+
+
+SQL_SOURCE_OVERLAP = """
+WITH p AS (
+  SELECT DISTINCT source, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+), sz AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY 1
+), ix AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(COUNT(*) AS BIGINT) AS inter
+  FROM p a JOIN p b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, inter,
+       sa.n + sb.n - inter AS uni,
+       ROUND(CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE),
+             6) AS jaccard
+FROM ix
+JOIN sz sa ON sa.source = ix.src_a
+JOIN sz sb ON sb.source = ix.src_b
+"""
+
+
 ANALYTICS_QUERIES = {
+    "roc_auc": (q_roc_auc, SQL_ROC_AUC),
+    "source_overlap": (q_source_overlap, SQL_SOURCE_OVERLAP),
     "dynamic_pruning": (q_dynamic_pruning, SQL_DYNAMIC_PRUNING),
     "stratified_kfold": (q_stratified_kfold, SQL_STRATIFIED_KFOLD),
     "topk_movers": (q_topk_movers, SQL_TOPK_MOVERS),

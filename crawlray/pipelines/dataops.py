@@ -1647,6 +1647,58 @@ FROM s GROUP BY 1
 SQL_LANG_ID = _lang_id_oracle_sql()
 
 
+
+def _lang_confusion_oracle_sql() -> str:
+    """lang_id's generated oracle with the TRUE lang carried through, so
+    the confusion-matrix query shares the exact same per-doc predictor
+    expression (one stopword table, zero drift)."""
+    from ..functions.textstats import _STOPWORDS
+
+    langs = sorted(_STOPWORDS)
+    score_cols = []
+    for lang in langs:
+        terms = " + ".join(
+            f"CASE WHEN regexp_matches(lower(text), '(^|\\s){w}(\\s|$)') "
+            f"THEN 1 ELSE 0 END"
+            for w in sorted(_STOPWORDS[lang])
+        )
+        score_cols.append(f"({terms}) AS s_{lang}")
+    greatest = "GREATEST(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    case = [f"WHEN {greatest} = 0 THEN 'und'"]
+    case += [f"WHEN s_{lang} = {greatest} THEN '{lang}'" for lang in langs]
+    return f"""
+WITH s AS (SELECT lang, {', '.join(score_cols)} FROM documents)
+SELECT lang, CASE {' '.join(case)} END AS lang_pred,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM s GROUP BY 1, 2
+"""
+
+
+def q_lang_confusion(sf_dir: str):
+    """Language-ID confusion matrix: labeled lang vs predicted lang_id -
+    the accuracy audit that decides whether the heuristic is good enough
+    to gate a corpus (lang_id gives the marginals; this gives the error
+    structure). The predictor runs once per document block (vectorized
+    RE2 stopword containment, same kernel as the crawl gate); joint
+    counts fold as <=|langs|^2 per-block partials."""
+    ds = _docs(sf_dir, ["lang", "text"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        g = pa.table({
+            "lang": b["lang"],
+            "lang_pred": pa.array(lang_id(b["text"].to_pylist()),
+                                  type=pa.string()),
+        }).group_by(["lang", "lang_pred"]).aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "lang_pred", "n"])
+
+    return (ds.map_batches(fn, batch_format="pyarrow")
+            .groupby(["lang", "lang_pred"])
+            .aggregate(Sum("n", alias_name="n")))
+
+
+SQL_LANG_CONFUSION = _lang_confusion_oracle_sql()
+
+
 def q_fingerprint(sf_dir: str):
     """Rolling-hash document fingerprints (rows-only)."""
     ds = _docs(sf_dir, ["doc_id", "text"])
@@ -5839,6 +5891,7 @@ WHERE levenshtein(a.p_name, b.p_name) <= 4
 
 
 DATAOPS_QUERIES = {
+    "lang_confusion": (q_lang_confusion, SQL_LANG_CONFUSION),
     "feature_hashing": (q_feature_hashing, SQL_FEATURE_HASHING),
     "url_components": (q_url_components, SQL_URL_COMPONENTS),
     "md5_split": (q_md5_split, SQL_MD5_SPLIT),
