@@ -38,6 +38,20 @@ class CrawlConfig:
     # run records observed stamps as the next run's baseline (the
     # versions/ store).
     refetch_if_newer: bool = False
+    # Adaptive revisit scheduling (Cho & Garcia-Molina 2003, "Effective
+    # page refresh policies for web crawlers"): value = max revisit
+    # interval in RUNS (0 = off). When on, a refresh run ALSO re-admits
+    # stampless seen URLs whose revisit clock is due: every fetched URL
+    # starts at interval 1 (refetch next run); a revisit that comes back
+    # UNCHANGED (304 via the recorded validators) doubles the interval
+    # up to this cap, a changed one (200) resets it to 1 — so static
+    # pages back off exponentially while live pages stay fresh. The
+    # clock (url_hash -> [due_run, interval]) and the run's chain
+    # position (run_idx) ride the per-wave state commits; the next run
+    # folds them with this run's observed outcomes at chain time.
+    # Requires refetch_if_newer (the stamp rule stays the primary,
+    # cheaper signal; this covers the stampless remainder).
+    adaptive_revisit: int = 0
     # M2 host allow-policy (the reference crawls a CLOSED set of news
     # domains): when set, only exact-match hosts are ever fetched.
     # Cross-host links to other domains are still admitted to the seen
@@ -145,6 +159,11 @@ class CrawlConfig:
             raise ValueError(
                 "refetch_if_newer requires discover_feeds (the refresh "
                 "signal IS the feed/sitemap stamp)"
+            )
+        if self.adaptive_revisit and not self.refetch_if_newer:
+            raise ValueError(
+                "adaptive_revisit requires refetch_if_newer (it extends "
+                "the refresh admission to stampless URLs)"
             )
         if self.politeness_drift and self.schedule_mode != "wave_start":
             raise ValueError(

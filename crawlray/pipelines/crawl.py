@@ -107,6 +107,9 @@ def _partial_dedup(t: pa.Table) -> pa.Table:
         ["url_hash"] + _DEDUP_COLS + ["seen_only", "lastmod_us"])
 
 
+_NEVER_DUE = 1 << 62
+
+
 def load_versions(run_dir: str, base: dict | None = None) -> dict[int, int]:
     """Max-merge every committed version fragment of a run
     (``versions/wave=*/group-*.parquet``, written by the frontier-build
@@ -235,6 +238,12 @@ class CrawlRun:
         # fragments post-wave; a refresh run starts from the prior
         # run's merged store)
         self.validators: dict[int, tuple] = {}
+        # adaptive-revisit clock (cfg.adaptive_revisit): url_hash ->
+        # [due_run, interval]; folded from the PRIOR run's outcomes at
+        # load_prior_state, spent entries parked at _NEVER_DUE once they
+        # reach a frontier (the interval must survive for the next fold)
+        self.revisit: dict[int, list] = {}
+        self.run_idx: int = 0
 
     # ---------------------------------------------------------- paths
     def _p(self, *parts) -> str:
@@ -268,9 +277,17 @@ class CrawlRun:
             self.versions = dict(prior["versions"])
             self.prior_hosts = set(prior["hosts"])
             self.validators = dict(prior.get("validators", {}))
+            self.revisit = {int(h): list(v)
+                            for h, v in prior.get("revisit", {}).items()}
+            self.run_idx = int(prior.get("run_idx", 0))
         else:
             self.shards = make_shards(self.cfg.seen_shards, self.cfg.seen_capacity)
-        frontier0 = admit_seeds(seed_urls, self.robots, self.shards, self.cfg)
+        frontier0 = admit_seeds(
+            seed_urls, self.robots, self.shards, self.cfg,
+            revisit_due=({h: v[0] for h, v in self.revisit.items()}
+                         if self.cfg.adaptive_revisit and self.revisit
+                         else None),
+            run_idx=self.run_idx)
         fdir = self._p("frontier", "wave=0")
         os.makedirs(fdir, exist_ok=True)
         if frontier0 is not None:
@@ -291,6 +308,9 @@ class CrawlRun:
             self.budgets = dict(zip(hosts.tolist(), counts.tolist()))
             self.wave_counts = dict(self.budgets)
             self.hot_hosts = self._detect_hot(self.wave_counts)
+            if self.cfg.adaptive_revisit and self.revisit:
+                self._spend_revisit(
+                    frontier0["url_hash"].to_numpy(zero_copy_only=False))
         self._commit(-1)
 
     def resume(self) -> int:
@@ -310,6 +330,9 @@ class CrawlRun:
         self.pending_disco = list(state.get("pending_disco", []))
         self.drift_ms = dict(state.get("drift_ms", {}))
         self.prior_hosts = set(state.get("prior_hosts", []))
+        self.revisit = {int(h): list(v)
+                        for h, v in state.get("revisit", {}).items()}
+        self.run_idx = int(state.get("run_idx", 0))
         snapdir = self._p("seen", f"wave={last}")
         snaps = []
         for i in range(self.cfg.seen_shards):
@@ -341,7 +364,15 @@ class CrawlRun:
              "disco_done": sorted(self.disco_done),
              "pending_disco": list(self.pending_disco),
              "drift_ms": self.drift_ms,
-             "prior_hosts": sorted(self.prior_hosts)},
+             "prior_hosts": sorted(self.prior_hosts),
+             "revisit": {str(h): v for h, v in self.revisit.items()},
+             "run_idx": self.run_idx,
+             # response-validator baseline (url_hash -> [etag, lm_us]):
+             # persisted so a page skipped for a WHOLE run (adaptive
+             # backoff) keeps its conditional-refetch baseline — the
+             # per-wave fragments only cover pages fetched THIS run
+             "validators": {str(h): [e, lm] for h, (e, lm)
+                            in self.validators.items()}},
         )
         snapdir = self._p("seen", f"wave={wave}")
         os.makedirs(snapdir, exist_ok=True)
@@ -513,6 +544,15 @@ class CrawlRun:
              "input_refs": refs}
         )
 
+    def _spend_revisit(self, hashes) -> None:
+        """Park the revisit entry of every url_hash that reached a
+        frontier at _NEVER_DUE: the url revisits at most once per run,
+        but its interval SURVIVES for the next run's doubling fold."""
+        for h in hashes:
+            e = self.revisit.get(int(h))
+            if e is not None:
+                e[0] = _NEVER_DUE
+
     def run_wave(self, wave: int) -> dict:
         cfg = self.cfg
         fdir = self._p("frontier", f"wave={wave}")
@@ -546,6 +586,8 @@ class CrawlRun:
         validators_ref = (ray.put(dict(self.validators))
                           if cfg.refetch_if_newer and self.validators
                           else None)
+        revisit_ref = (ray.put({h: v[0] for h, v in self.revisit.items()})
+                       if cfg.adaptive_revisit and self.revisit else None)
         ncpu = int(ray.cluster_resources().get("CPU", 8))
         cands = (self._page_candidates(wave, fdir, pages_dir, n_front, ncpu,
                                        validators_ref)
@@ -563,7 +605,7 @@ class CrawlRun:
             return {"wave": wave, "frontier": 0, "next": 0}
         return self._admit_and_commit(wave, cands, fdir, pages_dir, n_front,
                                       budget_ref, versions_dir, versions_ref,
-                                      t0)
+                                      revisit_ref, t0)
 
     def _page_candidates(self, wave: int, fdir: str, pages_dir: str,
                          n_front: int, ncpu: int, validators_ref=None):
@@ -662,7 +704,7 @@ class CrawlRun:
 
     def _admit_and_commit(self, wave: int, cands, fdir: str, pages_dir: str,
                           n_front: int, budget_ref, versions_dir,
-                          versions_ref, t0: float) -> dict:
+                          versions_ref, revisit_ref, t0: float) -> dict:
         """The wave's ONE admission shuffle over the unioned candidate
         stream (links ∪ feeds ∪ redirect marks), frontier write, version
         merge, budgets fold and commit."""
@@ -690,7 +732,9 @@ class CrawlRun:
                            "max_depth": cfg.max_depth,
                            "allowed_hosts": cfg.allowed_hosts,
                            "versions_dir": versions_dir,
-                           "versions_ref": versions_ref},
+                           "versions_ref": versions_ref,
+                           "revisit_ref": revisit_ref,
+                           "run_idx": self.run_idx},
                 concurrency=max(2, cfg.n_parts),
                 num_cpus=cfg.seq_num_cpus,
             )
@@ -718,13 +762,24 @@ class CrawlRun:
                            "stats": self.stats,
                            "allowed_hosts": cfg.allowed_hosts,
                            "versions_dir": versions_dir,
-                           "versions_ref": versions_ref},
+                           "versions_ref": versions_ref,
+                           "revisit_ref": revisit_ref,
+                           "run_idx": self.run_idx},
                 concurrency=max(2, cfg.n_parts),
                 num_cpus=cfg.seq_num_cpus,
             )
         next_dir = self._p("frontier", f"wave={wave + 1}")
         seqed.write_parquet(next_dir,
                             max_rows_per_file=cfg.frontier_rows_per_file)
+        if revisit_ref is not None and os.path.isdir(next_dir):
+            import pyarrow.parquet as pq
+
+            for f in sorted(os.listdir(next_dir)):
+                if f.endswith(".parquet"):
+                    self._spend_revisit(
+                        pq.read_table(os.path.join(next_dir, f),
+                                      columns=["url_hash"])["url_hash"]
+                        .to_numpy(zero_copy_only=False))
         if os.environ.get("CRAWLRAY_STATS"):
             sdir = self._p("stats")
             os.makedirs(sdir, exist_ok=True)
@@ -831,10 +886,51 @@ class CrawlRun:
             )
 
 
+def _fold_revisit(prior_run_dir: str, state: dict, cap: int) -> dict:
+    """Adaptive-revisit fold at chain time: the prior run's parked store
+    (url_hash -> [due, interval]) updated with its observed fetch
+    OUTCOMES — a 304 (revalidated unchanged) DOUBLES the url's interval
+    up to ``cap``, a 200 resets it to 1; either way the new due run is
+    prior_run_idx + interval. Outcomes come from the prior run's pages
+    fragments with only (url_hash, status) columns read — parquet column
+    pruning keeps this a metadata-scale scan. Store size is bounded by
+    urls ever fetched on the chain (the version-dict scaling class; the
+    same part-sharding escape hatch applies past one broadcast)."""
+    import pyarrow.parquet as pq
+
+    store = {int(h): [int(v[0]), int(v[1])]
+             for h, v in state.get("revisit", {}).items()}
+    p_idx = int(state.get("run_idx", 0))
+    proot = os.path.join(prior_run_dir, "pages")
+    outcomes: dict[int, bool] = {}   # url_hash -> changed
+    if os.path.isdir(proot):
+        for d in sorted(os.listdir(proot)):
+            wdir = os.path.join(proot, d)
+            if not (d.startswith("wave=") and os.path.isdir(wdir)):
+                continue
+            for f in sorted(os.listdir(wdir)):
+                if not f.endswith(".parquet"):
+                    continue
+                t = pq.read_table(os.path.join(wdir, f),
+                                  columns=["url_hash", "status"])
+                for h, st in zip(t["url_hash"].to_pylist(),
+                                 t["status"].to_pylist()):
+                    if st == 200:
+                        outcomes[int(h)] = True
+                    elif st == 304 and int(h) not in outcomes:
+                        outcomes[int(h)] = False
+    for h, changed in outcomes.items():
+        prev_iv = store.get(h, (0, 1))[1]
+        iv = 1 if changed else min(prev_iv * 2, cap)
+        store[h] = [p_idx + iv, iv]
+    return store
+
+
 def load_prior_state(prior_run_dir: str, cfg: CrawlConfig) -> dict:
     """State a refresh run chains from: the prior completed run's seen
-    snapshots, version store, and host list (feeds re-probed). Shard
-    count must match — snapshots are shard-aligned."""
+    snapshots, version store, host list (feeds re-probed), and — with
+    cfg.adaptive_revisit — the folded revisit clock + chain position.
+    Shard count must match — snapshots are shard-aligned."""
     with open(os.path.join(prior_run_dir, "manifest.json")) as f:
         last = json.load(f)["last_wave"]
     with open(os.path.join(prior_run_dir, "state", f"wave={last}.json")) as f:
@@ -844,11 +940,18 @@ def load_prior_state(prior_run_dir: str, cfg: CrawlConfig) -> dict:
     for i in range(cfg.seen_shards):
         with open(os.path.join(snapdir, f"shard-{i}.bin"), "rb") as f:
             snaps.append(f.read())
+    base_validators = {int(h): (v[0], int(v[1]))
+                       for h, v in state.get("validators", {}).items()}
     return {
         "snaps": snaps,
         "versions": load_versions(prior_run_dir),
-        "validators": load_validators(prior_run_dir),
+        "validators": load_validators(prior_run_dir,
+                                      base=base_validators),
         "hosts": set(state["budgets"]) | set(state.get("prior_hosts", [])),
+        "revisit": (_fold_revisit(prior_run_dir, state,
+                                  int(cfg.adaptive_revisit))
+                    if cfg.adaptive_revisit else {}),
+        "run_idx": int(state.get("run_idx", 0)) + 1,
     }
 
 

@@ -293,24 +293,47 @@ def fold_versions(df: pd.DataFrame, versions_dir, group_id: int) -> None:
     os.replace(tmp, frag)
 
 
+_NEVER_DUE = 1 << 62
+
+
 def refetch_overrides(df: pd.DataFrame, novel: np.ndarray,
-                      versions: dict | None) -> np.ndarray:
+                      versions: dict | None,
+                      revisit_due: dict | None = None,
+                      run_idx: int = 0) -> np.ndarray:
     """Refresh admission (config.refetch_if_newer): a non-novel URL whose
     wave-max feed stamp is STRICTLY newer than its recorded version is
     re-admitted. URLs with no recorded baseline never refetch (their
     "last fetch" stamp is unknowable); the observation itself becomes the
-    baseline for the next run (fold_versions)."""
-    if versions is None:
+    baseline for the next run (fold_versions).
+
+    Adaptive-revisit admission (config.adaptive_revisit): independently,
+    a non-novel URL whose revisit clock is DUE (url_hash -> due_run,
+    due_run <= run_idx) re-admits — the stampless-page refresh channel.
+    The driver removes a hash from the broadcast store once it reaches a
+    frontier, so a URL revisits at most once per run."""
+    if versions is None and revisit_due is None:
         return novel
-    lm = df["lastmod_us"].to_numpy()
-    uh = df["url_hash"].to_numpy()
-    # dict lookup row-wise (NOT Series.map + fillna: missing keys would
-    # round the int64 hashes through float64). Rows with no stamp skip
-    # the lookup entirely — the common case costs nothing.
-    recorded = np.full(len(uh), _NO_VERSION, dtype=np.int64)
-    for i in np.flatnonzero(lm >= 0):
-        recorded[i] = versions.get(int(uh[i]), _NO_VERSION)
-    return novel | ((~novel) & (lm > recorded))
+    out = novel
+    if versions is not None:
+        lm = df["lastmod_us"].to_numpy()
+        uh = df["url_hash"].to_numpy()
+        # dict lookup row-wise (NOT Series.map + fillna: missing keys
+        # would round the int64 hashes through float64). Rows with no
+        # stamp skip the lookup entirely — the common case costs nothing.
+        recorded = np.full(len(uh), _NO_VERSION, dtype=np.int64)
+        for i in np.flatnonzero(lm >= 0):
+            recorded[i] = versions.get(int(uh[i]), _NO_VERSION)
+        out = out | ((~novel) & (lm > recorded))
+    if revisit_due is not None:
+        uh = df["url_hash"].to_numpy()
+        due = np.zeros(len(uh), dtype=bool)
+        # only seen rows can be due; the store is bounded by urls ever
+        # fetched on this chain (same scaling class as the version dict)
+        for i in np.flatnonzero(~novel):
+            if revisit_due.get(int(uh[i]), _NEVER_DUE) <= run_idx:
+                due[i] = True
+        out = out | due
+    return out
 
 
 def apply_force(df: pd.DataFrame, mask: np.ndarray) -> np.ndarray:
@@ -373,7 +396,8 @@ class PartFrontierBuilder:
 
     def __init__(self, shards, robots_ref, budget_ref, cap: int, wave: int,
                  max_depth: int, stats=None, allowed_hosts=None,
-                 versions_dir=None, versions_ref=None):
+                 versions_dir=None, versions_ref=None,
+                 revisit_ref=None, run_idx: int = 0):
         from ..state.seen import novelty_mask
 
         self._novelty = novelty_mask
@@ -389,6 +413,11 @@ class PartFrontierBuilder:
         # PREVIOUS wave — None unless refetch_if_newer is on
         self._versions = (ray.get(versions_ref)
                           if versions_ref is not None else None)
+        # adaptive-revisit due map (url_hash -> due_run) through the
+        # PREVIOUS wave — None unless adaptive_revisit is on
+        self._revisit = (ray.get(revisit_ref)
+                         if revisit_ref is not None else None)
+        self._run_idx = run_idx
         self._stats = stats
         self._delay_cache: dict[str, int] = {}
 
@@ -425,7 +454,8 @@ class PartFrontierBuilder:
         #    — plus refresh re-admission for strictly-newer feed stamps
         #    and the Retry-After force channel
         mask = self._novelty(self._shards, df["url_hash"].to_numpy().astype(np.int64))
-        mask = refetch_overrides(df, mask, self._versions)
+        mask = refetch_overrides(df, mask, self._versions,
+                                 self._revisit, self._run_idx)
         mask = apply_force(df, mask)
         df = df[mask].reset_index(drop=True)
         # 3. policy gate (shared predicates: depth/binary/len/robots/
@@ -491,7 +521,8 @@ class DedupNoveltyPolicy:
     the fused single-shuffle path (asserted in tests)."""
 
     def __init__(self, shards, robots_ref, max_depth: int,
-                 allowed_hosts=None, versions_dir=None, versions_ref=None):
+                 allowed_hosts=None, versions_dir=None, versions_ref=None,
+                 revisit_ref=None, run_idx: int = 0):
         from ..state.seen import novelty_mask
 
         self._novelty = novelty_mask
@@ -502,6 +533,9 @@ class DedupNoveltyPolicy:
         self._versions_dir = versions_dir
         self._versions = (ray.get(versions_ref)
                           if versions_ref is not None else None)
+        self._revisit = (ray.get(revisit_ref)
+                         if revisit_ref is not None else None)
+        self._run_idx = run_idx
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         # redirect-final marks first (salt = url_hash % m keeps a url's
@@ -517,7 +551,8 @@ class DedupNoveltyPolicy:
         df = df.sort_values("srckey64", kind="mergesort", ignore_index=True)
         df = df.drop_duplicates("url_hash", keep="first", ignore_index=True)
         mask = self._novelty(self._shards, df["url_hash"].to_numpy().astype(np.int64))
-        mask = refetch_overrides(df, mask, self._versions)
+        mask = refetch_overrides(df, mask, self._versions,
+                                 self._revisit, self._run_idx)
         mask = apply_force(df, mask)
         df = df[mask].reset_index(drop=True)
         ok = policy_mask(df, self._robots, self._max_depth, self._allowed)
@@ -527,10 +562,14 @@ class DedupNoveltyPolicy:
         return df.drop(columns=drop).reset_index(drop=True)
 
 
-def admit_seeds(seed_urls: list[str], robots, shards, cfg: CrawlConfig) -> pa.Table:
+def admit_seeds(seed_urls: list[str], robots, shards, cfg: CrawlConfig,
+                revisit_due: dict | None = None,
+                run_idx: int = 0) -> pa.Table:
     """Wave-0 admission on the driver (seeds are tiny): canonicalize,
     first-occurrence dedup, seen-mark, policy filter, per-part seq —
-    byte-identical semantics to the oracle's wave 0."""
+    byte-identical semantics to the oracle's wave 0. ``revisit_due``:
+    adaptive-revisit admission for seen seeds whose clock is due (same
+    rule as refetch_overrides)."""
     from ..functions.canon import canonicalize, host_of, is_crawlable
     from ..functions.murmur3 import hash64s
     from ..pipelines.config import part_of
@@ -547,7 +586,9 @@ def admit_seeds(seed_urls: list[str], robots, shards, cfg: CrawlConfig) -> pa.Ta
     rows = []
     allowed = set(cfg.allowed_hosts) if cfg.allowed_hosts else None
     for u, h, isnew in zip(urls, hashes, new):
-        if (not isnew or not is_crawlable(u, allowed_hosts=allowed)
+        due = (revisit_due is not None
+               and revisit_due.get(int(h), _NEVER_DUE) <= run_idx)
+        if (not (isnew or due) or not is_crawlable(u, allowed_hosts=allowed)
                 or not robots.allowed(u)):
             continue
         host = host_of(u)
@@ -586,7 +627,8 @@ def admit_seeds(seed_urls: list[str], robots, shards, cfg: CrawlConfig) -> pa.Ta
 def build_part_frontier(df: pd.DataFrame, *, shards, robots_ref, budget_ref,
                         cap: int, wave: int, max_depth: int, stats=None,
                         allowed_hosts=None, versions_dir=None,
-                        versions_ref=None) -> pd.DataFrame:
+                        versions_ref=None, revisit_ref=None,
+                        run_idx: int = 0) -> pd.DataFrame:
     """Task-based form of PartFrontierBuilder (see taskstate.py).
     ``budget_ref`` is a fresh per-wave ray.put and ``robots_ref`` a
     fresh per-run one, so the key scopes the memoized instance exactly;
@@ -594,31 +636,35 @@ def build_part_frontier(df: pd.DataFrame, *, shards, robots_ref, budget_ref,
     from .taskstate import instance
 
     key = (robots_ref, budget_ref, wave, cap, max_depth,
-           versions_dir, versions_ref,
+           versions_dir, versions_ref, revisit_ref, run_idx,
            tuple(sorted(allowed_hosts)) if allowed_hosts else None)
     b = instance("PartFrontierBuilder", key,
                  lambda: PartFrontierBuilder(
                      shards, robots_ref, budget_ref, cap, wave, max_depth,
                      stats=stats, allowed_hosts=allowed_hosts,
-                     versions_dir=versions_dir, versions_ref=versions_ref))
+                     versions_dir=versions_dir, versions_ref=versions_ref,
+                     revisit_ref=revisit_ref, run_idx=run_idx))
     return b(df)
 
 
 def dedup_novelty_policy(df: pd.DataFrame, *, shards, robots_ref,
                          max_depth: int, allowed_hosts=None,
-                         versions_dir=None, versions_ref=None
+                         versions_dir=None, versions_ref=None,
+                         revisit_ref=None, run_idx: int = 0
                          ) -> pd.DataFrame:
     """Task-based form of DedupNoveltyPolicy (salted stage 1)."""
     from .taskstate import instance
 
     key = (robots_ref, max_depth, versions_dir, versions_ref,
+           revisit_ref, run_idx,
            tuple(sorted(allowed_hosts)) if allowed_hosts else None)
     d = instance("DedupNoveltyPolicy", key,
                  lambda: DedupNoveltyPolicy(
                      shards, robots_ref, max_depth,
                      allowed_hosts=allowed_hosts,
                      versions_dir=versions_dir,
-                     versions_ref=versions_ref))
+                     versions_ref=versions_ref,
+                     revisit_ref=revisit_ref, run_idx=run_idx))
     return d(df)
 
 

@@ -53,6 +53,9 @@ class OracleResult:
     resp_validators: dict = field(default_factory=dict)
     # <link rel=canonical>, resolved against the final URL
     canonicals: dict = field(default_factory=dict)
+    # adaptive revisit clock: url_canon -> [due_run, interval]
+    revisit: dict = field(default_factory=dict)
+    run_idx: int = 0
 
 
 def crawl_oracle(seed_urls, robots: RobotsPolicy, pages_index: dict,
@@ -76,12 +79,31 @@ def crawl_oracle(seed_urls, robots: RobotsPolicy, pages_index: dict,
     res = OracleResult()
     host_pages: dict[str, int] = {}  # admitted per host (cap budget)
     refetch_on = bool(getattr(cfg, "refetch_if_newer", False))
+    adaptive = int(getattr(cfg, "adaptive_revisit", 0) or 0)
+    NEVER_DUE = 1 << 62
     prior_hosts: set[str] = set()
     if prior is not None:
         res.seen = set(prior.seen)
         res.versions = dict(prior.versions)
         prior_hosts = set(prior.hosts)
         res.resp_validators = dict(prior.resp_validators)
+        res.run_idx = prior.run_idx + 1
+        if adaptive:
+            # engine mirror (_fold_revisit): the prior run's parked store
+            # updated with its fetch outcomes — 304 doubles the interval
+            # up to the cap, 200 resets to 1; due = prior_run_idx + iv
+            res.revisit = {u: list(v) for u, v in prior.revisit.items()}
+            outcomes: dict[str, bool] = {}
+            for r in prior.fetch_log:
+                if r["status"] == 200:
+                    outcomes[r["url_canon"]] = True
+                elif (r["status"] == 304
+                      and r["url_canon"] not in outcomes):
+                    outcomes[r["url_canon"]] = False
+            for u, changed in outcomes.items():
+                prev_iv = res.revisit.get(u, (0, 1))[1]
+                iv = 1 if changed else min(prev_iv * 2, adaptive)
+                res.revisit[u] = [prior.run_idx + iv, iv]
     # M2 host allowlist (engine: policy_mask / admit_seeds): off-list
     # urls are seen-marked but never fetched
     allowed_set = (set(cfg.allowed_hosts)
@@ -144,10 +166,15 @@ def crawl_oracle(seed_urls, robots: RobotsPolicy, pages_index: dict,
                 # refresh re-admission: strictly-newer stamp than the
                 # RECORDED version (urls without a baseline never
                 # refetch). ``forced``: Retry-After retries bypass the
-                # seen check (engine: seen_only=2 force channel)
+                # seen check (engine: seen_only=2 force channel).
+                # Adaptive revisit: a DUE clock re-admits too (engine:
+                # refetch_overrides' revisit channel)
                 if not (refetch_on and url in res.versions
                         and stamps.get(url, -1) > res.versions[url]):
-                    continue
+                    if not (adaptive
+                            and res.revisit.get(url, (NEVER_DUE,))[0]
+                            <= res.run_idx):
+                        continue
             res.seen.add(url)
             key, depth = best[url]
             if (depth > cfg.max_depth
@@ -173,6 +200,11 @@ def crawl_oracle(seed_urls, robots: RobotsPolicy, pages_index: dict,
         for r in rows:
             r["seq"] = seq_in_part.get(r["part"], 0)
             seq_in_part[r["part"]] = r["seq"] + 1
+            # engine mirror (_spend_revisit): a url that reaches a
+            # frontier revisits at most once per run — park the entry,
+            # keep the interval for the next run's fold
+            if adaptive and r["url_canon"] in res.revisit:
+                res.revisit[r["url_canon"]][0] = NEVER_DUE
         return rows
 
     def discover(doc_urls, pending_next):
