@@ -2154,6 +2154,93 @@ def q_crawl_refresh_mini(sf_dir: str):
     return pa.Table.from_pylist(rows)
 
 
+def q_crawl_adaptive_mini(sf_dir: str):
+    """Adaptive-revisit demo (rows-only): a 3-run chain over a site with
+    ETag validators and a stampless sitemap — /live changes every run,
+    /static never does. Run 2 revisits everything (interval 1): the
+    unchanged pages revalidate as 304s and DOUBLE their interval; run 3
+    fetches ONLY /live (the backed-off pages are not due). The result
+    lists (run, url, status) per fetch — the exponential-backoff
+    schedule made visible. Full engine≡oracle parity lives in
+    tests/test_adaptive_revisit.py."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from ..pipelines.config import CrawlConfig
+    from ..pipelines.crawl import run_crawl
+
+    host = "adaptive-demo.nl"
+
+    def html(links, marker):
+        body = "".join(f'<a href="{u}">l</a>' for u in links)
+        return (f"<html><head><title>{marker}</title></head><body>"
+                f"<p>tekst {marker}.</p>{body}</body></html>").encode()
+
+    def sitemap(paths):
+        rows = "".join(f"<url><loc>https://{host}{p}</loc></url>"
+                       for p in paths)
+        return (f"<?xml version='1.0'?><urlset "
+                f"xmlns='http://www.sitemaps.org/schemas/sitemap/0.9'>"
+                f"{rows}</urlset>").encode()
+
+    def web(version):
+        urls = [f"https://{host}/", f"https://{host}/sitemap.xml",
+                f"https://{host}/static", f"https://{host}/live"]
+        bodies = [html(["/static", "/live"], "root-v1"),
+                  sitemap(["/static", "/live"]),
+                  html([], "static-v1"), html([], f"live-v{version}")]
+        etags = ["e-root-v1", None, "e-static-v1", f"e-live-v{version}"]
+        n = len(urls)
+        return pa.table({
+            "url": urls, "host": [host] * n,
+            "status": pa.array([200] * n, type=pa.int16()),
+            "content_type": ["text/html", "application/xml",
+                             "text/html", "text/html"],
+            "html": pa.array(bodies, type=pa.large_binary()),
+            "latency_ms": pa.array([10.0] * n, type=pa.float32()),
+            "etag": etags,
+            "last_modified_us": pa.array([-1] * n, type=pa.int64()),
+        })
+
+    scratch = f"/tmp/crawlray_adaptive_demo_{os.getpid()}"
+    os.makedirs(scratch, exist_ok=True)
+    robots_t = pa.table({"host": [host], "allow": [[]], "deny": [[]],
+                         "crawl_delay_ms": pa.array([10], type=pa.int32())})
+
+    def cfg(pages_path):
+        return CrawlConfig(
+            n_parts=2, seen_shards=2, max_depth=3, max_waves=4,
+            refetch_if_newer=True, adaptive_revisit=4,
+            fetch_concurrency=(1, 2), parse_concurrency=(1, 2),
+            transport={"kind": "sim", "pages_path": pages_path},
+        )
+
+    seeds = [f"https://{host}/"]
+    rows = []
+    prior = None
+    for i in (1, 2, 3):
+        pth = os.path.join(scratch, f"v{i}.parquet")
+        pq.write_table(web(i), pth)
+        rdir = os.path.join(scratch, f"run{i}")
+        run_crawl(rdir, seeds, robots_t, cfg(pth), prior_run_dir=prior)
+        pages_dir = os.path.join(rdir, "pages")
+        if os.path.isdir(pages_dir) and any(
+                f.endswith(".parquet")
+                for d in os.listdir(pages_dir)
+                for f in os.listdir(os.path.join(pages_dir, d))):
+            pages = rd.read_parquet(pages_dir,
+                                    columns=["url_canon", "status"])
+            for r in sorted(pages.take_all(),
+                            key=lambda r: r["url_canon"]):
+                rows.append({"run": f"run{i}", "url_canon": r["url_canon"],
+                             "status": int(r["status"])})
+        prior = rdir
+    shutil.rmtree(scratch, ignore_errors=True)
+    return pa.Table.from_pylist(rows)
+
+
+
 # =====================================================================
 # registry: name -> (ray_fn, sql_or_None)
 # =====================================================================
@@ -5892,6 +5979,7 @@ WHERE levenshtein(a.p_name, b.p_name) <= 4
 
 DATAOPS_QUERIES = {
     "lang_confusion": (q_lang_confusion, SQL_LANG_CONFUSION),
+    "crawl_adaptive_mini": (q_crawl_adaptive_mini, None),
     "feature_hashing": (q_feature_hashing, SQL_FEATURE_HASHING),
     "url_components": (q_url_components, SQL_URL_COMPONENTS),
     "md5_split": (q_md5_split, SQL_MD5_SPLIT),

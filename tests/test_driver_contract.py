@@ -102,7 +102,8 @@ def test_oracled_query(ray_session, name):
 @pytest.mark.parametrize(
     "name",
     [n for n in _ROWS_ONLY
-     if n not in ("crawl_mini", "crawl_feeds_mini", "crawl_refresh_mini")],
+     if n not in ("crawl_mini", "crawl_feeds_mini", "crawl_refresh_mini",
+                  "crawl_adaptive_mini")],
 )
 def test_rows_only_query_runs(ray_session, name):
     fn, _ = _REG[name]
@@ -132,6 +133,17 @@ def test_crawl_feeds_mini_query(ray_session):
     assert df.get("sitemap_only", 0) > 0
     assert df.get("feed_only", 0) > 0
     assert df.get("linked", 0) > 10
+
+
+def test_crawl_adaptive_mini_query(ray_session):
+    fn, _ = _REG["crawl_adaptive_mini"]
+    df = _to_pandas(fn(SF_DIR))
+    run3 = df[df["run"] == "run3"]
+    # backed-off pages (304'd in run2 -> interval 2) are NOT due in run3
+    assert set(run3["url_canon"]) == {"https://adaptive-demo.nl/live"}
+    run2 = df[df["run"] == "run2"].set_index("url_canon")["status"]
+    assert run2["https://adaptive-demo.nl/static"] == 304
+    assert run2["https://adaptive-demo.nl/live"] == 200
 
 
 def test_crawl_refresh_mini_query(ray_session):
