@@ -8507,7 +8507,162 @@ JOIN sz sb ON sb.source = ix.src_b
 """
 
 
+# =====================================================================
+# Kendall's tau-b, exact, via the bounded-category formulation
+# =====================================================================
+
+_KT_K = 24  # hour-of-day categories
+
+
+def q_kendall_tau(sf_dir: str):
+    """Kendall's tau-b between hour-of-day and event value - the
+    tie-robust ordinal association next to spearman_corr (rank-based)
+    and corr_stats (linear). The O(n^2) pair space never exists on
+    EITHER side: with x bounded (24 hours), concordant-minus-discordant
+    reduces to per-(y, x-vector) cumulative counts, and every product
+    stays an exact integer until ONE division.
+
+    Scale plan: per-block (value-cent, hour) partials pivot to 24-column
+    vector rows and fold in ONE y-key groupby (one row per distinct
+    cent); after the range sort each block computes its matrix
+    contribution with numpy cumsums ALONE - the global per-x offsets
+    enter LINEARLY (via the block's suffix-weight vector W), and the
+    tot-dependent discordant term separates into a driver-side
+    colsum x Tlt product, so a single <=#blocks driver fold finishes
+    exactly (the mann_whitney offset trick, generalized to a 24-vector).
+    Products approach n^2: partials accumulate as python ints and ride
+    hi/lo int64 pairs. Pinned against an O(n^2) numpy brute force in
+    tests (the oracle's ASOF formulation is derived independently)."""
+    ds = _t(sf_dir, "events", ["ts", "value"])
+    k = _KT_K
+
+    def prep(b: pa.Table) -> pa.Table:
+        vc = _cents(b["value"]).to_numpy(zero_copy_only=False)
+        hr = pc.hour(b["ts"]).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        key = vc * k + hr
+        uk, cnt = np.unique(key, return_counts=True)
+        y = uk // k
+        x = uk % k
+        uy, inv = np.unique(y, return_inverse=True)
+        m = np.zeros((len(uy), k), np.int64)
+        np.add.at(m, (inv, x), cnt)
+        cols = {"y": pa.array(uy)}
+        for i in range(k):
+            cols[f"c{i}"] = pa.array(m[:, i])
+        return pa.table(cols)
+
+    rows = (ds.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("y")
+            .aggregate(*[Sum(f"c{i}", alias_name=f"c{i}")
+                         for i in range(k)])
+            .sort("y"))
+
+    def block_part(b: pa.Table) -> pa.Table:
+        cols = (["first_y", "lt_hi", "lt_lo", "gta_hi", "gta_lo",
+                 "tie_hi", "tie_lo"]
+                + [f"s{i}" for i in range(k)] + [f"w{i}" for i in range(k)])
+        if b.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        m = np.stack([b[f"c{i}"].to_numpy(zero_copy_only=False)
+                      for i in range(k)], axis=1).astype(object)
+        incl = np.cumsum(m, axis=0)
+        pre = incl - m
+        plt_excl = np.cumsum(pre, axis=1) - pre       # sum over xa < xb
+        lt = int((m * plt_excl).sum())
+        aft_excl = np.cumsum(incl, axis=1) - incl
+        gta = int((m * aft_excl).sum())
+        colsum = m.sum(axis=0)
+        rev = colsum[::-1]
+        w = (np.cumsum(rev) - rev)[::-1]              # sum over xb > a
+        rowsum = m.sum(axis=1)
+        tie = int((rowsum * (rowsum - 1) // 2).sum())
+        lt_hi, lt_lo = _hi_lo(lt)
+        gta_hi, gta_lo = _hi_lo(gta)
+        tie_hi, tie_lo = _hi_lo(tie)
+        vals = ([int(b["y"][0].as_py()), lt_hi, lt_lo, gta_hi, gta_lo,
+                 tie_hi, tie_lo]
+                + [int(v) for v in colsum] + [int(v) for v in w])
+        return pa.table({c: pa.array([v], pa.int64())
+                         for c, v in zip(cols, vals)})
+
+    parts = sorted(
+        (dict(zip(b.column_names, row))
+         for b in rows.map_batches(block_part, batch_format="pyarrow")
+                      .iter_batches(batch_format="pyarrow")
+         for row in zip(*(b[c].to_pylist() for c in b.column_names))),
+        key=lambda r: r["first_y"])
+    off = [0] * k
+    lt = gta = tie_y = 0
+    for p in parts:
+        ow = sum(off[a] * p[f"w{a}"] for a in range(k))
+        lt += (p["lt_hi"] << 32) + p["lt_lo"] + ow
+        gta += (p["gta_hi"] << 32) + p["gta_lo"] + ow
+        tie_y += (p["tie_hi"] << 32) + p["tie_lo"]
+        for a in range(k):
+            off[a] += p[f"s{a}"]
+    tot = off
+    tlt = 0
+    gtb = 0
+    for b_ in range(k):
+        gtb += tot[b_] * tlt
+        tlt += tot[b_]
+    num = lt - (gtb - gta)                 # C - D
+    n = sum(tot)
+    n0 = n * (n - 1) // 2
+    n1 = sum(t * (t - 1) // 2 for t in tot)
+    n2 = tie_y
+    tau = float(num) / math.sqrt(float(n0 - n1) * float(n0 - n2))
+    return pa.table({"tau": pa.array([np.round(tau, 6)], pa.float64()),
+                     "n": pa.array([n], pa.int64()),
+                     "cd": pa.array([num], pa.int64())})
+
+
+SQL_KENDALL_TAU = """
+WITH v AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS y,
+         CAST(HOUR(ts) AS BIGINT) AS x
+  FROM events
+), cells AS (
+  SELECT y, x, CAST(COUNT(*) AS HUGEINT) AS n FROM v GROUP BY 1, 2
+), cum AS (
+  SELECT y, x, n,
+         SUM(n) OVER (PARTITION BY x ORDER BY y) AS cle
+  FROM cells
+), tot AS (
+  SELECT x, CAST(SUM(n) AS HUGEINT) AS t FROM cells GROUP BY 1
+), xp AS (
+  SELECT a.x AS xa, b.x AS xb FROM tot a JOIN tot b ON a.x < b.x
+), expanded AS (
+  SELECT c.y, c.x, c.n, xp.xa FROM cells c JOIN xp ON xp.xb = c.x
+), lt AS (
+  SELECT SUM(e.n * COALESCE(a.cle, 0)) AS lt
+  FROM expanded e ASOF LEFT JOIN cum a
+    ON a.x = e.xa AND a.y < e.y
+), gt AS (
+  SELECT SUM(e.n * (t.t - COALESCE(a.cle, 0))) AS gt
+  FROM expanded e
+  JOIN tot t ON t.x = e.xa
+  ASOF LEFT JOIN cum a ON a.x = e.xa AND a.y <= e.y
+), tn AS (
+  SELECT CAST(SUM(rs * (rs - 1) // 2) AS HUGEINT) AS n2,
+         CAST(SUM(rs) AS HUGEINT) AS n
+  FROM (SELECT SUM(n) AS rs FROM cells GROUP BY y)
+), tx AS (
+  SELECT CAST(SUM(t * (t - 1) // 2) AS HUGEINT) AS n1 FROM tot
+)
+SELECT ROUND(CAST(lt.lt - gt.gt AS DOUBLE)
+             / SQRT(CAST(tn.n * (tn.n - 1) // 2 - tx.n1 AS DOUBLE)
+                    * CAST(tn.n * (tn.n - 1) // 2 - tn.n2 AS DOUBLE)),
+             6) AS tau,
+       CAST(tn.n AS BIGINT) AS n,
+       CAST(lt.lt - gt.gt AS BIGINT) AS cd
+FROM lt, gt, tn, tx
+"""
+
+
 ANALYTICS_QUERIES = {
+    "kendall_tau": (q_kendall_tau, SQL_KENDALL_TAU),
     "roc_auc": (q_roc_auc, SQL_ROC_AUC),
     "source_overlap": (q_source_overlap, SQL_SOURCE_OVERLAP),
     "dynamic_pruning": (q_dynamic_pruning, SQL_DYNAMIC_PRUNING),

@@ -771,3 +771,35 @@ def test_spearman_seam_merge_under_heavy_ties(ray_session, tmp_path):
     want = con.sql(e.oracle_sql()["spearman_corr"]).df()
     assert got["n"].iloc[0] == want["n"].iloc[0] == n
     assert got["rho"].iloc[0] == want["rho"].iloc[0]
+
+
+def test_kendall_tau_matches_bruteforce(ray_session):
+    """kendall_tau's bounded-category formulation vs the O(n^2)
+    definition (sign-product over all pairs) on the sf0.001 events —
+    the algebra-independent pin (the DuckDB oracle shares the
+    cumulative identity; this one does not)."""
+    import collections
+    import math
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+
+    got = e.queries()["kendall_tau"]("/root/testdata/sf0.001").to_pandas()
+    t = pq.read_table("/root/testdata/sf0.001/events.parquet",
+                      columns=["ts", "value"])
+    y = pc.round(pc.multiply(t["value"], 100.0)).cast("int64") \
+        .to_numpy(zero_copy_only=False)
+    x = pc.hour(t["ts"]).cast("int64").to_numpy(zero_copy_only=False)
+    n = len(y)
+    sx = np.sign(x[:, None] - x[None, :])
+    sy = np.sign(y[:, None] - y[None, :])
+    cd = int((sx * sy)[np.triu_indices(n, 1)].sum())
+    n0 = n * (n - 1) // 2
+    n1 = sum(int(c) * (int(c) - 1) // 2 for c in np.bincount(x))
+    n2 = sum(c * (c - 1) // 2
+             for c in collections.Counter(y.tolist()).values())
+    tau = float(cd) / math.sqrt(float(n0 - n1) * float(n0 - n2))
+    assert int(got["cd"].iloc[0]) == cd
+    assert float(got["tau"].iloc[0]) == np.round(tau, 6)
