@@ -8661,7 +8661,102 @@ FROM lt, gt, tn, tx
 """
 
 
+# =====================================================================
+# clamped-at-zero running balance (Lindley recursion, vectorized)
+# =====================================================================
+
+def q_capped_running_total(sf_dir: str):
+    """Per-user running balance that cannot go below zero - the
+    inventory / wallet / token-bucket scan b_t = max(0, b_{t-1} + d_t).
+    The recursion LOOKS inherently sequential, but the Lindley identity
+    b_t = cs_t - min(0, min_{j<=t} cs_j) (cs = plain running sum) makes
+    it two associative scans - so the engine runs cumsum +
+    minimum.accumulate per user partition (fully vectorized, exact
+    int64 cents) and the oracle runs the SAME identity as two stacked
+    window functions, no recursive CTE. One user-hash exchange;
+    purchases credit, clicks debit."""
+    from .sizing import fold_parts
+
+    n_parts = fold_parts()
+    ds = _t(sf_dir, "events", ["event_id", "ts", "user_id", "event_type",
+                               "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b["event_type"],
+                        value_set=pa.array(["purchase", "click"]))
+        t = b.filter(keep)
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kp = (_splitmix64(uid).view(np.uint64)
+              % np.uint64(n_parts)).astype(np.int64)
+        vc = _cents(t["value"]).to_numpy(zero_copy_only=False)
+        sign = np.where(
+            pc.equal(t["event_type"], pa.scalar("purchase"))
+              .to_numpy(zero_copy_only=False), vc, -vc)
+        return pa.table({
+            "user_id": t["user_id"],
+            "ts_us": t["ts"].cast(pa.int64()),
+            "event_id": t["event_id"],
+            "d": pa.array(sign.astype(np.int64)),
+            "kp": pa.array(kp),
+        })
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        d = g["d"].to_numpy(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        u, dd, ee = uid[order], d[order], eid[order]
+        n = len(u)
+        cs = np.cumsum(dd)
+        # rebase the global cumsum to per-user segments (vectorized):
+        # base of segment k = cs just before its first row
+        starts = np.flatnonzero(np.concatenate(([True], u[1:] != u[:-1])))
+        base_vals = cs[starts] - dd[starts]
+        seg_len = np.diff(np.concatenate((starts, [n])))
+        cs = cs - np.repeat(base_vals, seg_len)
+        # segmented running min (the only per-segment pass; segments =
+        # users in this partition, each a contiguous slice)
+        bal = np.empty(n, np.int64)
+        for s, ln in zip(starts, seg_len):
+            seg = cs[s:s + ln]
+            bal[s:s + ln] = seg - np.minimum(
+                0, np.minimum.accumulate(seg))
+        return pd.DataFrame({
+            "user_id": u.astype(np.int64),
+            "event_id": ee.astype(np.int64),
+            "balance": (bal.astype(np.float64) / 100.0).round(6),
+        })
+
+    return (ds.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("kp").map_groups(scan, batch_format="pandas")
+            .select_columns(["user_id", "event_id", "balance"]))
+
+
+SQL_CAPPED_RUNNING_TOTAL = """
+WITH v AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(ROUND(value * 100) AS BIGINT)
+              ELSE -CAST(ROUND(value * 100) AS BIGINT) END AS d
+  FROM events WHERE event_type IN ('purchase', 'click')
+), cs AS (
+  SELECT user_id, event_id, t,
+         SUM(d) OVER (PARTITION BY user_id ORDER BY t, event_id) AS cs
+  FROM v
+)
+SELECT user_id, event_id,
+       ROUND(CAST(cs - LEAST(0, MIN(cs) OVER (
+                 PARTITION BY user_id ORDER BY t, event_id
+             )) AS DOUBLE) / 100.0, 6) AS balance
+FROM cs
+"""
+
+
 ANALYTICS_QUERIES = {
+    "capped_running_total": (q_capped_running_total,
+                             SQL_CAPPED_RUNNING_TOTAL),
     "kendall_tau": (q_kendall_tau, SQL_KENDALL_TAU),
     "roc_auc": (q_roc_auc, SQL_ROC_AUC),
     "source_overlap": (q_source_overlap, SQL_SOURCE_OVERLAP),
