@@ -8754,7 +8754,251 @@ FROM cs
 """
 
 
+# =====================================================================
+# quantile mapping (score -> percentile within a reference distribution)
+# =====================================================================
+
+def q_quantile_map(sf_dir: str):
+    """Map every purchase value to its percentile within the VIEW value
+    distribution - quantile mapping, the domain-adaptation /
+    score-calibration transform (its corpus twin: normalize one
+    source's quality scores against a reference source). The reference
+    CDF folds from bounded unique-cent counts (zero shuffle, the cent
+    domain is finite) and broadcasts as two sorted arrays; every
+    purchase block maps IN PLACE with one searchsorted - no join, no
+    row ever leaves its block. pct = count(view <= v)/n_views as ONE
+    exact-integer division per row, 6 dp."""
+    ds = _t(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def ref_partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["event_type"], pa.scalar("view")))
+        v, c = np.unique(_cents(t["value"]).to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({"vc": pa.array(v.astype(np.int64)),
+                         "n": pa.array(c.astype(np.int64))})
+
+    fold: dict[int, int] = {}
+    for b in ds.map_batches(ref_partial, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+               .iter_batches(batch_format="pyarrow"):
+        for v, c in zip(b["vc"].to_pylist(), b["n"].to_pylist()):
+            fold[v] = fold.get(v, 0) + c
+    keys = np.array(sorted(fold), dtype=np.int64)
+    cum = np.cumsum(np.array([fold[v] for v in keys], dtype=np.int64))
+    n_view = int(cum[-1]) if len(cum) else 0
+    ref = ray.put((keys, cum))
+
+    def map_pct(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["event_type"], pa.scalar("purchase")))
+        k, c = ray.get(ref)
+        vc = _cents(t["value"]).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(k, vc, side="right") - 1
+        le = np.where(idx >= 0, c[np.clip(idx, 0, None)], 0)
+        return pa.table({
+            "event_id": t["event_id"],
+            "pct": pa.array(np.round(
+                le.astype(np.float64) / float(n_view), 6)),
+        })
+
+    return ds.map_batches(map_pct, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+SQL_QUANTILE_MAP = """
+WITH ref AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS vc, COUNT(*) AS n
+  FROM events WHERE event_type = 'view' GROUP BY 1
+), cum AS (
+  SELECT vc, CAST(SUM(n) OVER (ORDER BY vc) AS HUGEINT) AS cle FROM ref
+), nv AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM events
+  WHERE event_type = 'view'
+), p AS (
+  SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS vc
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id,
+       ROUND(CAST(COALESCE(c.cle, 0) AS DOUBLE) / CAST(nv.n AS DOUBLE),
+             6) AS pct
+FROM p ASOF LEFT JOIN cum c ON c.vc <= p.vc, nv
+"""
+
+
+# =====================================================================
+# winsorized mean per group (exact bounded-domain cuts)
+# =====================================================================
+
+def q_winsorized_mean(sf_dir: str):
+    """Per-flag winsorized mean of quantities: values below the exact
+    P10 (PERCENTILE_DISC) clamp up to it, above the P90 clamp down -
+    the outlier-robust mean a quality dashboard prefers to trimming
+    (rows keep their weight). Quantity's bounded domain makes the cuts
+    a zero-shuffle per-(flag, value) bincount fold; the clamped sum is
+    then one broadcast-cuts map + a <=|flags| exchange - exact int64
+    until ONE division, 6 dp."""
+    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def hist(b: pa.Table) -> pa.Table:
+        t = pa.table({"flag": b["l_returnflag"],
+                      "q": pc.round(b["l_quantity"]).cast(pa.int64())})
+        g = t.group_by(["flag", "q"]).aggregate([([], "count_all")])
+        return g.rename_columns(["flag", "q", "n"])
+
+    agg = (ds.map_batches(hist, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["flag", "q"])
+           .aggregate(Sum("n", alias_name="n")))
+    df = agg.to_pandas()  # <= |flags| x |domain| rows - bounded fold
+    cuts: dict[str, tuple[int, int]] = {}
+    for flag, g in df.groupby("flag"):
+        g = g.sort_values("q")
+        q = g["q"].to_numpy(np.int64)
+        c = np.cumsum(g["n"].to_numpy(np.int64))
+        n = int(c[-1])
+        # PERCENTILE_DISC(f): first value with cum >= ceil(f * n)
+        lo = int(q[np.searchsorted(c, -(-n // 10))])
+        hi = int(q[np.searchsorted(c, -(-(9 * n) // 10))])
+        cuts[flag] = (lo, hi)
+    cuts_ref = ray.put(cuts)
+
+    def clamp(b: pa.Table) -> pa.Table:
+        cu = ray.get(cuts_ref)
+        flags = b["l_returnflag"].to_pylist()
+        q = pc.round(b["l_quantity"]).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        lo = np.fromiter((cu[f][0] for f in flags), np.int64, len(flags))
+        hi = np.fromiter((cu[f][1] for f in flags), np.int64, len(flags))
+        w = np.clip(q, lo, hi)
+        g = pa.table({"flag": b["l_returnflag"],
+                      "w": pa.array(w.astype(np.int64))}) \
+            .group_by("flag").aggregate([("w", "sum"), ([], "count_all")])
+        return g.rename_columns(["flag", "w", "n"])
+
+    out = (ds.map_batches(clamp, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("flag")
+           .aggregate(Sum("w", alias_name="w"), Sum("n", alias_name="n")))
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "flag": b["flag"],
+            "n": b["n"],
+            "wmean": pc.round(
+                pc.divide(b["w"].cast(pa.float64()),
+                          b["n"].cast(pa.float64())),
+                ndigits=6, round_mode="half_towards_infinity"),
+        })
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+SQL_WINSORIZED_MEAN = """
+WITH v AS (
+  SELECT l_returnflag AS flag,
+         CAST(ROUND(l_quantity) AS BIGINT) AS q
+  FROM lineitem
+), c AS (
+  SELECT flag,
+         CAST(quantile_disc(q, 0.1) AS BIGINT) AS lo,
+         CAST(quantile_disc(q, 0.9) AS BIGINT) AS hi
+  FROM v GROUP BY 1
+)
+SELECT v.flag, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(LEAST(GREATEST(v.q, c.lo), c.hi)) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS wmean
+FROM v JOIN c ON c.flag = v.flag
+GROUP BY v.flag
+"""
+
+
+# =====================================================================
+# Cohen's kappa (chance-corrected lang-id agreement)
+# =====================================================================
+
+def q_cohens_kappa(sf_dir: str):
+    """Cohen's kappa between the labeled language and the lang_id
+    prediction - the chance-corrected agreement scalar on top of
+    lang_confusion's matrix (accuracy alone flatters a skewed label
+    mix). kappa = (n*SUM(diag) - SUM(row_i*col_i)) /
+    (n^2 - SUM(row_i*col_i)) stays exact python ints (== HUGEINT) over
+    the bounded confusion cells; ONE division, 6 dp. Same one
+    |langs|^2-cell exchange as lang_confusion; the predictor runs once
+    per block."""
+    from ..functions.textstats import lang_id
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["lang", "text"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        g = pa.table({
+            "lang": b["lang"],
+            "pred": pa.array(lang_id(b["text"].to_pylist()),
+                             type=pa.string()),
+        }).group_by(["lang", "pred"]).aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "pred", "n"])
+
+    agg = (ds.map_batches(fn, batch_format="pyarrow")
+           .groupby(["lang", "pred"])
+           .aggregate(Sum("n", alias_name="n")))
+    df = agg.to_pandas()  # <= |langs|^2 cells - bounded fold
+    n = int(df["n"].sum())
+    diag = int(df[df["lang"] == df["pred"]]["n"].sum())
+    rows = df.groupby("lang")["n"].sum().to_dict()
+    cols = df.groupby("pred")["n"].sum().to_dict()
+    labels = sorted(set(rows) | set(cols))
+    rc = sum(int(rows.get(l, 0)) * int(cols.get(l, 0)) for l in labels)
+    kappa = float(n * diag - rc) / float(n * n - rc)
+    return pa.table({
+        "kappa": pa.array([np.round(kappa, 6)], pa.float64()),
+        "n": pa.array([n], pa.int64()),
+        "agree": pa.array([diag], pa.int64())})
+
+
+def _cohens_kappa_oracle_sql() -> str:
+    """kappa over the SAME generated confusion expression as
+    lang_confusion (one stopword table, zero drift)."""
+    from ..functions.textstats import _STOPWORDS
+
+    langs = sorted(_STOPWORDS)
+    score_cols = []
+    for lang in langs:
+        terms = " + ".join(
+            f"CASE WHEN regexp_matches(lower(text), '(^|\\s){w}(\\s|$)') "
+            f"THEN 1 ELSE 0 END"
+            for w in sorted(_STOPWORDS[lang])
+        )
+        score_cols.append(f"({terms}) AS s_{lang}")
+    greatest = "GREATEST(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    case = [f"WHEN {greatest} = 0 THEN 'und'"]
+    case += [f"WHEN s_{lang} = {greatest} THEN '{lang}'" for lang in langs]
+    return f"""
+WITH s AS (SELECT lang, {', '.join(score_cols)} FROM documents),
+c AS (SELECT lang, CASE {' '.join(case)} END AS pred,
+             CAST(COUNT(*) AS HUGEINT) AS n
+      FROM s GROUP BY 1, 2),
+m AS (SELECT CAST(SUM(n) AS HUGEINT) AS n,
+             CAST(SUM(CASE WHEN lang = pred THEN n ELSE 0 END)
+                  AS HUGEINT) AS diag
+      FROM c),
+r AS (SELECT lang AS l, SUM(n) AS rn FROM c GROUP BY 1),
+k AS (SELECT pred AS l, SUM(n) AS cn FROM c GROUP BY 1),
+rc AS (SELECT CAST(COALESCE(SUM(r.rn * k.cn), 0) AS HUGEINT) AS rc
+       FROM r JOIN k ON r.l = k.l)
+SELECT ROUND(CAST(m.n * m.diag - rc.rc AS DOUBLE)
+             / CAST(m.n * m.n - rc.rc AS DOUBLE), 6) AS kappa,
+       CAST(m.n AS BIGINT) AS n,
+       CAST(m.diag AS BIGINT) AS agree
+FROM m, rc
+"""
+
+
+SQL_COHENS_KAPPA = _cohens_kappa_oracle_sql()
+
+
 ANALYTICS_QUERIES = {
+    "quantile_map": (q_quantile_map, SQL_QUANTILE_MAP),
+    "winsorized_mean": (q_winsorized_mean, SQL_WINSORIZED_MEAN),
+    "cohens_kappa": (q_cohens_kappa, SQL_COHENS_KAPPA),
     "capped_running_total": (q_capped_running_total,
                              SQL_CAPPED_RUNNING_TOTAL),
     "kendall_tau": (q_kendall_tau, SQL_KENDALL_TAU),
