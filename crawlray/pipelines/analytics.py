@@ -8995,7 +8995,103 @@ FROM m, rc
 SQL_COHENS_KAPPA = _cohens_kappa_oracle_sql()
 
 
+# =====================================================================
+# nDCG@k (graded-relevance ranking quality)
+# =====================================================================
+
+def q_ndcg(sf_dir: str, k: int = 20):
+    """nDCG@20 of a length-ranked document list against graded language
+    relevance (en=3, de=1, else 0) - the ranking-quality scalar that
+    completes the eval family next to pr_curve (sweep) and roc_auc
+    (integral). Scale plan: the top-k by (n_chars DESC, doc_id) folds
+    as per-block k-candidates -> driver merge (bounded k, no global
+    sort), and the IDEAL DCG needs only the per-grade COUNTS (grades
+    are bounded), not a second ranking. Ties are impossible by
+    construction (doc_id breaks them). Gains 2^rel - 1 are exact ints;
+    the log2 discounts are the identical expression both sides, 6 dp."""
+    ds = _t(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def cand(b: pa.Table) -> pa.Table:
+        nc = b["n_chars"].to_numpy(zero_copy_only=False)
+        di = b["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((di, -nc))[:k]
+        t = b.take(pa.array(order))
+        rel = np.where(
+            pc.equal(t["lang"], pa.scalar("en")).to_numpy(
+                zero_copy_only=False), 3,
+            np.where(pc.equal(t["lang"], pa.scalar("de")).to_numpy(
+                zero_copy_only=False), 1, 0))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_chars": t["n_chars"],
+            "rel": pa.array(rel.astype(np.int64)),
+        })
+
+    def grade_counts(b: pa.Table) -> pa.Table:
+        g = pa.table({"lang": b["lang"]}).group_by("lang") \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "n"])
+
+    # per-grade counts: a tiny exchange (grades bounded by |langs|)
+    gc = (ds.map_batches(grade_counts, batch_format="pyarrow",
+                         zero_copy_batch=True)
+          .groupby("lang").aggregate(Sum("n", alias_name="n"))).to_pandas()
+    n_by_grade = {3: 0, 1: 0}
+    for _, r in gc.iterrows():
+        if r["lang"] == "en":
+            n_by_grade[3] += int(r["n"])
+        elif r["lang"] == "de":
+            n_by_grade[1] += int(r["n"])
+
+    # top-k fold: <= k rows per block reach the driver
+    cands = []
+    for b in ds.map_batches(cand, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+               .iter_batches(batch_format="pyarrow"):
+        cands.extend(zip(b["n_chars"].to_pylist(), b["doc_id"].to_pylist(),
+                         b["rel"].to_pylist()))
+    cands.sort(key=lambda r: (-r[0], r[1]))
+    top = cands[:k]
+    dcg = 0.0
+    for i, (_nc, _di, rel) in enumerate(top):  # fixed ascending-i order
+        dcg = dcg + float(2 ** rel - 1) / math.log2(float(i + 2))
+    ideal = [3] * min(k, n_by_grade[3])
+    ideal += [1] * min(k - len(ideal), n_by_grade[1])
+    idcg = 0.0
+    for i, rel in enumerate(ideal):
+        idcg = idcg + float(2 ** rel - 1) / math.log2(float(i + 2))
+    return pa.table({
+        "ndcg": pa.array([np.round(dcg / idcg, 6)], pa.float64()),
+        "k": pa.array([k], pa.int64()),
+        "dcg": pa.array([np.round(dcg, 6)], pa.float64())})
+
+
+SQL_NDCG = """
+WITH r AS (
+  SELECT CASE WHEN lang = 'en' THEN 3
+              WHEN lang = 'de' THEN 1 ELSE 0 END AS rel,
+         ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS pos
+  FROM documents
+), d AS (
+  SELECT SUM(CAST(POWER(2, rel) - 1 AS DOUBLE)
+             / LOG2(CAST(pos + 1 AS DOUBLE)) ORDER BY pos) AS dcg
+  FROM r WHERE pos <= 20
+), i AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY rel DESC) AS pos, rel FROM r
+), id AS (
+  SELECT SUM(CAST(POWER(2, rel) - 1 AS DOUBLE)
+             / LOG2(CAST(pos + 1 AS DOUBLE)) ORDER BY pos) AS idcg
+  FROM i WHERE pos <= 20
+)
+SELECT ROUND(d.dcg / id.idcg, 6) AS ndcg,
+       CAST(20 AS BIGINT) AS k,
+       ROUND(d.dcg, 6) AS dcg
+FROM d, id
+"""
+
+
 ANALYTICS_QUERIES = {
+    "ndcg": (q_ndcg, SQL_NDCG),
     "quantile_map": (q_quantile_map, SQL_QUANTILE_MAP),
     "winsorized_mean": (q_winsorized_mean, SQL_WINSORIZED_MEAN),
     "cohens_kappa": (q_cohens_kappa, SQL_COHENS_KAPPA),
