@@ -9090,7 +9090,135 @@ FROM d, id
 """
 
 
+# =====================================================================
+# Kaplan-Meier survival curve (time to conversion, right-censored)
+# =====================================================================
+
+def q_kaplan_meier(sf_dir: str):
+    """Kaplan-Meier time-to-conversion curve: for every signed-up user,
+    days until the FIRST at-or-after purchase; users who never convert
+    are right-CENSORED at their last observed event - the survival
+    estimator that makes conversion velocity honest (conversion_lag's
+    histogram silently drops the censored majority). Scale plan: all
+    three per-user stamps (first signup, first qualifying purchase, last
+    activity) derive in ONE user-hash exchange; day-bucketed (event,
+    censor) counts fold to <=#days rows, and the curve is a driver-side
+    ascending scan over that bounded table. n_risk and d stay exact
+    ints; S(t) = exp(SUM ln(1 - d/n)) with the IDENTICAL ascending
+    expression both sides (never the naive product), 6 dp."""
+    from .sizing import fold_parts
+
+    n_parts = fold_parts()
+    ds = _t(sf_dir, "events", ["user_id", "ts", "event_type"])
+    day_us = 86_400_000_000
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kp = (_splitmix64(uid).view(np.uint64)
+              % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({
+            "user_id": b["user_id"],
+            "ts_us": b["ts"].cast(pa.int64()),
+            "is_signup": pc.equal(b["event_type"], pa.scalar("signup")),
+            "is_purchase": pc.equal(b["event_type"],
+                                    pa.scalar("purchase")),
+            "kp": pa.array(kp),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        s0 = (g[g["is_signup"]].groupby("user_id")["ts_us"].min()
+              .rename("t0"))
+        if not len(s0):
+            return pd.DataFrame({"day": pd.Series(dtype=np.int64),
+                                 "d": pd.Series(dtype=np.int64),
+                                 "c": pd.Series(dtype=np.int64)})
+        p = g[g["is_purchase"]][["user_id", "ts_us"]] \
+            .join(s0, on="user_id", how="inner")
+        p = p[p["ts_us"] >= p["t0"]]
+        tp = p.groupby("user_id")["ts_us"].min()
+        tmax = g.groupby("user_id")["ts_us"].max()
+        day = pd.Series(np.where(
+            s0.index.isin(tp.index),
+            (tp.reindex(s0.index).fillna(0).astype(np.int64)
+             - s0) // day_us,
+            (tmax.reindex(s0.index) - s0) // day_us), index=s0.index)
+        ev = s0.index.isin(tp.index)
+        out = pd.DataFrame({"day": day.to_numpy(np.int64), "ev": ev})
+        gg = out.groupby(["day", "ev"]).size().reset_index(name="n")
+        return pd.DataFrame({
+            "day": gg["day"].to_numpy(np.int64),
+            "d": np.where(gg["ev"], gg["n"], 0).astype(np.int64),
+            "c": np.where(gg["ev"], 0, gg["n"]).astype(np.int64),
+        })
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("kp").map_groups(fold, batch_format="pandas")
+           .groupby("day")
+           .aggregate(Sum("d", alias_name="d"), Sum("c", alias_name="c")))
+    df = agg.to_pandas()  # <= #days rows - bounded fold
+    df = df.sort_values("day", ignore_index=True)
+    n_total = int((df["d"] + df["c"]).sum())
+    rows = {"day": [], "n_risk": [], "d": [], "s": []}
+    seen = 0
+    acc = 0.0
+    for _, r in df.iterrows():
+        d, c = int(r["d"]), int(r["c"])
+        n_risk = n_total - seen
+        # the terminal total-death step (d == n_risk) would be ln(0):
+        # S hits 0 with nobody left at risk - both sides drop that row
+        # (it can only be the last event row)
+        if d > 0 and d < n_risk:
+            acc = acc + math.log(1.0 - float(d) / float(n_risk))
+            rows["day"].append(int(r["day"]))
+            rows["n_risk"].append(n_risk)
+            rows["d"].append(d)
+            rows["s"].append(np.round(math.exp(acc), 6))
+        seen += d + c
+    return pa.table({"day": pa.array(rows["day"], pa.int64()),
+                     "n_risk": pa.array(rows["n_risk"], pa.int64()),
+                     "d": pa.array(rows["d"], pa.int64()),
+                     "s": pa.array(rows["s"], pa.float64())})
+
+
+SQL_KAPLAN_MEIER = """
+WITH s0 AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t0 FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+), pp AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS tp
+  FROM events e JOIN s0 USING (user_id)
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s0.t0
+  GROUP BY 1
+), tm AS (
+  SELECT user_id, MAX(epoch_us(ts)) AS tmax FROM events GROUP BY 1
+), u AS (
+  SELECT s0.user_id,
+         CASE WHEN pp.tp IS NOT NULL THEN (pp.tp - s0.t0) // 86400000000
+              ELSE (tm.tmax - s0.t0) // 86400000000 END AS day,
+         (pp.tp IS NOT NULL) AS ev
+  FROM s0 LEFT JOIN pp USING (user_id) JOIN tm USING (user_id)
+), g AS (
+  SELECT day, CAST(SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         CAST(SUM(CASE WHEN ev THEN 0 ELSE 1 END) AS BIGINT) AS c
+  FROM u GROUP BY 1
+), k AS (
+  SELECT day, d,
+         CAST((SELECT COUNT(*) FROM u) AS BIGINT)
+           - CAST(COALESCE(SUM(d + c) OVER (
+                 ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+  FROM g
+)
+SELECT day, n_risk, d,
+       ROUND(EXP(SUM(LN(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)))
+                 OVER (ORDER BY day)), 6) AS s
+FROM k WHERE d > 0 AND d < n_risk
+"""
+
+
 ANALYTICS_QUERIES = {
+    "kaplan_meier": (q_kaplan_meier, SQL_KAPLAN_MEIER),
     "ndcg": (q_ndcg, SQL_NDCG),
     "quantile_map": (q_quantile_map, SQL_QUANTILE_MAP),
     "winsorized_mean": (q_winsorized_mean, SQL_WINSORIZED_MEAN),
