@@ -8200,8 +8200,12 @@ def q_dynamic_pruning(sf_dir: str):
     side resolves first (one tiny read), and the fact read carries an
     `isin` predicate so parquet row groups whose zone maps exclude every
     wanted supplier never leave storage. No join executes at all; the
-    probe IS the scan filter. Revenue folds as exact tenth-cent int64
-    partials; one division at the end."""
+    probe IS the scan filter. Scale caveat: the pushed key set must stay
+    broadcast-sized (here suppliers/nation); past the repo's
+    _BROADCAST_KEY_LIMIT convention the right plan is the guarded hash
+    join (q_revenue_by_nation's fallback), not a mega-expression.
+    Revenue folds as exact tenth-cent int64 partials; one division at
+    the end."""
     import pyarrow.dataset as pads
 
     sup_all = rd.read_parquet(
