@@ -9221,7 +9221,152 @@ FROM k WHERE d > 0 AND d < n_risk
 """
 
 
+# =====================================================================
+# burstiness: index of dispersion of daily event counts per type
+# =====================================================================
+
+def q_burstiness(sf_dir: str):
+    """Index of dispersion (variance/mean, the Fano factor) of DAILY
+    event counts per type - the burst detector: ~1 for Poisson-like
+    arrivals, >>1 for bursty ones (crawl twin: which hosts publish in
+    bursts vs a steady drip, which sets their revisit cadence). Daily
+    counts fold exactly through a <=|types| x #days exchange; variance
+    comes from the integer identity n*S2 - S1^2 (no float
+    cancellation) over the bounded per-type day vectors; ONE identical
+    IEEE expression per type, 6 dp. Days with zero events count as
+    zeros via the observed [min, max] day span - both sides use the
+    same span arithmetic."""
+    ds = _t(sf_dir, "events", ["event_type", "ts"])
+    day_us = 86_400_000_000
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "event_type": b["event_type"],
+            "day": pc.multiply(
+                pc.divide(b["ts"].cast(pa.int64()),
+                          pa.scalar(day_us, pa.int64())).cast(pa.int64()),
+                pa.scalar(day_us, pa.int64())),
+        })
+        g = t.group_by(["event_type", "day"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "day", "n"])
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["event_type", "day"])
+           .aggregate(Sum("n", alias_name="n")))
+    df = agg.to_pandas()  # <= |types| x #days rows - bounded fold
+    lo = int(df["day"].min())
+    hi = int(df["day"].max())
+    span = (hi - lo) // day_us + 1   # identical span on both sides
+    out = {"event_type": [], "n_days": [], "dispersion": []}
+    for et, g in df.groupby("event_type", sort=True):
+        c = g["n"].to_numpy(np.int64)
+        s1 = int(c.sum())
+        s2 = int((c.astype(object) * c.astype(object)).sum())
+        n = span                      # zero days included
+        var_num = n * s2 - s1 * s1    # = n^2 * population variance
+        disp = float(var_num) / (float(n) * float(s1))
+        out["event_type"].append(et)
+        out["n_days"].append(n)
+        out["dispersion"].append(np.round(disp, 6))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "n_days": pa.array(out["n_days"], pa.int64()),
+        "dispersion": pa.array(out["dispersion"], pa.float64())})
+
+
+SQL_BURSTINESS = """
+WITH d AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 AS day
+  FROM events
+), c AS (
+  SELECT event_type, day, CAST(COUNT(*) AS HUGEINT) AS n
+  FROM d GROUP BY 1, 2
+), span AS (
+  SELECT MAX(day) - MIN(day) + 1 AS n_days FROM d
+), m AS (
+  SELECT event_type, SUM(n) AS s1, SUM(n * n) AS s2 FROM c GROUP BY 1
+)
+SELECT event_type, CAST(span.n_days AS BIGINT) AS n_days,
+       ROUND(CAST(span.n_days * s2 - s1 * s1 AS DOUBLE)
+             / (CAST(span.n_days AS DOUBLE) * CAST(s1 AS DOUBLE)),
+             6) AS dispersion
+FROM m, span
+"""
+
+
+# =====================================================================
+# lag-1 autocorrelation of daily revenue (ACF diagnostic)
+# =====================================================================
+
+def q_acf_lag1(sf_dir: str):
+    """Lag-1 autocorrelation of daily order revenue - the ACF
+    diagnostic that decides whether yesterday predicts today (momentum)
+    or the series is white noise; the first number a forecasting
+    pipeline checks before fitting anything. Day sums fold exactly
+    (int64 cents) through a <=#days exchange; r1 is Pearson over the
+    CONSECUTIVE-day pairs (gaps excluded on both sides by the d+1 join
+    rule), from exact integer moment sums with ONE identical IEEE
+    expression, 6 dp."""
+    ds = _t(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    day_us = 86_400_000_000
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "day": pc.divide(b["o_orderdate"].cast(pa.int64()),
+                             pa.scalar(day_us, pa.int64())).cast(pa.int64()),
+            "rev": _cents(b["o_totalprice"]),
+        })
+        g = t.group_by("day").aggregate([("rev", "sum")])
+        return g.rename_columns(["day", "rev"])
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("day")
+           .aggregate(Sum("rev", alias_name="rev")))
+    df = agg.to_pandas()  # <= #days rows - bounded fold
+    df = df.sort_values("day", ignore_index=True)
+    day = df["day"].to_numpy(np.int64)
+    rev = df["rev"].to_numpy(np.int64).astype(object)
+    consec = day[1:] - day[:-1] == 1
+    x, y = rev[:-1][consec], rev[1:][consec]
+    n = int(len(x))
+    sx, sy = int(x.sum()), int(y.sum())
+    sxx, syy = int((x * x).sum()), int((y * y).sum())
+    sxy = int((x * y).sum())
+    num = n * sxy - sx * sy
+    den = math.sqrt(float(n * sxx - sx * sx) * float(n * syy - sy * sy))
+    return pa.table({
+        "r1": pa.array([np.round(float(num) / den, 6)], pa.float64()),
+        "n_pairs": pa.array([n], pa.int64())})
+
+
+SQL_ACF_LAG1 = """
+WITH d AS (
+  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1
+), p AS (
+  SELECT CAST(a.rev AS HUGEINT) AS x, CAST(b.rev AS HUGEINT) AS y
+  FROM d a JOIN d b ON b.day = a.day + 1
+), m AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM p
+)
+SELECT ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r1,
+       CAST(n AS BIGINT) AS n_pairs
+FROM m
+"""
+
+
 ANALYTICS_QUERIES = {
+    "burstiness": (q_burstiness, SQL_BURSTINESS),
+    "acf_lag1": (q_acf_lag1, SQL_ACF_LAG1),
     "kaplan_meier": (q_kaplan_meier, SQL_KAPLAN_MEIER),
     "ndcg": (q_ndcg, SQL_NDCG),
     "quantile_map": (q_quantile_map, SQL_QUANTILE_MAP),
