@@ -9364,7 +9364,250 @@ FROM m
 """
 
 
+# =====================================================================
+# Jarque-Bera normality test per group
+# =====================================================================
+
+def q_jarque_bera(sf_dir: str):
+    """Jarque-Bera normality statistic JB = n/6*(g1^2 + g2^2/4) per line
+    status over quantities, with the chi^2(2) 95% reject verdict - the
+    omnibus check a drift monitor runs before trusting any
+    mean/variance-based alert (Jarque & Bera 1980). Reuses the
+    skew_kurtosis discipline: int64 raw-moment partials S1..S4 per block
+    (quantity <= 50 keeps x^4 <= 6.25e6), exact integer central-moment
+    identities in python ints on the <=|status| driver rows, IDENTICAL
+    IEEE finale both sides, 6 dp; the reject flag compares the ROUNDED
+    JB so a last-ulp wobble can never flip it."""
+    ds = _t(sf_dir, "lineitem", ["l_linestatus", "l_quantity"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        q = pc.round(b["l_quantity"]).cast(pa.int64())
+        q2 = pc.multiply(q, q)
+        t = pa.table({
+            "status": b["l_linestatus"], "s1": q, "s2": q2,
+            "s3": pc.multiply(q2, q), "s4": pc.multiply(q2, q2),
+        })
+        g = t.group_by("status").aggregate(
+            [("s1", "sum"), ("s2", "sum"), ("s3", "sum"), ("s4", "sum"),
+             ([], "count_all")])
+        return g.rename_columns(["status", "s1", "s2", "s3", "s4", "n"])
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("status")
+           .aggregate(Sum("s1", alias_name="s1"), Sum("s2", alias_name="s2"),
+                      Sum("s3", alias_name="s3"), Sum("s4", alias_name="s4"),
+                      Sum("n", alias_name="n")))
+    df = agg.to_pandas()  # <= |status| rows - bounded fold
+    df = df.sort_values("status", ignore_index=True)
+    rows = {"status": [], "n": [], "jb": [], "reject": []}
+    for _, r in df.iterrows():
+        n, s1, s2, s3, s4 = (int(r["n"]), int(r["s1"]), int(r["s2"]),
+                             int(r["s3"]), int(r["s4"]))
+        m2i = n * s2 - s1 * s1
+        m3i = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 ** 3
+        m4i = (n ** 3 * s4 - 4 * n * n * s1 * s3
+               + 6 * n * s1 * s1 * s2 - 3 * s1 ** 4)
+        nf = float(n)
+        m2 = float(m2i) / (nf * nf)
+        m3 = float(m3i) / (nf * nf * nf)
+        m4 = float(m4i) / (nf * nf * nf * nf)
+        g1 = m3 / (m2 * math.sqrt(m2))
+        g2 = m4 / (m2 * m2) - 3.0
+        jb = np.round((nf / 6.0) * (g1 * g1 + (g2 * g2) / 4.0), 6)
+        rows["status"].append(r["status"])
+        rows["n"].append(n)
+        rows["jb"].append(jb)
+        rows["reject"].append(1 if jb > 5.991465 else 0)
+    return pa.table({"status": pa.array(rows["status"], pa.string()),
+                     "n": pa.array(rows["n"], pa.int64()),
+                     "jb": pa.array(rows["jb"], pa.float64()),
+                     "reject": pa.array(rows["reject"], pa.int64())})
+
+
+SQL_JARQUE_BERA = """
+WITH m AS (
+  SELECT l_linestatus AS status,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(CAST(CAST(ROUND(l_quantity) AS BIGINT) AS HUGEINT)) AS s1,
+         SUM(CAST(CAST(ROUND(l_quantity) AS BIGINT) AS HUGEINT)
+             * CAST(ROUND(l_quantity) AS BIGINT)) AS s2,
+         SUM(CAST(CAST(ROUND(l_quantity) AS BIGINT) AS HUGEINT)
+             * CAST(ROUND(l_quantity) AS BIGINT)
+             * CAST(ROUND(l_quantity) AS BIGINT)) AS s3,
+         SUM(CAST(CAST(ROUND(l_quantity) AS BIGINT) AS HUGEINT)
+             * CAST(ROUND(l_quantity) AS BIGINT)
+             * CAST(ROUND(l_quantity) AS BIGINT)
+             * CAST(ROUND(l_quantity) AS BIGINT)) AS s4
+  FROM lineitem GROUP BY 1
+), c AS (
+  SELECT status, n,
+         CAST(n * s2 - s1 * s1 AS DOUBLE)
+           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS m2,
+         CAST(n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 AS DOUBLE)
+           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+           AS m3,
+         CAST(n * n * n * s4 - 4 * n * n * s1 * s3
+              + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1 AS DOUBLE)
+           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+              * CAST(n AS DOUBLE)) AS m4
+  FROM m
+), g AS (
+  SELECT status, n,
+         m3 / (m2 * SQRT(m2)) AS g1,
+         m4 / (m2 * m2) - 3.0 AS g2
+  FROM c
+), j AS (
+  SELECT status, n,
+         ROUND((CAST(n AS DOUBLE) / 6.0)
+               * (g1 * g1 + (g2 * g2) / 4.0), 6) AS jb
+  FROM g
+)
+SELECT status, CAST(n AS BIGINT) AS n, jb,
+       CAST(CASE WHEN jb > 5.991465 THEN 1 ELSE 0 END AS BIGINT) AS reject
+FROM j
+"""
+
+
+# =====================================================================
+# Mann-Kendall trend test on daily revenue
+# =====================================================================
+
+def q_mann_kendall(sf_dir: str):
+    """Mann-Kendall trend test over the daily-revenue series: S =
+    sum_{i<j} sign(rev_j - rev_i) and Kendall tau with tie correction -
+    the nonparametric is-this-series-trending check (Mann 1945, Kendall
+    1975) a forecasting pipeline runs before fitting (crawl twin: is a
+    host's publish rate drifting up). Day sums fold exactly (int64
+    cents) through a <=#days exchange; S is computed on the bounded
+    driver rows with exact integer sign counting (one vectorized pass
+    per row, O(#days^2) comparisons on <=~2.5k days); tie term from
+    np.unique counts; ONE identical IEEE tau expression, 6 dp. The
+    oracle self-joins the same bounded daily table."""
+    ds = _t(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    day_us = 86_400_000_000
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "day": pc.divide(b["o_orderdate"].cast(pa.int64()),
+                             pa.scalar(day_us, pa.int64())).cast(pa.int64()),
+            "rev": _cents(b["o_totalprice"]),
+        })
+        g = t.group_by("day").aggregate([("rev", "sum")])
+        return g.rename_columns(["day", "rev"])
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("day")
+           .aggregate(Sum("rev", alias_name="rev")))
+    df = agg.to_pandas()  # <= #days rows - bounded fold
+    df = df.sort_values("day", ignore_index=True)
+    rev = df["rev"].to_numpy(np.int64)
+    n = int(len(rev))
+    s = 0
+    for i in range(n - 1):  # exact integer sign fold, O(n^2) on <=~2.5k
+        d = rev[i + 1:] - rev[i]
+        s += int((d > 0).sum()) - int((d < 0).sum())
+    _, tc = np.unique(rev, return_counts=True)
+    ty = int(((tc.astype(object) * (tc.astype(object) - 1)) // 2).sum())
+    pairs = n * (n - 1) // 2
+    tau = float(s) / math.sqrt(float(pairs) * float(pairs - ty))
+    return pa.table({
+        "n_days": pa.array([n], pa.int64()),
+        "s": pa.array([s], pa.int64()),
+        "tau": pa.array([np.round(tau, 6)], pa.float64())})
+
+
+SQL_MANN_KENDALL = """
+WITH d AS (
+  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1
+), p AS (
+  SELECT CASE WHEN b.rev > a.rev THEN 1
+              WHEN b.rev < a.rev THEN -1 ELSE 0 END AS sg
+  FROM d a JOIN d b ON b.day > a.day
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d
+), t AS (
+  SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT) AS ty
+  FROM (SELECT COUNT(*) AS c FROM d GROUP BY rev)
+), s AS (
+  SELECT CAST(SUM(sg) AS BIGINT) AS s FROM p
+)
+SELECT m.n AS n_days, s.s AS s,
+       ROUND(CAST(s.s AS DOUBLE)
+             / SQRT(CAST(m.n * (m.n - 1) // 2 AS DOUBLE)
+                    * CAST(m.n * (m.n - 1) // 2 - t.ty AS DOUBLE)),
+             6) AS tau
+FROM m, t, s
+"""
+
+
+# =====================================================================
+# geometric mean per group (bounded-domain ordered-term fold)
+# =====================================================================
+
+def q_geometric_mean(sf_dir: str):
+    """Geometric mean quantity per return flag - the multiplicative
+    average a ratio-scaled metric wants (data twin: geomean of per-doc
+    compression ratios per source). Quantity's bounded integer domain
+    (<= 50 distinct values) makes the log-sum EXACT-ordered: per-block
+    (flag, q) count partials -> one <=|flags|x50 exchange -> the driver
+    folds sum c_v * ln(v) sequentially in ASCENDING v order, the same
+    ordered-aggregate convention as lang_entropy, so both sides
+    accumulate the identical float sequence; gmean = exp(s/n), 6 dp."""
+    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "flag": b["l_returnflag"],
+            "q": pc.round(b["l_quantity"]).cast(pa.int64()),
+        })
+        g = t.group_by(["flag", "q"]).aggregate([([], "count_all")])
+        return g.rename_columns(["flag", "q", "c"])
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["flag", "q"])
+           .aggregate(Sum("c", alias_name="c")))
+    df = agg.to_pandas()  # <= |flags| x 50 rows - bounded fold
+    df = df.sort_values(["flag", "q"], ignore_index=True)
+    out = {"flag": [], "n": [], "gmean": []}
+    for flag, g in df.groupby("flag", sort=True):
+        n = int(g["c"].sum())
+        s = 0.0
+        for q, c in zip(g["q"], g["c"]):  # ascending q - ordered sum
+            s = s + float(int(c)) * math.log(float(int(q)))
+        out["flag"].append(flag)
+        out["n"].append(n)
+        out["gmean"].append(np.round(math.exp(s / float(n)), 6))
+    return pa.table({"flag": pa.array(out["flag"], pa.string()),
+                     "n": pa.array(out["n"], pa.int64()),
+                     "gmean": pa.array(out["gmean"], pa.float64())})
+
+
+SQL_GEOMETRIC_MEAN = """
+WITH c AS (
+  SELECT l_returnflag AS flag,
+         CAST(ROUND(l_quantity) AS BIGINT) AS q,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1, 2
+), s AS (
+  SELECT flag, SUM(c) AS n,
+         SUM(CAST(c AS DOUBLE) * LN(CAST(q AS DOUBLE)) ORDER BY q) AS s
+  FROM c GROUP BY flag
+)
+SELECT flag, CAST(n AS BIGINT) AS n,
+       ROUND(EXP(s / CAST(n AS DOUBLE)), 6) AS gmean
+FROM s
+"""
+
+
 ANALYTICS_QUERIES = {
+    "jarque_bera": (q_jarque_bera, SQL_JARQUE_BERA),
+    "mann_kendall": (q_mann_kendall, SQL_MANN_KENDALL),
+    "geometric_mean": (q_geometric_mean, SQL_GEOMETRIC_MEAN),
     "burstiness": (q_burstiness, SQL_BURSTINESS),
     "acf_lag1": (q_acf_lag1, SQL_ACF_LAG1),
     "kaplan_meier": (q_kaplan_meier, SQL_KAPLAN_MEIER),
