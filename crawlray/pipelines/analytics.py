@@ -9604,7 +9604,260 @@ FROM s
 """
 
 
+# =====================================================================
+# sliding-window burst flags (RANGE-frame COUNT + threshold)
+# =====================================================================
+
+def q_burst_flags(sf_dir: str, window_us: int = 600_000_000,
+                  threshold: int = 2):
+    """Events whose user fired >= threshold events inside the trailing
+    10-minute window - the rate-limit / bot-burst detector (crawl twin:
+    hosts suddenly hammered by the frontier; the politeness clock's
+    anomaly readout). Scale shape: ONE user-hash exchange (the
+    range_moving_sum pattern); each partition sorts a user's events once
+    and counts every trailing window with two vectorized searchsorted
+    passes - RANGE semantics, so timestamp PEERS are included exactly as
+    the SQL frame does; per-partition (type, flagged, total) bincount
+    partials fold through a <=|types| final exchange."""
+    from .sizing import fold_parts
+
+    n_parts = fold_parts()
+    ds = _t(sf_dir, "events", ["ts", "user_id", "event_type"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kp = (_splitmix64(uid).view(np.uint64)
+              % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({
+            "user_id": b["user_id"],
+            "event_type": b["event_type"],
+            "ts_us": b["ts"].cast(pa.int64()),
+            "kp": pa.array(kp),
+        })
+
+    def window(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _uid, sub in g.groupby("user_id", sort=False):
+            sub = sub.sort_values("ts_us", kind="mergesort")
+            ts = sub["ts_us"].to_numpy()
+            lo = np.searchsorted(ts, ts - window_us, side="left")
+            hi = np.searchsorted(ts, ts, side="right")  # peers included
+            outs.append(pd.DataFrame({
+                "event_type": sub["event_type"].to_numpy(),
+                "fl": ((hi - lo) >= threshold).astype(np.int64),
+            }))
+        if not outs:
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype=object),
+                "n_flagged": pd.Series([], dtype=np.int64),
+                "n_events": pd.Series([], dtype=np.int64)})
+        df = pd.concat(outs, ignore_index=True)
+        agg = df.groupby("event_type", sort=False)["fl"].agg(["sum", "count"])
+        return pd.DataFrame({
+            "event_type": agg.index.to_numpy(),
+            "n_flagged": agg["sum"].to_numpy(np.int64),
+            "n_events": agg["count"].to_numpy(np.int64)})
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("kp").map_groups(window, batch_format="pandas")
+           .groupby("event_type")
+           .aggregate(Sum("n_flagged", alias_name="n_flagged"),
+                      Sum("n_events", alias_name="n_events")))
+    df = agg.to_pandas()  # <= |types| rows - bounded fold
+    df = df.sort_values("event_type", ignore_index=True)
+    return pa.table({
+        "event_type": pa.array(df["event_type"], pa.string()),
+        "n_flagged": pa.array(df["n_flagged"].to_numpy(np.int64)),
+        "n_events": pa.array(df["n_events"].to_numpy(np.int64))})
+
+
+SQL_BURST_FLAGS = """
+WITH w AS (
+  SELECT event_type,
+         COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+           RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS c
+  FROM events
+)
+SELECT event_type,
+       CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM w GROUP BY 1
+"""
+
+
+# =====================================================================
+# CUSUM changepoint on daily revenue (exact-integer argmax)
+# =====================================================================
+
+def q_cusum_changepoint(sf_dir: str):
+    """CUSUM changepoint: the day k maximizing |n*cum_k - k*total| over
+    the daily-revenue series - the standard at-most-one-changepoint
+    locator (Page 1954; the statistic is n^2 x the mean-centered CUSUM,
+    kept in INTEGER cents so no float comparison ever decides the
+    argmax). Day sums fold exactly through a <=#days exchange; the
+    bounded driver rows take one cumsum and one argmax; ties break to
+    the earliest day on both sides. n*cum stays < 2^63 for any corpus
+    with < 9.2e18 total cents x days (documented bound)."""
+    ds = _t(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    day_us = 86_400_000_000
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "day": pc.divide(b["o_orderdate"].cast(pa.int64()),
+                             pa.scalar(day_us, pa.int64())).cast(pa.int64()),
+            "rev": _cents(b["o_totalprice"]),
+        })
+        g = t.group_by("day").aggregate([("rev", "sum")])
+        return g.rename_columns(["day", "rev"])
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("day")
+           .aggregate(Sum("rev", alias_name="rev")))
+    df = agg.to_pandas()  # <= #days rows - bounded fold
+    df = df.sort_values("day", ignore_index=True)
+    day = df["day"].to_numpy(np.int64)
+    rev = df["rev"].to_numpy(np.int64).astype(object)
+    n = int(len(rev))
+    cum = np.cumsum(rev)          # python ints - exact
+    total = int(cum[-1])
+    k = np.arange(1, n + 1, dtype=object)
+    g = np.abs(n * cum - k * total)
+    best = int(np.argmax(g))       # first max = earliest day
+    return pa.table({
+        "day": pa.array([int(day[best])], pa.int64()),
+        "g": pa.array([int(g[best])], pa.int64())})
+
+
+SQL_CUSUM_CHANGEPOINT = """
+WITH d AS (
+  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1
+), t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(rev) AS total FROM d
+), w AS (
+  SELECT day,
+         SUM(rev) OVER (ORDER BY day) AS cum,
+         ROW_NUMBER() OVER (ORDER BY day) AS k
+  FROM d
+)
+SELECT day, CAST(ABS(t.n * w.cum - w.k * t.total) AS BIGINT) AS g
+FROM w, t
+ORDER BY g DESC, day
+LIMIT 1
+"""
+
+
+# =====================================================================
+# common-neighbors link prediction (top supplier pairs by shared parts)
+# =====================================================================
+
+def q_common_neighbors(sf_dir: str):
+    """Top-20 supplier pairs ranked by COMMON NEIGHBORS in the
+    part-supplier bipartite graph (# distinct parts both supply) - the
+    classic link-prediction score (Liben-Nowell & Kleinberg 2003; data
+    twin: candidate mirror/affiliate sites sharing many outlinks).
+    Scale shape: per-block DISTINCT (part, supp) combiner -> ONE
+    partkey-hash exchange (every edge of a part lands together) ->
+    per-partition pair emission VECTORIZED BY DEGREE CLASS (parts of
+    equal degree d form an (m, d) matrix; one triu_indices gather emits
+    all m*C(d,2) pairs - no per-part Python loop), pre-folded to local
+    (packed-pair-key, count) rows -> SECOND int-key-hash exchange with a
+    per-partition pandas sum + partial top-20 under the TOTAL order
+    (c DESC, key ASC == c DESC, s1, s2 - the pack is lexicographic);
+    driver merges <=20 x parts rows. A Ray hash Aggregate over the
+    |supps|^2/2 pair groups is NOT used - measured 493 s vs ~2 s for
+    this fold at sf0.1 (the few-group-Aggregate lesson at 500k groups);
+    the |supps|^2 table never reaches the driver. Packing guard:
+    suppkeys must fit 32 bits (dimension keys; asserted)."""
+    from .sizing import fold_parts
+
+    n_parts = fold_parts()
+    ds = _t(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def distinct_block(b: pa.Table) -> pa.Table:
+        t = b.group_by(["l_partkey", "l_suppkey"]).aggregate([])
+        p = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kp = (_splitmix64(p).view(np.uint64)
+              % np.uint64(n_parts)).astype(np.int64)
+        return t.append_column("kp", pa.array(kp))
+
+    def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["l_partkey", "l_suppkey"])
+        g = g.sort_values(["l_partkey", "l_suppkey"], kind="mergesort")
+        p = g["l_partkey"].to_numpy(np.int64)
+        s = g["l_suppkey"].to_numpy(np.int64)
+        empty = pd.DataFrame({"key": pd.Series([], dtype=np.int64),
+                              "c": pd.Series([], dtype=np.int64),
+                              "kp2": pd.Series([], dtype=np.int64)})
+        if len(p) == 0:
+            return empty
+        if s.max() >= 2 ** 31:
+            raise ValueError("suppkey exceeds 32-bit pack range")
+        new = np.concatenate(([True], p[1:] != p[:-1]))
+        seg_start = np.flatnonzero(new)
+        seg_len = np.diff(np.concatenate((seg_start, [len(p)])))
+        keys = []
+        for d in np.unique(seg_len):
+            if d < 2:
+                continue
+            starts = seg_start[seg_len == d]
+            mat = s[starts[:, None] + np.arange(int(d))[None, :]]
+            ii, jj = np.triu_indices(int(d), 1)
+            keys.append((mat[:, ii].ravel() << 32) | mat[:, jj].ravel())
+        if not keys:
+            return empty
+        key = np.concatenate(keys)
+        uk, inv = np.unique(key, return_counts=True)
+        kp2 = (_splitmix64(uk).view(np.uint64)
+               % np.uint64(n_parts)).astype(np.int64)
+        return pd.DataFrame({"key": uk, "c": inv.astype(np.int64),
+                             "kp2": kp2})
+
+    def fold_part(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("key", sort=False)["c"].sum()  # int64 - exact
+        key = tot.index.to_numpy(np.int64)
+        c = tot.to_numpy(np.int64)
+        order = np.lexsort((key, -c))[:20]  # c DESC, key ASC - total order
+        key, c = key[order], c[order]
+        return pd.DataFrame({"s1": key >> 32,
+                             "s2": key & np.int64(0xFFFFFFFF), "c": c})
+
+    top = (ds.map_batches(distinct_block, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("kp").map_groups(pairs_part, batch_format="pandas")
+           .groupby("kp2").map_groups(fold_part, batch_format="pandas"))
+    parts = list(top.iter_batches(batch_format="pyarrow"))
+    merged = pa.concat_tables(parts) if parts else pa.table(
+        {"s1": pa.array([], pa.int64()), "s2": pa.array([], pa.int64()),
+         "c": pa.array([], pa.int64())})
+    idx = pc.sort_indices(merged, sort_keys=[("c", "descending"),
+                                             ("s1", "ascending"),
+                                             ("s2", "ascending")])
+    return merged.take(idx[:20]).select(["s1", "s2", "c"])
+
+
+SQL_COMMON_NEIGHBORS = """
+WITH ps AS (
+  SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+), pairs AS (
+  SELECT a.s AS s1, b.s AS s2, CAST(COUNT(*) AS BIGINT) AS c
+  FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+  GROUP BY 1, 2
+)
+SELECT s1, s2, c FROM pairs
+ORDER BY c DESC, s1, s2
+LIMIT 20
+"""
+
+
 ANALYTICS_QUERIES = {
+    "burst_flags": (q_burst_flags, SQL_BURST_FLAGS),
+    "cusum_changepoint": (q_cusum_changepoint, SQL_CUSUM_CHANGEPOINT),
+    "common_neighbors": (q_common_neighbors, SQL_COMMON_NEIGHBORS),
     "jarque_bera": (q_jarque_bera, SQL_JARQUE_BERA),
     "mann_kendall": (q_mann_kendall, SQL_MANN_KENDALL),
     "geometric_mean": (q_geometric_mean, SQL_GEOMETRIC_MEAN),
