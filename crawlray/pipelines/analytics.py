@@ -9854,7 +9854,270 @@ LIMIT 20
 """
 
 
+# =====================================================================
+# mutual information between two categorical columns
+# =====================================================================
+
+def q_mutual_info(sf_dir: str):
+    """Mutual information (nats) between a document's language and its
+    source - the dependence score a corpus-curation dashboard uses to
+    catch a source that suddenly goes monolingual (0 = independent;
+    chi2_independence's information-theoretic sibling). Cell counts fold
+    exactly through a <=|langs|x|sources| exchange of per-block Arrow
+    partials; MI = sum (c/n) ln(n*c/(cl*cs)) runs on the bounded driver
+    rows with the term sum in SORTED (lang, source) order (the
+    lang_entropy ordered-aggregate convention), every operand an exact
+    integer until the one division per term; 6 dp both sides."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["lang", "source"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        g = b.group_by(["lang", "source"]).aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "source", "c"])
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["lang", "source"])
+           .aggregate(Sum("c", alias_name="c")))
+    df = agg.to_pandas()  # <= |langs| x |sources| rows - bounded fold
+    df = df.sort_values(["lang", "source"], ignore_index=True)
+    n = int(df["c"].sum())
+    cl = df.groupby("lang")["c"].sum().to_dict()
+    cs = df.groupby("source")["c"].sum().to_dict()
+    mi = 0.0
+    for lang, src, c in zip(df["lang"], df["source"], df["c"]):
+        c = int(c)  # sorted (lang, source) order - deterministic sum
+        mi = mi + (float(c) / float(n)) * math.log(
+            float(n * c) / float(int(cl[lang]) * int(cs[src])))
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "mi": pa.array([np.round(mi, 6)], pa.float64())})
+
+
+SQL_MUTUAL_INFO = """
+WITH cells AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells
+), lm AS (
+  SELECT lang, CAST(SUM(c) AS BIGINT) AS cl FROM cells GROUP BY 1
+), sm AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS cs FROM cells GROUP BY 1
+)
+SELECT tot.n AS n,
+       ROUND(SUM((CAST(c.c AS DOUBLE) / CAST(tot.n AS DOUBLE))
+                 * LN(CAST(tot.n * c.c AS DOUBLE)
+                      / CAST(lm.cl * sm.cs AS DOUBLE))
+                 ORDER BY c.lang, c.source), 6) AS mi
+FROM cells c
+JOIN lm USING (lang) JOIN sm USING (source) CROSS JOIN tot
+GROUP BY tot.n
+"""
+
+
+# =====================================================================
+# Theil-Sen robust trend slope (median of pairwise slopes)
+# =====================================================================
+
+def q_theil_sen(sf_dir: str):
+    """Theil-Sen estimator over the daily-revenue series: the median of
+    all pairwise slopes (rev_j - rev_i)/(day_j - day_i) - the robust
+    trend line that shrugs off outlier days where OLS (regr_per_group)
+    bends (Theil 1950, Sen 1968; mann_kendall's slope companion). Day
+    sums fold exactly (int64 cents) through a <=#days exchange; the
+    O(#days^2) slope set (~3M doubles at 2.4k days) is built vectorized
+    on the bounded driver rows. The median is reported as the exact
+    lower/upper middle ORDER STATISTICS plus their midpoint computed
+    with the IDENTICAL (lo+hi)/2 expression both sides - never an
+    engine-internal interpolation that could differ by an ulp."""
+    ds = _t(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    day_us = 86_400_000_000
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "day": pc.divide(b["o_orderdate"].cast(pa.int64()),
+                             pa.scalar(day_us, pa.int64())).cast(pa.int64()),
+            "rev": _cents(b["o_totalprice"]),
+        })
+        g = t.group_by("day").aggregate([("rev", "sum")])
+        return g.rename_columns(["day", "rev"])
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("day")
+           .aggregate(Sum("rev", alias_name="rev")))
+    df = agg.to_pandas()  # <= #days rows - bounded fold
+    df = df.sort_values("day", ignore_index=True)
+    day = df["day"].to_numpy(np.int64)
+    rev = df["rev"].to_numpy(np.int64)
+    n = int(len(day))
+    slopes = []
+    for i in range(n - 1):  # vectorized per row: ~n^2/2 doubles total
+        slopes.append((rev[i + 1:] - rev[i]).astype(np.float64)
+                      / (day[i + 1:] - day[i]).astype(np.float64))
+    s = np.sort(np.concatenate(slopes))
+    m = int(len(s))
+    lo = float(s[(m - 1) // 2])
+    hi = float(s[m // 2])
+    return pa.table({
+        "n_pairs": pa.array([m], pa.int64()),
+        "slope": pa.array([np.round((lo + hi) / 2.0, 6)], pa.float64())})
+
+
+SQL_THEIL_SEN = """
+WITH d AS (
+  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1
+), p AS (
+  SELECT CAST(b.rev - a.rev AS DOUBLE) / CAST(b.day - a.day AS DOUBLE)
+           AS slope
+  FROM d a JOIN d b ON b.day > a.day
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m FROM p
+), r AS (
+  SELECT slope, ROW_NUMBER() OVER (ORDER BY slope) AS rn FROM p
+), lo AS (
+  SELECT slope FROM r, m WHERE rn = (m.m - 1) // 2 + 1
+), hi AS (
+  SELECT slope FROM r, m WHERE rn = m.m // 2 + 1
+)
+SELECT m.m AS n_pairs,
+       ROUND((lo.slope + hi.slope) / 2.0, 6) AS slope
+FROM m, lo, hi
+"""
+
+
+# =====================================================================
+# Jaccard link prediction (top supplier pairs by neighborhood overlap)
+# =====================================================================
+
+def q_jaccard_links(sf_dir: str):
+    """Top-20 supplier pairs by JACCARD similarity of their part
+    neighborhoods c/(d1+d2-c) - common_neighbors' normalized sibling
+    (Liben-Nowell & Kleinberg 2003), which stops high-degree hubs from
+    dominating the ranking. Same scale shape as common_neighbors (ONE
+    partkey-hash exchange -> degree-class-vectorized pair emission ->
+    packed-int-key partition fold), plus a bounded degree table
+    (<=|supps| rows, folded from the SAME globally-distinct partitions)
+    captured into the fold task. Ranking uses the ROUNDED score (6 dp)
+    then the packed key, a total order identical on both sides, so the
+    per-partition partial top-20 is exact."""
+    from .sizing import fold_parts
+
+    n_parts = fold_parts()
+    ds = _t(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def distinct_block(b: pa.Table) -> pa.Table:
+        t = b.group_by(["l_partkey", "l_suppkey"]).aggregate([])
+        p = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kp = (_splitmix64(p).view(np.uint64)
+              % np.uint64(n_parts)).astype(np.int64)
+        return t.append_column("kp", pa.array(kp))
+
+    dedup = (ds.map_batches(distinct_block, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby("kp"))
+
+    # bounded degree fold: partition-local distinct is globally exact
+    # (a part's edges live in exactly one partition)
+    def degree_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["l_partkey", "l_suppkey"])
+        vc = g["l_suppkey"].value_counts()
+        return pd.DataFrame({"s": vc.index.to_numpy(np.int64),
+                             "d": vc.to_numpy(np.int64)})
+
+    deg_df = (dedup.map_groups(degree_part, batch_format="pandas")
+              .groupby("s").aggregate(Sum("d", alias_name="d"))
+              .to_pandas())  # <= |supps| rows - bounded dimension fold
+    deg = {int(s): int(d) for s, d in zip(deg_df["s"], deg_df["d"])}
+
+    def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["l_partkey", "l_suppkey"])
+        g = g.sort_values(["l_partkey", "l_suppkey"], kind="mergesort")
+        p = g["l_partkey"].to_numpy(np.int64)
+        s = g["l_suppkey"].to_numpy(np.int64)
+        empty = pd.DataFrame({"key": pd.Series([], dtype=np.int64),
+                              "c": pd.Series([], dtype=np.int64),
+                              "kp2": pd.Series([], dtype=np.int64)})
+        if len(p) == 0:
+            return empty
+        if s.max() >= 2 ** 31:
+            raise ValueError("suppkey exceeds 32-bit pack range")
+        new = np.concatenate(([True], p[1:] != p[:-1]))
+        seg_start = np.flatnonzero(new)
+        seg_len = np.diff(np.concatenate((seg_start, [len(p)])))
+        keys = []
+        for d in np.unique(seg_len):
+            if d < 2:
+                continue
+            starts = seg_start[seg_len == d]
+            mat = s[starts[:, None] + np.arange(int(d))[None, :]]
+            ii, jj = np.triu_indices(int(d), 1)
+            keys.append((mat[:, ii].ravel() << 32) | mat[:, jj].ravel())
+        if not keys:
+            return empty
+        key = np.concatenate(keys)
+        uk, inv = np.unique(key, return_counts=True)
+        kp2 = (_splitmix64(uk).view(np.uint64)
+               % np.uint64(n_parts)).astype(np.int64)
+        return pd.DataFrame({"key": uk, "c": inv.astype(np.int64),
+                             "kp2": kp2})
+
+    def fold_part(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("key", sort=False)["c"].sum()  # int64 - exact
+        key = tot.index.to_numpy(np.int64)
+        c = tot.to_numpy(np.int64)
+        s1 = key >> 32
+        s2 = key & np.int64(0xFFFFFFFF)
+        d1 = np.array([deg[int(v)] for v in s1], dtype=np.int64)
+        d2 = np.array([deg[int(v)] for v in s2], dtype=np.int64)
+        jac = np.round(c.astype(np.float64)
+                       / (d1 + d2 - c).astype(np.float64), 6)
+        order = np.lexsort((key, -jac))[:20]  # jac DESC, key ASC
+        return pd.DataFrame({"s1": s1[order], "s2": s2[order],
+                             "c": c[order], "jac": jac[order]})
+
+    top = (dedup.map_groups(pairs_part, batch_format="pandas")
+           .groupby("kp2").map_groups(fold_part, batch_format="pandas"))
+    parts = list(top.iter_batches(batch_format="pyarrow"))
+    merged = pa.concat_tables(parts) if parts else pa.table(
+        {"s1": pa.array([], pa.int64()), "s2": pa.array([], pa.int64()),
+         "c": pa.array([], pa.int64()), "jac": pa.array([], pa.float64())})
+    df = merged.to_pandas()
+    key = (df["s1"].to_numpy(np.int64) << 32) | df["s2"].to_numpy(np.int64)
+    order = np.lexsort((key, -df["jac"].to_numpy()))[:20]
+    out = df.iloc[order].reset_index(drop=True)
+    return pa.table({"s1": pa.array(out["s1"].to_numpy(np.int64)),
+                     "s2": pa.array(out["s2"].to_numpy(np.int64)),
+                     "c": pa.array(out["c"].to_numpy(np.int64)),
+                     "jac": pa.array(out["jac"].to_numpy(np.float64))})
+
+
+SQL_JACCARD_LINKS = """
+WITH ps AS (
+  SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+), deg AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS d FROM ps GROUP BY 1
+), pairs AS (
+  SELECT a.s AS s1, b.s AS s2, CAST(COUNT(*) AS BIGINT) AS c
+  FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+  GROUP BY 1, 2
+)
+SELECT s1, s2, c,
+       ROUND(CAST(c AS DOUBLE) / CAST(d1.d + d2.d - c AS DOUBLE), 6)
+         AS jac
+FROM pairs JOIN deg d1 ON d1.s = s1 JOIN deg d2 ON d2.s = s2
+ORDER BY jac DESC, s1, s2
+LIMIT 20
+"""
+
+
 ANALYTICS_QUERIES = {
+    "mutual_info": (q_mutual_info, SQL_MUTUAL_INFO),
+    "theil_sen": (q_theil_sen, SQL_THEIL_SEN),
+    "jaccard_links": (q_jaccard_links, SQL_JACCARD_LINKS),
     "burst_flags": (q_burst_flags, SQL_BURST_FLAGS),
     "cusum_changepoint": (q_cusum_changepoint, SQL_CUSUM_CHANGEPOINT),
     "common_neighbors": (q_common_neighbors, SQL_COMMON_NEIGHBORS),
