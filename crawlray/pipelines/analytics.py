@@ -10000,10 +10000,13 @@ def q_jaccard_links(sf_dir: str):
     dominating the ranking. Same scale shape as common_neighbors (ONE
     partkey-hash exchange -> degree-class-vectorized pair emission ->
     packed-int-key partition fold), plus a bounded degree table
-    (<=|supps| rows, folded from the SAME globally-distinct partitions)
-    captured into the fold task. Ranking uses the ROUNDED score (6 dp)
-    then the packed key, a total order identical on both sides, so the
-    per-partition partial top-20 is exact."""
+    (<=|supps| rows) folded from the SAME exchange: the per-partition
+    task emits pair rows AND degree-partial rows (partition-local
+    distinct is globally exact because a part's edges live in exactly
+    one partition), tagged by kind, through ONE materialized pass - the
+    input is never scanned or shuffled twice. Ranking uses the ROUNDED
+    score (6 dp) then the packed key, a total order identical on both
+    sides, so the per-partition partial top-20 is exact."""
     from .sizing import fold_parts
 
     n_parts = fold_parts()
@@ -10016,35 +10019,26 @@ def q_jaccard_links(sf_dir: str):
               % np.uint64(n_parts)).astype(np.int64)
         return t.append_column("kp", pa.array(kp))
 
-    dedup = (ds.map_batches(distinct_block, batch_format="pyarrow",
-                            zero_copy_batch=True)
-             .groupby("kp"))
-
-    # bounded degree fold: partition-local distinct is globally exact
-    # (a part's edges live in exactly one partition)
-    def degree_part(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(["l_partkey", "l_suppkey"])
-        vc = g["l_suppkey"].value_counts()
-        return pd.DataFrame({"s": vc.index.to_numpy(np.int64),
-                             "d": vc.to_numpy(np.int64)})
-
-    deg_df = (dedup.map_groups(degree_part, batch_format="pandas")
-              .groupby("s").aggregate(Sum("d", alias_name="d"))
-              .to_pandas())  # <= |supps| rows - bounded dimension fold
-    deg = {int(s): int(d) for s, d in zip(deg_df["s"], deg_df["d"])}
-
-    def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+    def emit_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(["l_partkey", "l_suppkey"])
         g = g.sort_values(["l_partkey", "l_suppkey"], kind="mergesort")
         p = g["l_partkey"].to_numpy(np.int64)
         s = g["l_suppkey"].to_numpy(np.int64)
         empty = pd.DataFrame({"key": pd.Series([], dtype=np.int64),
                               "c": pd.Series([], dtype=np.int64),
-                              "kp2": pd.Series([], dtype=np.int64)})
+                              "kp2": pd.Series([], dtype=np.int64),
+                              "kind": pd.Series([], dtype=np.int64)})
         if len(p) == 0:
             return empty
         if s.max() >= 2 ** 31:
             raise ValueError("suppkey exceeds 32-bit pack range")
+        # degree partials (kind=0): globally-distinct edges counted here
+        vc = pd.Series(s).value_counts()
+        frames = [pd.DataFrame({
+            "key": vc.index.to_numpy(np.int64),
+            "c": vc.to_numpy(np.int64),
+            "kp2": np.zeros(len(vc), np.int64),
+            "kind": np.zeros(len(vc), np.int64)})]
         new = np.concatenate(([True], p[1:] != p[:-1]))
         seg_start = np.flatnonzero(new)
         seg_len = np.diff(np.concatenate((seg_start, [len(p)])))
@@ -10056,14 +10050,29 @@ def q_jaccard_links(sf_dir: str):
             mat = s[starts[:, None] + np.arange(int(d))[None, :]]
             ii, jj = np.triu_indices(int(d), 1)
             keys.append((mat[:, ii].ravel() << 32) | mat[:, jj].ravel())
-        if not keys:
-            return empty
-        key = np.concatenate(keys)
-        uk, inv = np.unique(key, return_counts=True)
-        kp2 = (_splitmix64(uk).view(np.uint64)
-               % np.uint64(n_parts)).astype(np.int64)
-        return pd.DataFrame({"key": uk, "c": inv.astype(np.int64),
-                             "kp2": kp2})
+        if keys:
+            key = np.concatenate(keys)
+            uk, inv = np.unique(key, return_counts=True)
+            kp2 = (_splitmix64(uk).view(np.uint64)
+                   % np.uint64(n_parts)).astype(np.int64)
+            frames.append(pd.DataFrame({
+                "key": uk, "c": inv.astype(np.int64), "kp2": kp2,
+                "kind": np.ones(len(uk), np.int64)}))
+        return pd.concat(frames, ignore_index=True)
+
+    tagged = (ds.map_batches(distinct_block, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby("kp").map_groups(emit_part, batch_format="pandas")
+              .materialize())
+
+    # bounded degree fold on the driver: <= |supps| x n_parts rows
+    deg: dict[int, int] = {}
+    for b in (tagged
+              .map_batches(lambda t: t.filter(pc.equal(t["kind"], 0)),
+                           batch_format="pyarrow", zero_copy_batch=True)
+              .iter_batches(batch_format="pyarrow")):
+        for s_, d_ in zip(b["key"].to_pylist(), b["c"].to_pylist()):
+            deg[int(s_)] = deg.get(int(s_), 0) + int(d_)
 
     def fold_part(g: pd.DataFrame) -> pd.DataFrame:
         tot = g.groupby("key", sort=False)["c"].sum()  # int64 - exact
@@ -10079,7 +10088,10 @@ def q_jaccard_links(sf_dir: str):
         return pd.DataFrame({"s1": s1[order], "s2": s2[order],
                              "c": c[order], "jac": jac[order]})
 
-    top = (dedup.map_groups(pairs_part, batch_format="pandas")
+    top = (tagged
+           .map_batches(lambda t: t.filter(pc.equal(t["kind"], 1))
+                        .drop_columns(["kind"]),
+                        batch_format="pyarrow", zero_copy_batch=True)
            .groupby("kp2").map_groups(fold_part, batch_format="pandas"))
     parts = list(top.iter_batches(batch_format="pyarrow"))
     merged = pa.concat_tables(parts) if parts else pa.table(
@@ -10114,7 +10126,215 @@ LIMIT 20
 """
 
 
+# =====================================================================
+# Adamic-Adar link prediction (degree-weighted common neighbors)
+# =====================================================================
+
+def q_adamic_adar(sf_dir: str):
+    """Top-20 supplier pairs by ADAMIC-ADAR score sum 1/ln(deg(p)) over
+    shared parts p - the third link-prediction flavor (Adamic & Adar
+    2003), which discounts promiscuous neighbors that common_neighbors
+    counts at full weight. The part degree domain is BOUNDED (<= ~52
+    suppliers per part), so the float score is an EXACT-ORDERED sum:
+    pair emissions carry their part's degree, fold to integer counts
+    per (pair, deg) through the packed-key partition exchange (key
+    packs s1|s2|deg - still one int64), and each pair's score folds
+    sum c_d * (1/ln d) in ASCENDING d order - the lang_entropy ordered
+    convention, mirrored by the oracle's SUM(... ORDER BY d). Ranking
+    by (ROUNDED score DESC, s1, s2) makes the per-partition partial
+    top-20 exact under a total order."""
+    from .sizing import fold_parts
+
+    n_parts = fold_parts()
+    ds = _t(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def distinct_block(b: pa.Table) -> pa.Table:
+        t = b.group_by(["l_partkey", "l_suppkey"]).aggregate([])
+        p = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kp = (_splitmix64(p).view(np.uint64)
+              % np.uint64(n_parts)).astype(np.int64)
+        return t.append_column("kp", pa.array(kp))
+
+    def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["l_partkey", "l_suppkey"])
+        g = g.sort_values(["l_partkey", "l_suppkey"], kind="mergesort")
+        p = g["l_partkey"].to_numpy(np.int64)
+        s = g["l_suppkey"].to_numpy(np.int64)
+        empty = pd.DataFrame({"key": pd.Series([], dtype=np.int64),
+                              "c": pd.Series([], dtype=np.int64),
+                              "kp2": pd.Series([], dtype=np.int64)})
+        if len(p) == 0:
+            return empty
+        if s.max() >= 2 ** 26:
+            raise ValueError("suppkey exceeds 26-bit pack range")
+        new = np.concatenate(([True], p[1:] != p[:-1]))
+        seg_start = np.flatnonzero(new)
+        seg_len = np.diff(np.concatenate((seg_start, [len(p)])))
+        keys = []
+        for d in np.unique(seg_len):
+            if d < 2:
+                continue
+            if d >= 2 ** 12:
+                raise ValueError("part degree exceeds 12-bit pack range")
+            starts = seg_start[seg_len == d]
+            mat = s[starts[:, None] + np.arange(int(d))[None, :]]
+            ii, jj = np.triu_indices(int(d), 1)
+            # key packs (s1, s2, deg): 26 + 26 + 12 bits
+            keys.append((mat[:, ii].ravel() << 38)
+                        | (mat[:, jj].ravel() << 12)
+                        | np.int64(d))
+        if not keys:
+            return empty
+        key = np.concatenate(keys)
+        uk, inv = np.unique(key, return_counts=True)
+        # partition on the PAIR (drop the degree bits) so one pair's
+        # degree rows land together for the ordered score fold
+        kp2 = (_splitmix64(uk >> 12).view(np.uint64)
+               % np.uint64(n_parts)).astype(np.int64)
+        return pd.DataFrame({"key": uk, "c": inv.astype(np.int64),
+                             "kp2": kp2})
+
+    def fold_part(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("key", sort=True)["c"].sum()  # int64 - exact
+        key = tot.index.to_numpy(np.int64)
+        c = tot.to_numpy(np.int64)
+        pair = key >> 12
+        deg = key & np.int64(0xFFF)
+        # ascending (pair, deg) from the sorted groupby: sequential
+        # ordered sum per pair boundary
+        scores = {}
+        counts = {}
+        for pk, d, cd in zip(pair, deg, c):
+            scores[pk] = scores.get(pk, 0.0) \
+                + float(int(cd)) * (1.0 / math.log(float(int(d))))
+            counts[pk] = counts.get(pk, 0) + int(cd)
+        pks = np.fromiter(scores.keys(), dtype=np.int64)
+        sc = np.round(np.fromiter(scores.values(), dtype=np.float64), 6)
+        cn = np.fromiter(counts.values(), dtype=np.int64)
+        order = np.lexsort((pks, -sc))[:20]  # score DESC, pair ASC
+        pks, sc, cn = pks[order], sc[order], cn[order]
+        return pd.DataFrame({"s1": pks >> 26,
+                             "s2": pks & np.int64(0x3FFFFFF),
+                             "c": cn, "aa": sc})
+
+    top = (ds.map_batches(distinct_block, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("kp").map_groups(pairs_part, batch_format="pandas")
+           .groupby("kp2").map_groups(fold_part, batch_format="pandas"))
+    parts = list(top.iter_batches(batch_format="pyarrow"))
+    merged = pa.concat_tables(parts) if parts else pa.table(
+        {"s1": pa.array([], pa.int64()), "s2": pa.array([], pa.int64()),
+         "c": pa.array([], pa.int64()), "aa": pa.array([], pa.float64())})
+    df = merged.to_pandas()
+    key = (df["s1"].to_numpy(np.int64) << 26) | df["s2"].to_numpy(np.int64)
+    order = np.lexsort((key, -df["aa"].to_numpy()))[:20]
+    out = df.iloc[order].reset_index(drop=True)
+    return pa.table({"s1": pa.array(out["s1"].to_numpy(np.int64)),
+                     "s2": pa.array(out["s2"].to_numpy(np.int64)),
+                     "c": pa.array(out["c"].to_numpy(np.int64)),
+                     "aa": pa.array(out["aa"].to_numpy(np.float64))})
+
+
+SQL_ADAMIC_ADAR = """
+WITH ps AS (
+  SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+), deg AS (
+  SELECT p, CAST(COUNT(*) AS BIGINT) AS d FROM ps GROUP BY 1
+), pd AS (
+  SELECT a.s AS s1, b.s AS s2, deg.d AS d,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+  JOIN deg ON deg.p = a.p
+  GROUP BY 1, 2, 3
+), sc AS (
+  SELECT s1, s2, CAST(SUM(c) AS BIGINT) AS c,
+         ROUND(SUM(CAST(c AS DOUBLE) * (1.0 / LN(CAST(d AS DOUBLE)))
+                   ORDER BY d), 6) AS aa
+  FROM pd GROUP BY 1, 2
+)
+SELECT s1, s2, c, aa FROM sc
+ORDER BY aa DESC, s1, s2
+LIMIT 20
+"""
+
+
+# =====================================================================
+# truncated EWMA smoothing of daily revenue (exact power-of-2 decay)
+# =====================================================================
+
+def q_ewma_smooth(sf_dir: str):
+    """10-day truncated exponential smoothing of daily revenue with
+    decay 1/2 per day - the EWMA readout of a monitoring dashboard.
+    The decay being a POWER OF TWO makes every term rev * 2^-k an
+    EXACT double (a pure exponent shift, no rounding), so both sides
+    sum the identical floats in the identical ascending-k order and
+    the usual cross-libm pow() hazard never arises; gaps in the day
+    spine shrink the window on both sides identically (the k-offset
+    join only matches days that exist). Day sums fold exactly (int64
+    cents) through a <=#days exchange; the smoothing itself is a
+    vectorized shift-accumulate over the bounded driver rows. One trap
+    this op actually hits: dyadic num/den quotients land EXACTLY on
+    .xxxxxx5 decimal boundaries (28 of 2399 days at sf0.01), where
+    np.round's half-even and DuckDB ROUND's half-away disagree - the
+    finale therefore emulates half-away explicitly
+    (floor(x*1e6 + 0.5)/1e6; values are positive)."""
+    ds = _t(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    day_us = 86_400_000_000
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "day": pc.divide(b["o_orderdate"].cast(pa.int64()),
+                             pa.scalar(day_us, pa.int64())).cast(pa.int64()),
+            "rev": _cents(b["o_totalprice"]),
+        })
+        g = t.group_by("day").aggregate([("rev", "sum")])
+        return g.rename_columns(["day", "rev"])
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("day")
+           .aggregate(Sum("rev", alias_name="rev")))
+    df = agg.to_pandas()  # <= #days rows - bounded fold
+    df = df.sort_values("day", ignore_index=True)
+    day = df["day"].to_numpy(np.int64)
+    rev = df["rev"].to_numpy(np.int64).astype(np.float64)
+    pos = {int(d): i for i, d in enumerate(day)}
+    num = np.zeros(len(day), np.float64)
+    den = np.zeros(len(day), np.float64)
+    for k in range(10):  # ascending k - identical order both sides
+        w = 1.0 / float(1 << k)
+        src = np.array([pos.get(int(d) - k, -1) for d in day])
+        hit = src >= 0
+        num[hit] = num[hit] + rev[src[hit]] * w
+        den[hit] = den[hit] + w
+    q = num / den
+    return pa.table({
+        "day": pa.array(day, pa.int64()),
+        "ewma": pa.array(np.floor(q * 1e6 + 0.5) / 1e6, pa.float64())})
+
+
+SQL_EWMA_SMOOTH = """
+WITH d AS (
+  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1
+), k AS (
+  SELECT range AS k FROM range(10)
+), w AS (
+  SELECT a.day AS day, k.k AS k,
+         CAST(b.rev AS DOUBLE) / CAST(1 << k.k AS DOUBLE) AS term,
+         1.0 / CAST(1 << k.k AS DOUBLE) AS wt
+  FROM d a CROSS JOIN k JOIN d b ON b.day = a.day - k.k
+)
+SELECT day,
+       ROUND(SUM(term ORDER BY k) / SUM(wt ORDER BY k), 6) AS ewma
+FROM w GROUP BY day
+"""
+
+
 ANALYTICS_QUERIES = {
+    "adamic_adar": (q_adamic_adar, SQL_ADAMIC_ADAR),
+    "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
     "mutual_info": (q_mutual_info, SQL_MUTUAL_INFO),
     "theil_sen": (q_theil_sen, SQL_THEIL_SEN),
     "jaccard_links": (q_jaccard_links, SQL_JACCARD_LINKS),
