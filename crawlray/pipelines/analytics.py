@@ -8207,27 +8207,30 @@ def q_dynamic_pruning(sf_dir: str):
     side resolves first (one tiny read), and the fact read carries an
     `isin` predicate so parquet row groups whose zone maps exclude every
     wanted supplier never leave storage. No join executes at all; the
-    probe IS the scan filter. Scale caveat: the pushed key set must stay
-    broadcast-sized (here suppliers/nation); past the repo's
-    _BROADCAST_KEY_LIMIT convention the right plan is the guarded hash
-    join (q_revenue_by_nation's fallback), not a mega-expression.
-    Revenue folds as exact tenth-cent int64 partials; one division at
-    the end."""
+    probe IS the scan filter. Scale guard: the pushed key set must stay
+    broadcast-sized; past _BROADCAST_KEY_LIMIT the op takes a real hash
+    semi join instead of a mega-expression (forced-branch equality
+    pinned in tests/test_scale_shapes.py), and the dimension keys are
+    never pulled to the driver on that branch."""
     import pyarrow.dataset as pads
 
-    sup_all = rd.read_parquet(
-        os.path.join(sf_dir, "supplier.parquet"),
-        columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    from .relational import _BROADCAST_KEY_LIMIT
+    from .sizing import join_parts
+
+    sup = _sized_read(os.path.join(sf_dir, "supplier.parquet"),
+                      columns=["s_suppkey", "s_nationkey"])
     # anchor nation = the first supplier's nation: nonempty at EVERY
     # scale (a named nation can have zero suppliers at tiny sf)
-    nk = int(sup_all.loc[sup_all["s_suppkey"].idxmin(), "s_nationkey"])
-    keys = sup_all.loc[sup_all["s_nationkey"] == nk, "s_suppkey"] \
-        .to_numpy(np.int64)
-
-    ds = rd.read_parquet(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_suppkey", "l_extendedprice", "l_discount"],
-        filter=pads.field("l_suppkey").isin(keys.tolist()))
+    min_key = int(sup.aggregate(Min("s_suppkey"))["min(s_suppkey)"])
+    nk = int(rd.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"],
+        filter=pads.field("s_suppkey") == min_key)
+        .take_batch(1, batch_format="pyarrow")["s_nationkey"][0].as_py())
+    nation_sup = rd.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey"],
+        filter=pads.field("s_nationkey") == nk)
+    n_sup = nation_sup.count()
 
     def prep(b: pa.Table) -> pa.Table:
         rev = pc.round(pc.multiply(
@@ -8239,6 +8242,25 @@ def q_dynamic_pruning(sf_dir: str):
             "n": pa.array([b.num_rows], pa.int64()),
         })
 
+    if n_sup > _BROADCAST_KEY_LIMIT:
+        # oversized dimension: real hash semi join, keys never driver-pulled
+        ds = rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_suppkey", "l_extendedprice", "l_discount"]) \
+            .join(nation_sup, join_type="inner",
+                  num_partitions=join_parts(),
+                  on=("l_suppkey",), right_on=("s_suppkey",))
+    else:
+        keys = np.sort(np.concatenate(
+            [b["s_suppkey"].to_numpy(zero_copy_only=False)
+             for b in nation_sup.iter_batches(batch_size=65536,
+                                              batch_format="pyarrow")]
+            or [np.empty(0, np.int64)]).astype(np.int64))
+        ds = rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_suppkey", "l_extendedprice", "l_discount"],
+            filter=pads.field("l_suppkey").isin(keys.tolist()))
+
     out = (ds.map_batches(prep, batch_format="pyarrow",
                           zero_copy_batch=True)
            .aggregate(Sum("rev"), Sum("n")))
@@ -8246,7 +8268,7 @@ def q_dynamic_pruning(sf_dir: str):
         "revenue": pa.array([float(int(out["sum(rev)"] or 0)) / 10000.0],
                             pa.float64()),
         "n_rows": pa.array([int(out["sum(n)"] or 0)], pa.int64()),
-        "n_suppliers": pa.array([len(keys)], pa.int64()),
+        "n_suppliers": pa.array([n_sup], pa.int64()),
     })
 
 

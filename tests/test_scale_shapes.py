@@ -122,6 +122,18 @@ def test_semi_anti_join_fallback_path(ray_session, monkeypatch):
     pd.testing.assert_frame_equal(norm(fast_anti), norm(slow_anti))
 
 
+def test_dynamic_pruning_join_fallback_equal(ray_session, monkeypatch):
+    """Force dynamic_pruning past the broadcast guard and check the
+    hash-semi-join branch equals the isin-pushdown fast path."""
+    import crawlray.pipelines.analytics as ana
+    import crawlray.pipelines.relational as rel
+
+    fast = ana.q_dynamic_pruning(SF_DIR).to_pandas()
+    monkeypatch.setattr(rel, "_BROADCAST_KEY_LIMIT", 0)
+    slow = ana.q_dynamic_pruning(SF_DIR).to_pandas()
+    pd.testing.assert_frame_equal(fast, slow)
+
+
 def test_lsh_bucket_cap_truncates():
     """A bucket larger than the cap emits exactly cap·(cap−1)/2 pairs of
     the LOWEST doc_ids; small buckets emit full all-pairs; singletons
