@@ -10377,7 +10377,128 @@ FROM w GROUP BY day
 """
 
 
+# =====================================================================
+# group k-fold assignment (leakage-free user-grouped CV folds)
+# =====================================================================
+
+def q_group_kfold(sf_dir: str, k: int = 5):
+    """GROUP k-fold assignment: every event lands in fold
+    md5(user_id) % k, so ALL of a user's events share a fold and a
+    cross-validation split can never leak one user's behavior across
+    folds (stratified_kfold splits rows; this splits GROUPS - the
+    difference between a valid and an optimistically-biased eval).
+    Per-block (user, n) partials ride ONE user-hash exchange; each
+    partition computes folds for its distinct users and emits <= k
+    (fold, users, events) partial rows; the final exchange is <= k x
+    partitions. hashlib md5 == DuckDB md5() on the decimal string."""
+    import hashlib
+
+    from .sizing import fold_parts
+
+    n_parts = fold_parts()
+    ds = _t(sf_dir, "events", ["user_id"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        u, c = np.unique(b["user_id"].to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        u = u.astype(np.int64)
+        kp = (_splitmix64(u).view(np.uint64)
+              % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({"user_id": pa.array(u),
+                         "n": pa.array(c.astype(np.int64)),
+                         "kp": pa.array(kp)})
+
+    def fold_users(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby("user_id", sort=False)["n"].sum()
+        users = t.index.to_numpy(np.int64)
+        ev = t.to_numpy(np.int64)
+        f = np.fromiter(
+            (int(hashlib.md5(str(int(u)).encode()).hexdigest()[:8], 16) % k
+             for u in users), dtype=np.int64, count=len(users))
+        out = pd.DataFrame({"fold": f, "users": 1, "events": ev}) \
+            .groupby("fold", sort=False).sum().reset_index()
+        return out.astype({"fold": np.int64, "users": np.int64,
+                           "events": np.int64})
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("kp").map_groups(fold_users, batch_format="pandas")
+           .groupby("fold")
+           .aggregate(Sum("users", alias_name="n_users"),
+                      Sum("events", alias_name="n_events")))
+    df = agg.to_pandas().sort_values("fold", ignore_index=True)
+    return pa.table({
+        "fold": pa.array(df["fold"].to_numpy(np.int64)),
+        "n_users": pa.array(df["n_users"].to_numpy(np.int64)),
+        "n_events": pa.array(df["n_events"].to_numpy(np.int64))})
+
+
+SQL_GROUP_KFOLD = """
+WITH f AS (
+  SELECT CAST(CONCAT('0x', SUBSTR(md5(CAST(user_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 5 AS fold,
+         user_id
+  FROM events
+)
+SELECT fold, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM f GROUP BY 1
+"""
+
+
+# =====================================================================
+# temperature-scaled source sampling weights (multilingual mixing)
+# =====================================================================
+
+def q_temperature_mix(sf_dir: str):
+    """Temperature-scaled sampling probabilities per source,
+    p_s = c_s^0.5 / sum c^0.5 - the alpha=0.5 upsampling rule
+    multilingual corpora mix with (Conneau et al. 2020, XLM-R), which
+    lifts low-resource sources without letting the head dominate.
+    Counts fold exactly through a <= |sources| exchange; alpha = 0.5
+    makes the power a SQRT - correctly rounded per IEEE 754 (unlike
+    pow(), which the repo bans cross-libm) - and the denominator sums
+    in SORTED source order on both sides; one division per source,
+    6 dp."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["source"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        g = b.group_by("source").aggregate([([], "count_all")])
+        return g.rename_columns(["source", "c"])
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("source")
+           .aggregate(Sum("c", alias_name="c")))
+    df = agg.to_pandas()  # <= |sources| rows - bounded fold
+    df = df.sort_values("source", ignore_index=True)
+    den = 0.0
+    for c in df["c"]:  # sorted source order - deterministic float sum
+        den = den + math.sqrt(float(int(c)))
+    ps = [np.round(math.sqrt(float(int(c))) / den, 6) for c in df["c"]]
+    return pa.table({
+        "source": pa.array(df["source"], pa.string()),
+        "n_docs": pa.array(df["c"].to_numpy(np.int64)),
+        "p": pa.array(ps, pa.float64())})
+
+
+SQL_TEMPERATURE_MIX = """
+WITH c AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1
+), d AS (
+  SELECT SUM(SQRT(CAST(c AS DOUBLE)) ORDER BY source) AS den FROM c
+)
+SELECT source, c AS n_docs,
+       ROUND(SQRT(CAST(c AS DOUBLE)) / d.den, 6) AS p
+FROM c, d
+"""
+
+
 ANALYTICS_QUERIES = {
+    "group_kfold": (q_group_kfold, SQL_GROUP_KFOLD),
+    "temperature_mix": (q_temperature_mix, SQL_TEMPERATURE_MIX),
     "adamic_adar": (q_adamic_adar, SQL_ADAMIC_ADAR),
     "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
     "mutual_info": (q_mutual_info, SQL_MUTUAL_INFO),
