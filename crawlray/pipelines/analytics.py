@@ -10496,7 +10496,75 @@ FROM c, d
 """
 
 
+# =====================================================================
+# day-of-week seasonality index
+# =====================================================================
+
+def q_dow_seasonality(sf_dir: str):
+    """Day-of-week seasonal index of order revenue: mean revenue on
+    ISO weekday d over the all-days mean - the weekly-rhythm readout a
+    revisit scheduler keys on (crawl twin: which weekdays a host
+    publishes). Per-(dow) cent sums and day counts fold exactly through
+    a <= 7 exchange; the index stays EXACT INTEGERS through the cross
+    product (S_d * n_all) / (n_d * S_all) - python ints on the bounded
+    driver rows == HUGEINT - until one division, 6 dp. Day means use
+    DISTINCT day counts so a missing calendar day can't skew its
+    weekday (same span rule both sides)."""
+    ds = _t(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    day_us = 86_400_000_000
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "day": pc.divide(b["o_orderdate"].cast(pa.int64()),
+                             pa.scalar(day_us, pa.int64())).cast(pa.int64()),
+            "rev": _cents(b["o_totalprice"]),
+        })
+        g = t.group_by("day").aggregate([("rev", "sum")])
+        return g.rename_columns(["day", "rev"])
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("day")
+           .aggregate(Sum("rev", alias_name="rev")))
+    df = agg.to_pandas()  # <= #days rows - bounded fold
+    # 1970-01-01 was a Thursday: isodow = (epoch_day + 3) % 7 + 1
+    df["dow"] = (df["day"].to_numpy(np.int64) + 3) % 7 + 1
+    s_all = int(df["rev"].sum())
+    n_all = int(len(df))
+    g = df.groupby("dow", sort=True)["rev"]
+    rows = {"dow": [], "n_days": [], "index": []}
+    for dow, vals in g:
+        s_d = int(vals.sum())
+        n_d = int(len(vals))
+        rows["dow"].append(int(dow))
+        rows["n_days"].append(n_d)
+        rows["index"].append(np.round(
+            float(s_d * n_all) / float(n_d * s_all), 6))
+    return pa.table({"dow": pa.array(rows["dow"], pa.int64()),
+                     "n_days": pa.array(rows["n_days"], pa.int64()),
+                     "index": pa.array(rows["index"], pa.float64())})
+
+
+SQL_DOW_SEASONALITY = """
+WITH d AS (
+  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1
+), t AS (
+  SELECT CAST(SUM(rev) AS HUGEINT) AS s_all,
+         CAST(COUNT(*) AS HUGEINT) AS n_all
+  FROM d
+)
+SELECT CAST((day + 3) % 7 + 1 AS BIGINT) AS dow,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(CAST(SUM(CAST(rev AS HUGEINT)) * t.n_all AS DOUBLE)
+             / CAST(COUNT(*) * t.s_all AS DOUBLE), 6) AS index
+FROM d, t GROUP BY 1, t.n_all, t.s_all
+"""
+
+
 ANALYTICS_QUERIES = {
+    "dow_seasonality": (q_dow_seasonality, SQL_DOW_SEASONALITY),
     "group_kfold": (q_group_kfold, SQL_GROUP_KFOLD),
     "temperature_mix": (q_temperature_mix, SQL_TEMPERATURE_MIX),
     "adamic_adar": (q_adamic_adar, SQL_ADAMIC_ADAR),

@@ -5977,7 +5977,147 @@ WHERE levenshtein(a.p_name, b.p_name) <= 4
 """
 
 
+# =====================================================================
+# per-label embedding centroids (exact scaled-int vector mean)
+# =====================================================================
+
+def q_label_centroids(sf_dir: str):
+    """Per-class embedding CENTROID (the nearest-centroid-classifier
+    prototype / cluster summary a labeling dashboard tracks), computed
+    EXACTLY: each float32 component quantizes to a 2^30-scaled int64
+    (half-away-from-zero, mirroring DuckDB ROUND), per-block (label,
+    dim) partial sums fold through a <= |labels| x d exchange, and the
+    mean divides once on the bounded driver rows - so distributed float
+    summation order can never move a bit. Finale emulates ROUND's
+    half-away on the signed quotient explicitly (the ewma_smooth
+    lesson); oracle unnests with generate_subscripts."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = rd.read_parquet(path, columns=["label", "embedding"])
+    scale = float(1 << 30)
+
+    def prep(b: pa.Table) -> pa.Table:
+        lab = b["label"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        emb = _embedding_matrix(b["embedding"])       # (n, d) float64
+        q = np.where(emb >= 0, np.floor(emb * scale + 0.5),
+                     np.ceil(emb * scale - 0.5)).astype(np.int64)
+        ul, inv = np.unique(lab, return_inverse=True)
+        d = q.shape[1]
+        sums = np.zeros((len(ul), d), np.int64)
+        np.add.at(sums, inv, q)
+        cnt = np.bincount(inv).astype(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(ul, d)),
+            "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64),
+                                    len(ul))),
+            "s": pa.array(sums.ravel()),
+            "n": pa.array(np.repeat(cnt, d)),
+        })
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["label", "dim"])
+           .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n")))
+    df = agg.to_pandas()  # <= |labels| x d rows - bounded fold
+    df = df.sort_values(["label", "dim"], ignore_index=True)
+    s = df["s"].to_numpy(np.int64).astype(np.float64)
+    n = df["n"].to_numpy(np.int64).astype(np.float64)
+    q = s / n / scale
+    cen = np.where(q >= 0, np.floor(q * 1e6 + 0.5),
+                   -np.floor(-q * 1e6 + 0.5)) / 1e6
+    return pa.table({
+        "label": pa.array(df["label"].to_numpy(np.int64)),
+        "dim": pa.array(df["dim"].to_numpy(np.int64)),
+        "n": pa.array(df["n"].to_numpy(np.int64)),
+        "centroid": pa.array(cen, pa.float64())})
+
+
+SQL_LABEL_CENTROIDS = """
+WITH u AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1073741824.0)
+              AS BIGINT) AS qv
+  FROM embeddings
+)
+SELECT label, dim, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(qv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             / 1073741824.0, 6) AS centroid
+FROM u GROUP BY 1, 2
+"""
+
+
+# =====================================================================
+# cross-label nearest neighbor (hard-negative / alignment mining)
+# =====================================================================
+
+def q_cross_label_match(sf_dir: str):
+    """For every embedding, its top-1 cosine neighbor with a DIFFERENT
+    label - hard-negative mining for contrastive training (and the
+    cross-lingual alignment primitive: closest doc NOT in my language).
+    knn_join's shape with a label mask: the bounded candidate side
+    (vec_id < 512) broadcasts once with labels riding along, the probe
+    side streams with ONE float64 matmul per block, same-label columns
+    masked before the argmax - zero shuffle. Cosine rounded to 6 dp
+    with min-vec_id tie-break on both sides; oracle casts to DOUBLE[]
+    (float32 accumulation flips 6-dp boundaries)."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    import pyarrow.parquet as pq
+
+    cap = 512
+    t = pq.read_table(path, columns=["vec_id", "embedding", "label"],
+                      filters=[("vec_id", "<", cap)])
+    cids = np.asarray(t["vec_id"], dtype=np.int64)
+    clab = np.asarray(t["label"], dtype=np.int64)
+    cmat = _embedding_matrix(t["embedding"])
+    cn = np.linalg.norm(cmat, axis=1)
+    cand_ref = ray.put((cids, clab,
+                        cmat / np.where(cn == 0, 1.0, cn)[:, None]))
+
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding", "label"])
+
+    def nn(b: pa.Table) -> pa.Table:
+        import ray as _r
+
+        ids, labs, matn = _r.get(cand_ref)
+        vid = b["vec_id"].to_numpy(zero_copy_only=False)
+        lab = b["label"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        emb = _embedding_matrix(b["embedding"])
+        n = np.linalg.norm(emb, axis=1)
+        embn = emb / np.where(n == 0, 1.0, n)[:, None]
+        cos = np.round(embn @ matn.T, 6)            # (block, cand)
+        cos[lab[:, None] == labs[None, :]] = -np.inf  # same label out
+        best = cos.max(axis=1)
+        tie = cos == best[:, None]
+        nn_id = np.where(tie, ids[None, :],
+                         np.iinfo(np.int64).max).min(axis=1)
+        return pa.table({
+            "vec_id": pa.array(vid),
+            "nn_id": pa.array(nn_id),
+            "cos": pa.array(best),
+        })
+
+    return ds.map_batches(nn, batch_format="pyarrow")
+
+
+SQL_CROSS_LABEL_MATCH = """
+SELECT vec_id, nn_id, cos FROM (
+  SELECT a.vec_id, b.vec_id AS nn_id,
+    ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                 b.embedding::DOUBLE[]), 6) AS cos,
+    ROW_NUMBER() OVER (
+      PARTITION BY a.vec_id
+      ORDER BY ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]), 6) DESC,
+               b.vec_id) AS rn
+  FROM embeddings a
+  JOIN embeddings b ON b.vec_id < 512 AND b.label <> a.label
+) WHERE rn = 1
+"""
+
+
 DATAOPS_QUERIES = {
+    "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
+    "cross_label_match": (q_cross_label_match, SQL_CROSS_LABEL_MATCH),
     "lang_confusion": (q_lang_confusion, SQL_LANG_CONFUSION),
     "crawl_adaptive_mini": (q_crawl_adaptive_mini, None),
     "feature_hashing": (q_feature_hashing, SQL_FEATURE_HASHING),
