@@ -10563,7 +10563,157 @@ FROM d, t GROUP BY 1, t.n_all, t.s_all
 """
 
 
+# =====================================================================
+# multi-lag autocorrelation function (ACF 1..7)
+# =====================================================================
+
+def q_acf_lags(sf_dir: str, max_lag: int = 7):
+    """The autocorrelation function out to lag 7 over daily revenue -
+    acf_lag1 extended to the full weekly window, the series diagnostic
+    that separates momentum (smooth decay) from weekly seasonality (a
+    spike at lag 7). One <=#days exchange of exact int64 day sums;
+    every lag's Pearson r comes from exact integer moment sums over the
+    lag-L day pairs (gaps excluded by the day+L rule both sides), ONE
+    identical IEEE expression per lag, 6 dp."""
+    ds = _t(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    day_us = 86_400_000_000
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "day": pc.divide(b["o_orderdate"].cast(pa.int64()),
+                             pa.scalar(day_us, pa.int64())).cast(pa.int64()),
+            "rev": _cents(b["o_totalprice"]),
+        })
+        g = t.group_by("day").aggregate([("rev", "sum")])
+        return g.rename_columns(["day", "rev"])
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("day")
+           .aggregate(Sum("rev", alias_name="rev")))
+    df = agg.to_pandas()  # <= #days rows - bounded fold
+    df = df.sort_values("day", ignore_index=True)
+    day = df["day"].to_numpy(np.int64)
+    rev = df["rev"].to_numpy(np.int64).astype(object)
+    pos = {int(d): i for i, d in enumerate(day)}
+    rows = {"lag": [], "r": [], "n_pairs": []}
+    for lag in range(1, max_lag + 1):
+        src = np.array([pos.get(int(d) + lag, -1) for d in day])
+        hit = src >= 0
+        x, y = rev[hit], rev[src[hit]]
+        n = int(len(x))
+        sx, sy = int(x.sum()), int(y.sum())
+        sxx, syy = int((x * x).sum()), int((y * y).sum())
+        sxy = int((x * y).sum())
+        num = n * sxy - sx * sy
+        den = math.sqrt(float(n * sxx - sx * sx)
+                        * float(n * syy - sy * sy))
+        rows["lag"].append(lag)
+        rows["r"].append(np.round(float(num) / den, 6))
+        rows["n_pairs"].append(n)
+    return pa.table({"lag": pa.array(rows["lag"], pa.int64()),
+                     "r": pa.array(rows["r"], pa.float64()),
+                     "n_pairs": pa.array(rows["n_pairs"], pa.int64())})
+
+
+SQL_ACF_LAGS = """
+WITH d AS (
+  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1
+), l AS (
+  SELECT CAST(range + 1 AS BIGINT) AS lag FROM range(7)
+), p AS (
+  SELECT l.lag, CAST(a.rev AS HUGEINT) AS x, CAST(b.rev AS HUGEINT) AS y
+  FROM d a CROSS JOIN l JOIN d b ON b.day = a.day + l.lag
+), m AS (
+  SELECT lag, CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM p GROUP BY 1
+)
+SELECT lag,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r,
+       CAST(n AS BIGINT) AS n_pairs
+FROM m
+"""
+
+
+# =====================================================================
+# JSON-field aggregation (vectorized payload parsing in the hot path)
+# =====================================================================
+
+def q_json_agg_stats(sf_dir: str):
+    """Per-type aggregate over a field parsed OUT OF the JSON payload
+    column: n, sum(k), min/max - the event-property rollup every
+    product-analytics pipeline runs, with the parse VECTORIZED (one RE2
+    extract_regex kernel per block, no per-row json.loads) because at
+    100 TB the JSON decode IS the hot path. Exact int64 partials
+    through a <= |types| exchange; missing/malformed payloads count
+    separately (n_bad) instead of poisoning the sums."""
+    ds = _t(sf_dir, "events", ["event_type", "props"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(b["props"], r'"k":\s*(?P<k>-?\d+)')
+        valid = ex.is_valid()
+        k = pc.if_else(valid,
+                       pc.cast(pc.struct_field(ex, "k"), pa.int64()),
+                       pa.scalar(0, pa.int64()))
+        t = pa.table({
+            "event_type": b["event_type"],
+            "k": k,
+            "good": valid.cast(pa.int64()),
+            "bad": pc.invert(valid).cast(pa.int64()),
+            "kmin": pc.if_else(valid, k, pa.scalar(2 ** 62, pa.int64())),
+            "kmax": pc.if_else(valid, k, pa.scalar(-2 ** 62, pa.int64())),
+        })
+        g = t.group_by("event_type").aggregate(
+            [("k", "sum"), ("good", "sum"), ("bad", "sum"),
+             ("kmin", "min"), ("kmax", "max")])
+        return g.rename_columns(
+            ["event_type", "k", "good", "bad", "kmin", "kmax"])
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("event_type")
+           .aggregate(Sum("k", alias_name="sum_k"),
+                      Sum("good", alias_name="n_good"),
+                      Sum("bad", alias_name="n_bad"),
+                      Min("kmin", alias_name="min_k"),
+                      Max("kmax", alias_name="max_k")))
+    df = agg.to_pandas().sort_values("event_type", ignore_index=True)
+    return pa.table({
+        "event_type": pa.array(df["event_type"], pa.string()),
+        "n_good": pa.array(df["n_good"].to_numpy(np.int64)),
+        "n_bad": pa.array(df["n_bad"].to_numpy(np.int64)),
+        "sum_k": pa.array(df["sum_k"].to_numpy(np.int64)),
+        "min_k": pa.array(df["min_k"].to_numpy(np.int64)),
+        "max_k": pa.array(df["max_k"].to_numpy(np.int64))})
+
+
+SQL_JSON_AGG_STATS = """
+WITH x AS (
+  SELECT event_type,
+         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       CAST(SUM(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_good,
+       CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bad,
+       CAST(SUM(COALESCE(k, 0)) AS BIGINT) AS sum_k,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(MAX(k) AS BIGINT) AS max_k
+FROM x GROUP BY 1
+"""
+
+
 ANALYTICS_QUERIES = {
+    "acf_lags": (q_acf_lags, SQL_ACF_LAGS),
+    "json_agg_stats": (q_json_agg_stats, SQL_JSON_AGG_STATS),
     "dow_seasonality": (q_dow_seasonality, SQL_DOW_SEASONALITY),
     "group_kfold": (q_group_kfold, SQL_GROUP_KFOLD),
     "temperature_mix": (q_temperature_mix, SQL_TEMPERATURE_MIX),
