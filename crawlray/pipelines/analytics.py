@@ -10711,7 +10711,168 @@ FROM x GROUP BY 1
 """
 
 
+# =====================================================================
+# k-core decomposition (iterative graph peeling)
+# =====================================================================
+
+_KCORE_DRIVER_LIMIT = 5_000_000  # edges; ~80 MB of 2xint64 - the same
+# guarded-small-side discipline as _CC_DRIVER_LIMIT (dedup_groups)
+
+
+def _peel_rounds(s1: np.ndarray, s2: np.ndarray, k: int):
+    """One synchronous peeling schedule: drop ALL nodes below degree k
+    each round (the deterministic batch formulation - round count is
+    O(peeling depth), and the fixed point is the unique k-core
+    regardless of schedule, Matula & Beck 1983). Returns the surviving
+    edge mask."""
+    alive = np.ones(len(s1), bool)
+    while True:
+        nodes = np.concatenate((s1[alive], s2[alive]))
+        if len(nodes) == 0:
+            return alive
+        deg_nodes, deg = np.unique(nodes, return_counts=True)
+        bad = set(deg_nodes[deg < k].tolist())
+        if not bad:
+            return alive
+        bad_arr = np.fromiter(bad, dtype=np.int64)
+        drop = (np.isin(s1, bad_arr) | np.isin(s2, bad_arr)) & alive
+        alive &= ~drop
+
+
+def q_kcore(sf_dir: str, k: int = 3):
+    """The k=3 CORE of the supplier co-supply graph (suppliers sharing
+    >= 2 distinct parts): iteratively peel every node with degree < k
+    until a fixed point - the standard dense-subgraph / spam-farm
+    detector (Matula & Beck 1983; crawl twin: link-farm cores in the
+    host graph). Fourth iterative family next to pagerank / logreg /
+    BPE. Edge derivation is the common_neighbors pipeline (ONE
+    partkey-hash exchange -> packed-key partition fold, c >= 2 filter
+    inside the fold); peeling runs on the driver under the
+    _KCORE_DRIVER_LIMIT edge guard, and past it as DISTRIBUTED rounds:
+    per-block degree bincount partials fold (node domain is
+    dimension-bounded here; a web-scale node domain swaps in the
+    hash-partition degree fold), the below-k node set broadcasts via
+    ray.put, one vectorized filter pass per round. Both paths proven
+    equal (forced-branch test); pinned against an independent
+    adjacency-dict peeler. Output: surviving nodes with their core
+    degrees, sorted."""
+    from .sizing import fold_parts
+
+    n_parts = fold_parts()
+    ds = _t(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def distinct_block(b: pa.Table) -> pa.Table:
+        t = b.group_by(["l_partkey", "l_suppkey"]).aggregate([])
+        p = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kp = (_splitmix64(p).view(np.uint64)
+              % np.uint64(n_parts)).astype(np.int64)
+        return t.append_column("kp", pa.array(kp))
+
+    def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["l_partkey", "l_suppkey"])
+        g = g.sort_values(["l_partkey", "l_suppkey"], kind="mergesort")
+        p = g["l_partkey"].to_numpy(np.int64)
+        s = g["l_suppkey"].to_numpy(np.int64)
+        empty = pd.DataFrame({"key": pd.Series([], dtype=np.int64),
+                              "c": pd.Series([], dtype=np.int64),
+                              "kp2": pd.Series([], dtype=np.int64)})
+        if len(p) == 0:
+            return empty
+        if s.max() >= 2 ** 31:
+            raise ValueError("suppkey exceeds 32-bit pack range")
+        new = np.concatenate(([True], p[1:] != p[:-1]))
+        seg_start = np.flatnonzero(new)
+        seg_len = np.diff(np.concatenate((seg_start, [len(p)])))
+        keys = []
+        for d in np.unique(seg_len):
+            if d < 2:
+                continue
+            starts = seg_start[seg_len == d]
+            mat = s[starts[:, None] + np.arange(int(d))[None, :]]
+            ii, jj = np.triu_indices(int(d), 1)
+            keys.append((mat[:, ii].ravel() << 32) | mat[:, jj].ravel())
+        if not keys:
+            return empty
+        key = np.concatenate(keys)
+        uk, inv = np.unique(key, return_counts=True)
+        kp2 = (_splitmix64(uk).view(np.uint64)
+               % np.uint64(n_parts)).astype(np.int64)
+        return pd.DataFrame({"key": uk, "c": inv.astype(np.int64),
+                             "kp2": kp2})
+
+    def edge_fold(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("key", sort=False)["c"].sum()
+        key = tot.index.to_numpy(np.int64)
+        key = key[tot.to_numpy(np.int64) >= 2]  # edge = >= 2 shared parts
+        return pd.DataFrame({"s1": key >> 32,
+                             "s2": key & np.int64(0xFFFFFFFF)})
+
+    edges = (ds.map_batches(distinct_block, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby("kp").map_groups(pairs_part, batch_format="pandas")
+             .groupby("kp2").map_groups(edge_fold, batch_format="pandas")
+             .materialize())
+    n_edges = edges.count()
+
+    if n_edges <= _KCORE_DRIVER_LIMIT:
+        tabs = list(edges.iter_batches(batch_format="pyarrow"))
+        et = pa.concat_tables(tabs) if tabs else pa.table(
+            {"s1": pa.array([], pa.int64()), "s2": pa.array([], pa.int64())})
+        s1 = et["s1"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s2 = et["s2"].to_numpy(zero_copy_only=False).astype(np.int64)
+        alive = _peel_rounds(s1, s2, k)
+        nodes = np.concatenate((s1[alive], s2[alive]))
+    else:
+        ed = edges
+        while True:
+            # per-block degree bincount partials -> bounded driver fold
+            def deg_part(b: pa.Table) -> pa.Table:
+                ns = np.concatenate(
+                    (b["s1"].to_numpy(zero_copy_only=False),
+                     b["s2"].to_numpy(zero_copy_only=False)))
+                u, c = np.unique(ns, return_counts=True)
+                return pa.table({"s": pa.array(u.astype(np.int64)),
+                                 "d": pa.array(c.astype(np.int64))})
+
+            deg: dict[int, int] = {}
+            for b in ed.map_batches(deg_part, batch_format="pyarrow") \
+                       .iter_batches(batch_format="pyarrow"):
+                for s_, d_ in zip(b["s"].to_pylist(), b["d"].to_pylist()):
+                    deg[int(s_)] = deg.get(int(s_), 0) + int(d_)
+            bad = np.array(sorted(s_ for s_, d_ in deg.items() if d_ < k),
+                           dtype=np.int64)
+            if len(bad) == 0:
+                break
+            bad_ref = ray.put(bad)
+
+            def drop(b: pa.Table) -> pa.Table:
+                import ray as _r
+
+                ba = _r.get(bad_ref)
+                a1 = b["s1"].to_numpy(zero_copy_only=False)
+                a2 = b["s2"].to_numpy(zero_copy_only=False)
+                keep = ~(np.isin(a1, ba) | np.isin(a2, ba))
+                return b.filter(pa.array(keep))
+
+            ed = ed.map_batches(drop, batch_format="pyarrow",
+                                zero_copy_batch=True).materialize()
+        tabs = list(ed.iter_batches(batch_format="pyarrow"))
+        et = pa.concat_tables(tabs) if tabs else pa.table(
+            {"s1": pa.array([], pa.int64()), "s2": pa.array([], pa.int64())})
+        nodes = np.concatenate(
+            (et["s1"].to_numpy(zero_copy_only=False),
+             et["s2"].to_numpy(zero_copy_only=False))).astype(np.int64)
+
+    if len(nodes) == 0:
+        return pa.table({"s": pa.array([], pa.int64()),
+                         "core_deg": pa.array([], pa.int64())})
+    u, c = np.unique(nodes, return_counts=True)
+    return pa.table({"s": pa.array(u.astype(np.int64)),
+                     "core_deg": pa.array(c.astype(np.int64))})
+
+
 ANALYTICS_QUERIES = {
+    "kcore": (q_kcore, None),
     "acf_lags": (q_acf_lags, SQL_ACF_LAGS),
     "json_agg_stats": (q_json_agg_stats, SQL_JSON_AGG_STATS),
     "dow_seasonality": (q_dow_seasonality, SQL_DOW_SEASONALITY),

@@ -803,3 +803,59 @@ def test_kendall_tau_matches_bruteforce(ray_session):
     tau = float(cd) / math.sqrt(float(n0 - n1) * float(n0 - n2))
     assert int(got["cd"].iloc[0]) == cd
     assert float(got["tau"].iloc[0]) == np.round(tau, 6)
+
+
+def test_kcore_matches_independent_peeler(ray_session):
+    """q_kcore (driver-guard path) equals an independent adjacency-dict
+    peeler over the same edge set, and every surviving node has core
+    degree >= k."""
+    import pyarrow.parquet as pq
+
+    from crawlray.pipelines.analytics import q_kcore
+
+    k = 3
+    got = q_kcore(SF_DIR, k=k).to_pandas()
+
+    # independent edge derivation + min-degree queue peeler
+    t = pq.read_table(os.path.join(SF_DIR, "lineitem.parquet"),
+                      columns=["l_partkey", "l_suppkey"])
+    df = t.to_pandas().drop_duplicates()
+    from collections import defaultdict
+    by_part = defaultdict(list)
+    for p, s in zip(df["l_partkey"], df["l_suppkey"]):
+        by_part[int(p)].append(int(s))
+    pair_counts = defaultdict(int)
+    for supps in by_part.values():
+        supps = sorted(set(supps))
+        for i in range(len(supps)):
+            for j in range(i + 1, len(supps)):
+                pair_counts[(supps[i], supps[j])] += 1
+    adj = defaultdict(set)
+    for (a, b), c in pair_counts.items():
+        if c >= 2:
+            adj[a].add(b)
+            adj[b].add(a)
+    # sequential single-node peeling (different schedule, same fixed point)
+    changed = True
+    while changed:
+        changed = False
+        for node in list(adj):
+            if len(adj[node]) < k:
+                for nb in adj.pop(node):
+                    adj[nb].discard(node)
+                changed = True
+    want = {n: len(nbrs) for n, nbrs in adj.items() if nbrs}
+    got_map = {int(s): int(d) for s, d in zip(got["s"], got["core_deg"])}
+    assert got_map == want
+    assert all(d >= k for d in got_map.values()) or not got_map
+
+
+def test_kcore_distributed_branch_equal(ray_session, monkeypatch):
+    """Force the distributed peeling rounds and check they equal the
+    driver-guard path."""
+    import crawlray.pipelines.analytics as ana
+
+    fast = ana.q_kcore(SF_DIR).to_pandas()
+    monkeypatch.setattr(ana, "_KCORE_DRIVER_LIMIT", 0)
+    slow = ana.q_kcore(SF_DIR).to_pandas()
+    pd.testing.assert_frame_equal(fast, slow)
