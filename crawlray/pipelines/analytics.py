@@ -10871,7 +10871,146 @@ def q_kcore(sf_dir: str, k: int = 3):
                      "core_deg": pa.array(c.astype(np.int64))})
 
 
+# =====================================================================
+# CUPED variance-reduced A/B readout
+# =====================================================================
+
+def q_cuped_adjust(sf_dir: str):
+    """CUPED-adjusted experiment readout (Deng et al. 2013): users split
+    into two arms by md5(user_id) % 2, pre-period spend (first half of
+    the time range) is the covariate, post-period spend the metric;
+    theta = cov(X,Y)/var(X) pooled, and each arm reports its raw and
+    adjusted mean - the variance-reduction step every experimentation
+    platform runs before the t-test. ONE Min/Max fold fixes the
+    midpoint; per-user (x, y) cent sums derive inside one user-hash
+    exchange whose partitions emit 5 int64 moment partials per arm
+    (python-int == HUGEINT on the driver fold); theta and the adjusted
+    means use the IDENTICAL IEEE expression both sides, 6 dp, in cents
+    (no /100 - one fewer float op)."""
+    import hashlib
+
+    from .sizing import fold_parts
+
+    n_parts = fold_parts()
+    ds = _t(sf_dir, "events", ["user_id", "ts", "value"])
+
+    lim = ds.aggregate(Min("ts"), Max("ts"))
+    lo = int(pd.Timestamp(lim["min(ts)"]).value // 1000)
+    hi = int(pd.Timestamp(lim["max(ts)"]).value // 1000)
+    mid = lo + (hi - lo) // 2
+
+    def prep(b: pa.Table) -> pa.Table:
+        late = pc.greater(b["ts"].cast(pa.int64()),
+                          pa.scalar(mid, pa.int64()))
+        cents = _cents(b["value"])
+        zero = pa.scalar(0, pa.int64())
+        t = pa.table({
+            "user_id": b["user_id"],
+            "x": pc.if_else(late, zero, cents),
+            "y": pc.if_else(late, cents, zero),
+        })
+        g = t.group_by("user_id").aggregate([("x", "sum"), ("y", "sum")])
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kp = (_splitmix64(uid).view(np.uint64)
+              % np.uint64(n_parts)).astype(np.int64)
+        return g.rename_columns(["user_id", "x", "y"]) \
+            .append_column("kp", pa.array(kp))
+
+    def arm_moments(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby("user_id", sort=False)[["x", "y"]].sum()
+        users = t.index.to_numpy(np.int64)
+        x = t["x"].to_numpy(np.int64).astype(object)
+        y = t["y"].to_numpy(np.int64).astype(object)
+        arm = np.fromiter(
+            (int(hashlib.md5(str(int(u)).encode()).hexdigest()[:8], 16) % 2
+             for u in users), dtype=np.int64, count=len(users))
+        rows = []
+        for a in (0, 1):
+            m = arm == a
+            if not m.any():
+                continue
+            rows.append((a, int(m.sum()), int(x[m].sum()), int(y[m].sum()),
+                         int((x[m] * x[m]).sum()),
+                         int((x[m] * y[m]).sum())))
+        return pd.DataFrame(rows, columns=["arm", "n", "sx", "sy",
+                                           "sxx", "sxy"]) \
+            .astype({"arm": np.int64, "n": np.int64, "sx": np.int64,
+                     "sy": np.int64, "sxx": np.int64, "sxy": np.int64})
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("kp").map_groups(arm_moments, batch_format="pandas")
+           .groupby("arm")
+           .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+                      Sum("sy", alias_name="sy"),
+                      Sum("sxx", alias_name="sxx"),
+                      Sum("sxy", alias_name="sxy")))
+    df = agg.to_pandas().sort_values("arm", ignore_index=True)
+    n = int(df["n"].sum())
+    sx = int(df["sx"].sum())
+    sy = int(df["sy"].sum())
+    sxx = int(df["sxx"].sum())
+    sxy = int(df["sxy"].sum())
+    theta = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+    gx = float(sx) / float(n)
+    rows = {"arm": [], "n_users": [], "mean_y": [], "mean_y_adj": []}
+    for _, r in df.iterrows():
+        na, sxa, sya = int(r["n"]), int(r["sx"]), int(r["sy"])
+        my = float(sya) / float(na)
+        adj = my - theta * (float(sxa) / float(na) - gx)
+        rows["arm"].append(int(r["arm"]))
+        rows["n_users"].append(na)
+        rows["mean_y"].append(np.round(my, 6))
+        rows["mean_y_adj"].append(np.round(adj, 6))
+    return pa.table({
+        "arm": pa.array(rows["arm"], pa.int64()),
+        "n_users": pa.array(rows["n_users"], pa.int64()),
+        "mean_y": pa.array(rows["mean_y"], pa.float64()),
+        "mean_y_adj": pa.array(rows["mean_y_adj"], pa.float64())})
+
+
+SQL_CUPED_ADJUST = """
+WITH lim AS (
+  SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events
+), u AS (
+  SELECT user_id,
+         SUM(CASE WHEN epoch_us(ts) > lim.lo + (lim.hi - lim.lo) // 2
+                  THEN 0 ELSE CAST(ROUND(value * 100) AS BIGINT) END)
+           AS x,
+         SUM(CASE WHEN epoch_us(ts) > lim.lo + (lim.hi - lim.lo) // 2
+                  THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+           AS y
+  FROM events, lim GROUP BY user_id, lim.lo, lim.hi
+), a AS (
+  SELECT CAST(CONCAT('0x', SUBSTR(md5(CAST(user_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 2 AS arm,
+         CAST(x AS HUGEINT) AS x, CAST(y AS HUGEINT) AS y
+  FROM u
+), pool AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy
+  FROM a
+), t AS (
+  SELECT CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS gx
+  FROM pool
+), g AS (
+  SELECT arm, CAST(COUNT(*) AS HUGEINT) AS na,
+         SUM(x) AS sxa, SUM(y) AS sya
+  FROM a GROUP BY 1
+)
+SELECT arm, CAST(na AS BIGINT) AS n_users,
+       ROUND(CAST(sya AS DOUBLE) / CAST(na AS DOUBLE), 6) AS mean_y,
+       ROUND(CAST(sya AS DOUBLE) / CAST(na AS DOUBLE)
+             - t.theta * (CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE)
+                          - t.gx), 6) AS mean_y_adj
+FROM g, t
+"""
+
+
 ANALYTICS_QUERIES = {
+    "cuped_adjust": (q_cuped_adjust, SQL_CUPED_ADJUST),
     "kcore": (q_kcore, None),
     "acf_lags": (q_acf_lags, SQL_ACF_LAGS),
     "json_agg_stats": (q_json_agg_stats, SQL_JSON_AGG_STATS),
