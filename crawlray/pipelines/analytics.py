@@ -11009,7 +11009,205 @@ FROM g, t
 """
 
 
+# =====================================================================
+# two-proportion z-test (conversion-rate A/B)
+# =====================================================================
+
+def q_prop_ztest(sf_dir: str):
+    """Two-proportion z-test on conversion rates: users split into two
+    arms by md5(user_id) % 2, converted = fired >= 1 high-value
+    purchase (value > 150 - non-degenerate at every test scale, since
+    EVERY user purchases at least once in this data);
+    z = (p0 - p1) / sqrt(p(1-p)(1/n0 + 1/n1)) with the POOLED
+    proportion - the first readout of every A/B dashboard (cuped_adjust
+    and welch_ttest's binary-metric sibling). ONE user-hash exchange;
+    each partition emits (arm, users, conversions) int partials; the
+    z finale is ONE identical IEEE expression on the 2-row driver fold,
+    6 dp."""
+    import hashlib
+
+    from .sizing import fold_parts
+
+    n_parts = fold_parts()
+    ds = _t(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "user_id": b["user_id"],
+            "conv": pc.and_(
+                pc.equal(b["event_type"], pa.scalar("purchase")),
+                pc.greater(b["value"], pa.scalar(150.0))).cast(pa.int64()),
+        })
+        g = t.group_by("user_id").aggregate([("conv", "max")])
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kp = (_splitmix64(uid).view(np.uint64)
+              % np.uint64(n_parts)).astype(np.int64)
+        return g.rename_columns(["user_id", "conv"]) \
+            .append_column("kp", pa.array(kp))
+
+    def arm_fold(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby("user_id", sort=False)["conv"].max()
+        users = t.index.to_numpy(np.int64)
+        conv = t.to_numpy(np.int64)
+        arm = np.fromiter(
+            (int(hashlib.md5(str(int(u)).encode()).hexdigest()[:8], 16) % 2
+             for u in users), dtype=np.int64, count=len(users))
+        out = pd.DataFrame({"arm": arm, "n": 1, "c": conv}) \
+            .groupby("arm", sort=False).sum().reset_index()
+        return out.astype({"arm": np.int64, "n": np.int64, "c": np.int64})
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("kp").map_groups(arm_fold, batch_format="pandas")
+           .groupby("arm")
+           .aggregate(Sum("n", alias_name="n"), Sum("c", alias_name="c")))
+    df = agg.to_pandas().sort_values("arm", ignore_index=True)
+    n0, c0 = int(df["n"][0]), int(df["c"][0])
+    n1, c1 = int(df["n"][1]), int(df["c"][1])
+    p0 = float(c0) / float(n0)
+    p1 = float(c1) / float(n1)
+    pp = float(c0 + c1) / float(n0 + n1)
+    z = (p0 - p1) / math.sqrt(pp * (1.0 - pp)
+                              * (1.0 / float(n0) + 1.0 / float(n1)))
+    return pa.table({
+        "n0": pa.array([n0], pa.int64()), "c0": pa.array([c0], pa.int64()),
+        "n1": pa.array([n1], pa.int64()), "c1": pa.array([c1], pa.int64()),
+        "z": pa.array([np.round(z, 6)], pa.float64())})
+
+
+SQL_PROP_ZTEST = """
+WITH u AS (
+  SELECT user_id,
+         CAST(MAX(CASE WHEN event_type = 'purchase' AND value > 150.0
+                       THEN 1 ELSE 0 END)
+              AS BIGINT) AS conv
+  FROM events GROUP BY 1
+), a AS (
+  SELECT CAST(CONCAT('0x', SUBSTR(md5(CAST(user_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 2 AS arm, conv
+  FROM u
+), g AS (
+  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(conv) AS BIGINT) AS c
+  FROM a GROUP BY 1
+), w AS (
+  SELECT
+    MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+    MAX(CASE WHEN arm = 0 THEN c END) AS c0,
+    MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+    MAX(CASE WHEN arm = 1 THEN c END) AS c1
+  FROM g
+)
+SELECT n0, c0, n1, c1,
+  ROUND((CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+         - CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        / SQRT((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+               * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+               * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))),
+        6) AS z
+FROM w
+"""
+
+
+# =====================================================================
+# sessionized bounce rate by entry event type
+# =====================================================================
+
+def q_bounce_rate(sf_dir: str):
+    """Bounce rate by session ENTRY type: sessions (30-min inactivity
+    gaps) that end after a single event, grouped by their first event -
+    the engagement readout next to sessionize (which counts sessions)
+    and funnel (which orders milestones). ONE user-hash exchange; each
+    partition sorts its users' events once ((ts, event_id) total
+    order), derives session boundaries and first-event types from
+    vectorized diffs/boundary gathers, and emits <= |types| (entry,
+    sessions, bounces) partials; exact integer ratio until one
+    division, 6 dp."""
+    from .sizing import fold_parts
+
+    n_parts = fold_parts()
+    gap_us = 1_800_000_000
+    ds = _t(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kp = (_splitmix64(uid).view(np.uint64)
+              % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({
+            "user_id": b["user_id"],
+            "ts_us": b["ts"].cast(pa.int64()),
+            "event_id": b["event_id"],
+            "event_type": b["event_type"],
+            "kp": pa.array(kp),
+        })
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"],
+                          kind="mergesort", ignore_index=True)
+        uid = g["user_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        new = np.ones(len(g), bool)
+        if len(g) > 1:
+            new[1:] = (uid[1:] != uid[:-1]) | (ts[1:] - ts[:-1] > gap_us)
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.concatenate((starts, [len(g)])))
+        entry = g["event_type"].to_numpy()[starts]
+        out = pd.DataFrame({"event_type": entry,
+                            "n_sessions": 1,
+                            "n_bounces": (lens == 1).astype(np.int64)})
+        agg = out.groupby("event_type", sort=False).sum().reset_index()
+        return agg.astype({"n_sessions": np.int64, "n_bounces": np.int64})
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("kp").map_groups(sessions, batch_format="pandas")
+           .groupby("event_type")
+           .aggregate(Sum("n_sessions", alias_name="n_sessions"),
+                      Sum("n_bounces", alias_name="n_bounces")))
+    df = agg.to_pandas().sort_values("event_type", ignore_index=True)
+    ns = df["n_sessions"].to_numpy(np.int64)
+    nb = df["n_bounces"].to_numpy(np.int64)
+    return pa.table({
+        "event_type": pa.array(df["event_type"], pa.string()),
+        "n_sessions": pa.array(ns),
+        "n_bounces": pa.array(nb),
+        "bounce_rate": pa.array(
+            np.round(nb.astype(np.float64) / ns.astype(np.float64), 6))})
+
+
+SQL_BOUNCE_RATE = """
+WITH base AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS tu,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                   OR LAG(epoch_us(ts)) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+), sid AS (
+  SELECT user_id, event_type, event_id, tu,
+         SUM(new) OVER (PARTITION BY user_id ORDER BY tu, event_id) AS s
+  FROM base
+), f AS (
+  SELECT user_id, s,
+         FIRST_VALUE(event_type) OVER (
+           PARTITION BY user_id, s ORDER BY tu, event_id) AS entry,
+         COUNT(*) OVER (PARTITION BY user_id, s) AS n
+  FROM sid
+), d AS (
+  SELECT DISTINCT user_id, s, entry, n FROM f
+)
+SELECT entry AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces,
+       ROUND(CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS bounce_rate
+FROM d GROUP BY 1
+"""
+
+
 ANALYTICS_QUERIES = {
+    "prop_ztest": (q_prop_ztest, SQL_PROP_ZTEST),
+    "bounce_rate": (q_bounce_rate, SQL_BOUNCE_RATE),
     "cuped_adjust": (q_cuped_adjust, SQL_CUPED_ADJUST),
     "kcore": (q_kcore, None),
     "acf_lags": (q_acf_lags, SQL_ACF_LAGS),
