@@ -6115,7 +6115,164 @@ SELECT vec_id, nn_id, cos FROM (
 """
 
 
+# =====================================================================
+# winnowing fingerprint near-dup (Schleimer et al. 2003, MOSS)
+# =====================================================================
+
+def q_winnowing(sf_dir: str, max_df: int = 50):
+    """Near-dup candidates by WINNOWING fingerprints (Schleimer,
+    Wilkerson & Aiken 2003 - the MOSS algorithm): hash every 8-char
+    gram of a doc's 200-char prefix, keep the MINIMUM hash of every
+    window of 4 consecutive grams, and rank doc pairs by shared
+    fingerprints - the sixth dedup flavor, with winnowing's guarantee
+    (any match >= k+w-1 chars shares a fingerprint) that minhash
+    sampling lacks. Scale shape: gram hashes MEMOIZED per distinct
+    gram (one np.unique per block - the edit_distance discipline;
+    md5 first-8-hex == DuckDB's, the md5_split convention), window
+    minima via 4 shifted np.minimum ops; distinct (fp, doc) rows ride
+    ONE fp-hash exchange where hot fingerprints are DF-FILTERED
+    (df <= 50 on both sides - a stopword-gram joins half the corpus
+    and predicts nothing) before degree-class-vectorized pair
+    emission; pair counts fold through the packed-int-key partition
+    exchange with partial top-20 under the total order (c DESC, d1,
+    d2). The |docs|^2 matrix never exists; the oracle builds the same
+    fingerprints with SQL window functions."""
+    import hashlib
+
+    from .analytics import _splitmix64
+    from .sizing import fold_parts
+
+    n_parts = fold_parts()
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+
+    def fps_block(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = b["text"].to_pylist()
+        grams: list[str] = []
+        spans: list[tuple[int, int]] = []  # (doc_pos, n_grams)
+        for j, t in enumerate(texts):
+            t = (t or "")[:200]
+            ng = len(t) - 7
+            if ng < 4:  # no full window of 4 grams
+                continue
+            grams.extend(t[i:i + 8] for i in range(ng))
+            spans.append((j, ng))
+        empty = pa.table({"fp": pa.array([], pa.int64()),
+                          "doc_id": pa.array([], pa.int64()),
+                          "kp": pa.array([], pa.int64())})
+        if not grams:
+            return empty
+        ug, inv = np.unique(np.array(grams, dtype=object),
+                            return_inverse=True)
+        uh = np.fromiter(
+            (int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
+             for g in ug), dtype=np.int64, count=len(ug))
+        hs = uh[inv]
+        out_fp, out_doc = [], []
+        off = 0
+        for j, ng in spans:
+            h = hs[off:off + ng]
+            off += ng
+            m = np.minimum.reduce([h[3:], h[2:-1], h[1:-2], h[:-3]])
+            fps = np.unique(m)
+            out_fp.append(fps)
+            out_doc.append(np.full(len(fps), ids[j], np.int64))
+        fp = np.concatenate(out_fp)
+        doc = np.concatenate(out_doc)
+        kp = (_splitmix64(fp).view(np.uint64)
+              % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({"fp": pa.array(fp), "doc_id": pa.array(doc),
+                         "kp": pa.array(kp)})
+
+    def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["fp", "doc_id"], kind="mergesort")
+        fp = g["fp"].to_numpy(np.int64)
+        doc = g["doc_id"].to_numpy(np.int64)
+        empty = pd.DataFrame({"key": pd.Series([], dtype=np.int64),
+                              "c": pd.Series([], dtype=np.int64),
+                              "kp2": pd.Series([], dtype=np.int64)})
+        if len(fp) == 0:
+            return empty
+        if doc.max() >= 2 ** 31:
+            raise ValueError("doc_id exceeds 32-bit pack range")
+        new = np.concatenate(([True], fp[1:] != fp[:-1]))
+        seg_start = np.flatnonzero(new)
+        seg_len = np.diff(np.concatenate((seg_start, [len(fp)])))
+        keep = seg_len <= max_df  # df filter: hot grams predict nothing
+        keys = []
+        for d in np.unique(seg_len[keep]):
+            if d < 2:
+                continue
+            starts = seg_start[keep][seg_len[keep] == d]
+            mat = doc[starts[:, None] + np.arange(int(d))[None, :]]
+            ii, jj = np.triu_indices(int(d), 1)
+            keys.append((mat[:, ii].ravel() << 32) | mat[:, jj].ravel())
+        if not keys:
+            return empty
+        key = np.concatenate(keys)
+        uk, cnt = np.unique(key, return_counts=True)
+        kp2 = (_splitmix64(uk).view(np.uint64)
+               % np.uint64(n_parts)).astype(np.int64)
+        return pd.DataFrame({"key": uk, "c": cnt.astype(np.int64),
+                             "kp2": kp2})
+
+    def fold_part(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("key", sort=False)["c"].sum()
+        key = tot.index.to_numpy(np.int64)
+        c = tot.to_numpy(np.int64)
+        order = np.lexsort((key, -c))[:20]  # c DESC, key ASC
+        key, c = key[order], c[order]
+        return pd.DataFrame({"d1": key >> 32,
+                             "d2": key & np.int64(0xFFFFFFFF), "c": c})
+
+    top = (ds.map_batches(fps_block, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("kp").map_groups(pairs_part, batch_format="pandas")
+           .groupby("kp2").map_groups(fold_part, batch_format="pandas"))
+    parts = list(top.iter_batches(batch_format="pyarrow"))
+    merged = pa.concat_tables(parts) if parts else pa.table(
+        {"d1": pa.array([], pa.int64()), "d2": pa.array([], pa.int64()),
+         "c": pa.array([], pa.int64())})
+    key = ((merged["d1"].to_numpy(zero_copy_only=False) << 32)
+           | merged["d2"].to_numpy(zero_copy_only=False))
+    order = np.lexsort((key, -merged["c"].to_numpy(zero_copy_only=False)))
+    return merged.take(pa.array(order[:20])).select(["d1", "d2", "c"])
+
+
+SQL_WINNOWING = """
+WITH d AS (
+  SELECT doc_id, substr(text, 1, 200) AS t FROM documents
+), p AS (
+  SELECT doc_id, unnest(generate_series(1, length(t) - 7)) AS i, t
+  FROM d
+), g AS (
+  SELECT doc_id, i,
+         CAST(CONCAT('0x', SUBSTR(md5(substr(t, i, 8)), 1, 8))
+              AS BIGINT) AS h
+  FROM p
+), w AS (
+  SELECT doc_id, i,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+  FROM g
+), f AS (
+  SELECT DISTINCT doc_id, fp FROM w WHERE i >= 4
+), df AS (
+  SELECT fp FROM f GROUP BY fp HAVING COUNT(*) <= 50
+), ff AS (
+  SELECT f.doc_id, f.fp FROM f JOIN df USING (fp)
+), pr AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS c
+  FROM ff a JOIN ff b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2, c FROM pr ORDER BY c DESC, d1, d2 LIMIT 20
+"""
+
+
 DATAOPS_QUERIES = {
+    "winnowing": (q_winnowing, SQL_WINNOWING),
     "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
     "cross_label_match": (q_cross_label_match, SQL_CROSS_LABEL_MATCH),
     "lang_confusion": (q_lang_confusion, SQL_LANG_CONFUSION),
