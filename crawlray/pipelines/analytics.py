@@ -11205,7 +11205,201 @@ FROM d GROUP BY 1
 """
 
 
+# =====================================================================
+# conditional entropy of the event Markov chain
+# =====================================================================
+
+def q_markov_entropy(sf_dir: str):
+    """Conditional entropy H(next | current) of the event-type Markov
+    chain in nats - how predictable the next user action is given the
+    current one (0 = deterministic journeys; ln|types| = uniform
+    chaos); the single-number summary of markov_transitions that a
+    journey-model dashboard alarms on. Same one-user-exchange pair
+    derivation (vectorized lexsort + shift, bincount partials);
+    H = sum (c_xy/n) ln(c_x/c_xy) folds on the <=|types|^2 driver rows
+    in SORTED (cur, nxt) order - exact integer ratios inside every ln,
+    6 dp both sides."""
+    from .sizing import fold_parts
+
+    n_parts = fold_parts()
+    ds = _t(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kp = (_splitmix64(uid).view(np.uint64)
+              % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({
+            "user_id": b["user_id"],
+            "ts_us": b["ts"].cast(pa.int64()),
+            "event_id": b["event_id"],
+            "event_type": b["event_type"],
+            "kp": pa.array(kp),
+        })
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        types, codes = np.unique(g["event_type"].to_numpy(object),
+                                 return_inverse=True)
+        order = np.lexsort((eid, ts, uid))
+        u, c = uid[order], codes[order]
+        same = u[:-1] == u[1:]
+        cur, nxt = c[:-1][same], c[1:][same]
+        k = len(types)
+        cnt = np.bincount(cur * k + nxt, minlength=k * k)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame({
+            "cur": types[nz // k],
+            "nxt": types[nz % k],
+            "n": cnt[nz].astype(np.int64),
+        })
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("kp").map_groups(pairs, batch_format="pandas")
+           .groupby(["cur", "nxt"])
+           .aggregate(Sum("n", alias_name="n")))
+    df = agg.to_pandas()  # <= |types|^2 rows - bounded fold
+    df = df.sort_values(["cur", "nxt"], ignore_index=True)
+    n = int(df["n"].sum())
+    cx = df.groupby("cur")["n"].sum().to_dict()
+    h = 0.0
+    for cur, c in zip(df["cur"], df["n"]):  # sorted (cur, nxt) order
+        c = int(c)
+        h = h + (float(c) / float(n)) * math.log(
+            float(int(cx[cur])) / float(c))
+    return pa.table({
+        "n_transitions": pa.array([n], pa.int64()),
+        "h": pa.array([np.round(h, 6)], pa.float64())})
+
+
+SQL_MARKOV_ENTROPY = """
+WITH s AS (
+  SELECT event_type AS cur,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events
+), c AS (
+  SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n
+  FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2
+), r AS (
+  SELECT cur, CAST(SUM(n) AS BIGINT) AS cx FROM c GROUP BY 1
+), t AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n FROM c
+)
+SELECT t.n AS n_transitions,
+       ROUND(SUM((CAST(c.n AS DOUBLE) / CAST(t.n AS DOUBLE))
+                 * LN(CAST(r.cx AS DOUBLE) / CAST(c.n AS DOUBLE))
+                 ORDER BY c.cur, c.nxt), 6) AS h
+FROM c JOIN r USING (cur) CROSS JOIN t
+GROUP BY t.n
+"""
+
+
+# =====================================================================
+# population stability index (distribution drift per event type)
+# =====================================================================
+
+def q_psi_drift(sf_dir: str):
+    """Population Stability Index of the VALUE distribution per event
+    type, first half vs second half of the time range - the standard
+    model-monitoring drift score (PSI < 0.1 stable, > 0.25 act): 10
+    fixed 50-dollar bins over cents, PSI = sum (p_b - q_b) ln(p_b/q_b)
+    over bins populated in BOTH halves (the standard zero-bin skip,
+    mirrored in the oracle's filter). ONE Min/Max fold fixes the
+    midpoint; (type, half, bin) counts ride a <=|types|x2x11 exchange
+    of per-block Arrow partials; every ratio inside ln is an exact
+    integer cross product; terms sum in ascending bin order, 6 dp."""
+    ds = _t(sf_dir, "events", ["event_type", "ts", "value"])
+
+    lim = ds.aggregate(Min("ts"), Max("ts"))
+    lo = int(pd.Timestamp(lim["min(ts)"]).value // 1000)
+    hi = int(pd.Timestamp(lim["max(ts)"]).value // 1000)
+    mid = lo + (hi - lo) // 2
+    width = 5000  # cents: 10 x $50 bins, clamped top
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = _cents(b["value"])
+        bin_ = pc.min_element_wise(
+            pc.divide(cents, pa.scalar(width, pa.int64())).cast(pa.int64()),
+            pa.scalar(9, pa.int64()))
+        t = pa.table({
+            "event_type": b["event_type"],
+            "late": pc.greater(b["ts"].cast(pa.int64()),
+                               pa.scalar(mid, pa.int64())).cast(pa.int64()),
+            "bin": bin_,
+        })
+        g = t.group_by(["event_type", "late", "bin"]) \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "late", "bin", "n"])
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["event_type", "late", "bin"])
+           .aggregate(Sum("n", alias_name="n")))
+    df = agg.to_pandas()  # <= |types| x 2 x 10 rows - bounded fold
+    out = {"event_type": [], "psi": []}
+    for et, g in df.groupby("event_type", sort=True):
+        n1 = int(g.loc[g["late"] == 0, "n"].sum())
+        n2 = int(g.loc[g["late"] == 1, "n"].sum())
+        c1 = {int(b_): int(v) for b_, v in
+              zip(g.loc[g["late"] == 0, "bin"], g.loc[g["late"] == 0, "n"])}
+        c2 = {int(b_): int(v) for b_, v in
+              zip(g.loc[g["late"] == 1, "bin"], g.loc[g["late"] == 1, "n"])}
+        psi = 0.0
+        for b_ in range(10):  # ascending bin order - deterministic sum
+            a, c = c1.get(b_, 0), c2.get(b_, 0)
+            if a == 0 or c == 0:
+                continue  # standard zero-bin skip, mirrored in SQL
+            psi = psi + (float(a * n2 - c * n1) / float(n1 * n2)) \
+                * math.log(float(a * n2) / float(c * n1))
+        out["event_type"].append(et)
+        out["psi"].append(np.round(psi, 6))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "psi": pa.array(out["psi"], pa.float64())})
+
+
+SQL_PSI_DRIFT = """
+WITH lim AS (
+  SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events
+), x AS (
+  SELECT event_type,
+         CASE WHEN epoch_us(ts) > lim.lo + (lim.hi - lim.lo) // 2
+              THEN 1 ELSE 0 END AS late,
+         LEAST(CAST(ROUND(value * 100) AS BIGINT) // 5000, 9) AS bin
+  FROM events, lim
+), c AS (
+  SELECT event_type, late, bin, CAST(COUNT(*) AS BIGINT) AS n
+  FROM x GROUP BY 1, 2, 3
+), tot AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN late = 0 THEN n ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN late = 1 THEN n ELSE 0 END) AS BIGINT) AS n2
+  FROM c GROUP BY 1
+), pv AS (
+  SELECT c.event_type, c.bin,
+         CAST(SUM(CASE WHEN late = 0 THEN n ELSE 0 END) AS HUGEINT) AS a,
+         CAST(SUM(CASE WHEN late = 1 THEN n ELSE 0 END) AS HUGEINT) AS b
+  FROM c GROUP BY 1, 2
+)
+SELECT pv.event_type,
+       ROUND(COALESCE(SUM(
+         CASE WHEN pv.a > 0 AND pv.b > 0 THEN
+           (CAST(pv.a * tot.n2 - pv.b * tot.n1 AS DOUBLE)
+            / CAST(tot.n1 * tot.n2 AS DOUBLE))
+           * LN(CAST(pv.a * tot.n2 AS DOUBLE)
+                / CAST(pv.b * tot.n1 AS DOUBLE))
+         END ORDER BY pv.bin), 0.0), 6) AS psi
+FROM pv JOIN tot USING (event_type)
+GROUP BY 1
+"""
+
+
 ANALYTICS_QUERIES = {
+    "markov_entropy": (q_markov_entropy, SQL_MARKOV_ENTROPY),
+    "psi_drift": (q_psi_drift, SQL_PSI_DRIFT),
     "prop_ztest": (q_prop_ztest, SQL_PROP_ZTEST),
     "bounce_rate": (q_bounce_rate, SQL_BOUNCE_RATE),
     "cuped_adjust": (q_cuped_adjust, SQL_CUPED_ADJUST),
