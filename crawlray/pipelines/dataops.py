@@ -6271,7 +6271,81 @@ SELECT d1, d2, c FROM pr ORDER BY c DESC, d1, d2 LIMIT 20
 """
 
 
+# =====================================================================
+# .npy shard sink/source round-trip (trainer-native embedding export)
+# =====================================================================
+
+def q_npy_shards(sf_dir: str):
+    """Embedding matrix exported to .npy SHARDS (write_numpy) and read
+    back (read_numpy) - the trainer-native interchange next to the
+    JSONL and TFRecord sinks (TFRecords is env-blocked: Ray's sink
+    needs the absent crc32c wheel; noted like the Lance wheel). The
+    round-trip is proven LOSSLESS by folding the re-read shards to
+    per-dimension (n, quantized-sum) rows - float32 -> float64 widening
+    is exact, the 2^30 quantization mirrors label_centroids - and
+    oracling them against DuckDB over the ORIGINAL parquet. Shards land
+    under CRAWLRAY_SCRATCH_ROOT (shared-filesystem convention,
+    single-node tmp otherwise)."""
+    import shutil
+    import tempfile
+
+    scratch = os.environ.get("CRAWLRAY_SCRATCH_ROOT")
+    if scratch:
+        os.makedirs(scratch, exist_ok=True)
+    out_dir = tempfile.mkdtemp(prefix="crawlray_npy_", dir=scratch)
+    try:
+        ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                             columns=["embedding"])
+
+        def to_mat(b: pa.Table) -> dict:
+            return {"data": _embedding_matrix(b["embedding"])}
+
+        ds.map_batches(to_mat, batch_format="pyarrow",
+                       zero_copy_batch=True) \
+            .write_numpy(out_dir, column="data")
+
+        back = rd.read_numpy(out_dir)
+        scale = float(1 << 30)
+
+        def fold(b: dict) -> pa.Table:
+            m = np.asarray(b["data"], dtype=np.float64)
+            q = np.where(m >= 0, np.floor(m * scale + 0.5),
+                         np.ceil(m * scale - 0.5)).astype(np.int64)
+            d = q.shape[1]
+            return pa.table({
+                "dim": pa.array(np.arange(1, d + 1, dtype=np.int64)),
+                "n": pa.array(np.full(d, q.shape[0], np.int64)),
+                "qsum": pa.array(q.sum(axis=0)),
+            })
+
+        agg = (back.map_batches(fold, batch_format="numpy")
+               .groupby("dim")
+               .aggregate(Sum("n", alias_name="n"),
+                          Sum("qsum", alias_name="qsum")))
+        df = agg.to_pandas().sort_values("dim", ignore_index=True)
+        return pa.table({
+            "dim": pa.array(df["dim"].to_numpy(np.int64)),
+            "n": pa.array(df["n"].to_numpy(np.int64)),
+            "qsum": pa.array(df["qsum"].to_numpy(np.int64))})
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+SQL_NPY_SHARDS = """
+WITH u AS (
+  SELECT CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1073741824.0)
+              AS BIGINT) AS qv
+  FROM embeddings
+)
+SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(qv) AS BIGINT) AS qsum
+FROM u GROUP BY 1
+"""
+
+
 DATAOPS_QUERIES = {
+    "npy_shards": (q_npy_shards, SQL_NPY_SHARDS),
     "winnowing": (q_winnowing, SQL_WINNOWING),
     "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
     "cross_label_match": (q_cross_label_match, SQL_CROSS_LABEL_MATCH),
