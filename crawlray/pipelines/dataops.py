@@ -6119,6 +6119,28 @@ SELECT vec_id, nn_id, cos FROM (
 # winnowing fingerprint near-dup (Schleimer et al. 2003, MOSS)
 # =====================================================================
 
+def _winnow_fps(t: str) -> np.ndarray:
+    """Winnowing fingerprints of one text (k=8 chars, w=4 grams):
+    md5-first-8-hex gram hashes, min per sliding window, deduped.
+    Guarantee (Schleimer et al. 2003, Theorem 1): any substring match
+    of length >= k + w - 1 = 11 shares at least one fingerprint -
+    property-tested in tests/test_properties.py."""
+    import hashlib
+
+    t = (t or "")[:200]
+    ng = len(t) - 7
+    if ng < 4:
+        return np.empty(0, np.int64)
+    grams = [t[i:i + 8] for i in range(ng)]
+    ug, inv = np.unique(np.array(grams, dtype=object), return_inverse=True)
+    uh = np.fromiter(
+        (int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in ug),
+        dtype=np.int64, count=len(ug))
+    h = uh[inv]
+    m = np.minimum.reduce([h[3:], h[2:-1], h[1:-2], h[:-3]])
+    return np.unique(m)
+
+
 def q_winnowing(sf_dir: str, max_df: int = 50):
     """Near-dup candidates by WINNOWING fingerprints (Schleimer,
     Wilkerson & Aiken 2003 - the MOSS algorithm): hash every 8-char
@@ -6163,6 +6185,8 @@ def q_winnowing(sf_dir: str, max_df: int = 50):
                           "kp": pa.array([], pa.int64())})
         if not grams:
             return empty
+        # block-wide gram memoization: one np.unique + md5 per DISTINCT
+        # gram (== _winnow_fps per doc, amortized across the block)
         ug, inv = np.unique(np.array(grams, dtype=object),
                             return_inverse=True)
         uh = np.fromiter(

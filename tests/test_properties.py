@@ -189,3 +189,38 @@ def test_percentile_disc_index_matches_duckdb(vals):
     n = len(vals)
     got = (srt[max(0, -(-n // 4) - 1)], srt[max(0, -(-n // 2) - 1)])
     assert got == want, (vals, got, want)
+
+
+# ---------------------------------------------------------------------
+# winnowing guarantee (Schleimer et al. 2003, Theorem 1): any substring
+# match of length >= k + w - 1 = 11 chars shares >= 1 fingerprint
+# ---------------------------------------------------------------------
+
+_winnow_text = st.text(alphabet="abcdefgh ", min_size=0, max_size=80)
+_shared = st.text(alphabet="abcdefgh ", min_size=11, max_size=30)
+
+
+@settings(max_examples=150, deadline=None)
+@given(pre_a=_winnow_text, post_a=_winnow_text,
+       pre_b=_winnow_text, post_b=_winnow_text, shared=_shared)
+def test_winnowing_guarantee(pre_a, post_a, pre_b, post_b, shared):
+    from crawlray.pipelines.dataops import _winnow_fps
+
+    a = (pre_a + shared + post_a)[:200]
+    b = (pre_b + shared + post_b)[:200]
+    # the shared run must survive the 200-char prefix truncation whole
+    if not (shared in a and shared in b):
+        return
+    fa = set(_winnow_fps(a).tolist())
+    fb = set(_winnow_fps(b).tolist())
+    assert fa & fb, "shared >=11-char substring must share a fingerprint"
+
+
+@settings(max_examples=100, deadline=None)
+@given(t=_winnow_text)
+def test_winnowing_short_texts_safe(t):
+    """Texts below k + w - 1 chars produce no full window and no crash."""
+    from crawlray.pipelines.dataops import _winnow_fps
+
+    fps = _winnow_fps(t[:10])
+    assert len(fps) == 0
