@@ -11397,7 +11397,177 @@ GROUP BY 1
 """
 
 
+# =====================================================================
+# last-touch attribution (first_touch's mirror)
+# =====================================================================
+
+def q_last_touch(sf_dir: str):
+    """LAST-TOUCH attribution: each user's lifetime purchase revenue
+    credited to the type of their LAST non-purchase event before (or
+    at) their final purchase - first_touch's mirror, completing the
+    attribution pair every marketing pipeline compares. Same scale
+    shape: ONE user-hash exchange, per-user argmax-(ts, event_id) over
+    the user-local rows, distributive <=|types| finale. Users with no
+    non-purchase touch before their last purchase credit 'direct' on
+    both sides."""
+    ds = _t(sf_dir, "events",
+            ["user_id", "event_id", "ts", "event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = _cents(b["value"])
+        is_p = pc.equal(b["event_type"], pa.scalar("purchase"))
+        return pa.table({
+            "user_id": b["user_id"],
+            "event_id": b["event_id"],
+            "ts": b["ts"].cast(pa.int64()),
+            "event_type": b["event_type"],
+            "cents": pc.if_else(is_p, cents, pa.scalar(0, pa.int64())),
+        })
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        cents = int(g["cents"].to_numpy().sum())
+        is_p = et == "purchase"
+        if not is_p.any():
+            return pd.DataFrame({"last_type": pd.Series([], dtype=object),
+                                 "cents": pd.Series([], dtype=np.int64)})
+        order = np.lexsort((eid, ts))
+        last_p = order[is_p[order]][-1]
+        cut_ts, cut_eid = ts[last_p], eid[last_p]
+        before = (~is_p) & ((ts < cut_ts)
+                            | ((ts == cut_ts) & (eid < cut_eid)))
+        if before.any():
+            cand = order[before[order]][-1]
+            lt = et[cand]
+        else:
+            lt = "direct"
+        return pd.DataFrame({"last_type": [lt],
+                             "cents": np.array([cents], np.int64)})
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("user_id").map_groups(per_user, batch_format="pandas")
+           .groupby("last_type")
+           .aggregate(Count(alias_name="users"),
+                      Sum("cents", alias_name="cents")))
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "last_type": b["last_type"],
+            "users": b["users"],
+            "revenue": pc.divide(b["cents"].cast(pa.float64()),
+                                 pa.scalar(100.0)),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_LAST_TOUCH = """
+WITH pu AS (
+  SELECT user_id,
+         SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(ROUND(value * 100) AS BIGINT)
+                  ELSE 0 END) AS cents,
+         MAX(CASE WHEN event_type = 'purchase'
+                  THEN CAST(epoch_us(ts) AS HUGEINT) * 1000000 + event_id
+                  END) AS lastp
+  FROM events GROUP BY 1
+), t AS (
+  SELECT e.user_id, e.event_type, epoch_us(e.ts) AS tu, e.event_id
+  FROM events e JOIN pu USING (user_id)
+  WHERE pu.lastp IS NOT NULL
+    AND e.event_type <> 'purchase'
+    AND CAST(epoch_us(e.ts) AS HUGEINT) * 1000000 + e.event_id
+        < pu.lastp
+), lt AS (
+  SELECT user_id, event_type AS last_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY tu DESC, event_id DESC) AS rn
+  FROM t
+), j AS (
+  SELECT pu.user_id, COALESCE(lt.last_type, 'direct') AS last_type,
+         pu.cents
+  FROM pu LEFT JOIN lt ON lt.user_id = pu.user_id AND lt.rn = 1
+  WHERE pu.lastp IS NOT NULL
+)
+SELECT last_type, CAST(COUNT(*) AS BIGINT) AS users,
+       CAST(CAST(SUM(cents) AS DOUBLE) / 100.0 AS DOUBLE) AS revenue
+FROM j GROUP BY 1
+"""
+
+
+# =====================================================================
+# equi-depth histogram via rank selection (no sort, no shuffle)
+# =====================================================================
+
+def q_equidepth_hist(sf_dir: str):
+    """Equi-DEPTH decile histogram of event values: bucket b holds rows
+    with rank r in (floor(b*n/10), floor((b+1)*n/10)] under the total
+    order (value, then arbitrary among equal values - bucket COUNTS and
+    VALUE BOUNDS are tie-invariant), with each bucket's (n, lo, hi) -
+    histogram's equi-depth sibling, the quantile summary an optimizer's
+    statistics collector stores. ZERO sort and zero row shuffle: value
+    cents live in a bounded domain, so per-block bincount partials fold
+    to ONE cumulative count vector on the driver (the winsorized_mean
+    shape) and every bucket boundary is a searchsorted rank lookup;
+    the oracle pays the full ROW_NUMBER sort instead."""
+    ds = _t(sf_dir, "events", ["value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        c = _cents(b["value"]).to_numpy(zero_copy_only=False)
+        u, cnt = np.unique(c, return_counts=True)
+        return pa.table({"vc": pa.array(u.astype(np.int64)),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("vc")
+           .aggregate(Sum("n", alias_name="n")))
+    df = agg.to_pandas()  # <= |distinct cents| rows - bounded fold
+    df = df.sort_values("vc", ignore_index=True)
+    vc = df["vc"].to_numpy(np.int64)
+    cum = np.cumsum(df["n"].to_numpy(np.int64))
+    n = int(cum[-1])
+    rows = {"bucket": [], "n": [], "lo": [], "hi": []}
+    for b_ in range(10):
+        r_lo = (b_ * n) // 10 + 1          # first rank in bucket
+        r_hi = ((b_ + 1) * n) // 10        # last rank in bucket
+        if r_hi < r_lo:
+            continue
+        i_lo = int(np.searchsorted(cum, r_lo))
+        i_hi = int(np.searchsorted(cum, r_hi))
+        rows["bucket"].append(b_)
+        rows["n"].append(r_hi - r_lo + 1)
+        rows["lo"].append(int(vc[i_lo]))
+        rows["hi"].append(int(vc[i_hi]))
+    return pa.table({
+        "bucket": pa.array(rows["bucket"], pa.int64()),
+        "n": pa.array(rows["n"], pa.int64()),
+        "lo": pa.array(rows["lo"], pa.int64()),
+        "hi": pa.array(rows["hi"], pa.int64())})
+
+
+SQL_EQUIDEPTH_HIST = """
+WITH v AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS vc FROM events
+), r AS (
+  SELECT vc, ROW_NUMBER() OVER (ORDER BY vc) AS rn,
+         COUNT(*) OVER () AS n
+  FROM v
+)
+SELECT CAST((rn * 10 - 1) // n AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(vc) AS BIGINT) AS lo,
+       CAST(MAX(vc) AS BIGINT) AS hi
+FROM r GROUP BY 1
+"""
+
+
 ANALYTICS_QUERIES = {
+    "last_touch": (q_last_touch, SQL_LAST_TOUCH),
+    "equidepth_hist": (q_equidepth_hist, SQL_EQUIDEPTH_HIST),
     "markov_entropy": (q_markov_entropy, SQL_MARKOV_ENTROPY),
     "psi_drift": (q_psi_drift, SQL_PSI_DRIFT),
     "prop_ztest": (q_prop_ztest, SQL_PROP_ZTEST),
