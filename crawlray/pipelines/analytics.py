@@ -11565,7 +11565,203 @@ FROM r GROUP BY 1
 """
 
 
+# =====================================================================
+# top growth customers (period-over-period, exact integer filter)
+# =====================================================================
+
+def q_top_growth_customers(sf_dir: str):
+    """Customers whose second-half spend MORE THAN DOUBLED their
+    first-half spend, top-20 by the exact integer growth margin
+    s2 - 2*s1 - topk_movers at customer grain, the expansion-account
+    list a sales dashboard keeps. ONE Min/Max fold fixes the midpoint;
+    per-block (cust, half) cent partials ride a custkey-hash exchange
+    whose partitions fold, filter (s1 > 0 AND s2 > 2*s1 - all int64)
+    and emit partial top-20s under the total order (margin DESC, cust
+    ASC); the driver merges <=20 x partitions rows. A Ray hash
+    Aggregate over the ~|customers| groups is avoided (the
+    join_cardinality lesson)."""
+    from .sizing import fold_parts
+
+    n_parts = fold_parts()
+    ds = _t(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    lim = ds.aggregate(Min("o_orderdate"), Max("o_orderdate"))
+    lo = int(pd.Timestamp(lim["min(o_orderdate)"]).value // 1000)
+    hi = int(pd.Timestamp(lim["max(o_orderdate)"]).value // 1000)
+    mid = lo + (hi - lo) // 2
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = _cents(b["o_totalprice"])
+        late = pc.greater(b["o_orderdate"].cast(pa.int64()),
+                          pa.scalar(mid, pa.int64()))
+        zero = pa.scalar(0, pa.int64())
+        t = pa.table({
+            "cust": b["o_custkey"],
+            "s1": pc.if_else(late, zero, cents),
+            "s2": pc.if_else(late, cents, zero),
+        })
+        g = t.group_by("cust").aggregate([("s1", "sum"), ("s2", "sum")])
+        c = g["cust"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kp = (_splitmix64(c).view(np.uint64)
+              % np.uint64(n_parts)).astype(np.int64)
+        return g.rename_columns(["cust", "s1", "s2"]) \
+            .append_column("kp", pa.array(kp))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby("cust", sort=False)[["s1", "s2"]].sum()
+        cust = t.index.to_numpy(np.int64)
+        s1 = t["s1"].to_numpy(np.int64)
+        s2 = t["s2"].to_numpy(np.int64)
+        m = (s1 > 0) & (s2 > 2 * s1)
+        cust, s1, s2 = cust[m], s1[m], s2[m]
+        margin = s2 - 2 * s1
+        order = np.lexsort((cust, -margin))[:20]
+        return pd.DataFrame({"cust": cust[order], "s1": s1[order],
+                             "s2": s2[order], "margin": margin[order]})
+
+    top = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("kp").map_groups(fold, batch_format="pandas"))
+    parts = list(top.iter_batches(batch_format="pyarrow"))
+    merged = pa.concat_tables(parts) if parts else pa.table(
+        {"cust": pa.array([], pa.int64()), "s1": pa.array([], pa.int64()),
+         "s2": pa.array([], pa.int64()),
+         "margin": pa.array([], pa.int64())})
+    df = merged.to_pandas()
+    order = np.lexsort((df["cust"].to_numpy(np.int64),
+                        -df["margin"].to_numpy(np.int64)))[:20]
+    out = df.iloc[order].reset_index(drop=True)
+    return pa.table({
+        "cust": pa.array(out["cust"].to_numpy(np.int64)),
+        "s1": pa.array(out["s1"].to_numpy(np.int64)),
+        "s2": pa.array(out["s2"].to_numpy(np.int64)),
+        "margin": pa.array(out["margin"].to_numpy(np.int64))})
+
+
+SQL_TOP_GROWTH_CUSTOMERS = """
+WITH lim AS (
+  SELECT MIN(epoch_us(o_orderdate)) AS lo,
+         MAX(epoch_us(o_orderdate)) AS hi
+  FROM orders
+), u AS (
+  SELECT o_custkey AS cust,
+         SUM(CASE WHEN epoch_us(o_orderdate)
+                       > lim.lo + (lim.hi - lim.lo) // 2
+                  THEN 0 ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT)
+             END) AS s1,
+         SUM(CASE WHEN epoch_us(o_orderdate)
+                       > lim.lo + (lim.hi - lim.lo) // 2
+                  THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) ELSE 0
+             END) AS s2
+  FROM orders, lim GROUP BY cust, lim.lo, lim.hi
+)
+SELECT cust, CAST(s1 AS BIGINT) AS s1, CAST(s2 AS BIGINT) AS s2,
+       CAST(s2 - 2 * s1 AS BIGINT) AS margin
+FROM u WHERE s1 > 0 AND s2 > 2 * s1
+ORDER BY margin DESC, cust
+LIMIT 20
+"""
+
+
+# =====================================================================
+# median inter-purchase gap (bounded-domain selection, no sort)
+# =====================================================================
+
+def q_purchase_gap_median(sf_dir: str):
+    """Median days between a user's consecutive purchases - the
+    repurchase-cadence number a lifecycle team tracks (crawl twin: the
+    revisit interval distribution behind adaptive scheduling). Gaps
+    derive inside ONE user-hash exchange (per-user sort, vectorized
+    diff, integer floor-div to days); the DAY-GAP DOMAIN IS BOUNDED
+    (<= the corpus time span), so the median needs no sort: per-
+    partition gap bincounts fold through a <= #distinct-gaps exchange
+    and the driver selects the exact lower/upper middle order
+    statistics from one cumsum, reporting the identical (lo+hi)/2
+    both sides (dyadic - rounding is a no-op)."""
+    from .sizing import fold_parts
+
+    n_parts = fold_parts()
+    day_us = 86_400_000_000
+    import pyarrow.dataset as pads
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"],
+        filter=pads.field("event_type") == "purchase")
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kp = (_splitmix64(uid).view(np.uint64)
+              % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({
+            "user_id": b["user_id"],
+            "ts_us": b["ts"].cast(pa.int64()),
+            "event_id": b["event_id"],
+            "kp": pa.array(kp),
+        })
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"],
+                          kind="mergesort", ignore_index=True)
+        uid = g["user_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        if len(g) < 2:
+            return pd.DataFrame({"gap": pd.Series([], dtype=np.int64),
+                                 "n": pd.Series([], dtype=np.int64)})
+        same = uid[1:] == uid[:-1]
+        gap = (ts[1:] - ts[:-1])[same] // day_us
+        u, c = np.unique(gap, return_counts=True)
+        return pd.DataFrame({"gap": u.astype(np.int64),
+                             "n": c.astype(np.int64)})
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("kp").map_groups(gaps, batch_format="pandas")
+           .groupby("gap").aggregate(Sum("n", alias_name="n")))
+    df = agg.to_pandas().sort_values("gap", ignore_index=True)
+    gap = df["gap"].to_numpy(np.int64)
+    cum = np.cumsum(df["n"].to_numpy(np.int64))
+    m = int(cum[-1])
+    lo = int(gap[np.searchsorted(cum, (m - 1) // 2 + 1)])
+    hi = int(gap[np.searchsorted(cum, m // 2 + 1)])
+    return pa.table({
+        "n_gaps": pa.array([m], pa.int64()),
+        "med_days": pa.array([(float(lo) + float(hi)) / 2.0],
+                             pa.float64())})
+
+
+SQL_PURCHASE_GAP_MEDIAN = """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS tu, event_id
+  FROM events WHERE event_type = 'purchase'
+), g AS (
+  SELECT (tu - LAG(tu) OVER (PARTITION BY user_id
+                             ORDER BY tu, event_id)) // 86400000000
+           AS gap
+  FROM p
+), gg AS (
+  SELECT gap FROM g WHERE gap IS NOT NULL
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m FROM gg
+), r AS (
+  SELECT gap, ROW_NUMBER() OVER (ORDER BY gap) AS rn FROM gg
+), lo AS (
+  SELECT gap FROM r, m WHERE rn = (m.m - 1) // 2 + 1
+), hi AS (
+  SELECT gap FROM r, m WHERE rn = m.m // 2 + 1
+)
+SELECT m.m AS n_gaps,
+       (CAST(lo.gap AS DOUBLE) + CAST(hi.gap AS DOUBLE)) / 2.0
+         AS med_days
+FROM m, lo, hi
+"""
+
+
 ANALYTICS_QUERIES = {
+    "top_growth_customers": (q_top_growth_customers,
+                             SQL_TOP_GROWTH_CUSTOMERS),
+    "purchase_gap_median": (q_purchase_gap_median,
+                            SQL_PURCHASE_GAP_MEDIAN),
     "last_touch": (q_last_touch, SQL_LAST_TOUCH),
     "equidepth_hist": (q_equidepth_hist, SQL_EQUIDEPTH_HIST),
     "markov_entropy": (q_markov_entropy, SQL_MARKOV_ENTROPY),

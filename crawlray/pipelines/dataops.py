@@ -6368,7 +6368,241 @@ FROM u GROUP BY 1
 """
 
 
+# =====================================================================
+# Heaps'-law vocabulary growth curve
+# =====================================================================
+
+def q_heaps_law(sf_dir: str):
+    """Vocabulary growth curve (Heaps' law): how many NEW word types
+    each doc_id decile contributes, plus the cumulative vocabulary -
+    the sublinear curve a corpus-curation dashboard checks for crawl
+    health (a flattening curve means the crawl is re-reading the same
+    content; a superlinear one means encoding garbage is minting fake
+    types). A token's first appearance is MIN(doc_id): per-block
+    (token, min-doc) Arrow partials fold in ONE vocab-bounded token
+    groupby (the word_freq combiner with Min instead of Sum); decile
+    bucketing and the 10-row cumsum run block-local + driver. RE2
+    tokenization on both sides, exact."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    mx = int(ds.aggregate(Max("doc_id"))["max(doc_id)"])
+
+    def first_seen(b: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(b["text"].combine_chunks())
+        toks = pc.split_pattern_regex(low, "[^a-z]+")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        ids = np.repeat(
+            b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            lens)
+        flat = pc.list_flatten(toks)
+        mask = pc.not_equal(flat, pa.scalar(""))
+        t = pa.table({"token": flat.filter(mask),
+                      "fd": pa.array(ids[mask.to_numpy(
+                          zero_copy_only=False)])})
+        g = t.group_by("token").aggregate([("fd", "min")])
+        return g.rename_columns(["token", "fd"])
+
+    agg = (ds.map_batches(first_seen, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("token")
+           .aggregate(Min("fd", alias_name="fd")))
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        fd = b["fd"].to_numpy(zero_copy_only=False)
+        bk = fd * 10 // (mx + 1)
+        cnt = np.bincount(bk, minlength=10).astype(np.int64)
+        return pa.table({"bucket": pa.array(np.arange(10, dtype=np.int64)),
+                         "nt": pa.array(cnt)})
+
+    df = (agg.map_batches(bucketize, batch_format="pyarrow")
+          .groupby("bucket").aggregate(Sum("nt", alias_name="nt"))
+          .to_pandas().sort_values("bucket", ignore_index=True))
+    nt = df["nt"].to_numpy(np.int64)
+    keep = nt > 0
+    return pa.table({
+        "bucket": pa.array(df["bucket"].to_numpy(np.int64)[keep]),
+        "new_types": pa.array(nt[keep]),
+        "cum_types": pa.array(np.cumsum(nt)[keep].astype(np.int64))})
+
+
+SQL_HEAPS_LAW = """
+WITH t AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS token
+  FROM documents
+), f AS (
+  SELECT token, MIN(doc_id) AS fd FROM t WHERE token <> '' GROUP BY 1
+), m AS (
+  SELECT MAX(doc_id) AS mx FROM documents
+), b AS (
+  SELECT CAST(fd * 10 // (m.mx + 1) AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS nt
+  FROM f, m GROUP BY 1
+)
+SELECT bucket, nt AS new_types,
+       CAST(SUM(nt) OVER (ORDER BY bucket) AS BIGINT) AS cum_types
+FROM b
+"""
+
+
+# =====================================================================
+# Zipf's-law fit over the token frequency ranking
+# =====================================================================
+
+def q_zipf_fit(sf_dir: str, k: int = 100):
+    """Least-squares slope of ln(count) on ln(rank) over the top-100
+    tokens - the Zipf exponent (natural text ~ -1; a slope collapsing
+    toward 0 flags templated/boilerplate corpora, one plunging below
+    -1.5 flags a vocabulary dominated by a few tokens). Counts come
+    from the word_freq combiner shape (per-block Arrow value_counts ->
+    vocab-bounded token groupby -> per-block partial top-k, no global
+    sort); the regression folds the 100 (ln rank, ln count) terms in
+    ASCENDING RANK order with the identical expression both sides,
+    6 dp."""
+    ds = _docs(sf_dir, ["text"])
+
+    def counts(b: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(b["text"].combine_chunks())
+        flat = pc.list_flatten(pc.split_pattern_regex(low, "[^a-z]+"))
+        flat = flat.filter(pc.not_equal(flat, pa.scalar("")))
+        vc = pc.value_counts(flat)
+        return pa.table({"token": vc.field("values"),
+                         "n": vc.field("counts")})
+
+    agg = (ds.map_batches(counts, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("token")
+           .aggregate(Sum("n", alias_name="n")))
+
+    def partial_top(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().sort_values(
+            ["n", "token"], ascending=[False, True], kind="mergesort")
+        return pa.Table.from_pandas(df.head(k), preserve_index=False)
+
+    parts = list(agg.map_batches(partial_top, batch_format="pyarrow")
+                 .iter_batches(batch_format="pyarrow"))
+    top = (pa.concat_tables(parts).to_pandas()
+           .sort_values(["n", "token"], ascending=[False, True],
+                        kind="mergesort").head(k))
+    m = int(len(top))
+    sx = sy = sxx = sxy = 0.0
+    for r, c in enumerate(top["n"], start=1):  # ascending rank order
+        x = math.log(float(r))
+        y = math.log(float(int(c)))
+        sx = sx + x
+        sy = sy + y
+        sxx = sxx + x * x
+        sxy = sxy + x * y
+    mf = float(m)
+    slope = (mf * sxy - sx * sy) / (mf * sxx - sx * sx)
+    intercept = (sy - slope * sx) / mf
+    return pa.table({
+        "n_tokens": pa.array([m], pa.int64()),
+        "slope": pa.array([np.round(slope, 6)], pa.float64()),
+        "intercept": pa.array([np.round(intercept, 6)], pa.float64())})
+
+
+SQL_ZIPF_FIT = """
+WITH c AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM (
+    SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS token
+    FROM documents)
+  WHERE token <> '' GROUP BY token
+), top AS (
+  SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rank
+  FROM c ORDER BY n DESC, token LIMIT 100
+), s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS m,
+         SUM(LN(CAST(rank AS DOUBLE)) ORDER BY rank) AS sx,
+         SUM(LN(CAST(n AS DOUBLE)) ORDER BY rank) AS sy,
+         SUM(LN(CAST(rank AS DOUBLE)) * LN(CAST(rank AS DOUBLE))
+             ORDER BY rank) AS sxx,
+         SUM(LN(CAST(rank AS DOUBLE)) * LN(CAST(n AS DOUBLE))
+             ORDER BY rank) AS sxy
+  FROM top
+)
+SELECT CAST(m AS BIGINT) AS n_tokens,
+       ROUND((m * sxy - sx * sy) / (m * sxx - sx * sx), 6) AS slope,
+       ROUND((sy - ((m * sxy - sx * sy) / (m * sxx - sx * sx)) * sx)
+             / m, 6) AS intercept
+FROM s
+"""
+
+
+# =====================================================================
+# pairwise-cosine histogram (dedup-threshold calibration)
+# =====================================================================
+
+def q_cosine_histogram(sf_dir: str):
+    """Histogram of pairwise cosine similarity over the bounded
+    reference slice (vec_id < 512) - the distribution a team inspects
+    to CALIBRATE near-dup thresholds (where does the natural-pair mass
+    end and the duplicate spike begin) before running semdedup /
+    embed_neardup. Zero shuffle: the candidate matrix broadcasts once,
+    probe blocks matmul against it and emit 20 fixed int64 bin
+    partials; binning is INTEGER on the 6-dp-rounded cosine (micro
+    units), so no float boundary ever decides a bin on either side."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    import pyarrow.parquet as pq
+
+    cap = 512
+    t = pq.read_table(path, columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "<", cap)])
+    cids = np.asarray(t["vec_id"], dtype=np.int64)
+    cmat = _embedding_matrix(t["embedding"])
+    cn = np.linalg.norm(cmat, axis=1)
+    cand_ref = ray.put((cids, cmat / np.where(cn == 0, 1.0, cn)[:, None]))
+
+    import pyarrow.dataset as pads
+
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"],
+                         filter=pads.field("vec_id") < cap)
+
+    def hist(b: pa.Table) -> pa.Table:
+        import ray as _r
+
+        ids, matn = _r.get(cand_ref)
+        vid = b["vec_id"].to_numpy(zero_copy_only=False)
+        emb = _embedding_matrix(b["embedding"])
+        n = np.linalg.norm(emb, axis=1)
+        embn = emb / np.where(n == 0, 1.0, n)[:, None]
+        cos = np.round(embn @ matn.T, 6)
+        mask = vid[:, None] < ids[None, :]   # each unordered pair once
+        ci = np.round(cos[mask] * 1e6).astype(np.int64)  # micro units
+        bins = np.clip((ci + 1_000_000) // 100_000, 0, 19)
+        cnt = np.bincount(bins, minlength=20).astype(np.int64)
+        return pa.table({"bin": pa.array(np.arange(20, dtype=np.int64)),
+                         "n": pa.array(cnt)})
+
+    df = (ds.map_batches(hist, batch_format="pyarrow",
+                         zero_copy_batch=True)
+          .groupby("bin").aggregate(Sum("n", alias_name="n"))
+          .to_pandas().sort_values("bin", ignore_index=True))
+    keep = df["n"].to_numpy(np.int64) > 0
+    return pa.table({
+        "bin": pa.array(df["bin"].to_numpy(np.int64)[keep]),
+        "n": pa.array(df["n"].to_numpy(np.int64)[keep])})
+
+
+SQL_COSINE_HISTOGRAM = """
+WITH p AS (
+  SELECT CAST(ROUND(ROUND(list_cosine_similarity(
+           a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+           * 1000000) AS BIGINT) AS ci
+  FROM embeddings a JOIN embeddings b
+    ON a.vec_id < b.vec_id AND a.vec_id < 512 AND b.vec_id < 512
+)
+SELECT CAST(LEAST(GREATEST((ci + 1000000) // 100000, 0), 19) AS BIGINT)
+         AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM p GROUP BY 1
+"""
+
+
 DATAOPS_QUERIES = {
+    "heaps_law": (q_heaps_law, SQL_HEAPS_LAW),
+    "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
+    "cosine_histogram": (q_cosine_histogram, SQL_COSINE_HISTOGRAM),
     "npy_shards": (q_npy_shards, SQL_NPY_SHARDS),
     "winnowing": (q_winnowing, SQL_WINNOWING),
     "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
