@@ -11757,7 +11757,74 @@ FROM m, lo, hi
 """
 
 
+# =====================================================================
+# Herfindahl-Hirschman supplier concentration per nation
+# =====================================================================
+
+def q_hhi_concentration(sf_dir: str):
+    """Herfindahl-Hirschman index of supplier revenue concentration per
+    nation - HHI = sum of squared market shares, the antitrust-style
+    single-vendor-risk score (gini_concentration's squared-share
+    sibling; crawl twin: is one host dominating a source's pages).
+    Lineitem folds to per-supplier cent sums (supplier is a DIMENSION -
+    the groupby is bounded by |supps|); the supplier->nation map is a
+    bounded broadcast read; HHI = sum c_i^2 / (sum c_i)^2 runs in exact
+    python ints (HUGEINT mirror) on the <=|supps| driver rows - squares
+    of int sums commute, so no ordering discipline is even needed; one
+    division, 6 dp."""
+    sup = rd.read_parquet(os.path.join(sf_dir, "supplier.parquet"),
+                          columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    s2n = dict(zip(sup["s_suppkey"].astype(np.int64),
+                   sup["s_nationkey"].astype(np.int64)))
+
+    ds = _t(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "s": b["l_suppkey"],
+            "c": _cents(b["l_extendedprice"]),
+        })
+        g = t.group_by("s").aggregate([("c", "sum")])
+        return g.rename_columns(["s", "c"])
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("s")
+           .aggregate(Sum("c", alias_name="c")))
+    df = agg.to_pandas()  # <= |supps| rows - bounded dimension fold
+    df["nation"] = df["s"].map(s2n).astype(np.int64)
+    rows = {"nation": [], "n_suppliers": [], "hhi": []}
+    for nk, g in df.groupby("nation", sort=True):
+        c = [int(v) for v in g["c"]]
+        tot = sum(c)
+        num = sum(v * v for v in c)
+        rows["nation"].append(int(nk))
+        rows["n_suppliers"].append(len(c))
+        rows["hhi"].append(np.round(float(num) / float(tot * tot), 6))
+    return pa.table({
+        "nation": pa.array(rows["nation"], pa.int64()),
+        "n_suppliers": pa.array(rows["n_suppliers"], pa.int64()),
+        "hhi": pa.array(rows["hhi"], pa.float64())})
+
+
+SQL_HHI_CONCENTRATION = """
+WITH r AS (
+  SELECT s.s_nationkey AS nation, l.l_suppkey AS s,
+         CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+              AS HUGEINT) AS c
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY 1, 2
+)
+SELECT CAST(nation AS BIGINT) AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       ROUND(CAST(SUM(c * c) AS DOUBLE)
+             / CAST(SUM(c) * SUM(c) AS DOUBLE), 6) AS hhi
+FROM r GROUP BY 1
+"""
+
+
 ANALYTICS_QUERIES = {
+    "hhi_concentration": (q_hhi_concentration, SQL_HHI_CONCENTRATION),
     "top_growth_customers": (q_top_growth_customers,
                              SQL_TOP_GROWTH_CUSTOMERS),
     "purchase_gap_median": (q_purchase_gap_median,

@@ -6599,7 +6599,86 @@ FROM p GROUP BY 1
 """
 
 
+# =====================================================================
+# exact-duplicate ratio per source (corpus-health readout)
+# =====================================================================
+
+def q_dup_ratio_by_source(sf_dir: str):
+    """Share of each source's documents whose EXACT text occurs more
+    than once corpus-wide - the per-source duplication scoreboard that
+    tells a curation team WHICH feed to fix (dedup_exact removes
+    duplicates; this attributes them). One text-hash exchange: blocks
+    emit (md5-int, source) rows (md5 == DuckDB's md5, the md5_split
+    convention, memoized per distinct text); each hash's rows co-locate,
+    so the partition marks duplicate membership globally and folds to
+    <= |sources| (n_dup, n_docs) partials; exact integer ratio until
+    one division, 6 dp."""
+    import hashlib
+
+    from .analytics import _splitmix64
+    from .sizing import fold_parts
+
+    n_parts = fold_parts()
+    ds = _docs(sf_dir, ["source", "text"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        ut, inv = np.unique(np.array(texts, dtype=object),
+                            return_inverse=True)
+        uh = np.fromiter(
+            (int(hashlib.md5((t or "").encode()).hexdigest()[:8], 16)
+             for t in ut), dtype=np.int64, count=len(ut))
+        h = uh[inv]
+        kp = (_splitmix64(h).view(np.uint64)
+              % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({"h": pa.array(h), "source": b["source"],
+                         "kp": pa.array(kp)})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g.groupby("h", sort=False)["source"].transform("size")
+        dup = (cnt > 1).astype(np.int64)
+        out = pd.DataFrame({"source": g["source"].to_numpy(),
+                            "n_dup": dup.to_numpy(),
+                            "n_docs": 1})
+        agg = out.groupby("source", sort=False).sum().reset_index()
+        return agg.astype({"n_dup": np.int64, "n_docs": np.int64})
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("kp").map_groups(fold, batch_format="pandas")
+           .groupby("source")
+           .aggregate(Sum("n_dup", alias_name="n_dup"),
+                      Sum("n_docs", alias_name="n_docs")))
+    df = agg.to_pandas().sort_values("source", ignore_index=True)
+    nd = df["n_dup"].to_numpy(np.int64)
+    nn = df["n_docs"].to_numpy(np.int64)
+    return pa.table({
+        "source": pa.array(df["source"], pa.string()),
+        "n_dup": pa.array(nd),
+        "n_docs": pa.array(nn),
+        "dup_ratio": pa.array(
+            np.round(nd.astype(np.float64) / nn.astype(np.float64), 6))})
+
+
+SQL_DUP_RATIO_BY_SOURCE = """
+WITH h AS (
+  SELECT source,
+         COUNT(*) OVER (
+           PARTITION BY CAST(CONCAT('0x', SUBSTR(md5(text), 1, 8))
+                             AS BIGINT)) AS c
+  FROM documents
+)
+SELECT source,
+       CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS dup_ratio
+FROM h GROUP BY 1
+"""
+
+
 DATAOPS_QUERIES = {
+    "dup_ratio_by_source": (q_dup_ratio_by_source, SQL_DUP_RATIO_BY_SOURCE),
     "heaps_law": (q_heaps_law, SQL_HEAPS_LAW),
     "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
     "cosine_histogram": (q_cosine_histogram, SQL_COSINE_HISTOGRAM),
