@@ -11952,7 +11952,103 @@ FROM m JOIN lo USING (prio) JOIN hi USING (prio)
 """
 
 
+# =====================================================================
+# realized-vs-list price per brand (broadcast dimension join)
+# =====================================================================
+
+def q_brand_margin(sf_dir: str):
+    """Per-brand pricing power: realized unit price (revenue / qty) and
+    the realized-to-list ratio vs the part's retail price - the pricing
+    dashboard's discount-depth readout. Part attributes (brand, retail
+    cents) broadcast once via ray.put (dimension side - the
+    revenue_by_nation shape); lineitem folds block-locally to exact
+    int64 partials per brand (Σext_cents, Σqty, Σqty*retail_cents)
+    through a <=|brands| exchange; two divisions per brand at the end,
+    6 dp, every operand an exact integer until then."""
+    import pyarrow.parquet as pq
+
+    pt = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                       columns=["p_partkey", "p_brand", "p_retailprice"])
+    pk = np.asarray(pt["p_partkey"], dtype=np.int64)
+    brands, bcode = np.unique(np.asarray(pt["p_brand"], dtype=object),
+                              return_inverse=True)
+    retail = np.round(np.asarray(pt["p_retailprice"], dtype=np.float64)
+                      * 100.0).astype(np.int64)
+    lut_code = np.zeros(int(pk.max()) + 1, np.int64)
+    lut_retail = np.zeros(int(pk.max()) + 1, np.int64)
+    lut_code[pk] = bcode
+    lut_retail[pk] = retail
+    lut_ref = ray.put((lut_code, lut_retail, len(brands)))
+
+    ds = _t(sf_dir, "lineitem",
+            ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        import ray as _r
+
+        code_lut, retail_lut, nb = _r.get(lut_ref)
+        p = b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qty = pc.round(b["l_quantity"]).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ext = _cents(b["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        code = code_lut[p]
+        listc = retail_lut[p] * qty
+        s_ext = np.zeros(nb, np.int64)   # int64 partials - exact
+        s_qty = np.zeros(nb, np.int64)
+        s_lst = np.zeros(nb, np.int64)
+        np.add.at(s_ext, code, ext)
+        np.add.at(s_qty, code, qty)
+        np.add.at(s_lst, code, listc)
+        return pa.table({
+            "code": pa.array(np.arange(nb, dtype=np.int64)),
+            "ext": pa.array(s_ext),
+            "qty": pa.array(s_qty),
+            "lst": pa.array(s_lst),
+        })
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("code")
+           .aggregate(Sum("ext", alias_name="ext"),
+                      Sum("qty", alias_name="qty"),
+                      Sum("lst", alias_name="lst")))
+    df = agg.to_pandas().sort_values("code", ignore_index=True)
+    out = {"brand": [], "unit_price": [], "realized_ratio": []}
+    for _, r in df.iterrows():
+        ext, qty, lst = int(r["ext"]), int(r["qty"]), int(r["lst"])
+        out["brand"].append(str(brands[int(r["code"])]))
+        out["unit_price"].append(np.round(float(ext) / float(qty), 6))
+        out["realized_ratio"].append(np.round(float(ext) / float(lst), 6))
+    return pa.table({
+        "brand": pa.array(out["brand"], pa.string()),
+        "unit_price": pa.array(out["unit_price"], pa.float64()),
+        "realized_ratio": pa.array(out["realized_ratio"], pa.float64())})
+
+
+SQL_BRAND_MARGIN = """
+WITH j AS (
+  SELECT p.p_brand AS brand,
+         CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS ext,
+         CAST(ROUND(l.l_quantity) AS BIGINT) AS qty,
+         CAST(ROUND(p.p_retailprice * 100) AS BIGINT)
+           * CAST(ROUND(l.l_quantity) AS BIGINT) AS lst
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+), m AS (
+  SELECT brand, CAST(SUM(ext) AS HUGEINT) AS ext,
+         CAST(SUM(qty) AS HUGEINT) AS qty,
+         CAST(SUM(lst) AS HUGEINT) AS lst
+  FROM j GROUP BY 1
+)
+SELECT brand,
+       ROUND(CAST(ext AS DOUBLE) / CAST(qty AS DOUBLE), 6) AS unit_price,
+       ROUND(CAST(ext AS DOUBLE) / CAST(lst AS DOUBLE), 6)
+         AS realized_ratio
+FROM m
+"""
+
+
 ANALYTICS_QUERIES = {
+    "brand_margin": (q_brand_margin, SQL_BRAND_MARGIN),
     "ship_lag": (q_ship_lag, SQL_SHIP_LAG),
     "hhi_concentration": (q_hhi_concentration, SQL_HHI_CONCENTRATION),
     "top_growth_customers": (q_top_growth_customers,
