@@ -11062,6 +11062,10 @@ def q_prop_ztest(sf_dir: str):
            .groupby("arm")
            .aggregate(Sum("n", alias_name="n"), Sum("c", alias_name="c")))
     df = agg.to_pandas().sort_values("arm", ignore_index=True)
+    if len(df) != 2 or list(df["arm"]) != [0, 1]:
+        raise ValueError(
+            "degenerate arm split: two-proportion z-test needs both "
+            "md5 arms non-empty, got arms=%s" % list(df["arm"]))
     n0, c0 = int(df["n"][0]), int(df["c"][0])
     n1, c1 = int(df["n"][1]), int(df["c"][1])
     p0 = float(c0) / float(n0)
@@ -11409,7 +11413,9 @@ def q_last_touch(sf_dir: str):
     shape: ONE user-hash exchange, per-user argmax-(ts, event_id) over
     the user-local rows, distributive <=|types| finale. Users with no
     non-purchase touch before their last purchase credit 'direct' on
-    both sides."""
+    both sides. Ordering is TRUE (ts, event_id) lexicographic on BOTH
+    sides (the oracle uses ROW_NUMBER tuple ordering, not a packed
+    ts*K+event_id key, so no event_id bound is assumed at any scale)."""
     ds = _t(sf_dir, "events",
             ["user_id", "event_id", "ts", "event_type", "value"])
 
@@ -11469,18 +11475,22 @@ WITH pu AS (
   SELECT user_id,
          SUM(CASE WHEN event_type = 'purchase'
                   THEN CAST(ROUND(value * 100) AS BIGINT)
-                  ELSE 0 END) AS cents,
-         MAX(CASE WHEN event_type = 'purchase'
-                  THEN CAST(epoch_us(ts) AS HUGEINT) * 1000000 + event_id
-                  END) AS lastp
+                  ELSE 0 END) AS cents
   FROM events GROUP BY 1
+  HAVING SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0
+), lp AS (
+  SELECT user_id, epoch_us(ts) AS cut_tu, event_id AS cut_eid,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE event_type = 'purchase'
+), cut AS (
+  SELECT user_id, cut_tu, cut_eid FROM lp WHERE rn = 1
 ), t AS (
   SELECT e.user_id, e.event_type, epoch_us(e.ts) AS tu, e.event_id
-  FROM events e JOIN pu USING (user_id)
-  WHERE pu.lastp IS NOT NULL
-    AND e.event_type <> 'purchase'
-    AND CAST(epoch_us(e.ts) AS HUGEINT) * 1000000 + e.event_id
-        < pu.lastp
+  FROM events e JOIN cut USING (user_id)
+  WHERE e.event_type <> 'purchase'
+    AND (epoch_us(e.ts) < cut.cut_tu
+         OR (epoch_us(e.ts) = cut.cut_tu AND e.event_id < cut.cut_eid))
 ), lt AS (
   SELECT user_id, event_type AS last_type,
          ROW_NUMBER() OVER (PARTITION BY user_id
@@ -11490,7 +11500,6 @@ WITH pu AS (
   SELECT pu.user_id, COALESCE(lt.last_type, 'direct') AS last_type,
          pu.cents
   FROM pu LEFT JOIN lt ON lt.user_id = pu.user_id AND lt.rn = 1
-  WHERE pu.lastp IS NOT NULL
 )
 SELECT last_type, CAST(COUNT(*) AS BIGINT) AS users,
        CAST(CAST(SUM(cents) AS DOUBLE) / 100.0 AS DOUBLE) AS revenue
@@ -12016,6 +12025,11 @@ def q_brand_margin(sf_dir: str):
     out = {"brand": [], "unit_price": [], "realized_ratio": []}
     for _, r in df.iterrows():
         ext, qty, lst = int(r["ext"]), int(r["qty"]), int(r["lst"])
+        if qty == 0:
+            # brand code present in the part LUT but touched by no
+            # lineitem row: the oracle's inner join emits no such
+            # brand, so neither do we (also avoids 0/0).
+            continue
         out["brand"].append(str(brands[int(r["code"])]))
         out["unit_price"].append(np.round(float(ext) / float(qty), 6))
         out["realized_ratio"].append(np.round(float(ext) / float(lst), 6))

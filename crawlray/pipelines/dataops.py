@@ -6059,7 +6059,12 @@ def q_cross_label_match(sf_dir: str):
     side streams with ONE float64 matmul per block, same-label columns
     masked before the argmax - zero shuffle. Cosine rounded to 6 dp
     with min-vec_id tie-break on both sides; oracle casts to DOUBLE[]
-    (float32 accumulation flips 6-dp boundaries)."""
+    (float32 accumulation flips 6-dp boundaries). Probes with every
+    candidate masked (label matches all) are DROPPED, matching the
+    oracle's empty join. Zero-norm convention: this data has no
+    zero-norm embeddings (asserted nowhere cheaper than here: Python
+    would score them cos 0 while DuckDB yields NaN) - documented, not
+    normalized away."""
     path = os.path.join(sf_dir, "embeddings.parquet")
     import pyarrow.parquet as pq
 
@@ -6090,10 +6095,14 @@ def q_cross_label_match(sf_dir: str):
         tie = cos == best[:, None]
         nn_id = np.where(tie, ids[None, :],
                          np.iinfo(np.int64).max).min(axis=1)
+        # A probe whose label matches EVERY candidate has all columns
+        # masked (best == -inf); the oracle's b-side join emits no row
+        # for it, so drop it here too instead of a sentinel row.
+        keep = np.isfinite(best)
         return pa.table({
-            "vec_id": pa.array(vid),
-            "nn_id": pa.array(nn_id),
-            "cos": pa.array(best),
+            "vec_id": pa.array(vid[keep]),
+            "nn_id": pa.array(nn_id[keep]),
+            "cos": pa.array(best[keep]),
         })
 
     return ds.map_batches(nn, batch_format="pyarrow")
@@ -6622,11 +6631,14 @@ def q_dup_ratio_by_source(sf_dir: str):
     ds = _docs(sf_dir, ["source", "text"])
 
     def prep(b: pa.Table) -> pa.Table:
-        texts = b["text"].to_pylist()
+        # NULL-vs-empty convention: NULL text ≡ '' on BOTH sides (the
+        # oracle hashes COALESCE(text, '')), so np.unique never sees
+        # None and a NULL-text doc lands in the ''-hash group.
+        texts = [(t if t is not None else "") for t in b["text"].to_pylist()]
         ut, inv = np.unique(np.array(texts, dtype=object),
                             return_inverse=True)
         uh = np.fromiter(
-            (int(hashlib.md5((t or "").encode()).hexdigest()[:8], 16)
+            (int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
              for t in ut), dtype=np.int64, count=len(ut))
         h = uh[inv]
         kp = (_splitmix64(h).view(np.uint64)
@@ -6664,7 +6676,8 @@ SQL_DUP_RATIO_BY_SOURCE = """
 WITH h AS (
   SELECT source,
          COUNT(*) OVER (
-           PARTITION BY CAST(CONCAT('0x', SUBSTR(md5(text), 1, 8))
+           PARTITION BY CAST(CONCAT('0x',
+                             SUBSTR(md5(COALESCE(text, '')), 1, 8))
                              AS BIGINT)) AS c
   FROM documents
 )
