@@ -53,6 +53,7 @@ def _registry():
     from crawlray.pipelines.analytics import ANALYTICS_QUERIES
     from crawlray.pipelines.dataops import DATAOPS_QUERIES
     from crawlray.pipelines.relational import RELATIONAL_QUERIES
+    from crawlray.pipelines.roundfive import ROUNDFIVE_QUERIES
     from crawlray.pipelines.tpch import TPCH_QUERIES
 
     merged: dict[str, tuple] = {}
@@ -60,6 +61,7 @@ def _registry():
     merged.update(ANALYTICS_QUERIES)
     merged.update(DATAOPS_QUERIES)
     merged.update(TPCH_QUERIES)
+    merged.update(ROUNDFIVE_QUERIES)
     return merged
 
 
