@@ -349,7 +349,249 @@ FROM g, tot
 """
 
 
+# =====================================================================
+# per-node clustering coefficient (co-supply graph)
+# =====================================================================
+
+def q_clustering_coeff(sf_dir: str):
+    """LOCAL clustering coefficient per supplier node on the co-supply
+    graph (suppliers joined by a shared part, parts < 200 — the same
+    graph as triangle_count / kcore): c_u = 2·T_u / (d_u·(d_u−1)), the
+    per-node transitivity that separates hub-and-spoke suppliers from
+    clique members. Scale shape: the distinct (part, supp) projection
+    and per-part co-pair emission are distributed (bounded pairs per
+    part group); the deduped edge set folds to the DIMENSION-sized
+    driver where per-node triangles are diag(A³)/2 in one BLAS pass —
+    the triangle_count finale extended from the trace to the diagonal
+    (same dense-A discipline, same documented node-iterator swap at
+    web-scale node counts). Exact ints until one division, 6 dp; only
+    nodes with degree >= 2 (c undefined below)."""
+    import pyarrow.dataset as pads
+
+    from .analytics import _sized_read
+
+    ds = _sized_read(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey"],
+        filter=pads.field("l_partkey") < 200)
+
+    def distinct_ps(b: pa.Table) -> pa.Table:
+        p = b["l_partkey"].to_numpy(zero_copy_only=False)
+        s = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        pairs = np.unique(np.stack([p, s], axis=1), axis=0)
+        return pa.table({"p": pa.array(pairs[:, 0]),
+                         "s": pa.array(pairs[:, 1])})
+
+    def co_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        sup = np.unique(g["s"].to_numpy())
+        if len(sup) < 2:
+            return pd.DataFrame({"u": pd.Series([], dtype=np.int64),
+                                 "v": pd.Series([], dtype=np.int64)})
+        iu, iv = np.triu_indices(len(sup), k=1)
+        return pd.DataFrame({"u": sup[iu], "v": sup[iv]})
+
+    co = ds.map_batches(distinct_ps, batch_format="pyarrow",
+                        zero_copy_batch=True) \
+        .groupby("p").map_groups(co_pairs, batch_format="pandas")
+    chunks = [np.stack([b["u"].to_numpy(zero_copy_only=False),
+                        b["v"].to_numpy(zero_copy_only=False)], axis=1)
+              for b in co.iter_batches(batch_size=65536,
+                                       batch_format="pyarrow")]
+    if not chunks:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "degree": pa.array([], pa.int64()),
+                         "triangles": pa.array([], pa.int64()),
+                         "coeff": pa.array([], pa.float64())})
+    uv = np.unique(np.concatenate(chunks).astype(np.int64), axis=0)
+    nodes = np.unique(uv)
+    idx = np.searchsorted(nodes, uv)
+    a = np.zeros((len(nodes), len(nodes)), dtype=np.float64)
+    a[idx[:, 0], idx[:, 1]] = 1.0
+    a[idx[:, 1], idx[:, 0]] = 1.0
+    deg = a.sum(axis=1).astype(np.int64)
+    tri2 = np.einsum("ij,ji->i", a @ a, a)  # diag(A³): 2·T_u, exact ints
+    keep = deg >= 2
+    t_u = (tri2[keep] / 2.0).astype(np.int64)
+    d_u = deg[keep]
+    coeff = np.round(
+        (2.0 * t_u.astype(np.float64))
+        / (d_u.astype(np.float64) * (d_u - 1).astype(np.float64)), 6)
+    return pa.table({
+        "node": pa.array(nodes[keep]),
+        "degree": pa.array(d_u),
+        "triangles": pa.array(t_u),
+        "coeff": pa.array(coeff, pa.float64())})
+
+
+SQL_CLUSTERING_COEFF = """
+WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+            FROM lineitem WHERE l_partkey < 200),
+e AS (SELECT DISTINCT a.s AS u, b.s AS v
+      FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s),
+sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+d AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM sym GROUP BY 1),
+t AS (SELECT a.u AS node, CAST(COUNT(*) AS BIGINT) AS tri
+      FROM sym a JOIN sym b ON b.u = a.u AND a.v < b.v
+      JOIN e ON e.u = a.v AND e.v = b.v
+      GROUP BY 1)
+SELECT d.node, d.degree, COALESCE(t.tri, 0) AS triangles,
+       ROUND(CAST(2 * COALESCE(t.tri, 0) AS DOUBLE)
+             / CAST(d.degree * (d.degree - 1) AS DOUBLE), 6) AS coeff
+FROM d LEFT JOIN t USING (node)
+WHERE d.degree >= 2
+"""
+
+
+# =====================================================================
+# embedding-truncation quality (Matryoshka readout)
+# =====================================================================
+
+def q_emb_truncation(sf_dir: str, head_dims: int = 32):
+    """Per-label mean cosine between each embedding and its first-32-
+    dim truncation — the Matryoshka-representation readout (Kusupati
+    et al. 2022) that says how much retrieval quality a dimension cut
+    keeps. cos(full, head-padded) reduces to sh / (√ss·√sh) with
+    ss = Σv², sh = Σ_{i<=32} v²; every v² is EXACT in float64 (float32
+    mantissa squared fits), and both sides sum in DIM ORDER (ordered
+    aggregate in SQL, a sequential dim loop here — float addition is
+    not associative). Per-vector cosines quantize to integer
+    micro-units (half-away, the label_centroids convention) so the
+    per-label mean is an exact integer fold through a <= |labels|
+    exchange; one division + round at the end. Block-local, zero
+    shuffle of vectors."""
+    from .dataops import _embedding_matrix
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = rd.read_parquet(path, columns=["embedding", "label"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        emb = _embedding_matrix(b["embedding"])    # (n, d) float64
+        lab = b["label"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n, d = emb.shape
+        sq = emb * emb                             # exact per-term
+        ss = np.zeros(n, np.float64)
+        sh = np.zeros(n, np.float64)
+        for j in range(d):                         # sequential dim order
+            ss = ss + sq[:, j]
+            if j < head_dims:
+                sh = sh + sq[:, j]
+        ok = sh > 0.0
+        cos = np.zeros(n, np.float64)
+        cos[ok] = sh[ok] / (np.sqrt(ss[ok]) * np.sqrt(sh[ok]))
+        q = cos * 1e6
+        qc = np.where(q >= 0, np.floor(q + 0.5),
+                      -np.floor(-q + 0.5)).astype(np.int64)
+        ul, inv = np.unique(lab[ok], return_inverse=True)
+        sums = np.zeros(len(ul), np.int64)
+        np.add.at(sums, inv, qc[ok])
+        cnt = np.bincount(inv).astype(np.int64)
+        return pa.table({"label": pa.array(ul), "s": pa.array(sums),
+                         "n": pa.array(cnt)})
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("label")
+           .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n")))
+    df = agg.to_pandas().sort_values("label", ignore_index=True)
+    s = df["s"].to_numpy(np.int64)
+    n = df["n"].to_numpy(np.int64)
+    # half-AWAY 6-dp finale (DuckDB ROUND), not np.round's half-even:
+    # an integer-micro mean s/n CAN land exactly on a .5e-6 boundary
+    mean = s.astype(np.float64) / n.astype(np.float64) / 1e6
+    y = mean * 1e6
+    mean6 = np.where(y >= 0, np.floor(y + 0.5), -np.floor(-y + 0.5)) / 1e6
+    return pa.table({
+        "label": pa.array(df["label"].to_numpy(np.int64)),
+        "n": pa.array(n),
+        "mean_cos": pa.array(mean6, pa.float64())})
+
+
+SQL_EMB_TRUNCATION = """
+WITH u AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+), s AS (
+  SELECT vec_id, label,
+         SUM(v * v ORDER BY i) AS ss,
+         SUM(CASE WHEN i <= 32 THEN v * v ELSE 0 END ORDER BY i) AS sh
+  FROM u GROUP BY 1, 2
+), c AS (
+  SELECT label,
+         CAST(ROUND(1000000 * sh / (SQRT(ss) * SQRT(sh))) AS BIGINT) AS qc
+  FROM s WHERE sh > 0
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(qc) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             / 1000000.0, 6) AS mean_cos
+FROM c GROUP BY 1
+"""
+
+
+# =====================================================================
+# cosine range search (threshold, not top-k)
+# =====================================================================
+
+def q_ann_range(sf_dir: str, tau: float = 0.3):
+    """RANGE similarity search: for every embedding, how many of the
+    bounded candidates (vec_id < 512, self excluded) lie within cosine
+    >= 0.3 — the radius-query complement to ann_cosine's top-k (dedup
+    calibration and density estimation both want counts-in-ball, not
+    nearest-k). knn_join's scale shape: candidates broadcast once with
+    norms pre-divided, probe side streams with ONE float64 matmul per
+    block; the 6-dp-rounded cosine is compared to tau EXACTLY on both
+    sides, so the count is integer-deterministic. Zero shuffle."""
+    import pyarrow.parquet as pq
+
+    from .dataops import _embedding_matrix
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    cap = 512
+    t = pq.read_table(path, columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "<", cap)])
+    cids = np.asarray(t["vec_id"], dtype=np.int64)
+    cmat = _embedding_matrix(t["embedding"])
+    cn = np.linalg.norm(cmat, axis=1)
+    cand_ref = ray.put((cids, cmat / np.where(cn == 0, 1.0, cn)[:, None]))
+
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+
+    def count_ball(b: pa.Table) -> pa.Table:
+        import ray as _r
+
+        ids, matn = _r.get(cand_ref)
+        vid = b["vec_id"].to_numpy(zero_copy_only=False)
+        emb = _embedding_matrix(b["embedding"])
+        n = np.linalg.norm(emb, axis=1)
+        embn = emb / np.where(n == 0, 1.0, n)[:, None]
+        cos = np.round(embn @ matn.T, 6)
+        hit = cos >= tau
+        hit[vid[:, None] == ids[None, :]] = False   # self excluded
+        return pa.table({
+            "vec_id": pa.array(vid),
+            "n_matches": pa.array(hit.sum(axis=1).astype(np.int64)),
+        })
+
+    return ds.map_batches(count_ball, batch_format="pyarrow")
+
+
+SQL_ANN_RANGE = """
+SELECT a.vec_id,
+       CAST(SUM(CASE WHEN ROUND(list_cosine_similarity(
+                 a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.3
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_matches
+FROM embeddings a
+JOIN embeddings b ON b.vec_id < 512 AND b.vec_id <> a.vec_id
+GROUP BY 1
+"""
+
+
 ROUNDFIVE_QUERIES = {
+    "clustering_coeff": (q_clustering_coeff, SQL_CLUSTERING_COEFF),
+    "emb_truncation": (q_emb_truncation, SQL_EMB_TRUNCATION),
+    "ann_range": (q_ann_range, SQL_ANN_RANGE),
     "rolling_corr": (q_rolling_corr, SQL_ROLLING_CORR),
     "ohlc_weekly": (q_ohlc_weekly, SQL_OHLC_WEEKLY),
     "theil_index": (q_theil_index, SQL_THEIL_INDEX),
