@@ -588,7 +588,330 @@ GROUP BY 1
 """
 
 
+# =====================================================================
+# exact two-feature OLS per group (normal equations, Cramer's rule)
+# =====================================================================
+
+def q_ols_two(sf_dir: str):
+    """Two-feature linear regression per returnflag: extendedprice
+    (cents) ~ b0 + b1·quantity + b2·discount(%) solved EXACTLY by
+    Cramer's rule on the 3x3 normal equations — regr_per_group's
+    multi-feature extension, closed-form (no iteration, no float
+    accumulation drift). Scale shape: all nine moment sums (n, Σq, Σd,
+    Σq², Σqd, Σd², Σy, Σqy, Σdy) are exact int64 block partials
+    through a <= 3-row exchange; the driver computes every 3x3
+    determinant in UNBOUNDED python ints (the oracle's HUGEINT) and
+    divides once per coefficient — the SAME expression tree both
+    sides, 6 dp."""
+    ds = _t(sf_dir, "lineitem",
+            ["l_returnflag", "l_quantity", "l_discount", "l_extendedprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        q = pc.round(b["l_quantity"]).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        d = _cents(b["l_discount"]).to_numpy(zero_copy_only=False)
+        y = _cents(b["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        flags = np.asarray(b["l_returnflag"], dtype=object)
+        uf, inv = np.unique(flags, return_inverse=True)
+        cols = {
+            "n": np.ones(len(q), np.int64), "sq": q, "sd": d,
+            "sqq": q * q, "sqd": q * d, "sdd": d * d,
+            "sy": y, "sqy": q * y, "sdy": d * y,
+        }
+        out = {"flag": pa.array(uf)}
+        for k, v in cols.items():
+            s = np.zeros(len(uf), np.int64)
+            np.add.at(s, inv, v)
+            out[k] = pa.array(s)
+        return pa.table(out)
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("flag")
+           .aggregate(*[Sum(c, alias_name=c)
+                        for c in ["n", "sq", "sd", "sqq", "sqd", "sdd",
+                                  "sy", "sqy", "sdy"]]))
+    df = agg.to_pandas().sort_values("flag", ignore_index=True)
+    rows = {"flag": [], "n": [], "b0": [], "b1": [], "b2": []}
+
+    def det3(m):
+        return (m[0][0] * (m[1][1] * m[2][2] - m[1][2] * m[2][1])
+                - m[0][1] * (m[1][0] * m[2][2] - m[1][2] * m[2][0])
+                + m[0][2] * (m[1][0] * m[2][1] - m[1][1] * m[2][0]))
+
+    for _, r in df.iterrows():
+        n, sq, sd = int(r["n"]), int(r["sq"]), int(r["sd"])
+        sqq, sqd, sdd = int(r["sqq"]), int(r["sqd"]), int(r["sdd"])
+        sy, sqy, sdy = int(r["sy"]), int(r["sqy"]), int(r["sdy"])
+        xtx = [[n, sq, sd], [sq, sqq, sqd], [sd, sqd, sdd]]
+        xty = [sy, sqy, sdy]
+        den = det3(xtx)
+        if den == 0:
+            continue
+        bs = []
+        for j in range(3):
+            m = [row[:] for row in xtx]
+            for i in range(3):
+                m[i][j] = xty[i]
+            bs.append(np.round(float(det3(m)) / float(den), 6))
+        rows["flag"].append(str(r["flag"]))
+        rows["n"].append(n)
+        rows["b0"].append(bs[0])
+        rows["b1"].append(bs[1])
+        rows["b2"].append(bs[2])
+    return pa.table({
+        "flag": pa.array(rows["flag"], pa.string()),
+        "n": pa.array(rows["n"], pa.int64()),
+        "b0": pa.array(rows["b0"], pa.float64()),
+        "b1": pa.array(rows["b1"], pa.float64()),
+        "b2": pa.array(rows["b2"], pa.float64())})
+
+
+SQL_OLS_TWO = """
+WITH m AS (
+  SELECT l_returnflag AS flag,
+    CAST(COUNT(*) AS HUGEINT) AS n,
+    CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS HUGEINT) AS sq,
+    CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS HUGEINT) AS sd,
+    CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)
+             * CAST(ROUND(l_quantity) AS BIGINT)) AS HUGEINT) AS sqq,
+    CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)
+             * CAST(ROUND(l_discount * 100) AS BIGINT)) AS HUGEINT) AS sqd,
+    CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)
+             * CAST(ROUND(l_discount * 100) AS BIGINT)) AS HUGEINT) AS sdd,
+    CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS HUGEINT)
+      AS sy,
+    CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)
+             * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS HUGEINT)
+      AS sqy,
+    CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)
+             * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS HUGEINT)
+      AS sdy
+  FROM lineitem GROUP BY 1
+), dets AS (
+  SELECT flag, n,
+    n * (sqq * sdd - sqd * sqd) - sq * (sq * sdd - sqd * sd)
+      + sd * (sq * sqd - sqq * sd) AS den,
+    sy * (sqq * sdd - sqd * sqd) - sq * (sqy * sdd - sqd * sdy)
+      + sd * (sqy * sqd - sqq * sdy) AS d0,
+    n * (sqy * sdd - sqd * sdy) - sy * (sq * sdd - sqd * sd)
+      + sd * (sq * sdy - sqy * sd) AS d1,
+    n * (sqq * sdy - sqy * sqd) - sq * (sq * sdy - sqy * sd)
+      + sy * (sq * sqd - sqq * sd) AS d2
+  FROM m
+)
+SELECT flag, CAST(n AS BIGINT) AS n,
+       ROUND(CAST(d0 AS DOUBLE) / CAST(den AS DOUBLE), 6) AS b0,
+       ROUND(CAST(d1 AS DOUBLE) / CAST(den AS DOUBLE), 6) AS b1,
+       ROUND(CAST(d2 AS DOUBLE) / CAST(den AS DOUBLE), 6) AS b2
+FROM dets WHERE den <> 0
+"""
+
+
+# =====================================================================
+# OOV rate per source vs the corpus top-1000 vocabulary
+# =====================================================================
+
+def q_oov_rate(sf_dir: str, vocab_k: int = 1000):
+    """Out-of-vocabulary token rate per source against the corpus-wide
+    top-1000 vocabulary — the tokenizer-coverage readout that says
+    which feed a fixed vocab serves worst. Pass 1 is word_freq's
+    combiner (per-block Arrow value_counts → ONE token groupby →
+    per-block partial top-k merged on the driver, count-DESC token-ASC
+    tie-break, no global sort); the bounded vocab broadcasts once via
+    ray.put; pass 2 tokenizes each block (same RE2 both sides), maps
+    tokens to their row's source with list_parent_indices, and counts
+    membership with ONE Arrow is_in kernel into <= |sources| partials.
+    Exact integer ratio until one division, 6 dp."""
+    from .dataops import _docs
+
+    ds = _docs(sf_dir, ["text"])
+
+    def counts(b: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(b["text"].combine_chunks())
+        flat = pc.list_flatten(pc.split_pattern_regex(low, "[^a-z]+"))
+        flat = flat.filter(pc.not_equal(flat, pa.scalar("")))
+        vc = pc.value_counts(flat)
+        return pa.table({"token": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    agg = (ds.map_batches(counts, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("token")
+           .aggregate(Sum("n", alias_name="n")))
+
+    def partial_top(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().sort_values(
+            ["n", "token"], ascending=[False, True], kind="mergesort")
+        return pa.Table.from_pandas(df.head(vocab_k), preserve_index=False)
+
+    cand = [c for b in agg.map_batches(partial_top, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")
+            for c in zip(b["token"].to_pylist(), b["n"].to_pylist())]
+    cand.sort(key=lambda t: (-t[1], t[0]))
+    vocab_ref = ray.put(pa.array([t[0] for t in cand[:vocab_k]],
+                                 pa.string()))
+
+    docs = _docs(sf_dir, ["source", "text"])
+
+    def oov(b: pa.Table) -> pa.Table:
+        import ray as _r
+
+        vocab = _r.get(vocab_ref)
+        low = pc.utf8_lower(b["text"].combine_chunks())
+        lists = pc.split_pattern_regex(low, "[^a-z]+")
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists).to_numpy(
+            zero_copy_only=False)
+        ok = pc.not_equal(flat, pa.scalar(""))
+        inv = pc.is_in(flat, value_set=vocab)
+        okn = ok.to_numpy(zero_copy_only=False)
+        oovn = np.logical_and(
+            okn, np.logical_not(inv.to_numpy(zero_copy_only=False)))
+        src = np.asarray(b["source"], dtype=object)
+        us, sinv = np.unique(src, return_inverse=True)
+        tok_per_row = np.bincount(parent[okn], minlength=len(src))
+        oov_per_row = np.bincount(parent[oovn], minlength=len(src))
+        nt = np.zeros(len(us), np.int64)
+        no = np.zeros(len(us), np.int64)
+        np.add.at(nt, sinv, tok_per_row)
+        np.add.at(no, sinv, oov_per_row)
+        return pa.table({"source": pa.array(us), "n_tokens": pa.array(nt),
+                         "n_oov": pa.array(no)})
+
+    agg2 = (docs.map_batches(oov, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .groupby("source")
+            .aggregate(Sum("n_tokens", alias_name="n_tokens"),
+                       Sum("n_oov", alias_name="n_oov")))
+    df = agg2.to_pandas().sort_values("source", ignore_index=True)
+    nt = df["n_tokens"].to_numpy(np.int64)
+    no = df["n_oov"].to_numpy(np.int64)
+    return pa.table({
+        "source": pa.array(df["source"], pa.string()),
+        "n_tokens": pa.array(nt), "n_oov": pa.array(no),
+        "oov_rate": pa.array(np.round(
+            no.astype(np.float64) / nt.astype(np.float64), 6),
+            pa.float64())})
+
+
+SQL_OOV_RATE = """
+WITH tk AS (
+  SELECT source, token FROM (
+    SELECT source,
+           unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS token
+    FROM documents)
+  WHERE token <> ''
+), v AS (
+  SELECT token FROM (
+    SELECT token, COUNT(*) AS n FROM tk GROUP BY 1)
+  QUALIFY ROW_NUMBER() OVER (ORDER BY n DESC, token) <= 1000
+)
+SELECT tk.source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       ROUND(CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
+FROM tk LEFT JOIN v USING (token)
+GROUP BY 1
+"""
+
+
+# =====================================================================
+# two-rate Poisson z-test per event type (first vs second half)
+# =====================================================================
+
+def q_poisson_rate(sf_dir: str):
+    """Two-rate Poisson z-test per event type: did the daily event rate
+    change between the first and second half of the observation span?
+    z = (c1/t1 − c2/t2) / √(c1/t1² + c2/t2²) — the count-data
+    change detector next to prop_ztest (proportions) and
+    cusum_changepoint (location). The span midpoint comes from ONE
+    global Min/Max day fold (topk_movers' convention: first half =
+    [lo, mid], mid = (lo+hi)//2); per-(type, half) counts are exact
+    int64 partials through a <= |types|·2 exchange; z is ONE identical
+    IEEE expression on the bounded driver rows, 6 dp."""
+    ds = _t(sf_dir, "events", ["ts", "event_type"])
+
+    bounds = ds.map_batches(
+        lambda b: pa.table({
+            "lo": pa.array([pc.min(b["ts"]).cast(pa.int64()).as_py()
+                            // DAY_US], pa.int64()),
+            "hi": pa.array([pc.max(b["ts"]).cast(pa.int64()).as_py()
+                            // DAY_US], pa.int64())}),
+        batch_format="pyarrow").aggregate(Min("lo"), Max("hi"))
+    lo, hi = int(bounds["min(lo)"]), int(bounds["max(hi)"])
+    mid = (lo + hi) // 2
+    t1, t2 = mid - lo + 1, hi - mid
+
+    def prep(b: pa.Table) -> pa.Table:
+        day = pc.divide(b["ts"].cast(pa.int64()),
+                        pa.scalar(DAY_US, pa.int64())).cast(pa.int64())
+        half = pc.greater(day, pa.scalar(mid, pa.int64())).cast(pa.int64())
+        t = pa.table({"event_type": b["event_type"], "half": half,
+                      "c": pa.array(np.ones(b.num_rows, np.int64))})
+        g = t.group_by(["event_type", "half"]).aggregate([("c", "sum")])
+        return g.rename_columns(["event_type", "half", "c"])
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["event_type", "half"])
+           .aggregate(Sum("c", alias_name="c")))
+    df = agg.to_pandas()
+    piv = df.pivot_table(index="event_type", columns="half", values="c",
+                         aggfunc="sum", fill_value=0)
+    rows = {"event_type": [], "n1": [], "n2": [], "z": []}
+    for et in sorted(piv.index):
+        c1 = int(piv.loc[et].get(0, 0))
+        c2 = int(piv.loc[et].get(1, 0))
+        if c1 == 0 and c2 == 0:
+            continue
+        r1 = float(c1) / float(t1)
+        r2 = float(c2) / float(t2)
+        z = (r1 - r2) / math.sqrt(
+            float(c1) / float(t1 * t1) + float(c2) / float(t2 * t2))
+        rows["event_type"].append(str(et))
+        rows["n1"].append(c1)
+        rows["n2"].append(c2)
+        rows["z"].append(np.round(z, 6))
+    return pa.table({
+        "event_type": pa.array(rows["event_type"], pa.string()),
+        "n1": pa.array(rows["n1"], pa.int64()),
+        "n2": pa.array(rows["n2"], pa.int64()),
+        "z": pa.array(rows["z"], pa.float64())})
+
+
+SQL_POISSON_RATE = """
+WITH b AS (
+  SELECT MIN(epoch_us(ts) // 86400000000) AS lo,
+         MAX(epoch_us(ts) // 86400000000) AS hi
+  FROM events
+), m AS (
+  SELECT lo, hi, (lo + hi) // 2 AS mid,
+         (lo + hi) // 2 - lo + 1 AS t1, hi - (lo + hi) // 2 AS t2
+  FROM b
+), c AS (
+  SELECT e.event_type,
+    CAST(SUM(CASE WHEN epoch_us(e.ts) // 86400000000 <= m.mid
+             THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+    CAST(SUM(CASE WHEN epoch_us(e.ts) // 86400000000 > m.mid
+             THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+    MAX(m.t1) AS t1, MAX(m.t2) AS t2
+  FROM events e, m GROUP BY 1
+)
+SELECT event_type, c1 AS n1, c2 AS n2,
+  ROUND((CAST(c1 AS DOUBLE) / CAST(t1 AS DOUBLE)
+         - CAST(c2 AS DOUBLE) / CAST(t2 AS DOUBLE))
+        / SQRT(CAST(c1 AS DOUBLE) / CAST(t1 * t1 AS DOUBLE)
+               + CAST(c2 AS DOUBLE) / CAST(t2 * t2 AS DOUBLE)), 6) AS z
+FROM c WHERE c1 + c2 > 0
+"""
+
+
 ROUNDFIVE_QUERIES = {
+    "ols_two": (q_ols_two, SQL_OLS_TWO),
+    "oov_rate": (q_oov_rate, SQL_OOV_RATE),
+    "poisson_rate": (q_poisson_rate, SQL_POISSON_RATE),
     "clustering_coeff": (q_clustering_coeff, SQL_CLUSTERING_COEFF),
     "emb_truncation": (q_emb_truncation, SQL_EMB_TRUNCATION),
     "ann_range": (q_ann_range, SQL_ANN_RANGE),
