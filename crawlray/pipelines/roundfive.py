@@ -908,7 +908,278 @@ FROM c WHERE c1 + c2 > 0
 """
 
 
+# =====================================================================
+# seasonal decomposition (STL-lite: centered-MA trend + dow seasonal)
+# =====================================================================
+
+def q_seasonal_decompose(sf_dir: str):
+    """Additive seasonal decomposition of daily revenue, STL-lite:
+    trend = centered 7-day moving average (gap-aware RANGE frame, FULL
+    windows only), seasonal = per-weekday mean of the detrended series
+    — the classical-decomposition readout behind every forecast
+    baseline. Scale: the <= #days exchange from rolling_corr; windowed
+    sums via prefix sums + searchsorted; the detrended values are
+    floats, so the per-dow mean is summed in DAY ORDER on both sides
+    (ordered aggregate — float addition is not associative); trend and
+    seasonal use the IDENTICAL expression tree both sides, 6 dp."""
+    df = _day_rev_fold(sf_dir)
+    day = df["day"].to_numpy(np.int64)
+    rev = df["rev"].to_numpy(np.int64).astype(object)
+    cs = np.concatenate(([0], np.cumsum(rev)))
+    lo = np.searchsorted(day, day - 3, side="left")
+    hi = np.searchsorted(day, day + 3, side="right")
+    acc: dict[int, list] = {}
+    for i in range(len(day)):
+        n = int(hi[i] - lo[i])
+        if n != 7:            # full centered windows only
+            continue
+        trend = float(int(cs[hi[i]] - cs[lo[i]])) / float(n)
+        detr = float(int(rev[i])) - trend
+        dow = int((day[i] + 3) % 7 + 1)
+        acc.setdefault(dow, []).append(detr)   # day-ascending order
+    rows = {"dow": [], "n_days": [], "seasonal": []}
+    for dow in sorted(acc):
+        vals = acc[dow]
+        s = 0.0
+        for v in vals:                          # sequential, day order
+            s += v
+        rows["dow"].append(dow)
+        rows["n_days"].append(len(vals))
+        rows["seasonal"].append(np.round(s / float(len(vals)), 6))
+    return pa.table({"dow": pa.array(rows["dow"], pa.int64()),
+                     "n_days": pa.array(rows["n_days"], pa.int64()),
+                     "seasonal": pa.array(rows["seasonal"], pa.float64())})
+
+
+SQL_SEASONAL_DECOMPOSE = """
+WITH d AS (
+  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1
+), w AS (
+  SELECT day, rev,
+    CAST(COUNT(*) OVER win AS BIGINT) AS n,
+    CAST(SUM(rev) OVER win AS HUGEINT) AS s
+  FROM d
+  WINDOW win AS (ORDER BY day
+                 RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), t AS (
+  SELECT day, (day + 3) % 7 + 1 AS dow,
+         CAST(rev AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+           AS detr
+  FROM w WHERE n = 7
+)
+SELECT CAST(dow AS BIGINT) AS dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(SUM(detr ORDER BY day) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS seasonal
+FROM t GROUP BY 1
+"""
+
+
+# =====================================================================
+# DAU/WAU stickiness per week
+# =====================================================================
+
+def q_stickiness(sf_dir: str):
+    """Weekly stickiness: sum of daily active users over the week's
+    active days divided by (active days × weekly active users) — the
+    avg-DAU/WAU engagement ratio every growth dashboard tracks. Scale:
+    blocks emit DISTINCT (user, week, day) triples (np.unique combiner
+    — the exchange carries per-block-distinct rows, never the event
+    stream) through ONE user-hash exchange, so each partition owns all
+    rows of its users and can emit exact (week, day)→dau and week→wau
+    partials; a tiny (week, day) groupby folds them; driver finale on
+    the bounded week table, exact ints until one division, 6 dp."""
+    from .sizing import fold_parts
+
+    n_parts = fold_parts()
+    ds = _t(sf_dir, "events", ["ts", "user_id"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = (b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+               // DAY_US)
+        tri = np.unique(np.stack([uid, day], axis=1), axis=0)
+        kp = (_splitmix64(tri[:, 0]).view(np.uint64)
+              % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({"u": pa.array(tri[:, 0]), "day": pa.array(tri[:, 1]),
+                         "kp": pa.array(kp)})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        ud = np.unique(np.stack([g["u"].to_numpy(np.int64),
+                                 g["day"].to_numpy(np.int64)], axis=1),
+                       axis=0)
+        u, day = ud[:, 0], ud[:, 1]
+        wk = day // 7
+        # dau partials: distinct (u, day) count per (week, day)
+        keys, cnts = np.unique(np.stack([wk, day], axis=1), axis=0,
+                               return_counts=True)
+        # wau partials: distinct u per week (users are partition-local)
+        uw = np.unique(np.stack([u, wk], axis=1), axis=0)
+        wku, wau = np.unique(uw[:, 1], return_counts=True)
+        return pd.DataFrame({
+            "week": np.concatenate([keys[:, 0], wku]).astype(np.int64),
+            "day": np.concatenate(
+                [keys[:, 1], np.full(len(wku), -1)]).astype(np.int64),
+            "dau": np.concatenate(
+                [cnts, np.zeros(len(wku))]).astype(np.int64),
+            "wau": np.concatenate(
+                [np.zeros(len(keys)), wau]).astype(np.int64),
+        })
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("kp").map_groups(fold, batch_format="pandas")
+           .groupby(["week", "day"])
+           .aggregate(Sum("dau", alias_name="dau"),
+                      Sum("wau", alias_name="wau")))
+    df = agg.to_pandas()
+    rows = {"week": [], "n_days": [], "dau_sum": [], "wau": [],
+            "stickiness": []}
+    for wk, g in df.groupby("week", sort=True):
+        days = g[g["day"] >= 0]
+        dau_sum = int(days["dau"].sum())
+        n_days = int(len(days))
+        wau = int(g["wau"].sum())
+        rows["week"].append(int(wk))
+        rows["n_days"].append(n_days)
+        rows["dau_sum"].append(dau_sum)
+        rows["wau"].append(wau)
+        rows["stickiness"].append(np.round(
+            float(dau_sum) / float(n_days * wau), 6))
+    return pa.table({
+        "week": pa.array(rows["week"], pa.int64()),
+        "n_days": pa.array(rows["n_days"], pa.int64()),
+        "dau_sum": pa.array(rows["dau_sum"], pa.int64()),
+        "wau": pa.array(rows["wau"], pa.int64()),
+        "stickiness": pa.array(rows["stickiness"], pa.float64())})
+
+
+SQL_STICKINESS = """
+WITH du AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+  FROM events
+), wk AS (
+  SELECT user_id, day, day // 7 AS week FROM du
+), d AS (
+  SELECT week, day, CAST(COUNT(*) AS BIGINT) AS dau
+  FROM wk GROUP BY 1, 2
+), w AS (
+  SELECT week, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+  FROM wk GROUP BY 1
+), s AS (
+  SELECT week, CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(dau) AS BIGINT) AS dau_sum
+  FROM d GROUP BY 1
+)
+SELECT CAST(s.week AS BIGINT) AS week, s.n_days, s.dau_sum, w.wau,
+       ROUND(CAST(s.dau_sum AS DOUBLE)
+             / CAST(s.n_days * w.wau AS DOUBLE), 6) AS stickiness
+FROM s JOIN w USING (week)
+"""
+
+
+# =====================================================================
+# day-of-week × hour activity heatmap
+# =====================================================================
+
+def q_dow_hour_heatmap(sf_dir: str):
+    """Event counts on the (ISO weekday × hour-of-day) grid — the
+    activity heatmap behind crawl-rate scheduling (when is the site
+    quiet?) and on-call staffing. Block-local bincount over the packed
+    dow·24+hour code (<= 168 cells), ONE <= 168-row exchange, zero
+    driver math — the bounded-grid shape at its simplest."""
+    ds = _t(sf_dir, "events", ["ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // DAY_US
+        dow = (day + 3) % 7 + 1
+        hour = (us % DAY_US) // 3_600_000_000
+        code = dow * 24 + hour
+        cnt = np.bincount(code, minlength=8 * 24).astype(np.int64)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({
+            "dow": pa.array((nz // 24).astype(np.int64)),
+            "hour": pa.array((nz % 24).astype(np.int64)),
+            "n": pa.array(cnt[nz]),
+        })
+
+    return (ds.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["dow", "hour"])
+            .aggregate(Sum("n", alias_name="n")))
+
+
+SQL_DOW_HOUR_HEATMAP = """
+SELECT CAST((epoch_us(ts) // 86400000000 + 3) % 7 + 1 AS BIGINT) AS dow,
+       CAST((epoch_us(ts) % 86400000000) // 3600000000 AS BIGINT) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+# =====================================================================
+# partition-skew audit (hash-layout health check)
+# =====================================================================
+
+def q_partition_skew(sf_dir: str, n_parts: int = 64):
+    """Row counts per md5(user)%64 hash partition of the events table —
+    the layout-health audit run before committing to a partition key
+    (a skewed key makes every downstream shuffle lopsided). md5 == the
+    md5_split convention (hashlib ≡ DuckDB md5), memoized per DISTINCT
+    user per block so the digest cost is per-user, not per-row;
+    <= 64-row bincount partials through one tiny exchange; share =
+    exact integer ratio, 6 dp."""
+    import hashlib
+
+    ds = _t(sf_dir, "events", ["user_id"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uu, inv = np.unique(uid, return_inverse=True)
+        up = np.fromiter(
+            (int(hashlib.md5(str(int(u)).encode()).hexdigest()[:8], 16)
+             % n_parts for u in uu), dtype=np.int64, count=len(uu))
+        part = up[inv]
+        cnt = np.bincount(part, minlength=n_parts).astype(np.int64)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({"part": pa.array(nz.astype(np.int64)),
+                         "n": pa.array(cnt[nz])})
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("part")
+           .aggregate(Sum("n", alias_name="n")))
+    df = agg.to_pandas().sort_values("part", ignore_index=True)
+    n = df["n"].to_numpy(np.int64)
+    total = int(n.sum())
+    return pa.table({
+        "part": pa.array(df["part"].to_numpy(np.int64)),
+        "n": pa.array(n),
+        "share": pa.array(np.round(
+            n.astype(np.float64) / float(total), 6), pa.float64())})
+
+
+SQL_PARTITION_SKEW = """
+WITH p AS (
+  SELECT CAST(CONCAT('0x', SUBSTR(md5(CAST(user_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 64 AS part
+  FROM events
+), c AS (
+  SELECT part, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY 1
+), t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+SELECT c.part, c.n,
+       ROUND(CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE), 6) AS share
+FROM c, t
+"""
+
+
 ROUNDFIVE_QUERIES = {
+    "seasonal_decompose": (q_seasonal_decompose, SQL_SEASONAL_DECOMPOSE),
+    "stickiness": (q_stickiness, SQL_STICKINESS),
+    "dow_hour_heatmap": (q_dow_hour_heatmap, SQL_DOW_HOUR_HEATMAP),
+    "partition_skew": (q_partition_skew, SQL_PARTITION_SKEW),
     "ols_two": (q_ols_two, SQL_OLS_TWO),
     "oov_rate": (q_oov_rate, SQL_OOV_RATE),
     "poisson_rate": (q_poisson_rate, SQL_POISSON_RATE),
