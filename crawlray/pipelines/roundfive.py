@@ -1175,7 +1175,406 @@ FROM c, t
 """
 
 
+# =====================================================================
+# containment join (asymmetric set-similarity: quote / subset dedup)
+# =====================================================================
+
+def q_containment_join(sf_dir: str):
+    """DIRECTIONAL containment join at C(a,b) = |A∩B| / |A| >= 0.8 over
+    word-trigram shingle sets — the asymmetric complement to
+    set_sim_join's Jaccard: a short doc quoted inside a long one has
+    high containment but low Jaccard, which is exactly the subset/quote
+    case training-data dedup must catch (Jaccard misses it by
+    construction). Corpus: doc_id < 300 originals plus first-half-word
+    sub-documents (planted containment 1.0). Plan (prefix filtering,
+    Bayardo et al. 2007 adapted to the asymmetric threshold): the PROBE
+    side emits only its |A| − ⌈τ|A|⌉ + 1 rarest shingles (any pair with
+    C >= τ must share one), the INDEX side emits all shingles (the
+    index doc's size is unbounded by the threshold); ONE token-hash-
+    partitioned exchange pairs and verifies exactly in integer
+    arithmetic (5·inter >= 4·|A|); a pair groupby dedups multi-token
+    hits. Probe prefixes are rarest-first, so hot shingles never fan
+    out on the probe side."""
+    import pyarrow.dataset as pads
+
+    from .dataops import _pair_part
+    from crawlray.functions.murmur3 import hash64_batch_i64
+
+    tau_n, tau_d = 4, 5
+    base = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filter=pads.field("doc_id") < 300)
+
+    def doc_shingles(b: pa.Table) -> pa.Table:
+        import re
+
+        split = re.compile("[^a-z]+")
+        ids, out = [], []
+        for did, text in zip(b["doc_id"].to_pylist(),
+                             b["text"].to_pylist()):
+            w = [t for t in split.split((text or "").lower()) if t]
+            # (original, first-half sub-doc) — WORD-level slice, the
+            # oracle slices the same word array
+            for offset, words in ((0, w), (1_000_000, w[:len(w) // 2])):
+                sh = sorted({" ".join(words[j:j + 3])
+                             for j in range(len(words) - 2)})
+                if sh:
+                    ids.append(did + offset)
+                    out.append(",".join(sh))
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "toks": pa.array(out, type=pa.string())})
+
+    docs = base.map_batches(doc_shingles, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+
+    def tok_rows(b: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.split_pattern(b["toks"], ","))
+        return pa.table({"token": flat})
+
+    df_rows = (docs.map_batches(tok_rows, batch_format="pyarrow")
+               .groupby("token").count().take_all())
+    df_lut = {r["token"]: int(r["count()"]) for r in df_rows}
+    lut_ref = ray.put(df_lut)
+
+    def emit(b: pa.Table) -> pa.Table:
+        import ray as _r
+
+        lut = _r.get(lut_ref)
+        out_tok, out_id, out_sz, out_payload, out_side = [], [], [], [], []
+        for did, toks in zip(b["doc_id"].to_pylist(),
+                             b["toks"].to_pylist()):
+            s = toks.split(",")
+            n = len(s)
+            ordered = sorted(s, key=lambda t: (lut[t], t))
+            npref = n - (-(-tau_n * n // tau_d)) + 1
+            payload = ",".join(ordered)
+            for i, t in enumerate(ordered):
+                probe = i < npref
+                out_tok.append(t)
+                out_id.append(did)
+                out_sz.append(n)
+                out_payload.append(payload)
+                out_side.append(1 if probe else 0)
+        tok_arr = pa.array(out_tok, type=pa.string())
+        h = np.asarray(hash64_batch_i64(tok_arr))
+        return pa.table({
+            "token": tok_arr,
+            "tpart": pa.array(_pair_part(h)),
+            "doc_id": pa.array(out_id, type=pa.int64()),
+            "sz": pa.array(out_sz, type=pa.int64()),
+            "toks": pa.array(out_payload, type=pa.string()),
+            "probe": pa.array(out_side, type=pa.int64()),
+        })
+
+    def pair_verify(part: pd.DataFrame) -> pd.DataFrame:
+        a_out, b_out, c_out = [], [], []
+        for _tok, g in part.groupby("token", sort=False):
+            ids = g["doc_id"].to_numpy()
+            szs = g["sz"].to_numpy()
+            probes = g["probe"].to_numpy()
+            sets = [set(t.split(",")) for t in g["toks"].to_numpy()]
+            for i in range(len(ids)):
+                if probes[i] != 1:
+                    continue
+                for j in range(len(ids)):
+                    if ids[i] == ids[j]:
+                        continue
+                    # |B| >= ⌈τ|A|⌉ is necessary for containment
+                    if szs[j] * tau_d < szs[i] * tau_n:
+                        continue
+                    inter = len(sets[i] & sets[j])
+                    if inter * tau_d >= szs[i] * tau_n:
+                        a_out.append(ids[i])
+                        b_out.append(ids[j])
+                        c_out.append(inter / szs[i])
+        return pd.DataFrame({
+            "doc_a": pd.Series(a_out, dtype=np.int64),
+            "doc_b": pd.Series(b_out, dtype=np.int64),
+            "cont": pd.Series(np.round(c_out, 6), dtype=np.float64),
+        })
+
+    pairs = (docs.map_batches(emit, batch_format="pyarrow")
+             .groupby("tpart")
+             .map_groups(pair_verify, batch_format="pandas"))
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Max("cont", alias_name="cont"))
+
+
+SQL_CONTAINMENT_JOIN = """
+WITH w0 AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                x -> x <> '') AS l
+  FROM documents WHERE doc_id < 300
+), corpus AS (
+  SELECT doc_id, l FROM w0
+  UNION ALL
+  SELECT doc_id + 1000000, l[1:len(l) // 2] FROM w0
+), tok AS (
+  SELECT DISTINCT doc_id, array_to_string(l[g:g+2], ' ') AS token
+  FROM corpus, UNNEST(generate_series(1, len(l) - 2)) AS t(g)
+), sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+ipairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+  ROUND(CAST(inter AS DOUBLE) / sa.sz, 6) AS cont
+FROM ipairs
+JOIN sizes sa ON sa.doc_id = doc_a
+WHERE 5 * inter >= 4 * sa.sz
+"""
+
+
+# =====================================================================
+# char-bigram cross-entropy per source (OOD source detector)
+# =====================================================================
+
+def q_char_xentropy(sf_dir: str):
+    """Per-source cross-entropy under the CORPUS char-bigram model —
+    the out-of-distribution detector that flags a feed whose character
+    statistics drift from the corpus (encoding rot, language change,
+    boilerplate takeover) without any labeled data. Normalization maps
+    non-[a-z] to space on both sides; the alphabet is 27 symbols, so
+    per-(source, bigram) counts are <= |sources|·729 exact int64
+    partials through ONE tiny exchange, the GLOBAL model is the
+    column-sum of that same table (no second pass over the corpus),
+    and every ln argument is an exact integer ratio. The per-source
+    term sum is ordered by bigram (ordered aggregate in SQL, ascending
+    code here — space sorts before 'a' in BOTH orders), 6 dp."""
+    from .dataops import _docs
+
+    ds = _docs(sf_dir, ["source", "text"])
+
+    # byte → symbol code: 0 = space (and every non-letter), 1..26 = a..z
+    lut = np.zeros(256, np.int64)
+    for i in range(26):
+        lut[ord("a") + i] = i + 1
+
+    def prep(b: pa.Table) -> pa.Table:
+        src = np.asarray(b["source"], dtype=object)
+        us, sinv = np.unique(src, return_inverse=True)
+        counts = np.zeros((len(us), 27 * 27), np.int64)
+        for i, text in enumerate(b["text"].to_pylist()):
+            if text is None:
+                continue
+            raw = text.lower().encode("utf-8", "replace")
+            # non-ASCII bytes all map to code 0 == the oracle's space
+            # (regexp_replace('[^a-z]', ' ') is per-CHARACTER; fixture
+            # text is ASCII, asserted by the oracle match itself)
+            codes = lut[np.frombuffer(raw, dtype=np.uint8)]
+            if len(codes) < 2:
+                continue
+            bg = codes[:-1] * 27 + codes[1:]
+            counts[sinv[i]] += np.bincount(bg, minlength=27 * 27)
+        nz = np.nonzero(counts)
+        return pa.table({
+            "source": pa.array(us[nz[0]]),
+            "code": pa.array(nz[1].astype(np.int64)),
+            "c": pa.array(counts[nz].astype(np.int64)),
+        })
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["source", "code"])
+           .aggregate(Sum("c", alias_name="c")))
+    df = agg.to_pandas()  # <= |sources|·729 rows — bounded fold
+    g = df.groupby("code")["c"].sum()          # global bigram counts
+    gc = {int(k): int(v) for k, v in g.items()}
+    g1: dict[int, int] = {}
+    for code, v in gc.items():
+        g1[code // 27] = g1.get(code // 27, 0) + v
+    rows = {"source": [], "n_bigrams": [], "xent": []}
+    for src, grp in df.groupby("source", sort=True):
+        grp = grp.sort_values("code")
+        total = int(grp["c"].sum())
+        acc = 0.0
+        for code, c in zip(grp["code"], grp["c"]):
+            code, c = int(code), int(c)
+            acc += float(c) * math.log(
+                float(gc[code]) / float(g1[code // 27]))
+        rows["source"].append(str(src))
+        rows["n_bigrams"].append(total)
+        rows["xent"].append(np.round(-acc / float(total), 6))
+    return pa.table({
+        "source": pa.array(rows["source"], pa.string()),
+        "n_bigrams": pa.array(rows["n_bigrams"], pa.int64()),
+        "xent": pa.array(rows["xent"], pa.float64())})
+
+
+SQL_CHAR_XENTROPY = """
+WITH n AS (
+  SELECT source, regexp_replace(lower(text), '[^a-z]', ' ', 'g') AS s
+  FROM documents WHERE text IS NOT NULL
+), bg AS (
+  SELECT source, substring(s, CAST(i AS INT), 2) AS b
+  FROM n, UNNEST(generate_series(1, length(s) - 1)) AS t(i)
+  WHERE length(s) >= 2
+), c AS (
+  SELECT source, b, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2
+), g AS (
+  SELECT b, CAST(SUM(c) AS BIGINT) AS gc FROM c GROUP BY 1
+), g1 AS (
+  SELECT substring(b, 1, 1) AS c1, CAST(SUM(gc) AS BIGINT) AS g1c
+  FROM g GROUP BY 1
+), t AS (
+  SELECT c.source, c.b, c.c, g.gc, g1.g1c
+  FROM c JOIN g USING (b)
+  JOIN g1 ON g1.c1 = substring(c.b, 1, 1)
+)
+SELECT source, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+  ROUND(-SUM(CAST(c AS DOUBLE)
+             * LN(CAST(gc AS DOUBLE) / CAST(g1c AS DOUBLE))
+             ORDER BY b) / CAST(SUM(c) AS DOUBLE), 6) AS xent
+FROM t GROUP BY 1
+"""
+
+
+# =====================================================================
+# weighted co-supply projection (bipartite → weighted graph)
+# =====================================================================
+
+def q_weighted_projection(sf_dir: str):
+    """WEIGHTED projection of the part–supplier bipartite graph:
+    supplier pairs with edge weight = number of DISTINCT shared parts
+    (parts < 200), weight >= 2 — the graph triangle_count / kcore /
+    clustering_coeff analyze unweighted, now with the tie strength a
+    partner-recommendation ranker needs. Scale shape: distinct (part,
+    supp) projection distributed; per-part pair emission bounded per
+    group; pairs pack into ONE int64 key ((u << 32) | v — supplier keys
+    are < 2^31, asserted) and fold through a packed-key-hash partition
+    bincount (the common_neighbors shape: a Ray string/struct Aggregate
+    over ~10⁶ pair groups measured two orders slower)."""
+    import pyarrow.dataset as pads
+
+    from .analytics import _sized_read
+    from .sizing import fold_parts
+
+    n_parts = fold_parts()
+    ds = _sized_read(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey"],
+        filter=pads.field("l_partkey") < 200)
+
+    def distinct_ps(b: pa.Table) -> pa.Table:
+        p = b["l_partkey"].to_numpy(zero_copy_only=False)
+        s = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        pairs = np.unique(np.stack([p, s], axis=1), axis=0)
+        return pa.table({"p": pa.array(pairs[:, 0]),
+                         "s": pa.array(pairs[:, 1])})
+
+    def co_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        sup = np.unique(g["s"].to_numpy().astype(np.int64))
+        if len(sup) < 2:
+            return pd.DataFrame({"key": pd.Series([], dtype=np.int64),
+                                 "kp": pd.Series([], dtype=np.int64)})
+        assert sup.max() < (1 << 31), "suppkey exceeds the 32-bit pack"
+        iu, iv = np.triu_indices(len(sup), k=1)
+        key = (sup[iu] << np.int64(32)) | sup[iv]
+        kp = (_splitmix64(key).view(np.uint64)
+              % np.uint64(n_parts)).astype(np.int64)
+        return pd.DataFrame({"key": key, "kp": kp})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        key = g["key"].to_numpy(np.int64)
+        uk, w = np.unique(key, return_counts=True)
+        keep = w >= 2
+        uk, w = uk[keep], w[keep].astype(np.int64)
+        return pd.DataFrame({
+            "u": (uk >> np.int64(32)).astype(np.int64),
+            "v": (uk & np.int64(0xFFFFFFFF)).astype(np.int64),
+            "w": w,
+        })
+
+    return (ds.map_batches(distinct_ps, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("p").map_groups(co_pairs, batch_format="pandas")
+            .groupby("kp").map_groups(fold, batch_format="pandas")
+            .select_columns(["u", "v", "w"]))
+
+
+SQL_WEIGHTED_PROJECTION = """
+WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+            FROM lineitem WHERE l_partkey < 200)
+SELECT a.s AS u, b.s AS v, CAST(COUNT(*) AS BIGINT) AS w
+FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+GROUP BY 1, 2 HAVING COUNT(*) >= 2
+"""
+
+
+# =====================================================================
+# exponential time-decay revenue score per customer
+# =====================================================================
+
+def q_decay_score(sf_dir: str):
+    """Per-customer revenue with exponential recency decay: each
+    order's cents are weighted 2^(−k), k = 30-day buckets of age from
+    the newest order (capped at 30 buckets ≈ a 10⁻⁹ floor) — the
+    recency-weighted LTV a re-engagement ranker scores on (crawl twin:
+    recency-weighted host value for revisit priority). EXACT by
+    construction: the weight is a power of two, so cents·2^(30−k) is
+    an integer — partials are int64, distributed Sum order cannot
+    round, and the single final division by 2^30 is exact dyadic; the
+    6-dp finale emulates DuckDB's half-away ROUND. One Min/Max day
+    fold for the anchor, one custkey exchange of int64 partials."""
+    ds = _t(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    bounds = ds.map_batches(
+        lambda b: pa.table({"hi": pa.array(
+            [pc.max(b["o_orderdate"]).cast(pa.int64()).as_py() // DAY_US],
+            pa.int64())}),
+        batch_format="pyarrow").aggregate(Max("hi"))
+    maxd = int(bounds["max(hi)"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        day = (b["o_orderdate"].cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // DAY_US)
+        c = _cents(b["o_totalprice"]).to_numpy(zero_copy_only=False)
+        k = np.minimum((maxd - day) // 30, 30)
+        assert int(c.max()) < (1 << 33), "cents exceed the 2^33 shift bound"
+        scaled = c << (30 - k)                  # exact int64
+        t = pa.table({"ck": b["o_custkey"], "scaled": pa.array(scaled)})
+        g = t.group_by("ck").aggregate([("scaled", "sum")])
+        return g.rename_columns(["ck", "scaled"])
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("ck")
+           .aggregate(Sum("scaled", alias_name="scaled")))
+
+    def finalize(b: pa.Table) -> pa.Table:
+        s = b["scaled"].to_numpy(zero_copy_only=False).astype(np.float64)
+        score = s / 1073741824.0                # exact dyadic division
+        y = score * 1e6
+        r6 = np.where(y >= 0, np.floor(y + 0.5), -np.floor(-y + 0.5)) / 1e6
+        return pa.table({"ck": b["ck"], "score": pa.array(r6, pa.float64())})
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_DECAY_SCORE = """
+WITH b AS (
+  SELECT MAX(epoch_us(o_orderdate) // 86400000000) AS maxd FROM orders
+), o AS (
+  SELECT o_custkey AS ck,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c,
+         LEAST((b.maxd - epoch_us(o_orderdate) // 86400000000) // 30, 30)
+           AS k
+  FROM orders, b
+)
+SELECT ck,
+  ROUND(CAST(SUM(c * (CAST(1 AS BIGINT) << CAST(30 - k AS INT)))
+             AS DOUBLE) / 1073741824.0, 6) AS score
+FROM o GROUP BY 1
+"""
+
+
 ROUNDFIVE_QUERIES = {
+    "containment_join": (q_containment_join, SQL_CONTAINMENT_JOIN),
+    "char_xentropy": (q_char_xentropy, SQL_CHAR_XENTROPY),
+    "weighted_projection": (q_weighted_projection, SQL_WEIGHTED_PROJECTION),
+    "decay_score": (q_decay_score, SQL_DECAY_SCORE),
     "seasonal_decompose": (q_seasonal_decompose, SQL_SEASONAL_DECOMPOSE),
     "stickiness": (q_stickiness, SQL_STICKINESS),
     "dow_hour_heatmap": (q_dow_hour_heatmap, SQL_DOW_HOUR_HEATMAP),
