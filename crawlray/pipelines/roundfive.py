@@ -1570,7 +1570,289 @@ FROM o GROUP BY 1
 """
 
 
+# =====================================================================
+# linear (equal-split) multi-touch attribution
+# =====================================================================
+
+def q_linear_attribution(sf_dir: str):
+    """LINEAR multi-touch attribution: every purchase's cents split
+    EQUALLY across all prior non-purchase touches of that user —
+    completing the attribution triple next to first_touch and
+    last_touch. The split is exact-INTEGER by convention: each of the
+    k touches gets cents // k and the remainder goes to the EARLIEST
+    touch ((ts, event_id) tuple order, rank 1) — no fractional cents,
+    so the distributed fold is an order-free int64 Sum; purchases with
+    no prior touch credit 'direct'. ONE user-hash exchange; per-user
+    vectorized prefix counts (touches are sorted once, purchases
+    binary-search their cut); <= |types| finale."""
+    from .sizing import fold_parts
+
+    n_parts = fold_parts()
+    ds = _t(sf_dir, "events", ["user_id", "event_id", "ts",
+                               "event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kp = (_splitmix64(uid).view(np.uint64)
+              % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({
+            "user_id": b["user_id"], "event_id": b["event_id"],
+            "ts": b["ts"].cast(pa.int64()),
+            "event_type": b["event_type"],
+            "c": _cents(b["value"]),
+            "kp": pa.array(kp),
+        })
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        credits: dict[str, int] = {}
+        for _u, gu in g.groupby("user_id", sort=False):
+            ts = gu["ts"].to_numpy(np.int64)
+            eid = gu["event_id"].to_numpy(np.int64)
+            et = gu["event_type"].to_numpy()
+            c = gu["c"].to_numpy(np.int64)
+            order = np.lexsort((eid, ts))
+            ts, eid, et, c = ts[order], eid[order], et[order], c[order]
+            is_p = et == "purchase"
+            t_idx = np.nonzero(~is_p)[0]        # touches in tuple order
+            t_types = et[t_idx]
+            for pi in np.nonzero(is_p)[0]:
+                # touches strictly before the purchase in tuple order
+                k = int(np.searchsorted(t_idx, pi, side="left"))
+                cents = int(c[pi])
+                if k == 0:
+                    credits["direct"] = credits.get("direct", 0) + cents
+                    continue
+                q, r = divmod(cents, k)
+                for j in range(k):
+                    ty = str(t_types[j])
+                    credits[ty] = credits.get(ty, 0) \
+                        + q + (r if j == 0 else 0)
+        if not credits:
+            return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                                 "cents": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({
+            "event_type": list(credits.keys()),
+            "cents": np.array(list(credits.values()), np.int64)})
+
+    return (ds.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("kp").map_groups(per_part, batch_format="pandas")
+            .groupby("event_type")
+            .aggregate(Sum("cents", alias_name="cents")))
+
+
+SQL_LINEAR_ATTRIBUTION = """
+WITH t AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tu, event_type
+  FROM events WHERE event_type <> 'purchase'
+), p AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tu,
+         CAST(ROUND(value * 100) AS BIGINT) AS c
+  FROM events WHERE event_type = 'purchase'
+), pt AS (
+  SELECT p.user_id, p.event_id AS pe, p.c, t.event_type,
+    ROW_NUMBER() OVER (PARTITION BY p.user_id, p.event_id
+                       ORDER BY t.tu, t.event_id) AS rn,
+    COUNT(*) OVER (PARTITION BY p.user_id, p.event_id) AS k
+  FROM p JOIN t ON t.user_id = p.user_id
+    AND (t.tu < p.tu OR (t.tu = p.tu AND t.event_id < p.event_id))
+), credit AS (
+  SELECT event_type,
+         SUM(c // k + CASE WHEN rn = 1 THEN c % k ELSE 0 END) AS cents
+  FROM pt GROUP BY 1
+  UNION ALL
+  SELECT 'direct', SUM(c)
+  FROM p WHERE NOT EXISTS (
+    SELECT 1 FROM t WHERE t.user_id = p.user_id
+      AND (t.tu < p.tu OR (t.tu = p.tu AND t.event_id < p.event_id)))
+)
+SELECT event_type, CAST(SUM(cents) AS BIGINT) AS cents
+FROM credit GROUP BY 1
+"""
+
+
+# =====================================================================
+# Flesch-style readability per source
+# =====================================================================
+
+def q_readability(sf_dir: str):
+    """Flesch reading-ease per source from corpus-exact counts:
+    206.835 − 1.015·(words/sentences) − 84.6·(syllables/words), with
+    words = [a-z]+ runs of the lowercased text, sentences = [.!?]+
+    runs (floored at 1 per doc), syllables ≈ [aeiou]+ vowel runs — the
+    standard automated approximation, identical RE2 counts on both
+    sides. All three counts are exact int64 per-source partials
+    through ONE <= |sources| exchange (three Arrow
+    count_substring_regex kernels per block, no token explosion); the
+    finale is ONE identical IEEE expression, 6 dp."""
+    from .dataops import _docs
+
+    ds = _docs(sf_dir, ["source", "text"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        ok = pc.is_valid(b["text"])
+        t = b.filter(ok)
+        low = pc.utf8_lower(t["text"].combine_chunks())
+        w = pc.count_substring_regex(low, "[a-z]+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        s = pc.count_substring_regex(low, "[.!?]+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        y = pc.count_substring_regex(low, "[aeiou]+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        s = np.maximum(s, 1)                    # >= 1 sentence per doc
+        src = np.asarray(t["source"], dtype=object)
+        us, inv = np.unique(src, return_inverse=True)
+        out = {"source": pa.array(us)}
+        for name, v in (("w", w), ("s", s), ("y", y)):
+            acc = np.zeros(len(us), np.int64)
+            np.add.at(acc, inv, v)
+            out[name] = pa.array(acc)
+        return pa.table(out)
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("source")
+           .aggregate(Sum("w", alias_name="w"), Sum("s", alias_name="s"),
+                      Sum("y", alias_name="y")))
+    df = agg.to_pandas().sort_values("source", ignore_index=True)
+    rows = {"source": [], "words": [], "flesch": []}
+    for _, r in df.iterrows():
+        w, s, y = int(r["w"]), int(r["s"]), int(r["y"])
+        if w == 0:
+            continue
+        f = 206.835 - 1.015 * (float(w) / float(s)) \
+            - 84.6 * (float(y) / float(w))
+        rows["source"].append(str(r["source"]))
+        rows["words"].append(w)
+        rows["flesch"].append(np.round(f, 6))
+    return pa.table({
+        "source": pa.array(rows["source"], pa.string()),
+        "words": pa.array(rows["words"], pa.int64()),
+        "flesch": pa.array(rows["flesch"], pa.float64())})
+
+
+SQL_READABILITY = """
+WITH d AS (
+  SELECT source,
+    CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS w,
+    GREATEST(CAST(len(regexp_extract_all(lower(text), '[.!?]+'))
+                  AS BIGINT), 1) AS s,
+    CAST(len(regexp_extract_all(lower(text), '[aeiou]+')) AS BIGINT) AS y
+  FROM documents WHERE text IS NOT NULL
+), g AS (
+  SELECT source, CAST(SUM(w) AS BIGINT) AS w, CAST(SUM(s) AS BIGINT) AS s,
+         CAST(SUM(y) AS BIGINT) AS y
+  FROM d GROUP BY 1
+)
+SELECT source, w AS words,
+  ROUND(206.835 - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+        - 84.6 * (CAST(y AS DOUBLE) / CAST(w AS DOUBLE)), 6) AS flesch
+FROM g WHERE w > 0
+"""
+
+
+# =====================================================================
+# log-log price elasticity per brand (quantized-ln OLS)
+# =====================================================================
+
+def q_elasticity(sf_dir: str):
+    """Log-log OLS slope of ln(quantity) on ln(price) per brand — the
+    price-elasticity readout every pricing team fits first. Both ln
+    values QUANTIZE to exact milli-unit int64 before any sum (ROUND
+    half-away — the scale cancels in the slope, and integer moments
+    make the distributed fold order-free; ln of an exact integer is
+    bit-identical libm on both sides). Brand rides the broadcast part
+    LUT (the brand_margin shape — dimension never joins); five moment
+    partials per brand per block through a <= |brands| exchange; slope
+    = (nΣxy − ΣxΣy)/(nΣxx − (Σx)²) in unbounded python ints (oracle
+    HUGEINT), one division, 6 dp."""
+    import pyarrow.parquet as pq
+
+    pt = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                       columns=["p_partkey", "p_brand"])
+    pk = np.asarray(pt["p_partkey"], dtype=np.int64)
+    brands, bcode = np.unique(np.asarray(pt["p_brand"], dtype=object),
+                              return_inverse=True)
+    lut_code = np.zeros(int(pk.max()) + 1, np.int64)
+    lut_code[pk] = bcode
+    lut_ref = ray.put((lut_code, len(brands)))
+
+    ds = _t(sf_dir, "lineitem",
+            ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        import ray as _r
+
+        code_lut, nb = _r.get(lut_ref)
+        p = b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qty = pc.round(b["l_quantity"]).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        cents = _cents(b["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        x = np.log(cents.astype(np.float64)) * 1000.0
+        y = np.log(qty.astype(np.float64)) * 1000.0
+        xq = np.where(x >= 0, np.floor(x + 0.5),
+                      -np.floor(-x + 0.5)).astype(np.int64)
+        yq = np.where(y >= 0, np.floor(y + 0.5),
+                      -np.floor(-y + 0.5)).astype(np.int64)
+        code = code_lut[p]
+        out = {"code": pa.array(np.arange(nb, dtype=np.int64))}
+        for name, v in (("n", np.ones(len(p), np.int64)),
+                        ("sx", xq), ("sy", yq),
+                        ("sxx", xq * xq), ("sxy", xq * yq)):
+            s = np.zeros(nb, np.int64)
+            np.add.at(s, code, v)
+            out[name] = pa.array(s)
+        return pa.table(out)
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("code")
+           .aggregate(*[Sum(c, alias_name=c)
+                        for c in ["n", "sx", "sy", "sxx", "sxy"]]))
+    df = agg.to_pandas().sort_values("code", ignore_index=True)
+    rows = {"brand": [], "n": [], "elasticity": []}
+    for _, r in df.iterrows():
+        n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+        sxx, sxy = int(r["sxx"]), int(r["sxy"])
+        den = n * sxx - sx * sx
+        if n == 0 or den == 0:
+            continue
+        rows["brand"].append(str(brands[int(r["code"])]))
+        rows["n"].append(n)
+        rows["elasticity"].append(np.round(
+            float(n * sxy - sx * sy) / float(den), 6))
+    return pa.table({
+        "brand": pa.array(rows["brand"], pa.string()),
+        "n": pa.array(rows["n"], pa.int64()),
+        "elasticity": pa.array(rows["elasticity"], pa.float64())})
+
+
+SQL_ELASTICITY = """
+WITH q AS (
+  SELECT p.p_brand AS brand,
+    CAST(ROUND(1000 * LN(CAST(CAST(ROUND(l.l_extendedprice * 100)
+                                   AS BIGINT) AS DOUBLE))) AS BIGINT) AS x,
+    CAST(ROUND(1000 * LN(CAST(CAST(ROUND(l.l_quantity) AS BIGINT)
+                              AS DOUBLE))) AS BIGINT) AS y
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+), m AS (
+  SELECT brand, CAST(COUNT(*) AS HUGEINT) AS n,
+    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+    CAST(SUM(x * x) AS HUGEINT) AS sxx,
+    CAST(SUM(x * y) AS HUGEINT) AS sxy
+  FROM q GROUP BY 1
+)
+SELECT brand, CAST(n AS BIGINT) AS n,
+  ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+        / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS elasticity
+FROM m WHERE n * sxx - sx * sx <> 0
+"""
+
+
 ROUNDFIVE_QUERIES = {
+    "linear_attribution": (q_linear_attribution, SQL_LINEAR_ATTRIBUTION),
+    "readability": (q_readability, SQL_READABILITY),
+    "elasticity": (q_elasticity, SQL_ELASTICITY),
     "containment_join": (q_containment_join, SQL_CONTAINMENT_JOIN),
     "char_xentropy": (q_char_xentropy, SQL_CHAR_XENTROPY),
     "weighted_projection": (q_weighted_projection, SQL_WEIGHTED_PROJECTION),
