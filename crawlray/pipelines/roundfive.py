@@ -1849,7 +1849,378 @@ FROM m WHERE n * sxx - sx * sx <> 0
 """
 
 
+# =====================================================================
+# degree assortativity of the co-supply graph
+# =====================================================================
+
+def q_degree_assortativity(sf_dir: str):
+    """Degree assortativity coefficient (Newman 2002) of the co-supply
+    graph: Pearson correlation between the degrees at the two ends of
+    every edge (both orientations) — one number that says whether hubs
+    link to hubs (positive) or to the periphery (negative). Scale
+    shape: the distributed distinct-projection + per-part pair emission
+    from triangle_count; the DIMENSION-sized edge set folds once,
+    degrees come from one bincount, and the moment sums are exact
+    unbounded python ints (oracle HUGEINT) — ONE identical IEEE
+    expression at the end, 6 dp."""
+    import pyarrow.dataset as pads
+
+    from .analytics import _sized_read
+
+    ds = _sized_read(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey"],
+        filter=pads.field("l_partkey") < 200)
+
+    def distinct_ps(b: pa.Table) -> pa.Table:
+        p = b["l_partkey"].to_numpy(zero_copy_only=False)
+        s = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        pairs = np.unique(np.stack([p, s], axis=1), axis=0)
+        return pa.table({"p": pa.array(pairs[:, 0]),
+                         "s": pa.array(pairs[:, 1])})
+
+    def co_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        sup = np.unique(g["s"].to_numpy())
+        if len(sup) < 2:
+            return pd.DataFrame({"u": pd.Series([], dtype=np.int64),
+                                 "v": pd.Series([], dtype=np.int64)})
+        iu, iv = np.triu_indices(len(sup), k=1)
+        return pd.DataFrame({"u": sup[iu], "v": sup[iv]})
+
+    co = ds.map_batches(distinct_ps, batch_format="pyarrow",
+                        zero_copy_batch=True) \
+        .groupby("p").map_groups(co_pairs, batch_format="pandas")
+    chunks = [np.stack([b["u"].to_numpy(zero_copy_only=False),
+                        b["v"].to_numpy(zero_copy_only=False)], axis=1)
+              for b in co.iter_batches(batch_size=65536,
+                                       batch_format="pyarrow")]
+    if not chunks:
+        return pa.table({"n_edges": pa.array([0], pa.int64()),
+                         "r": pa.array([None], pa.float64())})
+    uv = np.unique(np.concatenate(chunks).astype(np.int64), axis=0)
+    nodes, inv = np.unique(uv, return_inverse=True)
+    deg = np.bincount(inv).astype(np.int64)
+    idx = inv.reshape(uv.shape)
+    # both orientations: x = deg at one end, y = deg at the other
+    x = np.concatenate([deg[idx[:, 0]], deg[idx[:, 1]]]).astype(object)
+    y = np.concatenate([deg[idx[:, 1]], deg[idx[:, 0]]]).astype(object)
+    m = len(x)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxx, syy = int((x * x).sum()), int((y * y).sum())
+    sxy = int((x * y).sum())
+    den2 = (m * sxx - sx * sx) * (m * syy - sy * sy)
+    r = None if den2 <= 0 else np.round(
+        float(m * sxy - sx * sy) / math.sqrt(float(den2)), 6)
+    return pa.table({"n_edges": pa.array([len(uv)], pa.int64()),
+                     "r": pa.array([r], pa.float64())})
+
+
+SQL_DEGREE_ASSORTATIVITY = """
+WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+            FROM lineitem WHERE l_partkey < 200),
+e AS (SELECT DISTINCT a.s AS u, b.s AS v
+      FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s),
+sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+d AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg
+      FROM sym GROUP BY 1),
+m AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS m,
+    CAST(SUM(du.deg) AS HUGEINT) AS sx,
+    CAST(SUM(dv.deg) AS HUGEINT) AS sy,
+    CAST(SUM(du.deg * du.deg) AS HUGEINT) AS sxx,
+    CAST(SUM(dv.deg * dv.deg) AS HUGEINT) AS syy,
+    CAST(SUM(du.deg * dv.deg) AS HUGEINT) AS sxy
+  FROM sym JOIN d du ON du.node = sym.u JOIN d dv ON dv.node = sym.v
+)
+SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+  CASE WHEN (m * sxx - sx * sx) * (m * syy - sy * sy) > 0
+       THEN ROUND(CAST(m * sxy - sx * sy AS DOUBLE)
+                  / SQRT(CAST((m * sxx - sx * sx)
+                              * (m * syy - sy * sy) AS DOUBLE)), 6)
+       END AS r
+FROM m
+"""
+
+
+# =====================================================================
+# customer quartile-migration matrix (H1 → H2)
+# =====================================================================
+
+def q_customer_migration(sf_dir: str):
+    """Customer revenue-quartile MIGRATION matrix: each customer active
+    in both halves of the span is quartiled within each half (NTILE(4)
+    over that half's active customers, rev DESC + custkey tie-break)
+    and the 4×4 transition counts show who climbs and who churns in
+    place — the cohort-movement readout behind every retention deck.
+    Span midpoint from ONE Min/Max day fold (topk_movers' rule);
+    per-customer half revenues fold through ONE custkey exchange as
+    tagged int64 sums; EACH half's quartile runs rfm_segments'
+    distributed NTILE (skinny range sort + offset fold); the two
+    (ck, tile) pair sets and the activity flags re-join by riding one
+    more custkey exchange as Sum-able tagged columns; <= 16-row
+    finale."""
+    from .analytics import _ntile_pairs
+
+    ds = _t(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    bounds = ds.map_batches(
+        lambda b: pa.table({
+            "lo": pa.array([pc.min(b["o_orderdate"]).cast(pa.int64())
+                            .as_py() // DAY_US], pa.int64()),
+            "hi": pa.array([pc.max(b["o_orderdate"]).cast(pa.int64())
+                            .as_py() // DAY_US], pa.int64())}),
+        batch_format="pyarrow").aggregate(Min("lo"), Max("hi"))
+    lo, hi = int(bounds["min(lo)"]), int(bounds["max(hi)"])
+    mid = (lo + hi) // 2
+
+    def prep(b: pa.Table) -> pa.Table:
+        day = (b["o_orderdate"].cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // DAY_US)
+        c = _cents(b["o_totalprice"]).to_numpy(zero_copy_only=False)
+        h2 = day > mid
+        t = pa.table({
+            "ck": b["o_custkey"],
+            "r1": pa.array(np.where(h2, 0, c).astype(np.int64)),
+            "r2": pa.array(np.where(h2, c, 0).astype(np.int64)),
+        })
+        g = t.group_by("ck").aggregate([("r1", "sum"), ("r2", "sum")])
+        return g.rename_columns(["ck", "r1", "r2"])
+
+    per_cust = (ds.map_batches(prep, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                .groupby("ck")
+                .aggregate(Sum("r1", alias_name="r1"),
+                           Sum("r2", alias_name="r2"))
+                .materialize())
+
+    def active(col):
+        def fn(b: pa.Table) -> pa.Table:
+            keep = pc.greater(b[col], pa.scalar(0, pa.int64()))
+            t = b.filter(keep)
+            return pa.table({"mon": t[col], "ck": t["ck"]})
+        return fn
+
+    h1 = per_cust.map_batches(active("r1"),
+                              batch_format="pyarrow").materialize()
+    h2 = per_cust.map_batches(active("r2"),
+                              batch_format="pyarrow").materialize()
+
+    def tag(which: int):
+        def fn(b: pa.Table) -> pa.Table:
+            tiles = b["tile"].to_numpy(zero_copy_only=False)
+            z = np.zeros(len(tiles), np.int64)
+            return pa.table({
+                "ck": b["ck"],
+                "q1": pa.array(tiles if which == 0 else z),
+                "q2": pa.array(tiles if which == 1 else z)})
+        return fn
+
+    pairs = _ntile_pairs(h1, "mon").map_batches(
+        tag(0), batch_format="pyarrow").union(
+        _ntile_pairs(h2, "mon").map_batches(tag(1),
+                                            batch_format="pyarrow"))
+    joined = (pairs.groupby("ck")
+              .aggregate(Sum("q1", alias_name="q1"),
+                         Sum("q2", alias_name="q2")))
+
+    def cells(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater(b["q1"], pa.scalar(0, pa.int64())),
+                       pc.greater(b["q2"], pa.scalar(0, pa.int64())))
+        t = b.filter(keep)
+        g = t.group_by(["q1", "q2"]).aggregate([([], "count_all")])
+        return g.rename_columns(["q1", "q2", "n"])
+
+    return (joined.map_batches(cells, batch_format="pyarrow")
+            .groupby(["q1", "q2"])
+            .aggregate(Sum("n", alias_name="n")))
+
+
+SQL_CUSTOMER_MIGRATION = """
+WITH b AS (
+  SELECT (MIN(epoch_us(o_orderdate) // 86400000000)
+          + MAX(epoch_us(o_orderdate) // 86400000000)) // 2 AS mid
+  FROM orders
+), r AS (
+  SELECT o_custkey AS ck,
+    SUM(CASE WHEN epoch_us(o_orderdate) // 86400000000 <= b.mid
+        THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS r1,
+    SUM(CASE WHEN epoch_us(o_orderdate) // 86400000000 > b.mid
+        THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS r2
+  FROM orders, b GROUP BY 1
+), t1 AS (
+  SELECT ck, CAST(NTILE(4) OVER (ORDER BY r1 DESC, ck) AS BIGINT) AS q1
+  FROM r WHERE r1 > 0
+), t2 AS (
+  SELECT ck, CAST(NTILE(4) OVER (ORDER BY r2 DESC, ck) AS BIGINT) AS q2
+  FROM r WHERE r2 > 0
+)
+SELECT q1, q2, CAST(COUNT(*) AS BIGINT) AS n
+FROM t1 JOIN t2 USING (ck) GROUP BY 1, 2
+"""
+
+
+# =====================================================================
+# OLS residual outliers (model-based anomaly detection)
+# =====================================================================
+
+def q_residual_outliers(sf_dir: str, k: int = 20):
+    """Top-20 lineitems by |residual| under the per-returnflag
+    two-feature OLS from ols_two — MODEL-based outlier detection (the
+    row the fitted pricing relation explains worst), next to the
+    distributional outlier_docs. Two passes: the bounded moment fold
+    re-derives the exact coefficients (same python-int Cramer
+    determinants as the oracle's HUGEINT), then a broadcast-coefficient
+    scoring pass keeps a per-block partial top-k by (|resid| DESC,
+    orderkey, linenumber) — <= k·blocks driver rows, no global sort.
+    Residuals are the IDENTICAL IEEE expression both sides; ranking
+    compares the unrounded double, output rounds 6 dp."""
+    ds = _t(sf_dir, "lineitem",
+            ["l_orderkey", "l_linenumber", "l_returnflag",
+             "l_quantity", "l_discount", "l_extendedprice"])
+
+    def moments(b: pa.Table) -> pa.Table:
+        q = pc.round(b["l_quantity"]).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        d = _cents(b["l_discount"]).to_numpy(zero_copy_only=False)
+        y = _cents(b["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        flags = np.asarray(b["l_returnflag"], dtype=object)
+        uf, inv = np.unique(flags, return_inverse=True)
+        cols = {"n": np.ones(len(q), np.int64), "sq": q, "sd": d,
+                "sqq": q * q, "sqd": q * d, "sdd": d * d,
+                "sy": y, "sqy": q * y, "sdy": d * y}
+        out = {"flag": pa.array(uf)}
+        for kname, v in cols.items():
+            s = np.zeros(len(uf), np.int64)
+            np.add.at(s, inv, v)
+            out[kname] = pa.array(s)
+        return pa.table(out)
+
+    agg = (ds.map_batches(moments, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("flag")
+           .aggregate(*[Sum(c, alias_name=c)
+                        for c in ["n", "sq", "sd", "sqq", "sqd", "sdd",
+                                  "sy", "sqy", "sdy"]]))
+    mdf = agg.to_pandas()
+
+    def det3(m):
+        return (m[0][0] * (m[1][1] * m[2][2] - m[1][2] * m[2][1])
+                - m[0][1] * (m[1][0] * m[2][2] - m[1][2] * m[2][0])
+                + m[0][2] * (m[1][0] * m[2][1] - m[1][1] * m[2][0]))
+
+    coef: dict[str, tuple] = {}
+    for _, r in mdf.iterrows():
+        n, sq, sd = int(r["n"]), int(r["sq"]), int(r["sd"])
+        sqq, sqd, sdd = int(r["sqq"]), int(r["sqd"]), int(r["sdd"])
+        sy, sqy, sdy = int(r["sy"]), int(r["sqy"]), int(r["sdy"])
+        xtx = [[n, sq, sd], [sq, sqq, sqd], [sd, sqd, sdd]]
+        xty = [sy, sqy, sdy]
+        den = det3(xtx)
+        if den == 0:
+            continue
+        bs = []
+        for j in range(3):
+            m = [row[:] for row in xtx]
+            for i in range(3):
+                m[i][j] = xty[i]
+            bs.append(float(det3(m)) / float(den))
+        coef[str(r["flag"])] = tuple(bs)
+    coef_ref = ray.put(coef)
+
+    def score(b: pa.Table) -> pa.Table:
+        import ray as _r
+
+        cf = _r.get(coef_ref)
+        q = pc.round(b["l_quantity"]).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        d = _cents(b["l_discount"]).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        y = _cents(b["l_extendedprice"]).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        flags = np.asarray(b["l_returnflag"], dtype=object)
+        b0 = np.array([cf[f][0] for f in flags])
+        b1 = np.array([cf[f][1] for f in flags])
+        b2 = np.array([cf[f][2] for f in flags])
+        resid = y - (b0 + b1 * q + b2 * d)
+        okey = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        ln = b["l_linenumber"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.lexsort((ln, okey, -np.abs(resid)))[:k]
+        return pa.table({
+            "okey": pa.array(okey[order].astype(np.int64)),
+            "line": pa.array(ln[order]),
+            "resid": pa.array(resid[order], pa.float64()),
+        })
+
+    rows = [r for b in ds.map_batches(score, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+            .iter_batches(batch_format="pyarrow")
+            for r in zip(b["okey"].to_pylist(), b["line"].to_pylist(),
+                         b["resid"].to_pylist())]
+    rows.sort(key=lambda r: (-abs(r[2]), r[0], r[1]))
+    top = rows[:k]
+    return pa.table({
+        "okey": pa.array([r[0] for r in top], pa.int64()),
+        "line": pa.array([r[1] for r in top], pa.int64()),
+        "resid": pa.array([np.round(r[2], 6) for r in top], pa.float64())})
+
+
+SQL_RESIDUAL_OUTLIERS = """
+WITH m AS (
+  SELECT l_returnflag AS flag,
+    CAST(COUNT(*) AS HUGEINT) AS n,
+    CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS HUGEINT) AS sq,
+    CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS HUGEINT) AS sd,
+    CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)
+             * CAST(ROUND(l_quantity) AS BIGINT)) AS HUGEINT) AS sqq,
+    CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)
+             * CAST(ROUND(l_discount * 100) AS BIGINT)) AS HUGEINT) AS sqd,
+    CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)
+             * CAST(ROUND(l_discount * 100) AS BIGINT)) AS HUGEINT) AS sdd,
+    CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS HUGEINT)
+      AS sy,
+    CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)
+             * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS HUGEINT)
+      AS sqy,
+    CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)
+             * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS HUGEINT)
+      AS sdy
+  FROM lineitem GROUP BY 1
+), cf AS (
+  SELECT flag,
+    CAST(sy * (sqq * sdd - sqd * sqd) - sq * (sqy * sdd - sqd * sdy)
+         + sd * (sqy * sqd - sqq * sdy) AS DOUBLE)
+      / CAST(n * (sqq * sdd - sqd * sqd) - sq * (sq * sdd - sqd * sd)
+             + sd * (sq * sqd - sqq * sd) AS DOUBLE) AS b0,
+    CAST(n * (sqy * sdd - sqd * sdy) - sy * (sq * sdd - sqd * sd)
+         + sd * (sq * sdy - sqy * sd) AS DOUBLE)
+      / CAST(n * (sqq * sdd - sqd * sqd) - sq * (sq * sdd - sqd * sd)
+             + sd * (sq * sqd - sqq * sd) AS DOUBLE) AS b1,
+    CAST(n * (sqq * sdy - sqy * sqd) - sq * (sq * sdy - sqy * sd)
+         + sy * (sq * sqd - sqq * sd) AS DOUBLE)
+      / CAST(n * (sqq * sdd - sqd * sqd) - sq * (sq * sdd - sqd * sd)
+             + sd * (sq * sqd - sqq * sd) AS DOUBLE) AS b2
+  FROM m
+), r AS (
+  SELECT l.l_orderkey AS okey, CAST(l.l_linenumber AS BIGINT) AS line,
+    CAST(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS DOUBLE)
+      - (cf.b0
+         + cf.b1 * CAST(CAST(ROUND(l.l_quantity) AS BIGINT) AS DOUBLE)
+         + cf.b2 * CAST(CAST(ROUND(l.l_discount * 100) AS BIGINT)
+                        AS DOUBLE)) AS resid
+  FROM lineitem l JOIN cf ON cf.flag = l.l_returnflag
+)
+SELECT okey, line, ROUND(resid, 6) AS resid
+FROM r
+QUALIFY ROW_NUMBER() OVER (ORDER BY ABS(resid) DESC, okey, line) <= 20
+"""
+
+
 ROUNDFIVE_QUERIES = {
+    "degree_assortativity": (q_degree_assortativity,
+                             SQL_DEGREE_ASSORTATIVITY),
+    "customer_migration": (q_customer_migration, SQL_CUSTOMER_MIGRATION),
+    "residual_outliers": (q_residual_outliers, SQL_RESIDUAL_OUTLIERS),
     "linear_attribution": (q_linear_attribution, SQL_LINEAR_ATTRIBUTION),
     "readability": (q_readability, SQL_READABILITY),
     "elasticity": (q_elasticity, SQL_ELASTICITY),
