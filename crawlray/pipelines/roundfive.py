@@ -2216,7 +2216,265 @@ QUALIFY ROW_NUMBER() OVER (ORDER BY ABS(resid) DESC, okey, line) <= 20
 """
 
 
+# =====================================================================
+# ABC / Pareto inventory classification
+# =====================================================================
+
+def q_abc_pareto(sf_dir: str):
+    """ABC (Pareto) classification of parts by revenue: rank parts by
+    revenue DESC (partkey tie-break), class A = parts whose cumulative
+    revenue share stays <= 80%, B = <= 95%, C = the tail — the
+    inventory-prioritization cut every ops team draws (crawl twin:
+    which hosts carry 80% of the corpus). Class boundaries are EXACT
+    INTEGER comparisons (5·cum <= 4·total, 20·cum <= 19·total) — no
+    float ever decides a class. Per-part cents fold through ONE
+    partkey exchange (dimension-bounded, the hhi_concentration
+    discipline); driver ranks the skinny part table once; <= 3-row
+    finale with one division per class."""
+    ds = _t(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = pa.table({"p": b["l_partkey"],
+                      "c": _cents(b["l_extendedprice"])})
+        g = t.group_by("p").aggregate([("c", "sum")])
+        return g.rename_columns(["p", "c"])
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("p")
+           .aggregate(Sum("c", alias_name="c")))
+    df = agg.to_pandas()  # <= |parts| rows — bounded dimension fold
+    df = df.sort_values(["c", "p"], ascending=[False, True],
+                        ignore_index=True)
+    c = df["c"].to_numpy(np.int64)
+    total = int(c.sum())
+    cum = np.cumsum(c.astype(object))           # exact python ints
+    cls = np.where(5 * cum <= 4 * total, 0,
+                   np.where(20 * cum <= 19 * total, 1, 2))
+    rows = {"cls": [], "n_parts": [], "cents": [], "share": []}
+    for ci, name in enumerate("ABC"):
+        m = cls == ci
+        if not m.any():
+            continue
+        s = int(c[m].sum())
+        rows["cls"].append(name)
+        rows["n_parts"].append(int(m.sum()))
+        rows["cents"].append(s)
+        rows["share"].append(np.round(float(s) / float(total), 6))
+    return pa.table({
+        "cls": pa.array(rows["cls"], pa.string()),
+        "n_parts": pa.array(rows["n_parts"], pa.int64()),
+        "cents": pa.array(rows["cents"], pa.int64()),
+        "share": pa.array(rows["share"], pa.float64())})
+
+
+SQL_ABC_PARETO = """
+WITH r AS (
+  SELECT l_partkey AS p,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS c
+  FROM lineitem GROUP BY 1
+), t AS (SELECT CAST(SUM(c) AS HUGEINT) AS total FROM r),
+w AS (
+  SELECT p, c,
+    CAST(SUM(c) OVER (ORDER BY c DESC, p) AS HUGEINT) AS cum
+  FROM r
+), k AS (
+  SELECT CASE WHEN 5 * w.cum <= 4 * t.total THEN 'A'
+              WHEN 20 * w.cum <= 19 * t.total THEN 'B'
+              ELSE 'C' END AS cls, w.c, t.total
+  FROM w, t
+)
+SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(c) AS BIGINT) AS cents,
+       ROUND(CAST(SUM(c) AS DOUBLE) / CAST(MAX(total) AS DOUBLE), 6)
+         AS share
+FROM k GROUP BY 1
+"""
+
+
+# =====================================================================
+# click abandonment (windowed anti-join)
+# =====================================================================
+
+def q_click_abandonment(sf_dir: str):
+    """Click-abandonment rate by weekday: the share of clicks NOT
+    followed by a purchase from the same user within 24 hours — a
+    WINDOWED ANTI-JOIN (the follow-up-exists predicate funnels and
+    re-engagement triggers both need; the plain anti_join has no time
+    bound). ONE user-hash exchange; each partition sorts its users'
+    purchase timestamps once and every click answers with ONE
+    searchsorted probe (no per-pair work); <= 7×2 int partials;
+    exact ratio until one division, 6 dp. Window is inclusive:
+    purchase ts ∈ [click ts, click ts + 24 h]."""
+    from .sizing import fold_parts
+
+    n_parts = fold_parts()
+    win_us = 86_400_000_000
+    ds = _t(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b["event_type"],
+                        value_set=pa.array(["click", "purchase"]))
+        t = b.filter(keep)
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kp = (_splitmix64(uid).view(np.uint64)
+              % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({
+            "user_id": t["user_id"], "ts_us": t["ts"].cast(pa.int64()),
+            "event_type": t["event_type"], "kp": pa.array(kp),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        res = np.zeros((8, 2), np.int64)        # dow → (clicks, abandoned)
+        for _u, gu in g.groupby("user_id", sort=False):
+            ts = gu["ts_us"].to_numpy(np.int64)
+            et = gu["event_type"].to_numpy()
+            pts = np.sort(ts[et == "purchase"])
+            cts = ts[et == "click"]
+            if len(cts) == 0:
+                continue
+            nxt = np.searchsorted(pts, cts, side="left")
+            has = nxt < len(pts)
+            followed = np.zeros(len(cts), bool)
+            followed[has] = pts[nxt[has]] <= cts[has] + win_us
+            dow = ((cts // DAY_US) + 3) % 7 + 1
+            np.add.at(res[:, 0], dow, 1)
+            np.add.at(res[:, 1], dow, (~followed).astype(np.int64))
+        nz = np.nonzero(res[:, 0])[0]
+        return pd.DataFrame({"dow": nz.astype(np.int64),
+                             "clicks": res[nz, 0],
+                             "abandoned": res[nz, 1]})
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("kp").map_groups(fold, batch_format="pandas")
+           .groupby("dow")
+           .aggregate(Sum("clicks", alias_name="clicks"),
+                      Sum("abandoned", alias_name="abandoned")))
+    df = agg.to_pandas().sort_values("dow", ignore_index=True)
+    ck = df["clicks"].to_numpy(np.int64)
+    ab = df["abandoned"].to_numpy(np.int64)
+    return pa.table({
+        "dow": pa.array(df["dow"].to_numpy(np.int64)),
+        "clicks": pa.array(ck), "abandoned": pa.array(ab),
+        "rate": pa.array(np.round(
+            ab.astype(np.float64) / ck.astype(np.float64), 6),
+            pa.float64())})
+
+
+SQL_CLICK_ABANDONMENT = """
+WITH c AS (
+  SELECT user_id, epoch_us(ts) AS tu,
+         (epoch_us(ts) // 86400000000 + 3) % 7 + 1 AS dow
+  FROM events WHERE event_type = 'click'
+), a AS (
+  SELECT dow,
+    CASE WHEN NOT EXISTS (
+      SELECT 1 FROM events p
+      WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+        AND epoch_us(p.ts) >= c.tu
+        AND epoch_us(p.ts) <= c.tu + 86400000000)
+    THEN 1 ELSE 0 END AS abandoned
+  FROM c
+)
+SELECT CAST(dow AS BIGINT) AS dow, CAST(COUNT(*) AS BIGINT) AS clicks,
+       CAST(SUM(abandoned) AS BIGINT) AS abandoned,
+       ROUND(CAST(SUM(abandoned) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS rate
+FROM a GROUP BY 1
+"""
+
+
+# =====================================================================
+# label-centroid similarity matrix
+# =====================================================================
+
+def q_centroid_distances(sf_dir: str):
+    """Pairwise cosine similarity between per-label embedding
+    CENTROIDS — the class-confusability matrix that says which labels
+    a classifier (or a cluster merge pass) will struggle to separate.
+    Centroids never materialize as floats: cosine is scale-invariant,
+    so cos(c_a, c_b) = cos(s_a, s_b) over the 2^30-quantized int64
+    dimension SUMS (label_centroids' exact quantization) — every dot
+    product is an exact unbounded python int (oracle HUGEINT), ONE
+    sqrt/division expression per label pair, 6 dp. The fold is
+    <= |labels|·d rows; the pair matrix is <= |labels|² on the
+    driver."""
+    from .dataops import _embedding_matrix
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = rd.read_parquet(path, columns=["embedding", "label"])
+    scale = 1073741824.0  # 2^30
+
+    def prep(b: pa.Table) -> pa.Table:
+        lab = b["label"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        emb = _embedding_matrix(b["embedding"])
+        q = np.where(emb >= 0, np.floor(emb * scale + 0.5),
+                     np.ceil(emb * scale - 0.5)).astype(np.int64)
+        ul, inv = np.unique(lab, return_inverse=True)
+        d = q.shape[1]
+        sums = np.zeros((len(ul), d), np.int64)
+        np.add.at(sums, inv, q)
+        return pa.table({
+            "label": pa.array(np.repeat(ul, d)),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), len(ul))),
+            "s": pa.array(sums.ravel()),
+        })
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["label", "dim"])
+           .aggregate(Sum("s", alias_name="s")))
+    df = agg.to_pandas().sort_values(["label", "dim"], ignore_index=True)
+    labels = np.unique(df["label"].to_numpy(np.int64))
+    d = df["dim"].nunique()
+    vecs = {int(lb): [int(v) for v in
+                      df[df["label"] == lb].sort_values("dim")["s"]]
+            for lb in labels}
+    norms = {lb: sum(v * v for v in vec) for lb, vec in vecs.items()}
+    rows = {"la": [], "lb": [], "cos": []}
+    for i, la in enumerate(labels):
+        for lb in labels[i + 1:]:
+            dot = sum(a * b for a, b in zip(vecs[int(la)], vecs[int(lb)]))
+            rows["la"].append(int(la))
+            rows["lb"].append(int(lb))
+            rows["cos"].append(np.round(
+                float(dot) / (math.sqrt(float(norms[int(la)]))
+                              * math.sqrt(float(norms[int(lb)]))), 6))
+    return pa.table({"la": pa.array(rows["la"], pa.int64()),
+                     "lb": pa.array(rows["lb"], pa.int64()),
+                     "cos": pa.array(rows["cos"], pa.float64())})
+
+
+SQL_CENTROID_DISTANCES = """
+WITH u AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1073741824.0)
+              AS BIGINT) AS qv
+  FROM embeddings
+), s AS (
+  SELECT label, dim, CAST(SUM(qv) AS HUGEINT) AS s FROM u GROUP BY 1, 2
+), n2 AS (
+  SELECT label, CAST(SUM(s * s) AS HUGEINT) AS nn FROM s GROUP BY 1
+), d AS (
+  SELECT a.label AS la, b.label AS lb,
+         CAST(SUM(a.s * b.s) AS HUGEINT) AS dot
+  FROM s a JOIN s b ON a.dim = b.dim AND a.label < b.label
+  GROUP BY 1, 2
+)
+SELECT d.la, d.lb,
+  ROUND(CAST(d.dot AS DOUBLE)
+        / (SQRT(CAST(na.nn AS DOUBLE)) * SQRT(CAST(nb.nn AS DOUBLE))), 6)
+    AS cos
+FROM d JOIN n2 na ON na.label = d.la JOIN n2 nb ON nb.label = d.lb
+"""
+
+
 ROUNDFIVE_QUERIES = {
+    "abc_pareto": (q_abc_pareto, SQL_ABC_PARETO),
+    "click_abandonment": (q_click_abandonment, SQL_CLICK_ABANDONMENT),
+    "centroid_distances": (q_centroid_distances, SQL_CENTROID_DISTANCES),
     "degree_assortativity": (q_degree_assortativity,
                              SQL_DEGREE_ASSORTATIVITY),
     "customer_migration": (q_customer_migration, SQL_CUSTOMER_MIGRATION),
