@@ -2480,7 +2480,260 @@ FROM d JOIN n2 na ON na.label = d.la JOIN n2 nb ON nb.label = d.lb
 """
 
 
+# =====================================================================
+# exact-duplicate cluster-size histogram
+# =====================================================================
+
+def q_dup_size_hist(sf_dir: str):
+    """Histogram of exact-duplicate CLUSTER sizes (how many texts occur
+    once, twice, thrice …) — the dedup-planning readout that says
+    whether duplication is a few huge families or a long tail (drives
+    the choice between broadcast winners and hash-partition dedup).
+    One md5-text exchange (the dup_ratio_by_source convention, NULL ≡
+    ''): each partition owns every row of its hashes, counts cluster
+    sizes locally, and emits <= |distinct sizes| bincount partials;
+    the finale is a tiny size groupby."""
+    import hashlib
+
+    from .analytics import _splitmix64 as _sm
+    from .dataops import _docs
+    from .sizing import fold_parts
+
+    n_parts = fold_parts()
+    ds = _docs(sf_dir, ["text"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        texts = [(t if t is not None else "")
+                 for t in b["text"].to_pylist()]
+        ut, inv = np.unique(np.array(texts, dtype=object),
+                            return_inverse=True)
+        uh = np.fromiter(
+            (int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+             for t in ut), dtype=np.int64, count=len(ut))
+        h = uh[inv]
+        kp = (_sm(h).view(np.uint64) % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({"h": pa.array(h), "kp": pa.array(kp)})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        _, counts = np.unique(g["h"].to_numpy(np.int64),
+                              return_counts=True)
+        size, n = np.unique(counts, return_counts=True)
+        return pd.DataFrame({"size": size.astype(np.int64),
+                             "n_clusters": n.astype(np.int64)})
+
+    return (ds.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("kp").map_groups(fold, batch_format="pandas")
+            .groupby("size")
+            .aggregate(Sum("n_clusters", alias_name="n_clusters")))
+
+
+SQL_DUP_SIZE_HIST = """
+WITH h AS (
+  SELECT CAST(CONCAT('0x', SUBSTR(md5(COALESCE(text, '')), 1, 8))
+              AS BIGINT) AS h, CAST(COUNT(*) AS BIGINT) AS size
+  FROM documents GROUP BY 1
+)
+SELECT size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM h GROUP BY 1
+"""
+
+
+# =====================================================================
+# cross-source exact-duplicate matrix
+# =====================================================================
+
+def q_dup_source_matrix(sf_dir: str):
+    """Source×source matrix of exact-duplicate DOC PAIRS: for every
+    unordered source pair (diagonal included), how many document pairs
+    share identical text — the syndication map that says which feeds
+    republish which (dedup's WHO-copies-WHOM attribution, finishing
+    what dup_ratio_by_source starts). Same single md5-text exchange;
+    each hash's rows co-locate, so its bounded per-source counts emit
+    c_a·c_b (a<b) and C(c_a,2) (diagonal) pair counts locally —
+    <= |sources|² partials, the pair table never materializes. The
+    matrix is DENSE (every unordered source pair, zero-filled) on both
+    sides: each partition emits a 0 diagonal row per source it sees,
+    so every source reaches the bounded driver finale even when no
+    duplicates exist at all."""
+    import hashlib
+
+    from .analytics import _splitmix64 as _sm
+    from .dataops import _docs
+    from .sizing import fold_parts
+
+    n_parts = fold_parts()
+    ds = _docs(sf_dir, ["source", "text"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        texts = [(t if t is not None else "")
+                 for t in b["text"].to_pylist()]
+        ut, inv = np.unique(np.array(texts, dtype=object),
+                            return_inverse=True)
+        uh = np.fromiter(
+            (int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+             for t in ut), dtype=np.int64, count=len(ut))
+        h = uh[inv]
+        kp = (_sm(h).view(np.uint64) % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({"h": pa.array(h), "source": b["source"],
+                         "kp": pa.array(kp)})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out: dict[tuple, int] = {}
+        for s in np.unique(g["source"].to_numpy()):
+            out[(str(s), str(s))] = 0          # presence marker
+        for _h, grp in g.groupby("h", sort=False):
+            srcs, cnts = np.unique(grp["source"].to_numpy(),
+                                   return_counts=True)
+            for i in range(len(srcs)):
+                ci = int(cnts[i])
+                if ci >= 2:
+                    k = (str(srcs[i]), str(srcs[i]))
+                    out[k] = out.get(k, 0) + ci * (ci - 1) // 2
+                for j in range(i + 1, len(srcs)):
+                    k = (str(srcs[i]), str(srcs[j]))
+                    out[k] = out.get(k, 0) + ci * int(cnts[j])
+        ks = list(out.keys())
+        return pd.DataFrame({
+            "src_a": [k[0] for k in ks], "src_b": [k[1] for k in ks],
+            "pairs": np.array(list(out.values()), np.int64)})
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("kp").map_groups(fold, batch_format="pandas")
+           .groupby(["src_a", "src_b"])
+           .aggregate(Sum("pairs", alias_name="pairs")))
+    df = agg.to_pandas()  # <= |sources|² rows — bounded fold
+    counts = {(a, b): int(p) for a, b, p in
+              zip(df["src_a"], df["src_b"], df["pairs"])}
+    sources = sorted({a for a, _b in counts} | {b for _a, b in counts})
+    rows = {"src_a": [], "src_b": [], "pairs": []}
+    for i, a in enumerate(sources):
+        for b in sources[i:]:
+            rows["src_a"].append(a)
+            rows["src_b"].append(b)
+            rows["pairs"].append(counts.get((a, b), 0))
+    return pa.table({
+        "src_a": pa.array(rows["src_a"], pa.string()),
+        "src_b": pa.array(rows["src_b"], pa.string()),
+        "pairs": pa.array(rows["pairs"], pa.int64())})
+
+
+SQL_DUP_SOURCE_MATRIX = """
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(CONCAT('0x', SUBSTR(md5(COALESCE(text, '')), 1, 8))
+              AS BIGINT) AS h
+  FROM documents
+), p AS (
+  SELECT LEAST(a.source, b.source) AS src_a,
+         GREATEST(a.source, b.source) AS src_b,
+         CAST(COUNT(*) AS BIGINT) AS pairs
+  FROM d a JOIN d b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), s AS (SELECT DISTINCT source FROM documents),
+grid AS (
+  SELECT a.source AS src_a, b.source AS src_b
+  FROM s a JOIN s b ON a.source <= b.source
+)
+SELECT grid.src_a, grid.src_b, COALESCE(p.pairs, 0) AS pairs
+FROM grid LEFT JOIN p USING (src_a, src_b)
+"""
+
+
+# =====================================================================
+# dedup savings per source (bytes removable by exact dedup)
+# =====================================================================
+
+def q_dedup_savings(sf_dir: str):
+    """Bytes exact dedup would RECLAIM per source: for every duplicate
+    cluster the min-doc_id copy survives (dedup_exact's winner rule)
+    and every loser's n_chars counts against the loser's OWN source —
+    the dedup-ROI readout a curation team budgets by. Same single
+    md5-text exchange; each partition marks its hashes' winners by one
+    vectorized per-cluster argmin and folds loser bytes to <= |sources|
+    partials; exact integer ratio until one division, 6 dp."""
+    import hashlib
+
+    from .analytics import _splitmix64 as _sm
+    from .dataops import _docs
+    from .sizing import fold_parts
+
+    n_parts = fold_parts()
+    ds = _docs(sf_dir, ["doc_id", "source", "text", "n_chars"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        texts = [(t if t is not None else "")
+                 for t in b["text"].to_pylist()]
+        ut, inv = np.unique(np.array(texts, dtype=object),
+                            return_inverse=True)
+        uh = np.fromiter(
+            (int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+             for t in ut), dtype=np.int64, count=len(ut))
+        h = uh[inv]
+        kp = (_sm(h).view(np.uint64) % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({"h": pa.array(h), "doc_id": b["doc_id"],
+                         "source": b["source"], "n_chars": b["n_chars"],
+                         "kp": pa.array(kp)})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        h = g["h"].to_numpy(np.int64)
+        did = g["doc_id"].to_numpy(np.int64)
+        nch = g["n_chars"].to_numpy(np.int64)
+        src = g["source"].to_numpy()
+        order = np.lexsort((did, h))            # per-cluster min doc_id first
+        h, did, nch, src = h[order], did[order], nch[order], src[order]
+        is_first = np.ones(len(h), bool)
+        is_first[1:] = h[1:] != h[:-1]
+        loser = ~is_first
+        us, sinv = np.unique(src, return_inverse=True)
+        total = np.zeros(len(us), np.int64)
+        saved = np.zeros(len(us), np.int64)
+        np.add.at(total, sinv, nch)
+        np.add.at(saved, sinv[loser], nch[loser])
+        return pd.DataFrame({"source": us, "total_chars": total,
+                             "saved_chars": saved})
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("kp").map_groups(fold, batch_format="pandas")
+           .groupby("source")
+           .aggregate(Sum("total_chars", alias_name="total_chars"),
+                      Sum("saved_chars", alias_name="saved_chars")))
+    df = agg.to_pandas().sort_values("source", ignore_index=True)
+    tc = df["total_chars"].to_numpy(np.int64)
+    sc = df["saved_chars"].to_numpy(np.int64)
+    return pa.table({
+        "source": pa.array(df["source"], pa.string()),
+        "total_chars": pa.array(tc), "saved_chars": pa.array(sc),
+        "saved_ratio": pa.array(np.round(
+            sc.astype(np.float64) / tc.astype(np.float64), 6),
+            pa.float64())})
+
+
+SQL_DEDUP_SAVINGS = """
+WITH d AS (
+  SELECT doc_id, source, n_chars,
+    ROW_NUMBER() OVER (
+      PARTITION BY CAST(CONCAT('0x',
+                        SUBSTR(md5(COALESCE(text, '')), 1, 8)) AS BIGINT)
+      ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT source, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS BIGINT)
+         AS saved_chars,
+       ROUND(CAST(SUM(CASE WHEN rn > 1 THEN n_chars ELSE 0 END)
+                  AS DOUBLE) / CAST(SUM(n_chars) AS DOUBLE), 6)
+         AS saved_ratio
+FROM d GROUP BY 1
+"""
+
+
 ROUNDFIVE_QUERIES = {
+    "dup_size_hist": (q_dup_size_hist, SQL_DUP_SIZE_HIST),
+    "dup_source_matrix": (q_dup_source_matrix, SQL_DUP_SOURCE_MATRIX),
+    "dedup_savings": (q_dedup_savings, SQL_DEDUP_SAVINGS),
     "abc_pareto": (q_abc_pareto, SQL_ABC_PARETO),
     "click_abandonment": (q_click_abandonment, SQL_CLICK_ABANDONMENT),
     "centroid_distances": (q_centroid_distances, SQL_CENTROID_DISTANCES),
