@@ -2730,7 +2730,129 @@ FROM d GROUP BY 1
 """
 
 
+# =====================================================================
+# ORC round-trip (columnar interchange beyond parquet)
+# =====================================================================
+
+def q_orc_roundtrip(sf_dir: str):
+    """Write events through a distributed ORC sink (one fragment per
+    block via map_batches — Ray has no native ORC writer) and read the
+    fragments back as parallel tasks driven by the MANIFEST the sink
+    emitted (never a listdir — the multi-node-safe discipline every
+    index/sink in this repo follows), then aggregate. The oracle
+    aggregates the source table directly, proving the hop lossless.
+    ORC matters because it is the other columnar interchange format a
+    warehouse hand-off actually requests."""
+    import shutil
+    import tempfile
+    import uuid
+
+    out = tempfile.mkdtemp(prefix="crawlray_orc_")
+    try:
+        def write_frag(b: pa.Table) -> pa.Table:
+            import pyarrow.orc as orc
+
+            if b.num_rows == 0:
+                return pa.table({"path": pa.array([], pa.string())})
+            p = os.path.join(out, f"frag-{uuid.uuid4().hex}.orc")
+            orc.write_table(b, p)
+            return pa.table({"path": pa.array([p], pa.string())})
+
+        manifest = (_t(sf_dir, "events", ["event_type", "value"])
+                    .map_batches(write_frag, batch_format="pyarrow")
+                    .take_all())
+        paths = [r["path"] for r in manifest]
+
+        def read_frag(b: pa.Table) -> pa.Table:
+            import pyarrow.orc as orc
+
+            tables = [orc.read_table(p) for p in b["path"].to_pylist()]
+            t = pa.concat_tables(tables) if tables else \
+                pa.table({"event_type": pa.array([], pa.string()),
+                          "value": pa.array([], pa.float64())})
+            return pa.table({"event_type": t["event_type"],
+                             "c": _cents(t["value"])})
+
+        back = rd.from_items([{"path": p} for p in paths]) \
+            .map_batches(read_frag, batch_format="pyarrow")
+        agg = (back.groupby("event_type")
+               .aggregate(Count(alias_name="n"),
+                          Sum("c", alias_name="cents")))
+        return pa.Table.from_pylist(agg.take_all())
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+SQL_ORC_ROUNDTRIP = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events GROUP BY 1
+"""
+
+
+# =====================================================================
+# Arrow IPC (Feather V2) round-trip
+# =====================================================================
+
+def q_ipc_roundtrip(sf_dir: str):
+    """Write lineitem's pricing columns through a distributed Arrow
+    IPC (Feather V2) sink and re-read the fragments in parallel from
+    the sink's manifest — the ZERO-COPY interchange hop (IPC files map
+    back into Arrow memory without decode, which is why actor-to-actor
+    spill files and torch dataloaders speak it), aggregated and proven
+    lossless against the oracle on the source table."""
+    import shutil
+    import tempfile
+    import uuid
+
+    out = tempfile.mkdtemp(prefix="crawlray_ipc_")
+    try:
+        def write_frag(b: pa.Table) -> pa.Table:
+            import pyarrow.feather as feather
+
+            if b.num_rows == 0:
+                return pa.table({"path": pa.array([], pa.string())})
+            p = os.path.join(out, f"frag-{uuid.uuid4().hex}.arrow")
+            feather.write_feather(b, p)
+            return pa.table({"path": pa.array([p], pa.string())})
+
+        manifest = (_t(sf_dir, "lineitem",
+                       ["l_returnflag", "l_extendedprice"])
+                    .map_batches(write_frag, batch_format="pyarrow")
+                    .take_all())
+        paths = [r["path"] for r in manifest]
+
+        def read_frag(b: pa.Table) -> pa.Table:
+            import pyarrow.feather as feather
+
+            tables = [feather.read_table(p) for p in b["path"].to_pylist()]
+            t = pa.concat_tables(tables) if tables else \
+                pa.table({"l_returnflag": pa.array([], pa.string()),
+                          "l_extendedprice": pa.array([], pa.float64())})
+            return pa.table({"flag": t["l_returnflag"],
+                             "c": _cents(t["l_extendedprice"])})
+
+        back = rd.from_items([{"path": p} for p in paths]) \
+            .map_batches(read_frag, batch_format="pyarrow")
+        agg = (back.groupby("flag")
+               .aggregate(Count(alias_name="n"),
+                          Sum("c", alias_name="cents")))
+        return pa.Table.from_pylist(agg.take_all())
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+SQL_IPC_ROUNDTRIP = """
+SELECT l_returnflag AS flag, COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM lineitem GROUP BY 1
+"""
+
+
 ROUNDFIVE_QUERIES = {
+    "orc_roundtrip": (q_orc_roundtrip, SQL_ORC_ROUNDTRIP),
+    "ipc_roundtrip": (q_ipc_roundtrip, SQL_IPC_ROUNDTRIP),
     "dup_size_hist": (q_dup_size_hist, SQL_DUP_SIZE_HIST),
     "dup_source_matrix": (q_dup_source_matrix, SQL_DUP_SOURCE_MATRIX),
     "dedup_savings": (q_dedup_savings, SQL_DEDUP_SAVINGS),
