@@ -3002,7 +3002,193 @@ FROM c
 """
 
 
+# =====================================================================
+# Wilson confidence interval per experiment arm
+# =====================================================================
+
+def q_wilson_ci(sf_dir: str):
+    """Wilson score 95% confidence interval on the conversion rate of
+    each md5 experiment arm (prop_ztest's split and conversion rule) —
+    the interval every A/B readout should print next to its point
+    estimate (Wilson, not Wald: it behaves at small n and extreme p).
+    ONE user-hash exchange of exact (arm, users, conversions) int
+    partials; lo/hi are ONE identical IEEE expression with z = 1.96 on
+    the 2-row driver fold, 6 dp."""
+    import hashlib
+
+    from .sizing import fold_parts
+
+    n_parts = fold_parts()
+    ds = _t(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "user_id": b["user_id"],
+            "conv": pc.and_(
+                pc.equal(b["event_type"], pa.scalar("purchase")),
+                pc.greater(b["value"], pa.scalar(150.0))).cast(pa.int64()),
+        })
+        g = t.group_by("user_id").aggregate([("conv", "max")])
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kp = (_splitmix64(uid).view(np.uint64)
+              % np.uint64(n_parts)).astype(np.int64)
+        return g.rename_columns(["user_id", "conv"]) \
+            .append_column("kp", pa.array(kp))
+
+    def arm_fold(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby("user_id", sort=False)["conv"].max()
+        users = t.index.to_numpy(np.int64)
+        conv = t.to_numpy(np.int64)
+        arm = np.fromiter(
+            (int(hashlib.md5(str(int(u)).encode()).hexdigest()[:8], 16) % 2
+             for u in users), dtype=np.int64, count=len(users))
+        out = pd.DataFrame({"arm": arm, "n": 1, "c": conv}) \
+            .groupby("arm", sort=False).sum().reset_index()
+        return out.astype({"arm": np.int64, "n": np.int64, "c": np.int64})
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("kp").map_groups(arm_fold, batch_format="pandas")
+           .groupby("arm")
+           .aggregate(Sum("n", alias_name="n"), Sum("c", alias_name="c")))
+    df = agg.to_pandas().sort_values("arm", ignore_index=True)
+    z = 1.96
+    rows = {"arm": [], "n": [], "c": [], "lo": [], "hi": []}
+    for _, r in df.iterrows():
+        n, c = int(r["n"]), int(r["c"])
+        p = float(c) / float(n)
+        denom = 1.0 + z * z / float(n)
+        center = p + z * z / (2.0 * float(n))
+        margin = z * math.sqrt(p * (1.0 - p) / float(n)
+                               + z * z / (4.0 * float(n) * float(n)))
+        rows["arm"].append(int(r["arm"]))
+        rows["n"].append(n)
+        rows["c"].append(c)
+        rows["lo"].append(np.round((center - margin) / denom, 6))
+        rows["hi"].append(np.round((center + margin) / denom, 6))
+    return pa.table({
+        "arm": pa.array(rows["arm"], pa.int64()),
+        "n": pa.array(rows["n"], pa.int64()),
+        "c": pa.array(rows["c"], pa.int64()),
+        "lo": pa.array(rows["lo"], pa.float64()),
+        "hi": pa.array(rows["hi"], pa.float64())})
+
+
+SQL_WILSON_CI = """
+WITH u AS (
+  SELECT user_id,
+         CAST(MAX(CASE WHEN event_type = 'purchase' AND value > 150.0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS conv
+  FROM events GROUP BY 1
+), a AS (
+  SELECT CAST(CONCAT('0x', SUBSTR(md5(CAST(user_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 2 AS arm, conv
+  FROM u
+), g AS (
+  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(conv) AS BIGINT) AS c
+  FROM a GROUP BY 1
+)
+SELECT arm, n, c,
+  ROUND((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+         + 1.96 * 1.96 / (2.0 * CAST(n AS DOUBLE))
+         - 1.96 * SQRT(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+                       * (1.0 - CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                       / CAST(n AS DOUBLE)
+                       + 1.96 * 1.96
+                         / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+        / (1.0 + 1.96 * 1.96 / CAST(n AS DOUBLE)), 6) AS lo,
+  ROUND((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+         + 1.96 * 1.96 / (2.0 * CAST(n AS DOUBLE))
+         + 1.96 * SQRT(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+                       * (1.0 - CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                       / CAST(n AS DOUBLE)
+                       + 1.96 * 1.96
+                         / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+        / (1.0 + 1.96 * 1.96 / CAST(n AS DOUBLE)), 6) AS hi
+FROM g
+"""
+
+
+# =====================================================================
+# linear-interpolation gap fill over the daily spine
+# =====================================================================
+
+def q_lerp_fill(sf_dir: str):
+    """Daily revenue over the FULL calendar spine with missing days
+    LINEARLY INTERPOLATED between their nearest present neighbors —
+    LOCF's smoother sibling (forecasting and charting both want the
+    straight line, not the step). The interpolant stays an EXACT
+    integer cross product (prev·(next_d−d) + next·(d−prev_d)) over an
+    integer denominator until ONE division, 6 dp; present days emit
+    their exact cents. One <= #days exchange; the spine fill is two
+    searchsorted gathers on the bounded driver table (the locf_fill
+    shape). Spine spans [first, last] present day, so every gap has
+    both neighbors."""
+    df = _day_rev_fold(sf_dir)
+    day = df["day"].to_numpy(np.int64)
+    rev = df["rev"].to_numpy(np.int64)
+    spine = np.arange(day[0], day[-1] + 1, dtype=np.int64)
+    pos = np.searchsorted(day, spine)           # next-present index
+    present = (pos < len(day)) & (day[np.minimum(pos, len(day) - 1)]
+                                  == spine)
+    prev_i = np.searchsorted(day, spine, side="right") - 1
+    rows = {"day": [], "filled": [], "cents": []}
+    for i, d in enumerate(spine):
+        if present[i]:
+            rows["day"].append(int(d))
+            rows["filled"].append(0)
+            rows["cents"].append(float(int(rev[pos[i]])))
+        else:
+            pi, ni = int(prev_i[i]), int(pos[i])
+            pd_, nd = int(day[pi]), int(day[ni])
+            num = int(rev[pi]) * (nd - int(d)) \
+                + int(rev[ni]) * (int(d) - pd_)
+            rows["day"].append(int(d))
+            rows["filled"].append(1)
+            rows["cents"].append(np.round(float(num) / float(nd - pd_), 6))
+    return pa.table({
+        "day": pa.array(rows["day"], pa.int64()),
+        "filled": pa.array(rows["filled"], pa.int64()),
+        "cents": pa.array(rows["cents"], pa.float64())})
+
+
+SQL_LERP_FILL = """
+WITH d AS (
+  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1
+), spine AS (
+  SELECT unnest(generate_series((SELECT MIN(day) FROM d),
+                                (SELECT MAX(day) FROM d))) AS day
+), j AS (
+  SELECT s.day, d.rev,
+    LAST_VALUE(d.rev IGNORE NULLS)
+      OVER (ORDER BY s.day ROWS UNBOUNDED PRECEDING) AS prev_rev,
+    LAST_VALUE(CASE WHEN d.rev IS NOT NULL THEN s.day END IGNORE NULLS)
+      OVER (ORDER BY s.day ROWS UNBOUNDED PRECEDING) AS prev_day,
+    FIRST_VALUE(d.rev IGNORE NULLS)
+      OVER (ORDER BY s.day
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_rev,
+    FIRST_VALUE(CASE WHEN d.rev IS NOT NULL THEN s.day END IGNORE NULLS)
+      OVER (ORDER BY s.day
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_day
+  FROM spine s LEFT JOIN d USING (day)
+)
+SELECT CAST(day AS BIGINT) AS day,
+  CAST(CASE WHEN rev IS NULL THEN 1 ELSE 0 END AS BIGINT) AS filled,
+  CASE WHEN rev IS NOT NULL THEN CAST(rev AS DOUBLE)
+       ELSE ROUND(CAST(prev_rev * (next_day - day)
+                       + next_rev * (day - prev_day) AS DOUBLE)
+                  / CAST(next_day - prev_day AS DOUBLE), 6)
+  END AS cents
+FROM j
+"""
+
+
 ROUNDFIVE_QUERIES = {
+    "wilson_ci": (q_wilson_ci, SQL_WILSON_CI),
+    "lerp_fill": (q_lerp_fill, SQL_LERP_FILL),
     "modularity": (q_modularity, SQL_MODULARITY),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "orc_roundtrip": (q_orc_roundtrip, SQL_ORC_ROUNDTRIP),
