@@ -3186,7 +3186,119 @@ FROM j
 """
 
 
+# =====================================================================
+# peak detection over the daily revenue series
+# =====================================================================
+
+def q_peak_days(sf_dir: str):
+    """STRICT local maxima of daily revenue over a ±3-calendar-day
+    neighborhood — the peak detector behind promo post-mortems and
+    crawl-burst forensics. A day is a peak iff its revenue exceeds
+    EVERY other present day in [d−3, d+3] (gap-aware RANGE semantics,
+    DuckDB's frame EXCLUDE CURRENT ROW); the comparison is exact
+    int64 cents — no float ever decides a peak. One <= #days
+    exchange; two searchsorted cuts + one sliding max on the bounded
+    driver table."""
+    df = _day_rev_fold(sf_dir)
+    day = df["day"].to_numpy(np.int64)
+    rev = df["rev"].to_numpy(np.int64)
+    lo = np.searchsorted(day, day - 3, side="left")
+    hi = np.searchsorted(day, day + 3, side="right")
+    rows = {"day": [], "rev": []}
+    for i in range(len(day)):
+        window = np.concatenate([rev[lo[i]:i], rev[i + 1:hi[i]]])
+        if len(window) > 0 and int(rev[i]) > int(window.max()):
+            rows["day"].append(int(day[i]))
+            rows["rev"].append(int(rev[i]))
+    return pa.table({"day": pa.array(rows["day"], pa.int64()),
+                     "rev": pa.array(rows["rev"], pa.int64())})
+
+
+SQL_PEAK_DAYS = """
+WITH d AS (
+  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1
+), w AS (
+  SELECT day, rev,
+    MAX(rev) OVER (ORDER BY day
+                   RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING
+                   EXCLUDE CURRENT ROW) AS neigh
+  FROM d
+)
+SELECT CAST(day AS BIGINT) AS day, CAST(rev AS BIGINT) AS rev
+FROM w WHERE neigh IS NOT NULL AND rev > neigh
+"""
+
+
+# =====================================================================
+# log2-bucketed inter-event gap histogram
+# =====================================================================
+
+def q_gap_histogram(sf_dir: str):
+    """Histogram of inter-event gaps (consecutive events of the same
+    user, microseconds) in powers-of-two buckets — the latency-
+    histogram shape every ops dashboard draws, with the bucket decided
+    by INTEGER bit position (np.frexp's exact exponent here,
+    length(bin(gap))−1 in the oracle) so no float log ever rounds a
+    boundary. Zero gaps (same-microsecond events) are excluded on
+    both sides. ONE user-hash exchange; per-partition lexsort + diff;
+    <= 64-bucket partials."""
+    from .sizing import fold_parts
+
+    n_parts = fold_parts()
+    ds = _t(sf_dir, "events", ["user_id", "event_id", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kp = (_splitmix64(uid).view(np.uint64)
+              % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({
+            "user_id": b["user_id"], "event_id": b["event_id"],
+            "ts_us": b["ts"].cast(pa.int64()), "kp": pa.array(kp),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts = uid[order], ts[order]
+        same = uid[1:] == uid[:-1]
+        gap = (ts[1:] - ts[:-1])[same]
+        gap = gap[gap > 0]
+        if len(gap) == 0:
+            return pd.DataFrame({"bucket": pd.Series([], dtype=np.int64),
+                                 "n": pd.Series([], dtype=np.int64)})
+        # exact integer log2: frexp exponents are exact for ints < 2^53
+        _, e = np.frexp(gap.astype(np.float64))
+        bucket = (e - 1).astype(np.int64)
+        ub, cnt = np.unique(bucket, return_counts=True)
+        return pd.DataFrame({"bucket": ub, "n": cnt.astype(np.int64)})
+
+    return (ds.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("kp").map_groups(fold, batch_format="pandas")
+            .groupby("bucket")
+            .aggregate(Sum("n", alias_name="n")))
+
+
+SQL_GAP_HISTOGRAM = """
+WITH g AS (
+  SELECT epoch_us(ts)
+         - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS gap
+  FROM events
+)
+SELECT CAST(LENGTH(BIN(CAST(gap AS BIGINT))) - 1 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM g WHERE gap > 0 GROUP BY 1
+"""
+
+
 ROUNDFIVE_QUERIES = {
+    "peak_days": (q_peak_days, SQL_PEAK_DAYS),
+    "gap_histogram": (q_gap_histogram, SQL_GAP_HISTOGRAM),
     "wilson_ci": (q_wilson_ci, SQL_WILSON_CI),
     "lerp_fill": (q_lerp_fill, SQL_LERP_FILL),
     "modularity": (q_modularity, SQL_MODULARITY),
