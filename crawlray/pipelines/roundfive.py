@@ -3296,7 +3296,149 @@ FROM g WHERE gap > 0 GROUP BY 1
 """
 
 
+# =====================================================================
+# forecast backtest (naive vs seasonal-naive MAE)
+# =====================================================================
+
+def q_forecast_backtest(sf_dir: str):
+    """Backtest of the two forecasting baselines every model must
+    beat: naive (ŷ_d = y_{d−1}) and seasonal-naive (ŷ_d = y_{d−7})
+    over daily revenue, scored by MAE — the eval harness half of
+    forecast_revenue. Errors are exact integer |differences| on the
+    bounded day fold (only days whose lag day is PRESENT score, same
+    gap rule both sides); one division per metric, 6 dp."""
+    df = _day_rev_fold(sf_dir)
+    day = df["day"].to_numpy(np.int64)
+    rev = df["rev"].to_numpy(np.int64)
+    pos = {int(d): i for i, d in enumerate(day)}
+    out = {}
+    for lag, name in ((1, "naive"), (7, "seasonal")):
+        errs = []
+        for i, d in enumerate(day):
+            j = pos.get(int(d) - lag)
+            if j is not None:
+                errs.append(abs(int(rev[i]) - int(rev[j])))
+        out[name] = (len(errs), sum(errs))
+    return pa.table({
+        "n_naive": pa.array([out["naive"][0]], pa.int64()),
+        "mae_naive": pa.array([np.round(
+            float(out["naive"][1]) / float(out["naive"][0]), 6)],
+            pa.float64()),
+        "n_seasonal": pa.array([out["seasonal"][0]], pa.int64()),
+        "mae_seasonal": pa.array([np.round(
+            float(out["seasonal"][1]) / float(out["seasonal"][0]), 6)],
+            pa.float64())})
+
+
+SQL_FORECAST_BACKTEST = """
+WITH d AS (
+  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1
+), n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(ABS(a.rev - b.rev)) AS HUGEINT) AS s
+  FROM d a JOIN d b ON b.day = a.day - 1
+), s7 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(ABS(a.rev - b.rev)) AS HUGEINT) AS s
+  FROM d a JOIN d b ON b.day = a.day - 7
+)
+SELECT n.n AS n_naive,
+       ROUND(CAST(n.s AS DOUBLE) / CAST(n.n AS DOUBLE), 6) AS mae_naive,
+       s7.n AS n_seasonal,
+       ROUND(CAST(s7.s AS DOUBLE) / CAST(s7.n AS DOUBLE), 6)
+         AS mae_seasonal
+FROM n, s7
+"""
+
+
+# =====================================================================
+# new-vs-returning revenue split per week
+# =====================================================================
+
+def q_new_vs_returning(sf_dir: str):
+    """Weekly purchase revenue split into NEW users (their first-ever
+    purchase falls in this week) vs RETURNING — the acquisition-vs-
+    retention revenue mix every growth report leads with. ONE
+    user-hash exchange: each partition owns all of a user's purchases,
+    derives the first-purchase week locally ((ts, event_id) tuple
+    min), and emits exact (week, new_cents, ret_cents) int partials;
+    <= #weeks finale, one division for the new-share, 6 dp."""
+    from .sizing import fold_parts
+
+    n_parts = fold_parts()
+    ds = _t(sf_dir, "events", ["user_id", "event_id", "ts",
+                               "event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        m = pc.equal(b["event_type"], pa.scalar("purchase"))
+        t = b.filter(m)
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kp = (_splitmix64(uid).view(np.uint64)
+              % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({
+            "user_id": t["user_id"],
+            "ts_us": t["ts"].cast(pa.int64()),
+            "c": _cents(t["value"]), "kp": pa.array(kp),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.int64)
+        wk = ts // DAY_US // 7
+        first_wk = pd.Series(wk).groupby(pd.Series(uid)).transform("min") \
+            .to_numpy()
+        is_new = wk == first_wk
+        df_ = pd.DataFrame({
+            "week": wk,
+            "new_cents": np.where(is_new, c, 0).astype(np.int64),
+            "ret_cents": np.where(is_new, 0, c).astype(np.int64),
+        })
+        agg = df_.groupby("week", sort=False).sum().reset_index()
+        return agg.astype({"week": np.int64, "new_cents": np.int64,
+                           "ret_cents": np.int64})
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("kp").map_groups(fold, batch_format="pandas")
+           .groupby("week")
+           .aggregate(Sum("new_cents", alias_name="new_cents"),
+                      Sum("ret_cents", alias_name="ret_cents")))
+    df = agg.to_pandas().sort_values("week", ignore_index=True)
+    nc = df["new_cents"].to_numpy(np.int64)
+    rc = df["ret_cents"].to_numpy(np.int64)
+    return pa.table({
+        "week": pa.array(df["week"].to_numpy(np.int64)),
+        "new_cents": pa.array(nc), "ret_cents": pa.array(rc),
+        "new_share": pa.array(np.round(
+            nc.astype(np.float64) / (nc + rc).astype(np.float64), 6),
+            pa.float64())})
+
+
+SQL_NEW_VS_RETURNING = """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 // 7 AS week,
+         CAST(ROUND(value * 100) AS BIGINT) AS c,
+         MIN(epoch_us(ts) // 86400000000 // 7)
+           OVER (PARTITION BY user_id) AS first_week
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT CAST(week AS BIGINT) AS week,
+  CAST(SUM(CASE WHEN week = first_week THEN c ELSE 0 END) AS BIGINT)
+    AS new_cents,
+  CAST(SUM(CASE WHEN week <> first_week THEN c ELSE 0 END) AS BIGINT)
+    AS ret_cents,
+  ROUND(CAST(SUM(CASE WHEN week = first_week THEN c ELSE 0 END)
+             AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS new_share
+FROM p GROUP BY 1
+"""
+
+
 ROUNDFIVE_QUERIES = {
+    "forecast_backtest": (q_forecast_backtest, SQL_FORECAST_BACKTEST),
+    "new_vs_returning": (q_new_vs_returning, SQL_NEW_VS_RETURNING),
     "peak_days": (q_peak_days, SQL_PEAK_DAYS),
     "gap_histogram": (q_gap_histogram, SQL_GAP_HISTOGRAM),
     "wilson_ci": (q_wilson_ci, SQL_WILSON_CI),
