@@ -3436,7 +3436,131 @@ FROM p GROUP BY 1
 """
 
 
+# =====================================================================
+# engagement breadth (users by distinct event-type count)
+# =====================================================================
+
+def q_engagement_breadth(sf_dir: str):
+    """How many users touch exactly k distinct event types — the
+    engagement-breadth histogram that separates single-feature users
+    from power users (the histogram OF a distinct count: two nested
+    aggregations). ONE user-hash exchange of per-block DISTINCT
+    (user, type) pairs (np.unique combiner); each partition owns all
+    of a user's pairs, so the per-user nunique and the <= |types|
+    histogram partials are both partition-local."""
+    from .sizing import fold_parts
+
+    n_parts = fold_parts()
+    ds = _t(sf_dir, "events", ["user_id", "event_type"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        # block-distinct (user, type) pairs via ONE Arrow group_by —
+        # the combiner: the exchange carries pairs, never the stream
+        g = pa.table({"u": b["user_id"], "t": b["event_type"]}) \
+            .group_by(["u", "t"]).aggregate([])
+        u = g["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kp = (_splitmix64(u).view(np.uint64)
+              % np.uint64(n_parts)).astype(np.int64)
+        return g.append_column("kp", pa.array(kp))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        df_ = g.drop_duplicates(["u", "t"])
+        breadth = df_.groupby("u", sort=False)["t"].nunique()
+        k, n = np.unique(breadth.to_numpy(np.int64), return_counts=True)
+        return pd.DataFrame({"breadth": k.astype(np.int64),
+                             "n_users": n.astype(np.int64)})
+
+    return (ds.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("kp").map_groups(fold, batch_format="pandas")
+            .groupby("breadth")
+            .aggregate(Sum("n_users", alias_name="n_users")))
+
+
+SQL_ENGAGEMENT_BREADTH = """
+WITH u AS (
+  SELECT user_id, CAST(COUNT(DISTINCT event_type) AS BIGINT) AS breadth
+  FROM events GROUP BY 1
+)
+SELECT breadth, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM u GROUP BY 1
+"""
+
+
+# =====================================================================
+# open-order aging report
+# =====================================================================
+
+def q_aging_report(sf_dir: str):
+    """Aging report of OPEN orders ('O' status): count and value in
+    30-day age buckets from the newest order date — the
+    working-capital readout every fulfillment review starts with
+    (crawl twin: how stale the unfetched frontier is). One Min/Max
+    day fold anchors the clock; block-local integer bucket bincounts
+    through a tiny exchange; exact cents, zero float until the final
+    share division."""
+    ds = _t(sf_dir, "orders", ["o_orderstatus", "o_orderdate",
+                               "o_totalprice"])
+
+    bounds = ds.map_batches(
+        lambda b: pa.table({"hi": pa.array(
+            [pc.max(b["o_orderdate"]).cast(pa.int64()).as_py() // DAY_US],
+            pa.int64())}),
+        batch_format="pyarrow").aggregate(Max("hi"))
+    maxd = int(bounds["max(hi)"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        m = pc.equal(b["o_orderstatus"], pa.scalar("O"))
+        t = b.filter(m)
+        day = (t["o_orderdate"].cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // DAY_US)
+        c = _cents(t["o_totalprice"]).to_numpy(zero_copy_only=False)
+        bucket = (maxd - day) // 30
+        ub, inv = np.unique(bucket, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        s = np.zeros(len(ub), np.int64)
+        np.add.at(s, inv, c)
+        return pa.table({"bucket": pa.array(ub.astype(np.int64)),
+                         "n": pa.array(n), "cents": pa.array(s)})
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("bucket")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("cents", alias_name="cents")))
+    df = agg.to_pandas().sort_values("bucket", ignore_index=True)
+    c = df["cents"].to_numpy(np.int64)
+    total = int(c.sum())
+    return pa.table({
+        "bucket": pa.array(df["bucket"].to_numpy(np.int64)),
+        "n": pa.array(df["n"].to_numpy(np.int64)),
+        "cents": pa.array(c),
+        "share": pa.array(np.round(
+            c.astype(np.float64) / float(total), 6), pa.float64())})
+
+
+SQL_AGING_REPORT = """
+WITH b AS (
+  SELECT MAX(epoch_us(o_orderdate) // 86400000000) AS maxd FROM orders
+), o AS (
+  SELECT (b.maxd - epoch_us(o_orderdate) // 86400000000) // 30 AS bucket,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders, b WHERE o_orderstatus = 'O'
+), g AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS cents
+  FROM o GROUP BY 1
+), t AS (SELECT CAST(SUM(cents) AS HUGEINT) AS total FROM g)
+SELECT CAST(g.bucket AS BIGINT) AS bucket, g.n, g.cents,
+       ROUND(CAST(g.cents AS DOUBLE) / CAST(t.total AS DOUBLE), 6)
+         AS share
+FROM g, t
+"""
+
+
 ROUNDFIVE_QUERIES = {
+    "engagement_breadth": (q_engagement_breadth, SQL_ENGAGEMENT_BREADTH),
+    "aging_report": (q_aging_report, SQL_AGING_REPORT),
     "forecast_backtest": (q_forecast_backtest, SQL_FORECAST_BACKTEST),
     "new_vs_returning": (q_new_vs_returning, SQL_NEW_VS_RETURNING),
     "peak_days": (q_peak_days, SQL_PEAK_DAYS),
