@@ -3558,7 +3558,194 @@ FROM g, t
 """
 
 
+# =====================================================================
+# Hill tail-index estimator (heavy-tail diagnosis)
+# =====================================================================
+
+def q_hill_tail(sf_dir: str, k: int = 100):
+    """Hill estimator of the revenue distribution's tail index over
+    the top-100 customers: H = (1/k)Σ ln(x_i / x_{k+1}), α = 1/H —
+    the heavy-tail diagnosis that says whether whale revenue has a
+    finite mean at all (α ≤ 1: no). Per-customer cents fold in ONE
+    custkey exchange; the top-(k+1) VALUES are rank-deterministic
+    (ties share a value, so the multiset — and every ln term — is
+    tie-order-independent); ln terms sum in rank order on both sides;
+    two divisions, 6 dp."""
+    ds = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = pa.table({"ck": b["o_custkey"], "mon": _cents(b["o_totalprice"])})
+        g = t.group_by("ck").aggregate([("mon", "sum")])
+        return g.rename_columns(["ck", "mon"])
+
+    per_cust = (ds.map_batches(prep, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                .groupby("ck")
+                .aggregate(Sum("mon", alias_name="mon")))
+
+    def partial_top(b: pa.Table) -> pa.Table:
+        df_ = b.to_pandas().sort_values(
+            ["mon", "ck"], ascending=[False, True], kind="mergesort")
+        return pa.Table.from_pandas(df_.head(k + 1), preserve_index=False)
+
+    rows = [r for b in per_cust.map_batches(partial_top,
+                                            batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")
+            for r in zip(b["mon"].to_pylist(), b["ck"].to_pylist())]
+    rows.sort(key=lambda r: (-r[0], r[1]))
+    top = rows[:k + 1]
+    xk1 = int(top[k][0])
+    h = 0.0
+    for mon, _ck in top[:k]:                    # rank order
+        h += math.log(float(int(mon)) / float(xk1))
+    h /= float(k)
+    return pa.table({
+        "n_top": pa.array([k], pa.int64()),
+        "hill": pa.array([np.round(h, 6)], pa.float64()),
+        "alpha": pa.array([np.round(1.0 / h, 6)], pa.float64())})
+
+
+SQL_HILL_TAIL = """
+WITH m AS (
+  SELECT o_custkey AS ck,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS mon
+  FROM orders GROUP BY 1
+), r AS (
+  SELECT ck, mon,
+         ROW_NUMBER() OVER (ORDER BY mon DESC, ck) AS rn
+  FROM m QUALIFY rn <= 101
+), cut AS (SELECT mon AS xk1 FROM r WHERE rn = 101),
+h AS (
+  SELECT SUM(LN(CAST(r.mon AS DOUBLE) / CAST(cut.xk1 AS DOUBLE))
+             ORDER BY r.rn) / 100.0 AS hill
+  FROM r, cut WHERE r.rn <= 100
+)
+SELECT CAST(100 AS BIGINT) AS n_top, ROUND(hill, 6) AS hill,
+       ROUND(1.0 / hill, 6) AS alpha
+FROM h
+"""
+
+
+# =====================================================================
+# mean session entropy by weekday
+# =====================================================================
+
+def q_session_entropy(sf_dir: str):
+    """Mean per-session event-type ENTROPY by the session's start
+    weekday — are weekend sessions more single-purpose? Sessions are
+    30-minute-gap bounded (sessionize's rule, (ts, event_id) tuple
+    order); each session's entropy −Σ(c/n)·ln(c/n) uses exact integer
+    ratios inside every ln with the term sum ordered by event type on
+    both sides, then QUANTIZES to integer micro-units (half-away) so
+    the per-dow mean is an exact integer fold; the finale emulates
+    DuckDB's half-away 6-dp ROUND. ONE user-hash exchange; everything
+    session-local is partition-local."""
+    from .sizing import fold_parts
+
+    n_parts = fold_parts()
+    gap_us = 1800 * 1_000_000
+    ds = _t(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kp = (_splitmix64(uid).view(np.uint64)
+              % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({
+            "user_id": b["user_id"], "event_id": b["event_id"],
+            "ts_us": b["ts"].cast(pa.int64()),
+            "event_type": b["event_type"], "kp": pa.array(kp),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        sums = np.zeros(8, np.int64)
+        cnts = np.zeros(8, np.int64)
+        for _u, gu in g.groupby("user_id", sort=False):
+            ts = gu["ts_us"].to_numpy(np.int64)
+            eid = gu["event_id"].to_numpy(np.int64)
+            et = gu["event_type"].to_numpy()
+            order = np.lexsort((eid, ts))
+            ts, et = ts[order], et[order]
+            brk = np.zeros(len(ts), np.int64)
+            brk[1:] = (ts[1:] - ts[:-1] > gap_us).astype(np.int64)
+            sid = np.cumsum(brk)
+            for s in range(int(sid[-1]) + 1 if len(sid) else 0):
+                m = sid == s
+                n = int(m.sum())
+                types, c = np.unique(et[m], return_counts=True)
+                ent = 0.0
+                for ci in c:                    # type-ascending order
+                    r = float(int(ci)) / float(n)
+                    ent -= r * math.log(r)
+                y = ent * 1e6
+                qe = int(np.floor(y + 0.5)) if y >= 0 \
+                    else -int(np.floor(-y + 0.5))
+                dow = int((int(ts[m][0]) // DAY_US + 3) % 7 + 1)
+                sums[dow] += qe
+                cnts[dow] += 1
+        nz = np.nonzero(cnts)[0]
+        return pd.DataFrame({"dow": nz.astype(np.int64),
+                             "qsum": sums[nz], "n_sessions": cnts[nz]})
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("kp").map_groups(fold, batch_format="pandas")
+           .groupby("dow")
+           .aggregate(Sum("qsum", alias_name="qsum"),
+                      Sum("n_sessions", alias_name="n_sessions")))
+    df = agg.to_pandas().sort_values("dow", ignore_index=True)
+    q = df["qsum"].to_numpy(np.int64)
+    n = df["n_sessions"].to_numpy(np.int64)
+    mean = q.astype(np.float64) / n.astype(np.float64) / 1e6
+    y = mean * 1e6
+    mean6 = np.where(y >= 0, np.floor(y + 0.5), -np.floor(-y + 0.5)) / 1e6
+    return pa.table({
+        "dow": pa.array(df["dow"].to_numpy(np.int64)),
+        "n_sessions": pa.array(n),
+        "mean_entropy": pa.array(mean6, pa.float64())})
+
+
+SQL_SESSION_ENTROPY = """
+WITH g AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tu, event_type,
+    CASE WHEN COALESCE(epoch_us(ts) - LAG(epoch_us(ts))
+              OVER (PARTITION BY user_id ORDER BY ts, event_id), 0)
+              > 1800000000
+         THEN 1 ELSE 0 END AS brk
+  FROM events
+), s AS (
+  SELECT user_id, event_id, tu, event_type,
+    SUM(brk) OVER (PARTITION BY user_id
+                   ORDER BY tu, event_id
+                   ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+), tc AS (
+  SELECT user_id, sid, event_type, CAST(COUNT(*) AS BIGINT) AS c,
+         MIN(tu) AS start_min
+  FROM s GROUP BY 1, 2, 3
+), sn AS (
+  SELECT user_id, sid, CAST(SUM(c) AS BIGINT) AS n,
+         MIN(start_min) AS t0
+  FROM tc GROUP BY 1, 2
+), sess AS (
+  SELECT tc.user_id, tc.sid, sn.t0,
+    CAST(ROUND(1000000 *
+      (-SUM((CAST(tc.c AS DOUBLE) / CAST(sn.n AS DOUBLE))
+            * LN(CAST(tc.c AS DOUBLE) / CAST(sn.n AS DOUBLE))
+            ORDER BY tc.event_type))) AS BIGINT) AS qe
+  FROM tc JOIN sn USING (user_id, sid)
+  GROUP BY 1, 2, 3
+)
+SELECT CAST((t0 // 86400000000 + 3) % 7 + 1 AS BIGINT) AS dow,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       ROUND(CAST(SUM(qe) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             / 1000000.0, 6) AS mean_entropy
+FROM sess GROUP BY 1
+"""
+
+
 ROUNDFIVE_QUERIES = {
+    "hill_tail": (q_hill_tail, SQL_HILL_TAIL),
+    "session_entropy": (q_session_entropy, SQL_SESSION_ENTROPY),
     "engagement_breadth": (q_engagement_breadth, SQL_ENGAGEMENT_BREADTH),
     "aging_report": (q_aging_report, SQL_AGING_REPORT),
     "forecast_backtest": (q_forecast_backtest, SQL_FORECAST_BACKTEST),
