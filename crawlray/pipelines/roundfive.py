@@ -3657,31 +3657,46 @@ def q_session_entropy(sf_dir: str):
         })
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy()
+        if len(uid) == 0:
+            return pd.DataFrame({"dow": pd.Series([], dtype=np.int64),
+                                 "qsum": pd.Series([], dtype=np.int64),
+                                 "n_sessions": pd.Series([],
+                                                         dtype=np.int64)})
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, et = uid[order], ts[order], et[order]
+        # one vectorized pass over ALL sessions in the partition: a
+        # session break is a user change or a >30-min gap
+        brk = np.ones(len(ts), bool)
+        brk[1:] = (uid[1:] != uid[:-1]) | (ts[1:] - ts[:-1] > gap_us)
+        sess = np.cumsum(brk) - 1
+        n_sess = int(sess[-1]) + 1
+        n = np.bincount(sess, minlength=n_sess).astype(np.int64)
+        _types, tcode = np.unique(et, return_inverse=True)
+        packed = sess * np.int64(len(_types)) + tcode
+        upk, c = np.unique(packed, return_counts=True)  # sess-major,
+        ps = (upk // len(_types)).astype(np.int64)      # type-ascending
+        r = c.astype(np.float64) / n[ps].astype(np.float64)
+        terms = -(r * np.log(r))
+        # per-session term sum in type-ascending order: reduceat's
+        # segments are <= |types| (= 5) elements, below numpy's
+        # pairwise-summation threshold, so the reduction is the same
+        # sequential order as the oracle's ORDER BY event_type
+        starts = np.unique(ps, return_index=True)[1]
+        ent = np.zeros(n_sess, np.float64)
+        ent[np.unique(ps)] = np.add.reduceat(terms, starts)
+        y = ent * 1e6
+        qe = np.where(y >= 0, np.floor(y + 0.5),
+                      -np.floor(-y + 0.5)).astype(np.int64)
+        first = np.unique(sess, return_index=True)[1]
+        dow = ((ts[first] // DAY_US + 3) % 7 + 1).astype(np.int64)
         sums = np.zeros(8, np.int64)
         cnts = np.zeros(8, np.int64)
-        for _u, gu in g.groupby("user_id", sort=False):
-            ts = gu["ts_us"].to_numpy(np.int64)
-            eid = gu["event_id"].to_numpy(np.int64)
-            et = gu["event_type"].to_numpy()
-            order = np.lexsort((eid, ts))
-            ts, et = ts[order], et[order]
-            brk = np.zeros(len(ts), np.int64)
-            brk[1:] = (ts[1:] - ts[:-1] > gap_us).astype(np.int64)
-            sid = np.cumsum(brk)
-            for s in range(int(sid[-1]) + 1 if len(sid) else 0):
-                m = sid == s
-                n = int(m.sum())
-                types, c = np.unique(et[m], return_counts=True)
-                ent = 0.0
-                for ci in c:                    # type-ascending order
-                    r = float(int(ci)) / float(n)
-                    ent -= r * math.log(r)
-                y = ent * 1e6
-                qe = int(np.floor(y + 0.5)) if y >= 0 \
-                    else -int(np.floor(-y + 0.5))
-                dow = int((int(ts[m][0]) // DAY_US + 3) % 7 + 1)
-                sums[dow] += qe
-                cnts[dow] += 1
+        np.add.at(sums, dow, qe)
+        np.add.at(cnts, dow, 1)
         nz = np.nonzero(cnts)[0]
         return pd.DataFrame({"dow": nz.astype(np.int64),
                              "qsum": sums[nz], "n_sessions": cnts[nz]})
