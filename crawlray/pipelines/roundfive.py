@@ -3758,7 +3758,211 @@ FROM sess GROUP BY 1
 """
 
 
+# =====================================================================
+# hapax ratio per source (lexical richness)
+# =====================================================================
+
+def _hapax_driver_limit() -> int:
+    """Read at call time so tests can force the distributed branch
+    (the repo's standard guarded-fold discipline)."""
+    return int(os.environ.get("CRAWLRAY_HAPAX_DRIVER_LIMIT", 5_000_000))
+
+
+def q_hapax_ratio(sf_dir: str):
+    """Per-source HAPAX ratio: the share of a source's distinct
+    vocabulary that occurs exactly once in the WHOLE corpus — the
+    lexical-richness readout between heaps_law (growth) and oov_rate
+    (coverage): boilerplate-heavy feeds have almost no hapax, scraped
+    forums are full of them. ONE token-HASH exchange of block-level
+    (token, source, c) Arrow combiners: each partition owns every row
+    of its tokens, so corpus totals, per-source distinct markers, and
+    hapax credits all fold VECTORIZED partition-locally (a per-token
+    pandas map_groups over the ~10⁴-10⁶ token groups measured 4.1 s —
+    this fold is sub-second); <= |sources| finale, one division,
+    6 dp."""
+    from .dataops import _docs
+    from .sizing import fold_parts
+    from crawlray.functions.murmur3 import hash64_batch_i64
+
+    n_parts = fold_parts()
+    ds = _docs(sf_dir, ["source", "text"])
+
+    def counts(b: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(b["text"].combine_chunks())
+        lists = pc.split_pattern_regex(low, "[^a-z]+")
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        src = pc.take(b["source"].combine_chunks(), parent)
+        t = pa.table({"token": flat, "source": src})
+        t = t.filter(pc.not_equal(t["token"], pa.scalar("")))
+        g = t.group_by(["token", "source"]).aggregate([([], "count_all")])
+        g = g.rename_columns(["token", "source", "c"])
+        h = np.asarray(hash64_batch_i64(g["token"].combine_chunks()))
+        kp = (_splitmix64(h).view(np.uint64)
+              % np.uint64(n_parts)).astype(np.int64)
+        return g.append_column("kp", pa.array(kp))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        tok, tinv = np.unique(g["token"].to_numpy(), return_inverse=True)
+        src, sinv = np.unique(g["source"].to_numpy(), return_inverse=True)
+        c = g["c"].to_numpy(np.int64)
+        totals = np.zeros(len(tok), np.int64)
+        np.add.at(totals, tinv, c)
+        pair = tinv * np.int64(len(src)) + sinv
+        upair = np.unique(pair)
+        pt, ps = upair // len(src), upair % len(src)
+        nd = np.bincount(ps, minlength=len(src)).astype(np.int64)
+        hap = np.bincount(ps[totals[pt] == 1],
+                          minlength=len(src)).astype(np.int64)
+        return pd.DataFrame({"source": src, "n_distinct": nd,
+                             "n_hapax": hap})
+
+    partials = ds.map_batches(counts, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+    limit = _hapax_driver_limit()
+    if partials.count() <= limit:
+        # combiner rows are vocab×sources-bounded (38k at sf0.1): the
+        # columnar driver fold skips TWO Ray shuffles' fixed cost
+        # (~2.5 s measured); the kp-exchange path below is the
+        # web-scale-vocabulary fallback, forced-branch equality-tested
+        frames = [b.to_pandas()
+                  for b in partials.iter_batches(batch_format="pyarrow")]
+        df = fold(pd.concat(frames, ignore_index=True))
+        df = df.groupby("source").sum().reset_index() \
+            .astype({"n_distinct": np.int64, "n_hapax": np.int64})
+    else:
+        agg2 = (partials.groupby("kp")
+                .map_groups(fold, batch_format="pandas")
+                .groupby("source")
+                .aggregate(Sum("n_distinct", alias_name="n_distinct"),
+                           Sum("n_hapax", alias_name="n_hapax")))
+        df = agg2.to_pandas()
+    df = df.sort_values("source", ignore_index=True)
+    nd = df["n_distinct"].to_numpy(np.int64)
+    nh = df["n_hapax"].to_numpy(np.int64)
+    return pa.table({
+        "source": pa.array(df["source"], pa.string()),
+        "n_distinct": pa.array(nd), "n_hapax": pa.array(nh),
+        "hapax_ratio": pa.array(np.round(
+            nh.astype(np.float64) / nd.astype(np.float64), 6),
+            pa.float64())})
+
+
+SQL_HAPAX_RATIO = """
+WITH tk AS (
+  SELECT source, token FROM (
+    SELECT source,
+           unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS token
+    FROM documents)
+  WHERE token <> ''
+), st AS (
+  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tk GROUP BY 1, 2
+), tot AS (
+  SELECT token, CAST(SUM(c) AS BIGINT) AS total FROM st GROUP BY 1
+)
+SELECT st.source,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(SUM(CASE WHEN tot.total = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hapax,
+       ROUND(CAST(SUM(CASE WHEN tot.total = 1 THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS hapax_ratio
+FROM st JOIN tot USING (token)
+GROUP BY 1
+"""
+
+
+# =====================================================================
+# co-purchase part pairs (market basket on the fact table)
+# =====================================================================
+
+def q_copurchase_pairs(sf_dir: str, k: int = 20):
+    """Top-20 part PAIRS by co-occurrence in the same order — the
+    market-basket readout on the fact table (pair_lift's event-type
+    version scaled to real item cardinality). Plan: ONE orderkey
+    exchange of distinct (order, part) rows; each order group emits
+    its bounded within-order pairs packed into a single int64 key
+    ((lo << 32) | hi — partkeys are < 2^31, asserted); a packed-key-
+    hash partition bincount folds pair counts (the common_neighbors
+    shape); per-partition partial top-k merges on the driver
+    (count DESC, pair ASC tie-break both sides)."""
+    from .sizing import fold_parts
+
+    n_parts = fold_parts()
+    ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        g = pa.table({"o": b["l_orderkey"], "p": b["l_partkey"]}) \
+            .group_by(["o", "p"]).aggregate([])
+        o = g["o"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kp = (_splitmix64(o).view(np.uint64)
+              % np.uint64(n_parts)).astype(np.int64)
+        return g.append_column("kp", pa.array(kp))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        df_ = g.drop_duplicates(["o", "p"])
+        o = df_["o"].to_numpy(np.int64)
+        p = df_["p"].to_numpy(np.int64)
+        assert p.max() < (1 << 31), "partkey exceeds the 32-bit pack"
+        order = np.lexsort((p, o))
+        o, p = o[order], p[order]
+        starts = np.unique(o, return_index=True)[1]
+        keys = []
+        for i, s in enumerate(starts):
+            e = starts[i + 1] if i + 1 < len(starts) else len(o)
+            parts_ = p[s:e]
+            if len(parts_) < 2:
+                continue
+            iu, iv = np.triu_indices(len(parts_), k=1)
+            keys.append((parts_[iu] << np.int64(32)) | parts_[iv])
+        if not keys:
+            return pd.DataFrame({"key": pd.Series([], dtype=np.int64),
+                                 "kp2": pd.Series([], dtype=np.int64)})
+        key = np.concatenate(keys)
+        kp2 = (_splitmix64(key).view(np.uint64)
+               % np.uint64(n_parts)).astype(np.int64)
+        return pd.DataFrame({"key": key, "kp2": kp2})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        uk, c = np.unique(g["key"].to_numpy(np.int64), return_counts=True)
+        df_ = pd.DataFrame({"key": uk, "n": c.astype(np.int64)})
+        df_ = df_.sort_values(["n", "key"], ascending=[False, True],
+                              kind="mergesort").head(k)
+        return df_
+
+    rows = [r for b in
+            (ds.map_batches(prep, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby("kp").map_groups(pairs, batch_format="pandas")
+             .groupby("kp2").map_groups(fold, batch_format="pandas"))
+            .iter_batches(batch_format="pyarrow")
+            for r in zip(b["key"].to_pylist(), b["n"].to_pylist())]
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    top = rows[:k]
+    return pa.table({
+        "part_a": pa.array([r[0] >> 32 for r in top], pa.int64()),
+        "part_b": pa.array([r[0] & 0xFFFFFFFF for r in top], pa.int64()),
+        "n": pa.array([r[1] for r in top], pa.int64())})
+
+
+SQL_COPURCHASE_PAIRS = """
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem),
+pr AS (
+  SELECT a.p AS part_a, b.p AS part_b, CAST(COUNT(*) AS BIGINT) AS n
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2
+)
+SELECT part_a, part_b, n FROM pr
+QUALIFY ROW_NUMBER() OVER (
+  ORDER BY n DESC, part_a * 4294967296 + part_b) <= 20
+"""
+
+
 ROUNDFIVE_QUERIES = {
+    "hapax_ratio": (q_hapax_ratio, SQL_HAPAX_RATIO),
+    "copurchase_pairs": (q_copurchase_pairs, SQL_COPURCHASE_PAIRS),
     "hill_tail": (q_hill_tail, SQL_HILL_TAIL),
     "session_entropy": (q_session_entropy, SQL_SESSION_ENTROPY),
     "engagement_breadth": (q_engagement_breadth, SQL_ENGAGEMENT_BREADTH),

@@ -136,3 +136,12 @@ def test_abc_pareto_partitions_revenue(ray_session):
     byc = got.set_index("cls")
     if "A" in byc.index and "C" in byc.index:
         assert byc.loc["A", "cents"] >= byc.loc["C", "cents"]
+
+
+def test_hapax_distributed_branch_equal(ray_session, monkeypatch):
+    """Forcing the kp-exchange fallback (driver limit 0) must produce
+    the exact same table as the guarded bounded driver fold."""
+    fast = _df("hapax_ratio").sort_values("source", ignore_index=True)
+    monkeypatch.setenv("CRAWLRAY_HAPAX_DRIVER_LIMIT", "0")
+    slow = _df("hapax_ratio").sort_values("source", ignore_index=True)
+    pd.testing.assert_frame_equal(fast, slow)
