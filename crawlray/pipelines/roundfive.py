@@ -3960,7 +3960,139 @@ QUALIFY ROW_NUMBER() OVER (
 """
 
 
+# =====================================================================
+# hierarchical share-of-parent (region → nation)
+# =====================================================================
+
+def q_share_of_parent(sf_dir: str):
+    """Each nation's share of its REGION's customer-order revenue —
+    the share-of-parent readout a drill-down dashboard shows at every
+    level (rollup_agg gives the totals; this gives the ratios that
+    make them readable). Dimension chain (customer → nation → region)
+    broadcasts as one LUT (the revenue_by_nation shape); orders fold
+    block-locally to exact <= |nations| int partials; region totals
+    derive from the SAME fold (no second pass); one division per
+    nation, 6 dp."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                        columns=["n_nationkey", "n_regionkey", "n_name"])
+    ck = np.asarray(cust["c_custkey"], dtype=np.int64)
+    cn = np.asarray(cust["c_nationkey"], dtype=np.int64)
+    lut_nat = np.zeros(int(ck.max()) + 1, np.int64)
+    lut_nat[ck] = cn
+    nk = np.asarray(nat["n_nationkey"], dtype=np.int64)
+    nr = np.asarray(nat["n_regionkey"], dtype=np.int64)
+    nname = np.asarray(nat["n_name"], dtype=object)
+    n_nat = int(nk.max()) + 1
+    lut_reg = np.zeros(n_nat, np.int64)
+    lut_reg[nk] = nr
+    names = np.empty(n_nat, object)
+    names[nk] = nname
+    lut_ref = ray.put((lut_nat, n_nat))
+
+    ds = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        import ray as _r
+
+        nat_lut, nn = _r.get(lut_ref)
+        c = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = _cents(b["o_totalprice"]).to_numpy(zero_copy_only=False)
+        code = nat_lut[c]
+        s = np.zeros(nn, np.int64)
+        np.add.at(s, code, cents)
+        return pa.table({"nation": pa.array(np.arange(nn, dtype=np.int64)),
+                         "cents": pa.array(s)})
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("nation")
+           .aggregate(Sum("cents", alias_name="cents")))
+    df = agg.to_pandas()  # <= |nations| rows — bounded fold
+    cents = np.zeros(n_nat, np.int64)
+    cents[df["nation"].to_numpy(np.int64)] = df["cents"].to_numpy(np.int64)
+    reg_tot = np.zeros(int(nr.max()) + 1, np.int64)
+    np.add.at(reg_tot, lut_reg, cents)
+    keep = cents > 0
+    idx = np.nonzero(keep)[0]
+    return pa.table({
+        "region": pa.array(lut_reg[idx]),
+        "nation": pa.array([str(names[i]) for i in idx], pa.string()),
+        "cents": pa.array(cents[idx]),
+        "share_of_region": pa.array(np.round(
+            cents[idx].astype(np.float64)
+            / reg_tot[lut_reg[idx]].astype(np.float64), 6), pa.float64())})
+
+
+SQL_SHARE_OF_PARENT = """
+WITH r AS (
+  SELECT n.n_regionkey AS region, n.n_name AS nation,
+         SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1, 2
+), t AS (
+  SELECT region, CAST(SUM(cents) AS HUGEINT) AS rt FROM r GROUP BY 1
+)
+SELECT CAST(r.region AS BIGINT) AS region, r.nation,
+       CAST(r.cents AS BIGINT) AS cents,
+       ROUND(CAST(r.cents AS DOUBLE) / CAST(t.rt AS DOUBLE), 6)
+         AS share_of_region
+FROM r JOIN t USING (region)
+WHERE r.cents > 0
+"""
+
+
+# =====================================================================
+# maximum drawdown of the daily revenue series
+# =====================================================================
+
+def q_max_drawdown(sf_dir: str):
+    """Maximum DRAWDOWN of daily revenue: the deepest relative fall
+    from any prior running-maximum day — the stability readout that
+    ranks a volatile feed below a steady one even at equal totals
+    (finance's risk metric applied to pipeline throughput). Running
+    max and the (rm − rev) numerators are exact int64 on the bounded
+    day fold; each day's drawdown is ONE identical division; the
+    maximum of those doubles is order-independent. Output: the max
+    drawdown and the count of days at a new running maximum."""
+    df = _day_rev_fold(sf_dir)
+    rev = df["rev"].to_numpy(np.int64)
+    rm = np.maximum.accumulate(rev)
+    dd = (rm - rev).astype(np.float64) / rm.astype(np.float64)
+    return pa.table({
+        "n_days": pa.array([len(rev)], pa.int64()),
+        "n_peak_days": pa.array([int((rev == rm).sum())], pa.int64()),
+        "max_drawdown": pa.array([np.round(float(dd.max()), 6)],
+                                 pa.float64())})
+
+
+SQL_MAX_DRAWDOWN = """
+WITH d AS (
+  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1
+), w AS (
+  SELECT day, rev,
+    MAX(rev) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS rm
+  FROM d
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+  CAST(SUM(CASE WHEN rev = rm THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_peak_days,
+  ROUND(MAX(CAST(rm - rev AS DOUBLE) / CAST(rm AS DOUBLE)), 6)
+    AS max_drawdown
+FROM w
+"""
+
+
 ROUNDFIVE_QUERIES = {
+    "share_of_parent": (q_share_of_parent, SQL_SHARE_OF_PARENT),
+    "max_drawdown": (q_max_drawdown, SQL_MAX_DRAWDOWN),
     "hapax_ratio": (q_hapax_ratio, SQL_HAPAX_RATIO),
     "copurchase_pairs": (q_copurchase_pairs, SQL_COPURCHASE_PAIRS),
     "hill_tail": (q_hill_tail, SQL_HILL_TAIL),
