@@ -4090,7 +4090,116 @@ FROM w
 """
 
 
+# =====================================================================
+# Simpson's paradox check (aggregate vs per-group slopes)
+# =====================================================================
+
+def q_simpson_check(sf_dir: str):
+    """Simpson's-paradox audit: the OLS slope of extendedprice on
+    discount computed over ALL lineitems and within each returnflag
+    group, plus a reversed flag when the aggregate slope's sign
+    contradicts every group's — the one-query sanity check that stops
+    a dashboard from shipping a confounded trend. Five exact int64
+    moment partials per scope through a <= 4-row exchange (the ALL
+    scope is the SUM of the group partials — no second pass); slope =
+    (nΣxy − ΣxΣy)/(nΣxx − (Σx)²) in unbounded ints, one division,
+    6 dp."""
+    ds = _t(sf_dir, "lineitem",
+            ["l_returnflag", "l_discount", "l_extendedprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        x = _cents(b["l_discount"]).to_numpy(zero_copy_only=False)
+        y = _cents(b["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        flags = np.asarray(b["l_returnflag"], dtype=object)
+        uf, inv = np.unique(flags, return_inverse=True)
+        out = {"flag": pa.array(uf)}
+        for name, v in (("n", np.ones(len(x), np.int64)),
+                        ("sx", x), ("sy", y),
+                        ("sxx", x * x), ("sxy", x * y)):
+            s = np.zeros(len(uf), np.int64)
+            np.add.at(s, inv, v)
+            out[name] = pa.array(s)
+        return pa.table(out)
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("flag")
+           .aggregate(*[Sum(c, alias_name=c)
+                        for c in ["n", "sx", "sy", "sxx", "sxy"]]))
+    df = agg.to_pandas().sort_values("flag", ignore_index=True)
+
+    def slope(n, sx, sy, sxx, sxy):
+        den = n * sxx - sx * sx
+        return None if den == 0 else float(n * sxy - sx * sy) / float(den)
+
+    rows = {"scope": [], "n": [], "slope": []}
+    g_slopes = []
+    tot = [0] * 5
+    for _, r in df.iterrows():
+        vals = [int(r[c]) for c in ["n", "sx", "sy", "sxx", "sxy"]]
+        tot = [a + b for a, b in zip(tot, vals)]
+        s = slope(*vals)
+        g_slopes.append(s)
+        rows["scope"].append(str(r["flag"]))
+        rows["n"].append(vals[0])
+        rows["slope"].append(None if s is None else np.round(s, 6))
+    s_all = slope(*tot)
+    rows["scope"].append("ALL")
+    rows["n"].append(tot[0])
+    rows["slope"].append(None if s_all is None else np.round(s_all, 6))
+    reversed_flag = int(s_all is not None and all(
+        s is not None and (s > 0) != (s_all > 0) for s in g_slopes))
+    return pa.table({
+        "scope": pa.array(rows["scope"], pa.string()),
+        "n": pa.array(rows["n"], pa.int64()),
+        "slope": pa.array(rows["slope"], pa.float64()),
+        "reversed": pa.array([reversed_flag] * len(rows["scope"]),
+                             pa.int64())})
+
+
+SQL_SIMPSON_CHECK = """
+WITH m AS (
+  SELECT l_returnflag AS scope,
+    CAST(COUNT(*) AS HUGEINT) AS n,
+    CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS HUGEINT) AS sx,
+    CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS HUGEINT)
+      AS sy,
+    CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)
+             * CAST(ROUND(l_discount * 100) AS BIGINT)) AS HUGEINT)
+      AS sxx,
+    CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)
+             * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS HUGEINT)
+      AS sxy
+  FROM lineitem GROUP BY 1
+), a AS (
+  SELECT 'ALL' AS scope, SUM(n) AS n, SUM(sx) AS sx, SUM(sy) AS sy,
+         SUM(sxx) AS sxx, SUM(sxy) AS sxy
+  FROM m
+), u AS (SELECT * FROM m UNION ALL SELECT * FROM a),
+s AS (
+  SELECT scope, n,
+    CASE WHEN n * sxx - sx * sx <> 0
+         THEN CAST(n * sxy - sx * sy AS DOUBLE)
+              / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope
+  FROM u
+), rev AS (
+  SELECT CAST(CASE WHEN
+    (SELECT slope FROM s WHERE scope = 'ALL') IS NOT NULL
+    AND NOT EXISTS (
+      SELECT 1 FROM s WHERE scope <> 'ALL'
+        AND (slope IS NULL
+             OR (slope > 0) = ((SELECT slope FROM s
+                                WHERE scope = 'ALL') > 0)))
+    THEN 1 ELSE 0 END AS BIGINT) AS reversed
+)
+SELECT s.scope, CAST(s.n AS BIGINT) AS n, ROUND(s.slope, 6) AS slope,
+       rev.reversed
+FROM s, rev
+"""
+
+
 ROUNDFIVE_QUERIES = {
+    "simpson_check": (q_simpson_check, SQL_SIMPSON_CHECK),
     "share_of_parent": (q_share_of_parent, SQL_SHARE_OF_PARENT),
     "max_drawdown": (q_max_drawdown, SQL_MAX_DRAWDOWN),
     "hapax_ratio": (q_hapax_ratio, SQL_HAPAX_RATIO),
