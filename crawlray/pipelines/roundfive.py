@@ -4198,7 +4198,114 @@ FROM s, rev
 """
 
 
+# =====================================================================
+# error-run-length histogram (gaps-and-islands, RLE)
+# =====================================================================
+
+def q_type_runs(sf_dir: str):
+    """Histogram of CONSECUTIVE-error run lengths within each user's
+    event stream — the run-length-encoding readout that separates
+    isolated failures from error storms (SQL's gaps-and-islands
+    pattern, done here as one vectorized RLE per partition). ONE
+    user-hash exchange, (ts, event_id) tuple order; a run boundary is
+    a user change or a non-error between errors; <= max-run-length
+    bincount partials."""
+    from .sizing import fold_parts
+
+    n_parts = fold_parts()
+    ds = _t(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kp = (_splitmix64(uid).view(np.uint64)
+              % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({
+            "user_id": b["user_id"], "event_id": b["event_id"],
+            "ts_us": b["ts"].cast(pa.int64()),
+            "is_err": pc.equal(b["event_type"],
+                               pa.scalar("error")).cast(pa.int64()),
+            "kp": pa.array(kp),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        err = g["is_err"].to_numpy(np.int64).astype(bool)
+        order = np.lexsort((eid, ts, uid))
+        uid, err = uid[order], err[order]
+        # run starts: an error whose predecessor is a different user
+        # or a non-error
+        start = err.copy()
+        start[1:] &= (uid[1:] != uid[:-1]) | ~err[:-1]
+        run_id = np.cumsum(start) - 1
+        lengths = np.bincount(run_id[err])
+        ul, c = np.unique(lengths[lengths > 0], return_counts=True)
+        return pd.DataFrame({"run_len": ul.astype(np.int64),
+                             "n_runs": c.astype(np.int64)})
+
+    return (ds.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("kp").map_groups(fold, batch_format="pandas")
+            .groupby("run_len")
+            .aggregate(Sum("n_runs", alias_name="n_runs")))
+
+
+SQL_TYPE_RUNS = """
+WITH s AS (
+  SELECT user_id, event_type,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS rn,
+    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS rt
+  FROM events
+), runs AS (
+  SELECT user_id, rn - rt AS grp, CAST(COUNT(*) AS BIGINT) AS run_len
+  FROM s WHERE event_type = 'error' GROUP BY 1, 2
+)
+SELECT run_len, CAST(COUNT(*) AS BIGINT) AS n_runs
+FROM runs GROUP BY 1
+"""
+
+
+# =====================================================================
+# consecutive-order-day islands
+# =====================================================================
+
+def q_order_islands(sf_dir: str):
+    """Gaps-and-islands over ORDER DAYS: the distribution of
+    consecutive-day runs in the order calendar (how long does demand
+    stay unbroken?) plus the longest island — the island twin of
+    sequence_gaps. One <= #days exchange; the island decomposition is
+    a single diff on the sorted day table (day − rank is constant
+    within an island, exactly the oracle's ROW_NUMBER trick)."""
+    df = _day_rev_fold(sf_dir)
+    day = df["day"].to_numpy(np.int64)
+    grp = day - np.arange(len(day), dtype=np.int64)
+    _, counts = np.unique(grp, return_counts=True)
+    ul, c = np.unique(counts, return_counts=True)
+    return pa.table({
+        "island_len": pa.array(ul.astype(np.int64)),
+        "n_islands": pa.array(c.astype(np.int64))})
+
+
+SQL_ORDER_ISLANDS = """
+WITH d AS (
+  SELECT DISTINCT epoch_us(o_orderdate) // 86400000000 AS day
+  FROM orders
+), g AS (
+  SELECT day, day - ROW_NUMBER() OVER (ORDER BY day) AS grp FROM d
+), runs AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS island_len FROM g GROUP BY 1
+)
+SELECT island_len, CAST(COUNT(*) AS BIGINT) AS n_islands
+FROM runs GROUP BY 1
+"""
+
+
 ROUNDFIVE_QUERIES = {
+    "type_runs": (q_type_runs, SQL_TYPE_RUNS),
+    "order_islands": (q_order_islands, SQL_ORDER_ISLANDS),
     "simpson_check": (q_simpson_check, SQL_SIMPSON_CHECK),
     "share_of_parent": (q_share_of_parent, SQL_SHARE_OF_PARENT),
     "max_drawdown": (q_max_drawdown, SQL_MAX_DRAWDOWN),
