@@ -4303,7 +4303,223 @@ FROM runs GROUP BY 1
 """
 
 
+# =====================================================================
+# winback rate (churn-and-return lifecycle)
+# =====================================================================
+
+def q_winback_rate(sf_dir: str, churn_days: int = 60):
+    """Winback audit: how many users ever went quiet for more than 60
+    days between purchases, and how many of their silences ended in
+    another purchase — the lifecycle readout a reactivation campaign
+    is judged against. Per-user purchase gaps are partition-local
+    after ONE user-hash exchange ((ts, event_id) tuple order); every
+    over-threshold gap is a churn episode and every such gap is by
+    construction a winback (a TRAILING silence has no next purchase,
+    so episodes = gaps > T between consecutive purchases, winbacks =
+    those same gaps — the table also reports users still quiet at the
+    horizon). Exact integer day math; one division, 6 dp."""
+    from .sizing import fold_parts
+
+    n_parts = fold_parts()
+    gap_us = churn_days * DAY_US
+    ds = _t(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+
+    bounds = ds.map_batches(
+        lambda b: pa.table({"hi": pa.array(
+            [pc.max(b["ts"]).cast(pa.int64()).as_py()], pa.int64())}),
+        batch_format="pyarrow").aggregate(Max("hi"))
+    horizon = int(bounds["max(hi)"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        m = pc.equal(b["event_type"], pa.scalar("purchase"))
+        t = b.filter(m)
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kp = (_splitmix64(uid).view(np.uint64)
+              % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({
+            "user_id": t["user_id"], "event_id": t["event_id"],
+            "ts_us": t["ts"].cast(pa.int64()), "kp": pa.array(kp),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts = uid[order], ts[order]
+        same = uid[1:] == uid[:-1]
+        winbacks = int(((ts[1:] - ts[:-1] > gap_us) & same).sum())
+        # users whose LAST purchase is > T before the horizon
+        last = np.ones(len(uid), bool)
+        last[:-1] = ~same
+        still_quiet = int((horizon - ts[last] > gap_us).sum())
+        n_users = int(last.sum())
+        return pd.DataFrame({
+            "n_users": [n_users], "winbacks": [winbacks],
+            "still_quiet": [still_quiet]})
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("kp").map_groups(fold, batch_format="pandas")
+           .aggregate(Sum("n_users", alias_name="n_users"),
+                      Sum("winbacks", alias_name="winbacks"),
+                      Sum("still_quiet", alias_name="still_quiet")))
+    n_users = int(agg["n_users"])
+    winbacks = int(agg["winbacks"])
+    quiet = int(agg["still_quiet"])
+    episodes = winbacks + quiet
+    return pa.table({
+        "n_users": pa.array([n_users], pa.int64()),
+        "episodes": pa.array([episodes], pa.int64()),
+        "winbacks": pa.array([winbacks], pa.int64()),
+        "winback_rate": pa.array(
+            [None if episodes == 0
+             else np.round(float(winbacks) / float(episodes), 6)],
+            pa.float64())})
+
+
+SQL_WINBACK_RATE = """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS tu,
+    LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS prev
+  FROM events WHERE event_type = 'purchase'
+), h AS (SELECT MAX(epoch_us(ts)) AS horizon FROM events),
+w AS (
+  SELECT CAST(SUM(CASE WHEN tu - prev > 60 * 86400000000 THEN 1
+                       ELSE 0 END) AS BIGINT) AS winbacks
+  FROM p WHERE prev IS NOT NULL
+), q AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+    CAST(SUM(CASE WHEN h.horizon - lastp > 60 * 86400000000 THEN 1
+             ELSE 0 END) AS BIGINT) AS still_quiet
+  FROM (SELECT user_id, MAX(tu) AS lastp FROM p GROUP BY 1), h
+  GROUP BY ALL
+)
+SELECT q.n_users, w.winbacks + q.still_quiet AS episodes, w.winbacks,
+  CASE WHEN w.winbacks + q.still_quiet > 0
+       THEN ROUND(CAST(w.winbacks AS DOUBLE)
+                  / CAST(w.winbacks + q.still_quiet AS DOUBLE), 6)
+  END AS winback_rate
+FROM w, q
+"""
+
+
+# =====================================================================
+# supplier lead-time consistency (variance of ship lag per supplier)
+# =====================================================================
+
+def q_lag_consistency(sf_dir: str, k: int = 20):
+    """Top-20 LEAST consistent suppliers by ship-lag standard
+    deviation — ship_lag told you the fleet median; this names the
+    suppliers whose lead time you cannot plan around. The
+    order-date/ship-date join rides ONE orderkey-hash exchange (the
+    temporal_join tag pattern); per-supplier exact int64 moment
+    partials (n, Σlag, Σlag²) fold through a <= |suppliers| exchange;
+    std = √((nΣx²−(Σx)²)/n²) in unbounded ints until one sqrt, ranked
+    (std DESC, suppkey) both sides, 6 dp. The +10000-day offset makes
+    numpy floor-div equal DuckDB's truncating // on negative lags."""
+    from .sizing import fold_parts
+
+    n_parts = fold_parts()
+    off = 10_000
+
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"])
+
+    def prep_o(b: pa.Table) -> pa.Table:
+        kk = b["o_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        kp = (_splitmix64(kk).view(np.uint64)
+              % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({
+            "okey": b["o_orderkey"],
+            "ts": b["o_orderdate"].cast(pa.int64()),
+            "supp": pa.array(np.full(b.num_rows, -1, np.int64)),
+            "kp": pa.array(kp),
+        })
+
+    def prep_l(b: pa.Table) -> pa.Table:
+        kk = b["l_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        kp = (_splitmix64(kk).view(np.uint64)
+              % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({
+            "okey": b["l_orderkey"],
+            "ts": b["l_shipdate"].cast(pa.int64()),
+            "supp": b["l_suppkey"],
+            "kp": pa.array(kp),
+        })
+
+    tagged = orders.map_batches(prep_o, batch_format="pyarrow",
+                                zero_copy_batch=True) \
+        .union(li.map_batches(prep_l, batch_format="pyarrow",
+                              zero_copy_batch=True))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["supp"] < 0]
+        l_ = g[g["supp"] >= 0]
+        odate = dict(zip(o["okey"].to_numpy(np.int64),
+                         o["ts"].to_numpy(np.int64)))
+        lk = l_["okey"].to_numpy(np.int64)
+        lt = l_["ts"].to_numpy(np.int64)
+        sup = l_["supp"].to_numpy(np.int64)
+        od = np.fromiter((odate[k_] for k_ in lk), np.int64, len(lk))
+        lag = (lt - od) // DAY_US + off
+        us, inv = np.unique(sup, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        s1 = np.zeros(len(us), np.int64)
+        s2 = np.zeros(len(us), np.int64)
+        np.add.at(s1, inv, lag)
+        np.add.at(s2, inv, lag * lag)
+        return pd.DataFrame({"supp": us, "n": n, "s1": s1, "s2": s2})
+
+    agg = (tagged.groupby("kp").map_groups(fold, batch_format="pandas")
+           .groupby("supp")
+           .aggregate(Sum("n", alias_name="n"), Sum("s1", alias_name="s1"),
+                      Sum("s2", alias_name="s2")))
+    df = agg.to_pandas()  # <= |suppliers| rows — bounded dimension fold
+    rows = []
+    for _, r in df.iterrows():
+        n, s1, s2 = int(r["n"]), int(r["s1"]), int(r["s2"])
+        if n < 2:
+            continue
+        var_num = n * s2 - s1 * s1              # exact unbounded ints
+        std = math.sqrt(float(var_num) / float(n * n))
+        rows.append((int(r["supp"]), n, np.round(std, 6)))
+    rows.sort(key=lambda r: (-r[2], r[0]))
+    top = rows[:k]
+    return pa.table({
+        "supp": pa.array([r[0] for r in top], pa.int64()),
+        "n": pa.array([r[1] for r in top], pa.int64()),
+        "lag_std": pa.array([r[2] for r in top], pa.float64())})
+
+
+SQL_LAG_CONSISTENCY = """
+WITH j AS (
+  SELECT l.l_suppkey AS supp,
+    (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)) // 86400000000
+      + 10000 AS lag
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+), m AS (
+  SELECT supp, CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(lag) AS HUGEINT) AS s1,
+         CAST(SUM(lag * lag) AS HUGEINT) AS s2
+  FROM j GROUP BY 1 HAVING COUNT(*) >= 2
+), s AS (
+  SELECT supp, CAST(n AS BIGINT) AS n,
+    ROUND(SQRT(CAST(n * s2 - s1 * s1 AS DOUBLE)
+               / CAST(n * n AS DOUBLE)), 6) AS lag_std
+  FROM m
+)
+SELECT supp, n, lag_std FROM s
+QUALIFY ROW_NUMBER() OVER (ORDER BY lag_std DESC, supp) <= 20
+"""
+
+
 ROUNDFIVE_QUERIES = {
+    "winback_rate": (q_winback_rate, SQL_WINBACK_RATE),
+    "lag_consistency": (q_lag_consistency, SQL_LAG_CONSISTENCY),
     "type_runs": (q_type_runs, SQL_TYPE_RUNS),
     "order_islands": (q_order_islands, SQL_ORDER_ISLANDS),
     "simpson_check": (q_simpson_check, SQL_SIMPSON_CHECK),
