@@ -4517,7 +4517,156 @@ QUALIFY ROW_NUMBER() OVER (ORDER BY lag_std DESC, supp) <= 20
 """
 
 
+# =====================================================================
+# two-way interaction effects (dow × priority)
+# =====================================================================
+
+def q_two_way_effects(sf_dir: str):
+    """Two-way ANOVA-style INTERACTION surface: mean order revenue per
+    (weekday × priority) cell minus the additive model (grand + row +
+    column effects) — the interaction readout that says whether
+    priority behaves differently on weekends before anyone fits a
+    model. One <= 7×|priorities| exchange of exact int64 (n, cents)
+    partials; row/column/grand sums derive from the SAME fold; the
+    interaction is ONE identical IEEE expression (four divisions) per
+    cell, 6 dp."""
+    ds = _t(sf_dir, "orders", ["o_orderdate", "o_orderpriority",
+                               "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        day = (b["o_orderdate"].cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // DAY_US)
+        dow = ((day + 3) % 7 + 1).astype(np.int64)
+        t = pa.table({"dow": pa.array(dow), "prio": b["o_orderpriority"],
+                      "c": _cents(b["o_totalprice"]),
+                      "n": pa.array(np.ones(b.num_rows, np.int64))})
+        g = t.group_by(["dow", "prio"]).aggregate([("c", "sum"),
+                                                   ("n", "sum")])
+        return g.rename_columns(["dow", "prio", "c", "n"])
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["dow", "prio"])
+           .aggregate(Sum("c", alias_name="c"), Sum("n", alias_name="n")))
+    df = agg.to_pandas()
+    row = df.groupby("dow")[["c", "n"]].sum()
+    col = df.groupby("prio")[["c", "n"]].sum()
+    s, n = int(df["c"].sum()), int(df["n"].sum())
+    rows = {"dow": [], "prio": [], "n": [], "interaction": []}
+    for _, r in df.sort_values(["dow", "prio"]).iterrows():
+        d, p = int(r["dow"]), str(r["prio"])
+        inter = (float(int(r["c"])) / float(int(r["n"]))
+                 - float(int(row.loc[d, "c"])) / float(int(row.loc[d, "n"]))
+                 - float(int(col.loc[p, "c"])) / float(int(col.loc[p, "n"]))
+                 + float(s) / float(n))
+        rows["dow"].append(d)
+        rows["prio"].append(p)
+        rows["n"].append(int(r["n"]))
+        rows["interaction"].append(np.round(inter, 6))
+    return pa.table({
+        "dow": pa.array(rows["dow"], pa.int64()),
+        "prio": pa.array(rows["prio"], pa.string()),
+        "n": pa.array(rows["n"], pa.int64()),
+        "interaction": pa.array(rows["interaction"], pa.float64())})
+
+
+SQL_TWO_WAY_EFFECTS = """
+WITH o AS (
+  SELECT (epoch_us(o_orderdate) // 86400000000 + 3) % 7 + 1 AS dow,
+         o_orderpriority AS prio,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+), cell AS (
+  SELECT dow, prio, CAST(SUM(c) AS HUGEINT) AS sc,
+         CAST(COUNT(*) AS HUGEINT) AS nc
+  FROM o GROUP BY 1, 2
+), rw AS (
+  SELECT dow, CAST(SUM(sc) AS HUGEINT) AS sr,
+         CAST(SUM(nc) AS HUGEINT) AS nr
+  FROM cell GROUP BY 1
+), cl AS (
+  SELECT prio, CAST(SUM(sc) AS HUGEINT) AS sp,
+         CAST(SUM(nc) AS HUGEINT) AS np
+  FROM cell GROUP BY 1
+), g AS (
+  SELECT CAST(SUM(sc) AS HUGEINT) AS s, CAST(SUM(nc) AS HUGEINT) AS n
+  FROM cell
+)
+SELECT CAST(cell.dow AS BIGINT) AS dow, cell.prio,
+       CAST(cell.nc AS BIGINT) AS n,
+       ROUND(CAST(cell.sc AS DOUBLE) / CAST(cell.nc AS DOUBLE)
+             - CAST(rw.sr AS DOUBLE) / CAST(rw.nr AS DOUBLE)
+             - CAST(cl.sp AS DOUBLE) / CAST(cl.np AS DOUBLE)
+             + CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE), 6)
+         AS interaction
+FROM cell JOIN rw USING (dow) JOIN cl USING (prio), g
+"""
+
+
+# =====================================================================
+# quantity × discount joint grid
+# =====================================================================
+
+def q_qty_discount_grid(sf_dir: str):
+    """Joint distribution of (quantity, discount%) with mean unit
+    revenue per cell — the 2-D pricing heatmap (bounded 50×11 grid)
+    that shows where discounting actually concentrates. Block-local
+    packed-code bincounts (the dow_hour_heatmap shape at a bigger
+    grid); exact cents; one division per cell, 6 dp."""
+    ds = _t(sf_dir, "lineitem",
+            ["l_quantity", "l_discount", "l_extendedprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        q = pc.round(b["l_quantity"]).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        d = _cents(b["l_discount"]).to_numpy(zero_copy_only=False)
+        c = _cents(b["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        code = q * 101 + d
+        size = int(code.max()) + 1
+        n = np.bincount(code, minlength=size).astype(np.int64)
+        s = np.zeros(size, np.int64)
+        np.add.at(s, code, c)
+        nz = np.nonzero(n)[0]
+        return pa.table({
+            "qty": pa.array((nz // 101).astype(np.int64)),
+            "disc": pa.array((nz % 101).astype(np.int64)),
+            "n": pa.array(n[nz]), "cents": pa.array(s[nz]),
+        })
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["qty", "disc"])
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("cents", alias_name="cents")))
+
+    def finalize(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c = b["cents"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # half-AWAY 6-dp finale (DuckDB ROUND): integer-ratio means DO
+        # land exactly on .5e-6 boundaries
+        y = (c / n) * 1e6
+        m6 = np.where(y >= 0, np.floor(y + 0.5), -np.floor(-y + 0.5)) / 1e6
+        return pa.table({
+            "qty": b["qty"], "disc": b["disc"], "n": b["n"],
+            "mean_cents": pa.array(m6, pa.float64())})
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_QTY_DISCOUNT_GRID = """
+SELECT CAST(ROUND(l_quantity) AS BIGINT) AS qty,
+       CAST(ROUND(l_discount * 100) AS BIGINT) AS disc,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS mean_cents
+FROM lineitem GROUP BY 1, 2
+"""
+
+
 ROUNDFIVE_QUERIES = {
+    "two_way_effects": (q_two_way_effects, SQL_TWO_WAY_EFFECTS),
+    "qty_discount_grid": (q_qty_discount_grid, SQL_QTY_DISCOUNT_GRID),
     "winback_rate": (q_winback_rate, SQL_WINBACK_RATE),
     "lag_consistency": (q_lag_consistency, SQL_LAG_CONSISTENCY),
     "type_runs": (q_type_runs, SQL_TYPE_RUNS),
