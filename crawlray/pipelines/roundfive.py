@@ -4664,7 +4664,189 @@ FROM lineitem GROUP BY 1, 2
 """
 
 
+# =====================================================================
+# event-type co-usage Jaccard (bitmask inclusion counts)
+# =====================================================================
+
+def q_type_overlap(sf_dir: str):
+    """User-set Jaccard between every event-type pair — which features
+    share an audience (source_overlap's bitmask trick on the behavior
+    axis). Each partition of ONE user-hash exchange folds its users'
+    type BITMASKS (<= 2^|types| = 32 distinct masks!), so the whole
+    overlap structure crosses the wire as <= 32 counts; the driver
+    recovers every pairwise intersection/union by exact popcount
+    arithmetic — the |types|²·|users| join never exists. One division
+    per pair, 6 dp."""
+    from .sizing import fold_parts
+
+    n_parts = fold_parts()
+    ds = _t(sf_dir, "events", ["user_id", "event_type"])
+
+    # fixed global type order: the bounded distinct fold
+    types = sorted(
+        r["event_type"] for r in
+        ds.map_batches(
+            lambda b: pa.table({"event_type": pc.unique(
+                b["event_type"].combine_chunks())}),
+            batch_format="pyarrow").groupby("event_type").count()
+        .select_columns(["event_type"]).take_all())
+    tcode = {t: i for i, t in enumerate(types)}
+    code_ref = ray.put(tcode)
+
+    def prep(b: pa.Table) -> pa.Table:
+        g = pa.table({"u": b["user_id"], "t": b["event_type"]}) \
+            .group_by(["u", "t"]).aggregate([])
+        u = g["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kp = (_splitmix64(u).view(np.uint64)
+              % np.uint64(n_parts)).astype(np.int64)
+        return g.append_column("kp", pa.array(kp))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        import ray as _r
+
+        codes = _r.get(code_ref)
+        u = g["u"].to_numpy(np.int64)
+        bit = np.array([1 << codes[t] for t in g["t"]], np.int64)
+        uu, inv = np.unique(u, return_inverse=True)
+        mask = np.zeros(len(uu), np.int64)
+        np.bitwise_or.at(mask, inv, bit)
+        um, c = np.unique(mask, return_counts=True)
+        return pd.DataFrame({"mask": um.astype(np.int64),
+                             "n": c.astype(np.int64)})
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("kp").map_groups(fold, batch_format="pandas")
+           .groupby("mask")
+           .aggregate(Sum("n", alias_name="n")))
+    counts = {int(r["mask"]): int(r["n"]) for r in agg.take_all()}
+    rows = {"type_a": [], "type_b": [], "both": [], "either": [],
+            "jaccard": []}
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            j = tcode[tb]
+            bi, bj = 1 << tcode[ta], 1 << j
+            both = sum(n for m, n in counts.items()
+                       if (m & bi) and (m & bj))
+            either = sum(n for m, n in counts.items()
+                         if (m & bi) or (m & bj))
+            rows["type_a"].append(ta)
+            rows["type_b"].append(tb)
+            rows["both"].append(both)
+            rows["either"].append(either)
+            rows["jaccard"].append(np.round(
+                float(both) / float(either), 6))
+    return pa.table({
+        "type_a": pa.array(rows["type_a"], pa.string()),
+        "type_b": pa.array(rows["type_b"], pa.string()),
+        "both": pa.array(rows["both"], pa.int64()),
+        "either": pa.array(rows["either"], pa.int64()),
+        "jaccard": pa.array(rows["jaccard"], pa.float64())})
+
+
+SQL_TYPE_OVERLAP = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+p AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS both
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+), s AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM ut GROUP BY 1
+)
+SELECT p.type_a, p.type_b, p.both,
+       sa.n + sb.n - p.both AS either,
+       ROUND(CAST(p.both AS DOUBLE)
+             / CAST(sa.n + sb.n - p.both AS DOUBLE), 6) AS jaccard
+FROM p JOIN s sa ON sa.event_type = p.type_a
+       JOIN s sb ON sb.event_type = p.type_b
+"""
+
+
+# =====================================================================
+# n-th purchase revenue curve
+# =====================================================================
+
+def q_purchase_index_curve(sf_dir: str):
+    """Average purchase value by the purchase's per-user SEQUENCE
+    INDEX (1st, 2nd, 3rd …) — do customers spend more as they mature?
+    The lifecycle curve every LTV model is sanity-checked against.
+    ONE user-hash exchange; per-user ranks come from one partition
+    lexsort ((ts, event_id) tuple order); per-index exact int64
+    (n, cents) partials are bounded by the max purchases-per-user;
+    one division per index, half-away 6-dp finale."""
+    from .sizing import fold_parts
+
+    n_parts = fold_parts()
+    ds = _t(sf_dir, "events", ["user_id", "event_id", "ts",
+                               "event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        m = pc.equal(b["event_type"], pa.scalar("purchase"))
+        t = b.filter(m)
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kp = (_splitmix64(uid).view(np.uint64)
+              % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({
+            "user_id": t["user_id"], "event_id": t["event_id"],
+            "ts_us": t["ts"].cast(pa.int64()), "c": _cents(t["value"]),
+            "kp": pa.array(kp),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        uid, c = uid[order], c[order]
+        new = np.ones(len(uid), bool)
+        new[1:] = uid[1:] != uid[:-1]
+        starts = np.nonzero(new)[0]
+        idx = np.arange(len(uid)) - np.repeat(starts, np.diff(
+            np.concatenate([starts, [len(uid)]]))) + 1
+        ui, n = np.unique(idx, return_counts=True)
+        s = np.zeros(len(ui), np.int64)
+        np.add.at(s, np.searchsorted(ui, idx), c)
+        return pd.DataFrame({"pidx": ui.astype(np.int64),
+                             "n": n.astype(np.int64), "cents": s})
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("kp").map_groups(fold, batch_format="pandas")
+           .groupby("pidx")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("cents", alias_name="cents")))
+    df = agg.to_pandas().sort_values("pidx", ignore_index=True)
+    n = df["n"].to_numpy(np.int64).astype(np.float64)
+    c = df["cents"].to_numpy(np.int64).astype(np.float64)
+    y = (c / n) * 1e6
+    m6 = np.where(y >= 0, np.floor(y + 0.5), -np.floor(-y + 0.5)) / 1e6
+    return pa.table({
+        "pidx": pa.array(df["pidx"].to_numpy(np.int64)),
+        "n": pa.array(df["n"].to_numpy(np.int64)),
+        "mean_cents": pa.array(m6, pa.float64())})
+
+
+SQL_PURCHASE_INDEX_CURVE = """
+WITH p AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS c,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS pidx
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT CAST(pidx AS BIGINT) AS pidx, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS mean_cents
+FROM p GROUP BY 1
+"""
+
+
 ROUNDFIVE_QUERIES = {
+    "type_overlap": (q_type_overlap, SQL_TYPE_OVERLAP),
+    "purchase_index_curve": (q_purchase_index_curve,
+                             SQL_PURCHASE_INDEX_CURVE),
     "two_way_effects": (q_two_way_effects, SQL_TWO_WAY_EFFECTS),
     "qty_discount_grid": (q_qty_discount_grid, SQL_QTY_DISCOUNT_GRID),
     "winback_rate": (q_winback_rate, SQL_WINBACK_RATE),
