@@ -4843,7 +4843,191 @@ FROM p GROUP BY 1
 """
 
 
+# =====================================================================
+# token burstiness (collection vs document frequency)
+# =====================================================================
+
+def q_token_burstiness(sf_dir: str, k: int = 50):
+    """Burstiness of the top-50 tokens: collection frequency over
+    document frequency (mean occurrences per CONTAINING doc) — the
+    Church–Gale readout separating topical words (bursty: when they
+    appear, they appear often) from function words (spread thin).
+    Block combiners emit per-token (cf, df) pairs from ONE Arrow
+    value_counts + one distinct pass; a token groupby folds them; the
+    driver takes the top-50 by (cf DESC, token) — exact ints, one
+    division, 6 dp."""
+    from .dataops import _docs
+
+    ds = _docs(sf_dir, ["text"])
+
+    def counts(b: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(b["text"].combine_chunks())
+        lists = pc.split_pattern_regex(low, "[^a-z]+")
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        ok = pc.not_equal(flat, pa.scalar(""))
+        flat = flat.filter(ok)
+        parent = parent.filter(ok)
+        vc = pc.value_counts(flat)
+        # df partial: distinct (doc, token) pairs per block
+        dt = pa.table({"p": parent, "t": flat}) \
+            .group_by(["p", "t"]).aggregate([])
+        dfc = pc.value_counts(dt["t"].combine_chunks())
+        cf_map = {str(v): int(c.as_py()) for v, c in
+                  zip(vc.field("values"), vc.field("counts"))}
+        out_t, out_cf, out_df = [], [], []
+        for v, c in zip(dfc.field("values"), dfc.field("counts")):
+            tok = str(v)
+            out_t.append(tok)
+            out_cf.append(cf_map[tok])
+            out_df.append(int(c.as_py()))
+        return pa.table({"token": pa.array(out_t, pa.string()),
+                         "cf": pa.array(out_cf, pa.int64()),
+                         "df": pa.array(out_df, pa.int64())})
+
+    agg = (ds.map_batches(counts, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("token")
+           .aggregate(Sum("cf", alias_name="cf"),
+                      Sum("df", alias_name="df")))
+
+    def partial_top(b: pa.Table) -> pa.Table:
+        df_ = b.to_pandas().sort_values(
+            ["cf", "token"], ascending=[False, True], kind="mergesort")
+        return pa.Table.from_pandas(df_.head(k), preserve_index=False)
+
+    rows = [r for b in agg.map_batches(partial_top,
+                                       batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")
+            for r in zip(b["token"].to_pylist(), b["cf"].to_pylist(),
+                         b["df"].to_pylist())]
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    top = rows[:k]
+    cf = np.array([r[1] for r in top], np.int64)
+    df_ = np.array([r[2] for r in top], np.int64)
+    return pa.table({
+        "token": pa.array([r[0] for r in top], pa.string()),
+        "cf": pa.array(cf), "df": pa.array(df_),
+        "burstiness": pa.array(np.round(
+            cf.astype(np.float64) / df_.astype(np.float64), 6),
+            pa.float64())})
+
+
+SQL_TOKEN_BURSTINESS = """
+WITH tok AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS token
+    FROM documents)
+  WHERE token <> ''
+), m AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS cf,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tok GROUP BY 1
+)
+SELECT token, cf, df,
+       ROUND(CAST(cf AS DOUBLE) / CAST(df AS DOUBLE), 6) AS burstiness
+FROM m
+QUALIFY ROW_NUMBER() OVER (ORDER BY cf DESC, token) <= 50
+"""
+
+
+# =====================================================================
+# session path cardinality (sequence mining)
+# =====================================================================
+
+def q_path_cardinality(sf_dir: str, k: int = 5):
+    """How many DISTINCT event-type paths do sessions take, and which
+    five dominate — the sequence-mining readout behind any UX funnel
+    redesign (path = the session's full type sequence in (ts,
+    event_id) order, 30-minute-gap sessions). Paths are partition-
+    local after ONE user-hash exchange; each partition emits
+    (path, n) partials; the finale reports total distinct paths and
+    the top-5 by (count DESC, path)."""
+    from .sizing import fold_parts
+
+    n_parts = fold_parts()
+    gap_us = 1800 * 1_000_000
+    ds = _t(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kp = (_splitmix64(uid).view(np.uint64)
+              % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({
+            "user_id": b["user_id"], "event_id": b["event_id"],
+            "ts_us": b["ts"].cast(pa.int64()),
+            "event_type": b["event_type"], "kp": pa.array(kp),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, et = uid[order], ts[order], et[order]
+        brk = np.ones(len(ts), bool)
+        brk[1:] = (uid[1:] != uid[:-1]) | (ts[1:] - ts[:-1] > gap_us)
+        sess = np.cumsum(brk) - 1
+        paths: dict[str, int] = {}
+        starts = np.nonzero(brk)[0]
+        ends = np.concatenate([starts[1:], [len(sess)]])
+        for s, e in zip(starts, ends):
+            p = ">".join(et[s:e])
+            paths[p] = paths.get(p, 0) + 1
+        return pd.DataFrame({"path": list(paths.keys()),
+                             "n": np.array(list(paths.values()),
+                                           np.int64)})
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("kp").map_groups(fold, batch_format="pandas")
+           .groupby("path")
+           .aggregate(Sum("n", alias_name="n")))
+    df = agg.to_pandas()
+    df = df.sort_values(["n", "path"], ascending=[False, True],
+                        ignore_index=True, kind="mergesort")
+    top = df.head(k)
+    return pa.table({
+        "path": pa.array(list(top["path"]) + ["__total_distinct__"],
+                         pa.string()),
+        "n": pa.array(list(top["n"].astype(np.int64)) + [len(df)],
+                      pa.int64())})
+
+
+SQL_PATH_CARDINALITY = """
+WITH g AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tu, event_type,
+    CASE WHEN COALESCE(epoch_us(ts) - LAG(epoch_us(ts))
+              OVER (PARTITION BY user_id ORDER BY ts, event_id), 0)
+              > 1800000000
+         THEN 1 ELSE 0 END AS brk
+  FROM events
+), s AS (
+  SELECT user_id, event_id, tu, event_type,
+    SUM(brk) OVER (PARTITION BY user_id ORDER BY tu, event_id
+                   ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+), p AS (
+  SELECT user_id, sid,
+         STRING_AGG(event_type, '>' ORDER BY tu, event_id) AS path
+  FROM s GROUP BY 1, 2
+), c AS (
+  SELECT path, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY 1
+), topk AS (
+  SELECT path, n FROM c
+  QUALIFY ROW_NUMBER() OVER (ORDER BY n DESC, path) <= 5
+)
+SELECT path, n FROM topk
+UNION ALL
+SELECT '__total_distinct__', CAST(COUNT(*) AS BIGINT) FROM c
+"""
+
+
 ROUNDFIVE_QUERIES = {
+    "token_burstiness": (q_token_burstiness, SQL_TOKEN_BURSTINESS),
+    "path_cardinality": (q_path_cardinality, SQL_PATH_CARDINALITY),
     "type_overlap": (q_type_overlap, SQL_TYPE_OVERLAP),
     "purchase_index_curve": (q_purchase_index_curve,
                              SQL_PURCHASE_INDEX_CURVE),
