@@ -5025,7 +5025,109 @@ SELECT '__total_distinct__', CAST(COUNT(*) AS BIGINT) FROM c
 """
 
 
+# =====================================================================
+# lagged cross-correlation (clicks lead purchases?)
+# =====================================================================
+
+def q_cross_correlation(sf_dir: str, max_lag: int = 3):
+    """Cross-correlation between daily CLICK and PURCHASE counts at
+    lags −3…+3 — does click volume lead purchase volume (positive-lag
+    peak) or trail it? The acf_lags machinery generalized to two
+    series: one <= #days exchange of exact (day, clicks, purchases)
+    int partials; each lag's Pearson r uses exact integer moments
+    over day pairs BOTH PRESENT (the gap rule both sides), ONE
+    identical IEEE expression per lag, 6 dp."""
+    ds = _t(sf_dir, "events", ["ts", "event_type"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b["event_type"],
+                        value_set=pa.array(["click", "purchase"]))
+        t = b.filter(keep)
+        day = (t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+               // DAY_US)
+        is_c = (np.asarray(t["event_type"], dtype=object)
+                == "click").astype(np.int64)
+        ud, inv = np.unique(day, return_inverse=True)
+        clicks = np.zeros(len(ud), np.int64)
+        purch = np.zeros(len(ud), np.int64)
+        np.add.at(clicks, inv, is_c)
+        np.add.at(purch, inv, 1 - is_c)
+        return pa.table({"day": pa.array(ud.astype(np.int64)),
+                         "clicks": pa.array(clicks),
+                         "purchases": pa.array(purch)})
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("day")
+           .aggregate(Sum("clicks", alias_name="clicks"),
+                      Sum("purchases", alias_name="purchases")))
+    df = agg.to_pandas().sort_values("day", ignore_index=True)
+    day = df["day"].to_numpy(np.int64)
+    x = df["clicks"].to_numpy(np.int64).astype(object)
+    y = df["purchases"].to_numpy(np.int64).astype(object)
+    pos = {int(d): i for i, d in enumerate(day)}
+    rows = {"lag": [], "n_pairs": [], "r": []}
+    for lag in range(-max_lag, max_lag + 1):
+        src = np.array([pos.get(int(d) + lag, -1) for d in day])
+        hit = src >= 0
+        a, b_ = x[hit], y[src[hit]]
+        n = int(len(a))
+        rows["lag"].append(lag)
+        rows["n_pairs"].append(n)
+        if n < 2:
+            rows["r"].append(None)
+            continue
+        sx, sy = int(a.sum()), int(b_.sum())
+        sxx, syy = int((a * a).sum()), int((b_ * b_).sum())
+        sxy = int((a * b_).sum())
+        vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+        if vx <= 0 or vy <= 0:
+            rows["r"].append(None)
+            continue
+        rows["r"].append(np.round(
+            float(n * sxy - sx * sy) / math.sqrt(float(vx) * float(vy)),
+            6))
+    return pa.table({"lag": pa.array(rows["lag"], pa.int64()),
+                     "n_pairs": pa.array(rows["n_pairs"], pa.int64()),
+                     "r": pa.array(rows["r"], pa.float64())})
+
+
+SQL_CROSS_CORRELATION = """
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         AS BIGINT) AS x,
+    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         AS BIGINT) AS y
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY 1
+), lags AS (
+  SELECT unnest(generate_series(-3, 3)) AS lag
+), m AS (
+  SELECT l.lag, CAST(COUNT(*) AS HUGEINT) AS n,
+    CAST(SUM(a.x) AS HUGEINT) AS sx, CAST(SUM(b.y) AS HUGEINT) AS sy,
+    CAST(SUM(a.x * a.x) AS HUGEINT) AS sxx,
+    CAST(SUM(b.y * b.y) AS HUGEINT) AS syy,
+    CAST(SUM(a.x * b.y) AS HUGEINT) AS sxy
+  FROM lags l
+  JOIN d a ON TRUE
+  JOIN d b ON b.day = a.day + l.lag
+  GROUP BY 1
+)
+SELECT CAST(lags.lag AS BIGINT) AS lag,
+  CAST(COALESCE(m.n, 0) AS BIGINT) AS n_pairs,
+  CASE WHEN m.n >= 2 AND m.n * m.sxx - m.sx * m.sx > 0
+            AND m.n * m.syy - m.sy * m.sy > 0
+       THEN ROUND(CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE)
+                  / SQRT(CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE)
+                         * CAST(m.n * m.syy - m.sy * m.sy AS DOUBLE)), 6)
+  END AS r
+FROM lags LEFT JOIN m USING (lag)
+"""
+
+
 ROUNDFIVE_QUERIES = {
+    "cross_correlation": (q_cross_correlation, SQL_CROSS_CORRELATION),
     "token_burstiness": (q_token_burstiness, SQL_TOKEN_BURSTINESS),
     "path_cardinality": (q_path_cardinality, SQL_PATH_CARDINALITY),
     "type_overlap": (q_type_overlap, SQL_TYPE_OVERLAP),
