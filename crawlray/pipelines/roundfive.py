@@ -5126,7 +5126,244 @@ FROM lags LEFT JOIN m USING (lag)
 """
 
 
+# =====================================================================
+# keyness: distinctive tokens per language (smoothed log-odds)
+# =====================================================================
+
+def q_keyness(sf_dir: str, k: int = 10):
+    """Top-10 DISTINCTIVE tokens per language by Laplace-smoothed
+    log-odds versus the rest of the corpus — the keyness readout
+    (corpus linguistics' answer to 'what is this slice about') that
+    tfidf_topterms can't give because idf ignores the contrast group.
+    One token groupby of (token, lang, c) block combiners; per-token
+    rows co-locate, so each lang's in/out counts emit together;
+    keyness = ln((c_in+1)/(n_in−c_in+1)) − ln((c_out+1)/(n_out−c_out
+    +1)) — exact integer ratios inside both ln; per-lang partial
+    top-10 by (keyness DESC, token) — rank on the ROUNDED 6-dp value
+    both sides so the cut is deterministic."""
+    from .dataops import _docs
+    from .sizing import fold_parts
+    from crawlray.functions.murmur3 import hash64_batch_i64
+
+    n_parts = fold_parts()
+    ds = _docs(sf_dir, ["lang", "text"])
+
+    def counts(b: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(b["text"].combine_chunks())
+        lists = pc.split_pattern_regex(low, "[^a-z]+")
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        lang = pc.take(b["lang"].combine_chunks(), parent)
+        t = pa.table({"token": flat, "lang": lang})
+        t = t.filter(pc.not_equal(t["token"], pa.scalar("")))
+        g = t.group_by(["token", "lang"]).aggregate([([], "count_all")])
+        g = g.rename_columns(["token", "lang", "c"])
+        h = np.asarray(hash64_batch_i64(g["token"].combine_chunks()))
+        kp = (_splitmix64(h).view(np.uint64)
+              % np.uint64(n_parts)).astype(np.int64)
+        return g.append_column("kp", pa.array(kp))
+
+    partials = ds.map_batches(counts, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+    # per-lang totals: a <= |langs| fold off the SAME partials
+    lt = (partials.groupby("lang").aggregate(Sum("c", alias_name="n"))
+          .take_all())
+    n_lang = {r["lang"]: int(r["n"]) for r in lt}
+    n_all = sum(n_lang.values())
+    tot_ref = ray.put(n_lang)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        import ray as _r
+
+        totals = _r.get(tot_ref)
+        nall = sum(totals.values())
+        tok, tinv = np.unique(g["token"].to_numpy(), return_inverse=True)
+        lang = g["lang"].to_numpy()
+        c = g["c"].to_numpy(np.int64)
+        langs = sorted(totals)
+        lidx = {lg: i for i, lg in enumerate(langs)}
+        linv = np.array([lidx[lg] for lg in lang], np.int64)
+        cin = np.zeros((len(tok), len(langs)), np.int64)
+        np.add.at(cin, (tinv, linv), c)
+        ctot = cin.sum(axis=1)
+        out = {"lang": [], "token": [], "keyness": []}
+        for li, lg in enumerate(langs):
+            n_in = totals[lg]
+            n_out = nall - n_in
+            ci = cin[:, li]
+            co = ctot - ci
+            key = (np.log((ci + 1).astype(np.float64)
+                          / (n_in - ci + 1).astype(np.float64))
+                   - np.log((co + 1).astype(np.float64)
+                            / (n_out - co + 1).astype(np.float64)))
+            key = np.round(key, 6)
+            ordr = np.lexsort((tok, -key))[:k]   # partial top-k
+            out["lang"].extend([lg] * len(ordr))
+            out["token"].extend(tok[ordr])
+            out["keyness"].extend(key[ordr])
+        return pd.DataFrame(out)
+
+    rows = [tuple(r) for b in
+            (partials.groupby("kp").map_groups(fold,
+                                               batch_format="pandas"))
+            .iter_batches(batch_format="pyarrow")
+            for r in zip(b["lang"].to_pylist(), b["token"].to_pylist(),
+                         b["keyness"].to_pylist())]
+    rows.sort(key=lambda r: (r[0], -r[2], r[1]))
+    out = {"lang": [], "token": [], "keyness": []}
+    seen: dict[str, int] = {}
+    for lg, tok, key in rows:
+        if seen.get(lg, 0) >= k:
+            continue
+        seen[lg] = seen.get(lg, 0) + 1
+        out["lang"].append(lg)
+        out["token"].append(tok)
+        out["keyness"].append(key)
+    return pa.table({
+        "lang": pa.array(out["lang"], pa.string()),
+        "token": pa.array(out["token"], pa.string()),
+        "keyness": pa.array(out["keyness"], pa.float64())})
+
+
+SQL_KEYNESS = """
+WITH tk AS (
+  SELECT lang, token FROM (
+    SELECT lang,
+           unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS token
+    FROM documents)
+  WHERE token <> ''
+), lc AS (
+  SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tk GROUP BY 1, 2
+), lt AS (
+  SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM lc GROUP BY 1
+), tt AS (
+  SELECT token, CAST(SUM(c) AS BIGINT) AS ct FROM lc GROUP BY 1
+), alln AS (SELECT CAST(SUM(n) AS BIGINT) AS nall FROM lt),
+grid AS (
+  SELECT lt.lang, tt.token, lt.n AS n_in, alln.nall - lt.n AS n_out,
+         COALESCE(lc.c, 0) AS ci, tt.ct - COALESCE(lc.c, 0) AS co
+  FROM lt CROSS JOIN tt CROSS JOIN alln
+  LEFT JOIN lc ON lc.lang = lt.lang AND lc.token = tt.token
+), s AS (
+  SELECT lang, token,
+    ROUND(LN(CAST(ci + 1 AS DOUBLE) / CAST(n_in - ci + 1 AS DOUBLE))
+          - LN(CAST(co + 1 AS DOUBLE) / CAST(n_out - co + 1 AS DOUBLE)),
+          6) AS keyness
+  FROM grid
+)
+SELECT lang, token, keyness FROM s
+QUALIFY ROW_NUMBER() OVER (PARTITION BY lang
+                           ORDER BY keyness DESC, token) <= 10
+"""
+
+
+# =====================================================================
+# brand breadth histogram (basket diversity)
+# =====================================================================
+
+def q_brand_breadth(sf_dir: str):
+    """How many customers buy from exactly k distinct BRANDS —
+    engagement_breadth's basket twin (loyalty vs promiscuity in one
+    histogram). Brand rides the broadcast part LUT; block combiners
+    emit distinct (customer, brand-code) pairs; ONE custkey-hash
+    exchange makes the per-customer nunique partition-local;
+    <= |brands| histogram partials."""
+    import pyarrow.parquet as pq
+
+    from .sizing import fold_parts
+
+    n_parts = fold_parts()
+    pt = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                       columns=["p_partkey", "p_brand"])
+    pk = np.asarray(pt["p_partkey"], dtype=np.int64)
+    _brands, bcode = np.unique(np.asarray(pt["p_brand"], dtype=object),
+                               return_inverse=True)
+    lut = np.zeros(int(pk.max()) + 1, np.int64)
+    lut[pk] = bcode
+    lut_ref = ray.put(lut)
+
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def prep_o(b: pa.Table) -> pa.Table:
+        kk = b["o_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        kp = (_splitmix64(kk).view(np.uint64)
+              % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({"okey": b["o_orderkey"], "val": b["o_custkey"],
+                         "side": pa.array(np.zeros(b.num_rows, np.int64)),
+                         "kp": pa.array(kp)})
+
+    def prep_l(b: pa.Table) -> pa.Table:
+        import ray as _r
+
+        code_lut = _r.get(lut_ref)
+        p = b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kk = b["l_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        kp = (_splitmix64(kk).view(np.uint64)
+              % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({"okey": b["l_orderkey"],
+                         "val": pa.array(code_lut[p]),
+                         "side": pa.array(np.ones(b.num_rows, np.int64)),
+                         "kp": pa.array(kp)})
+
+    tagged = orders.map_batches(prep_o, batch_format="pyarrow",
+                                zero_copy_batch=True) \
+        .union(li.map_batches(prep_l, batch_format="pyarrow",
+                              zero_copy_batch=True))
+
+    def to_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == 0]
+        l_ = g[g["side"] == 1]
+        o2c = dict(zip(o["okey"].to_numpy(np.int64),
+                       o["val"].to_numpy(np.int64)))
+        lk = l_["okey"].to_numpy(np.int64)
+        code = l_["val"].to_numpy(np.int64)
+        ck = np.fromiter((o2c[k_] for k_ in lk), np.int64, len(lk))
+        pairs = np.unique(np.stack([ck, code], axis=1), axis=0)
+        return pd.DataFrame({"ck": pairs[:, 0], "code": pairs[:, 1]})
+
+    pairs = tagged.groupby("kp").map_groups(to_pairs,
+                                            batch_format="pandas")
+
+    def prep2(b: pa.Table) -> pa.Table:
+        ck = b["ck"].to_numpy(zero_copy_only=False)
+        kp = (_splitmix64(ck).view(np.uint64)
+              % np.uint64(n_parts)).astype(np.int64)
+        return b.append_column("kp2", pa.array(kp))
+
+    def hist(g: pd.DataFrame) -> pd.DataFrame:
+        df_ = g.drop_duplicates(["ck", "code"])
+        breadth = df_.groupby("ck", sort=False)["code"].nunique()
+        kk, n = np.unique(breadth.to_numpy(np.int64), return_counts=True)
+        return pd.DataFrame({"breadth": kk.astype(np.int64),
+                             "n_customers": n.astype(np.int64)})
+
+    return (pairs.map_batches(prep2, batch_format="pyarrow")
+            .groupby("kp2").map_groups(hist, batch_format="pandas")
+            .groupby("breadth")
+            .aggregate(Sum("n_customers", alias_name="n_customers")))
+
+
+SQL_BRAND_BREADTH = """
+WITH cb AS (
+  SELECT DISTINCT o.o_custkey AS ck, p.p_brand AS brand
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN part p ON p.p_partkey = l.l_partkey
+), b AS (
+  SELECT ck, CAST(COUNT(*) AS BIGINT) AS breadth FROM cb GROUP BY 1
+)
+SELECT breadth, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM b GROUP BY 1
+"""
+
+
 ROUNDFIVE_QUERIES = {
+    "keyness": (q_keyness, SQL_KEYNESS),
+    "brand_breadth": (q_brand_breadth, SQL_BRAND_BREADTH),
     "cross_correlation": (q_cross_correlation, SQL_CROSS_CORRELATION),
     "token_burstiness": (q_token_burstiness, SQL_TOKEN_BURSTINESS),
     "path_cardinality": (q_path_cardinality, SQL_PATH_CARDINALITY),
