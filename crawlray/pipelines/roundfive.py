@@ -4317,18 +4317,14 @@ def q_winback_rate(sf_dir: str, churn_days: int = 60):
     construction a winback (a TRAILING silence has no next purchase,
     so episodes = gaps > T between consecutive purchases, winbacks =
     those same gaps — the table also reports users still quiet at the
-    horizon). Exact integer day math; one division, 6 dp."""
+    horizon = the newest PURCHASE anywhere, so the whole query is one
+    pass over the purchase stream). Exact integer day math; one
+    division, 6 dp."""
     from .sizing import fold_parts
 
     n_parts = fold_parts()
     gap_us = churn_days * DAY_US
     ds = _t(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
-
-    bounds = ds.map_batches(
-        lambda b: pa.table({"hi": pa.array(
-            [pc.max(b["ts"]).cast(pa.int64()).as_py()], pa.int64())}),
-        batch_format="pyarrow").aggregate(Max("hi"))
-    horizon = int(bounds["max(hi)"])
 
     def prep(b: pa.Table) -> pa.Table:
         m = pc.equal(b["event_type"], pa.scalar("purchase"))
@@ -4340,6 +4336,10 @@ def q_winback_rate(sf_dir: str, churn_days: int = 60):
             "user_id": t["user_id"], "event_id": t["event_id"],
             "ts_us": t["ts"].cast(pa.int64()), "kp": pa.array(kp),
         })
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True).materialize()
+    horizon = int(prepped.aggregate(Max("ts_us"))["max(ts_us)"])
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
         uid = g["user_id"].to_numpy(np.int64)
@@ -4358,8 +4358,7 @@ def q_winback_rate(sf_dir: str, churn_days: int = 60):
             "n_users": [n_users], "winbacks": [winbacks],
             "still_quiet": [still_quiet]})
 
-    agg = (ds.map_batches(prep, batch_format="pyarrow",
-                          zero_copy_batch=True)
+    agg = (prepped
            .groupby("kp").map_groups(fold, batch_format="pandas")
            .aggregate(Sum("n_users", alias_name="n_users"),
                       Sum("winbacks", alias_name="winbacks"),
@@ -4384,7 +4383,8 @@ WITH p AS (
     LAG(epoch_us(ts)) OVER (PARTITION BY user_id
                             ORDER BY ts, event_id) AS prev
   FROM events WHERE event_type = 'purchase'
-), h AS (SELECT MAX(epoch_us(ts)) AS horizon FROM events),
+), h AS (SELECT MAX(epoch_us(ts)) AS horizon FROM events
+         WHERE event_type = 'purchase'),
 w AS (
   SELECT CAST(SUM(CASE WHEN tu - prev > 60 * 86400000000 THEN 1
                        ELSE 0 END) AS BIGINT) AS winbacks
@@ -4457,15 +4457,16 @@ def q_lag_consistency(sf_dir: str, k: int = 20):
                               zero_copy_batch=True))
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
-        o = g[g["supp"] < 0]
-        l_ = g[g["supp"] >= 0]
-        odate = dict(zip(o["okey"].to_numpy(np.int64),
-                         o["ts"].to_numpy(np.int64)))
-        lk = l_["okey"].to_numpy(np.int64)
-        lt = l_["ts"].to_numpy(np.int64)
-        sup = l_["supp"].to_numpy(np.int64)
-        od = np.fromiter((odate[k_] for k_ in lk), np.int64, len(lk))
-        lag = (lt - od) // DAY_US + off
+        side = g["supp"].to_numpy(np.int64)
+        om = side < 0
+        okey = g["okey"].to_numpy(np.int64)
+        ts = g["ts"].to_numpy(np.int64)
+        ok, ot = okey[om], ts[om]
+        osort = np.argsort(ok, kind="mergesort")
+        ok, ot = ok[osort], ot[osort]
+        lk, lt_, sup = okey[~om], ts[~om], side[~om]
+        od = ot[np.searchsorted(ok, lk)]        # vectorized key lookup
+        lag = (lt_ - od) // DAY_US + off
         us, inv = np.unique(sup, return_inverse=True)
         n = np.bincount(inv).astype(np.int64)
         s1 = np.zeros(len(us), np.int64)
@@ -4474,21 +4475,33 @@ def q_lag_consistency(sf_dir: str, k: int = 20):
         np.add.at(s2, inv, lag * lag)
         return pd.DataFrame({"supp": us, "n": n, "s1": s1, "s2": s2})
 
-    agg = (tagged.groupby("kp").map_groups(fold, batch_format="pandas")
-           .groupby("supp")
-           .aggregate(Sum("n", alias_name="n"), Sum("s1", alias_name="s1"),
-                      Sum("s2", alias_name="s2")))
-    df = agg.to_pandas()  # <= |suppliers| rows — bounded dimension fold
-    rows = []
-    for _, r in df.iterrows():
-        n, s1, s2 = int(r["n"]), int(r["s1"]), int(r["s2"])
-        if n < 2:
-            continue
-        var_num = n * s2 - s1 * s1              # exact unbounded ints
-        std = math.sqrt(float(var_num) / float(n * n))
-        rows.append((int(r["supp"]), n, np.round(std, 6)))
-    rows.sort(key=lambda r: (-r[2], r[0]))
-    top = rows[:k]
+    # <= |suppliers|·partitions skinny partial rows: the columnar
+    # driver fold replaces a Ray hash Aggregate that measured 6.1 s on
+    # the same 64k rows (the ship_lag/abc_pareto lesson yet again)
+    acc: dict[str, list] = {"supp": [], "n": [], "s1": [], "s2": []}
+    for b in (tagged.groupby("kp").map_groups(fold,
+                                              batch_format="pandas")
+              .iter_batches(batch_format="pyarrow")):
+        for col in acc:
+            acc[col].append(b[col].to_numpy(zero_copy_only=False))
+    supp_all = np.concatenate(acc["supp"])
+    us, inv = np.unique(supp_all, return_inverse=True)
+    supp = us.astype(np.int64)
+    n = np.zeros(len(us), np.int64)
+    s1 = np.zeros(len(us), np.int64)
+    s2 = np.zeros(len(us), np.int64)
+    np.add.at(n, inv, np.concatenate(acc["n"]))
+    np.add.at(s1, inv, np.concatenate(acc["s1"]))
+    np.add.at(s2, inv, np.concatenate(acc["s2"]))
+    keep = n >= 2
+    supp, n, s1, s2 = supp[keep], n[keep], s1[keep], s2[keep]
+    # n·s2 and s1² stay < 2^63 at these magnitudes (lag+offset < 2^15,
+    # n < 2^31) — vectorized, no python-int loop over |suppliers|
+    var_num = n * s2 - s1 * s1
+    std = np.round(np.sqrt(var_num.astype(np.float64)
+                           / (n * n).astype(np.float64)), 6)
+    order = np.lexsort((supp, -std))[:k]
+    top = [(int(supp[i]), int(n[i]), float(std[i])) for i in order]
     return pa.table({
         "supp": pa.array([r[0] for r in top], pa.int64()),
         "n": pa.array([r[1] for r in top], pa.int64()),
