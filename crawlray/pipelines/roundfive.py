@@ -5374,7 +5374,177 @@ FROM b GROUP BY 1
 """
 
 
+# =====================================================================
+# dataset card (one-row corpus summary)
+# =====================================================================
+
+def q_dataset_card(sf_dir: str):
+    """The DATASET CARD row: document count, total tokens, vocabulary
+    size, language count, exact-duplicate docs, and mean length — the
+    six numbers every corpus release prints first, all exact, in
+    three bounded passes (block combiners for counts, word_freq's
+    token groupby for the vocabulary, dup_ratio's md5 exchange for
+    duplicates). One row out; mean is the only division, 6 dp."""
+    import hashlib
+
+    from .dataops import _docs
+    from .sizing import fold_parts
+
+    n_parts = fold_parts()
+    ds = _docs(sf_dir, ["lang", "text", "n_chars"])
+
+    def basic(b: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(b["text"].combine_chunks())
+        ntok = pc.sum(pc.count_substring_regex(low, "[a-z]+")).as_py() or 0
+        return pa.table({
+            "n_docs": pa.array([b.num_rows], pa.int64()),
+            "n_tokens": pa.array([int(ntok)], pa.int64()),
+            "n_chars": pa.array([int(pc.sum(b["n_chars"]).as_py() or 0)],
+                                pa.int64()),
+        })
+
+    agg = ds.map_batches(basic, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("n_tokens", alias_name="n_tokens"),
+                   Sum("n_chars", alias_name="n_chars"))
+    n_docs = int(agg["n_docs"])
+    n_tokens = int(agg["n_tokens"])
+    n_chars = int(agg["n_chars"])
+
+    def toks(b: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(b["text"].combine_chunks())
+        flat = pc.list_flatten(pc.split_pattern_regex(low, "[^a-z]+"))
+        flat = pc.unique(flat.filter(pc.not_equal(flat, pa.scalar(""))))
+        return pa.table({"token": flat})
+
+    vocab = ds.map_batches(toks, batch_format="pyarrow",
+                           zero_copy_batch=True) \
+        .groupby("token").count().count()
+
+    langs = ds.map_batches(
+        lambda b: pa.table({"lang": pc.unique(b["lang"].combine_chunks())}),
+        batch_format="pyarrow").groupby("lang").count().count()
+
+    def hashes(b: pa.Table) -> pa.Table:
+        texts = [(t if t is not None else "")
+                 for t in b["text"].to_pylist()]
+        ut, inv = np.unique(np.array(texts, dtype=object),
+                            return_inverse=True)
+        uh = np.fromiter(
+            (int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+             for t in ut), dtype=np.int64, count=len(ut))
+        h = uh[inv]
+        from .analytics import _splitmix64 as _sm
+
+        kp = (_sm(h).view(np.uint64) % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({"h": pa.array(h), "kp": pa.array(kp)})
+
+    def dup_fold(g: pd.DataFrame) -> pd.DataFrame:
+        _, counts = np.unique(g["h"].to_numpy(np.int64),
+                              return_counts=True)
+        return pd.DataFrame({
+            "dups": [int(counts[counts > 1].sum())]})
+
+    dup_docs = int(ds.map_batches(hashes, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+                   .groupby("kp").map_groups(dup_fold,
+                                             batch_format="pandas")
+                   .aggregate(Sum("dups", alias_name="dups"))["dups"])
+
+    return pa.table({
+        "n_docs": pa.array([n_docs], pa.int64()),
+        "n_tokens": pa.array([n_tokens], pa.int64()),
+        "vocab_size": pa.array([int(vocab)], pa.int64()),
+        "n_langs": pa.array([int(langs)], pa.int64()),
+        "dup_docs": pa.array([dup_docs], pa.int64()),
+        "mean_chars": pa.array([np.round(
+            float(n_chars) / float(n_docs), 6)], pa.float64())})
+
+
+SQL_DATASET_CARD = """
+WITH tok AS (
+  SELECT token FROM (
+    SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS token
+    FROM documents)
+  WHERE token <> ''
+), h AS (
+  SELECT CAST(CONCAT('0x', SUBSTR(md5(COALESCE(text, '')), 1, 8))
+              AS BIGINT) AS h, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1
+)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM tok) AS n_tokens,
+  (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) FROM tok) AS vocab_size,
+  (SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) FROM documents)
+    AS n_langs,
+  (SELECT CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) FROM h)
+    AS dup_docs,
+  (SELECT ROUND(CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+                6) FROM documents) AS mean_chars
+"""
+
+
+# =====================================================================
+# effective sample size of the temperature mix
+# =====================================================================
+
+def q_mix_ess(sf_dir: str):
+    """Effective sample size of the α=0.5 temperature-scaled source
+    mix: ESS = (Σ√c)² / Σc — the diagnostic that says how many
+    'effective sources' the sampler really draws from (ESS ==
+    |sources| iff perfectly balanced). The per-source counts fold to
+    <= |sources| exact ints; √c is correctly rounded on both sides and
+    the two sums are ordered by source; two divisions, 6 dp."""
+    from .dataops import _docs
+
+    ds = _docs(sf_dir, ["source"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        g = b.group_by("source").aggregate([([], "count_all")])
+        return g.rename_columns(["source", "c"])
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("source")
+           .aggregate(Sum("c", alias_name="c")))
+    df = agg.to_pandas().sort_values("source", ignore_index=True)
+    c = [int(v) for v in df["c"]]
+    s_sqrt = 0.0
+    for v in c:                                  # source-ascending order
+        s_sqrt += math.sqrt(float(v))
+    s = sum(c)
+    ess = (s_sqrt * s_sqrt) / float(s)
+    return pa.table({
+        "n_sources": pa.array([len(c)], pa.int64()),
+        "n_docs": pa.array([s], pa.int64()),
+        "ess": pa.array([np.round(ess, 6)], pa.float64()),
+        "balance": pa.array([np.round(ess / float(len(c)), 6)],
+                            pa.float64())})
+
+
+SQL_MIX_ESS = """
+WITH c AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+         CAST(SUM(c) AS BIGINT) AS n_docs,
+         SUM(SQRT(CAST(c AS DOUBLE)) ORDER BY source) AS sq
+  FROM c
+)
+SELECT n_sources, n_docs,
+       ROUND(sq * sq / CAST(n_docs AS DOUBLE), 6) AS ess,
+       ROUND((sq * sq / CAST(n_docs AS DOUBLE))
+             / CAST(n_sources AS DOUBLE), 6) AS balance
+FROM s
+"""
+
+
 ROUNDFIVE_QUERIES = {
+    "dataset_card": (q_dataset_card, SQL_DATASET_CARD),
+    "mix_ess": (q_mix_ess, SQL_MIX_ESS),
     "keyness": (q_keyness, SQL_KEYNESS),
     "brand_breadth": (q_brand_breadth, SQL_BRAND_BREADTH),
     "cross_correlation": (q_cross_correlation, SQL_CROSS_CORRELATION),
