@@ -5542,7 +5542,126 @@ FROM s
 """
 
 
+# =====================================================================
+# retrieval MRR / recall@10 (embedding neighbor ranking quality)
+# =====================================================================
+
+def q_retrieval_mrr(sf_dir: str, recall_k: int = 10):
+    """Mean reciprocal rank and recall@10 of SAME-LABEL retrieval over
+    the bounded candidate set (vec_id < 512, self excluded), macro-
+    averaged per label — the retrieval-eval pair that completes
+    ndcg/roc_auc for the embedding column (how soon does a probe's
+    class appear in its neighbor list?). knn_join's broadcast shape:
+    one matmul per probe block; ranks order by (ROUNDED 6-dp cosine
+    DESC, vec_id) so the rank — and therefore every metric — is
+    integer-deterministic; reciprocal ranks quantize to micro-units
+    (half-away) so the per-label mean is an exact integer fold.
+    Probes with no same-label candidate drop on both sides."""
+    import pyarrow.parquet as pq
+
+    from .dataops import _embedding_matrix
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    cap = 512
+    t = pq.read_table(path, columns=["vec_id", "embedding", "label"],
+                      filters=[("vec_id", "<", cap)])
+    cids = np.asarray(t["vec_id"], dtype=np.int64)
+    clab = np.asarray(t["label"], dtype=np.int64)
+    cmat = _embedding_matrix(t["embedding"])
+    cn = np.linalg.norm(cmat, axis=1)
+    cand_ref = ray.put((cids, clab,
+                        cmat / np.where(cn == 0, 1.0, cn)[:, None]))
+
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding", "label"])
+
+    def rank(b: pa.Table) -> pa.Table:
+        import ray as _r
+
+        ids, labs, matn = _r.get(cand_ref)
+        vid = b["vec_id"].to_numpy(zero_copy_only=False)
+        lab = b["label"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        emb = _embedding_matrix(b["embedding"])
+        n = np.linalg.norm(emb, axis=1)
+        embn = emb / np.where(n == 0, 1.0, n)[:, None]
+        cos = np.round(embn @ matn.T, 6)
+        out_lab, out_qrr, out_hit = [], [], []
+        for i in range(len(vid)):
+            keep = ids != vid[i]
+            order = np.lexsort((ids[keep], -cos[i][keep]))
+            same = labs[keep][order] == lab[i]
+            hits = np.nonzero(same)[0]
+            if len(hits) == 0:
+                continue
+            r = int(hits[0]) + 1
+            y = 1e6 / r
+            out_lab.append(int(lab[i]))
+            out_qrr.append(int(np.floor(y + 0.5)))
+            out_hit.append(1 if r <= recall_k else 0)
+        ul = np.unique(np.array(out_lab, np.int64)) if out_lab else \
+            np.array([], np.int64)
+        qrr = np.array(out_qrr, np.int64)
+        hit = np.array(out_hit, np.int64)
+        larr = np.array(out_lab, np.int64)
+        s = np.zeros(len(ul), np.int64)
+        h = np.zeros(len(ul), np.int64)
+        c = np.zeros(len(ul), np.int64)
+        pos = np.searchsorted(ul, larr)
+        np.add.at(s, pos, qrr)
+        np.add.at(h, pos, hit)
+        np.add.at(c, pos, 1)
+        return pa.table({"label": pa.array(ul), "qrr": pa.array(s),
+                         "hits": pa.array(h), "n": pa.array(c)})
+
+    agg = (ds.map_batches(rank, batch_format="pyarrow")
+           .groupby("label")
+           .aggregate(Sum("qrr", alias_name="qrr"),
+                      Sum("hits", alias_name="hits"),
+                      Sum("n", alias_name="n")))
+    df = agg.to_pandas().sort_values("label", ignore_index=True)
+    qrr = df["qrr"].to_numpy(np.int64)
+    hits = df["hits"].to_numpy(np.int64)
+    n = df["n"].to_numpy(np.int64)
+    y = (qrr.astype(np.float64) / n.astype(np.float64))
+    m6 = np.where(y >= 0, np.floor(y + 0.5), -np.floor(-y + 0.5)) / 1e6
+    return pa.table({
+        "label": pa.array(df["label"].to_numpy(np.int64)),
+        "n_probes": pa.array(n),
+        "mrr": pa.array(m6, pa.float64()),
+        "recall_at_10": pa.array(np.round(
+            hits.astype(np.float64) / n.astype(np.float64), 6),
+            pa.float64())})
+
+
+SQL_RETRIEVAL_MRR = """
+WITH pairs AS (
+  SELECT a.vec_id, CAST(a.label AS BIGINT) AS label,
+    CAST(b.label AS BIGINT) AS blabel,
+    ROW_NUMBER() OVER (
+      PARTITION BY a.vec_id
+      ORDER BY ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]), 6)
+               DESC, b.vec_id) AS rnk
+  FROM embeddings a
+  JOIN embeddings b ON b.vec_id < 512 AND b.vec_id <> a.vec_id
+), firsts AS (
+  SELECT vec_id, label, MIN(rnk) AS r
+  FROM pairs WHERE blabel = label GROUP BY 1, 2
+), q AS (
+  SELECT label, CAST(ROUND(1000000.0 / r) AS BIGINT) AS qrr,
+         CASE WHEN r <= 10 THEN 1 ELSE 0 END AS hit
+  FROM firsts
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_probes,
+  ROUND(CAST(SUM(qrr) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / 1000000.0
+    AS mrr,
+  ROUND(CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+    AS recall_at_10
+FROM q GROUP BY 1
+"""
+
+
 ROUNDFIVE_QUERIES = {
+    "retrieval_mrr": (q_retrieval_mrr, SQL_RETRIEVAL_MRR),
     "dataset_card": (q_dataset_card, SQL_DATASET_CARD),
     "mix_ess": (q_mix_ess, SQL_MIX_ESS),
     "keyness": (q_keyness, SQL_KEYNESS),
