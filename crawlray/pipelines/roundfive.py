@@ -5660,7 +5660,78 @@ FROM q GROUP BY 1
 """
 
 
+# =====================================================================
+# personalized PageRank (fifth iterative family)
+# =====================================================================
+
+def q_ppr(sf_dir: str, alpha: float = 0.15, iters: int = 20, k: int = 20):
+    """PERSONALIZED PageRank from the smallest supplier node of the
+    co-supply graph (α = 0.15 restart, 20 fixed iterations) — the
+    seed-relative relevance ranking behind 'related suppliers' /
+    'similar hosts', and the fifth iterative family next to global
+    pagerank, connected components, k-core, and logreg. Scale shape:
+    the distributed edge derivation from triangle_count; the
+    DIMENSION-sized graph iterates as dense BLAS on the driver with
+    the same documented node-iterator swap at web-scale node counts.
+    Deterministic: fixed iteration count, float64, one (score, node)
+    sort at the end; rows-only (iterative float scores have no SQL
+    equivalent) — pinned against an independent recomputation plus
+    mass-conservation invariants in tests."""
+    import pyarrow.dataset as pads
+
+    from .analytics import _sized_read
+
+    ds = _sized_read(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey"],
+        filter=pads.field("l_partkey") < 200)
+
+    def distinct_ps(b: pa.Table) -> pa.Table:
+        p = b["l_partkey"].to_numpy(zero_copy_only=False)
+        s = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        pairs = np.unique(np.stack([p, s], axis=1), axis=0)
+        return pa.table({"p": pa.array(pairs[:, 0]),
+                         "s": pa.array(pairs[:, 1])})
+
+    def co_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        sup = np.unique(g["s"].to_numpy())
+        if len(sup) < 2:
+            return pd.DataFrame({"u": pd.Series([], dtype=np.int64),
+                                 "v": pd.Series([], dtype=np.int64)})
+        iu, iv = np.triu_indices(len(sup), k=1)
+        return pd.DataFrame({"u": sup[iu], "v": sup[iv]})
+
+    co = ds.map_batches(distinct_ps, batch_format="pyarrow",
+                        zero_copy_batch=True) \
+        .groupby("p").map_groups(co_pairs, batch_format="pandas")
+    chunks = [np.stack([b["u"].to_numpy(zero_copy_only=False),
+                        b["v"].to_numpy(zero_copy_only=False)], axis=1)
+              for b in co.iter_batches(batch_size=65536,
+                                       batch_format="pyarrow")]
+    uv = np.unique(np.concatenate(chunks).astype(np.int64), axis=0)
+    nodes = np.unique(uv)
+    idx = np.searchsorted(nodes, uv)
+    n = len(nodes)
+    a = np.zeros((n, n), np.float64)
+    a[idx[:, 0], idx[:, 1]] = 1.0
+    a[idx[:, 1], idx[:, 0]] = 1.0
+    deg = a.sum(axis=1)
+    w = a / deg[:, None]                        # row-stochastic
+    r = np.zeros(n, np.float64)
+    seed = 0                                    # smallest node id
+    r[seed] = 1.0
+    e = np.zeros(n, np.float64)
+    e[seed] = 1.0
+    for _ in range(iters):
+        r = alpha * e + (1.0 - alpha) * (r @ w)
+    order = np.lexsort((nodes, -np.round(r, 6)))[:k]
+    return pa.table({
+        "node": pa.array(nodes[order]),
+        "score": pa.array(np.round(r[order], 6), pa.float64())})
+
+
 ROUNDFIVE_QUERIES = {
+    "ppr": (q_ppr, None),
     "retrieval_mrr": (q_retrieval_mrr, SQL_RETRIEVAL_MRR),
     "dataset_card": (q_dataset_card, SQL_DATASET_CARD),
     "mix_ess": (q_mix_ess, SQL_MIX_ESS),

@@ -145,3 +145,36 @@ def test_hapax_distributed_branch_equal(ray_session, monkeypatch):
     monkeypatch.setenv("CRAWLRAY_HAPAX_DRIVER_LIMIT", "0")
     slow = _df("hapax_ratio").sort_values("source", ignore_index=True)
     pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_ppr_matches_independent_power_iteration(ray_session):
+    """ppr's top-20 must equal an independent dense recomputation of
+    personalized PageRank on the same edge set, and its full score
+    vector must conserve probability mass."""
+    import duckdb
+
+    got = _df("ppr")
+    con = duckdb.connect()
+    edges = con.execute(f"""
+        WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+                    FROM '{SF}/lineitem.parquet' WHERE l_partkey < 200)
+        SELECT DISTINCT a.s AS u, b.s AS v
+        FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s""").df()
+    nodes = np.unique(edges[["u", "v"]].to_numpy())
+    n = len(nodes)
+    idx = {int(x): i for i, x in enumerate(nodes)}
+    a = np.zeros((n, n))
+    for u, v in edges.to_numpy():
+        a[idx[int(u)], idx[int(v)]] = 1.0
+        a[idx[int(v)], idx[int(u)]] = 1.0
+    w = a / a.sum(axis=1)[:, None]
+    r = np.zeros(n)
+    r[0] = 1.0
+    e = r.copy()
+    for _ in range(20):
+        r = 0.15 * e + 0.85 * (r @ w)
+    assert abs(r.sum() - 1.0) < 1e-9            # mass conserved
+    order = np.lexsort((nodes, -np.round(r, 6)))[:20]
+    assert list(got["node"]) == [int(nodes[i]) for i in order]
+    assert list(got["score"]) == [float(np.round(r[i], 6))
+                                  for i in order]
