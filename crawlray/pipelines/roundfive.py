@@ -5730,7 +5730,73 @@ def q_ppr(sf_dir: str, alpha: float = 0.15, iters: int = 20, k: int = 20):
         "score": pa.array(np.round(r[order], 6), pa.float64())})
 
 
+# =====================================================================
+# deterministic weighted sampling (Efraimidis–Spirakis, hash uniforms)
+# =====================================================================
+
+def q_weighted_sample(sf_dir: str, k: int = 20):
+    """Weighted sample WITHOUT replacement of 20 documents with
+    probability ∝ n_chars, fully DETERMINISTIC: Efraimidis–Spirakis
+    (2006) keys ln(u)/w with the uniform u derived from md5(doc_id) —
+    the reproducible weighted sampler a data pipeline needs where
+    random.random() would break resume/audit (hash_sample's weighted
+    sibling). u = (md5_32 + 1)/(2^32 + 1) is an exact rational on both
+    sides; the key is ONE identical ln-and-divide expression; per-block
+    partial top-k by (key DESC, doc_id) merges on the driver — no
+    global sort. Zero-weight docs are excluded (they cannot be
+    sampled)."""
+    import hashlib
+
+    ds = _t(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def keys(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = w > 0
+        did, w = did[keep], w[keep]
+        h = np.fromiter(
+            (int(hashlib.md5(str(int(d)).encode()).hexdigest()[:8], 16)
+             for d in did), dtype=np.int64, count=len(did))
+        u = (h.astype(np.float64) + 1.0) / 4294967297.0
+        key = np.log(u) / w.astype(np.float64)
+        order = np.lexsort((did, -key))[:k]
+        return pa.table({
+            "doc_id": pa.array(did[order]),
+            "n_chars": pa.array(w[order]),
+            "key": pa.array(key[order], pa.float64()),
+        })
+
+    rows = [r for b in ds.map_batches(keys, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+            .iter_batches(batch_format="pyarrow")
+            for r in zip(b["doc_id"].to_pylist(),
+                         b["n_chars"].to_pylist(),
+                         b["key"].to_pylist())]
+    rows.sort(key=lambda r: (-r[2], r[0]))
+    top = rows[:k]
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in top], pa.int64()),
+        "n_chars": pa.array([r[1] for r in top], pa.int64()),
+        "key": pa.array([np.round(r[2], 6) for r in top], pa.float64())})
+
+
+SQL_WEIGHTED_SAMPLE = """
+WITH d AS (
+  SELECT doc_id, n_chars,
+    LN((CAST(CAST(CONCAT('0x',
+          SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          AS DOUBLE) + 1.0) / 4294967297.0)
+      / CAST(n_chars AS DOUBLE) AS key
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, n_chars, ROUND(key, 6) AS key
+FROM d
+QUALIFY ROW_NUMBER() OVER (ORDER BY key DESC, doc_id) <= 20
+"""
+
+
 ROUNDFIVE_QUERIES = {
+    "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "ppr": (q_ppr, None),
     "retrieval_mrr": (q_retrieval_mrr, SQL_RETRIEVAL_MRR),
     "dataset_card": (q_dataset_card, SQL_DATASET_CARD),
