@@ -5795,7 +5795,100 @@ QUALIFY ROW_NUMBER() OVER (ORDER BY key DESC, doc_id) <= 20
 """
 
 
+# =====================================================================
+# CVaR / expected shortfall of daily revenue
+# =====================================================================
+
+def q_cvar(sf_dir: str, q: float = 0.05):
+    """Value-at-Risk and CONDITIONAL VaR (expected shortfall) of daily
+    revenue at the 5% level: the cutoff below which the worst 5% of
+    days fall, and the mean of those days — the tail-risk pair that
+    says how bad a bad day actually is (max_drawdown's distributional
+    sibling). The worst-k multiset is rank-deterministic (k =
+    ⌊0.05·n⌋, ties share values); sums are exact int64 cents on the
+    bounded day fold; one division, 6 dp."""
+    df = _day_rev_fold(sf_dir)
+    rev = np.sort(df["rev"].to_numpy(np.int64))
+    n = len(rev)
+    k = int(np.floor(q * n))
+    if k == 0:
+        k = 1
+    tail = rev[:k]
+    var = int(rev[k - 1])
+    return pa.table({
+        "n_days": pa.array([n], pa.int64()),
+        "k_tail": pa.array([k], pa.int64()),
+        "var_cents": pa.array([var], pa.int64()),
+        "cvar_cents": pa.array([np.round(
+            float(int(tail.sum())) / float(k), 6)], pa.float64())})
+
+
+SQL_CVAR = """
+WITH d AS (
+  SELECT SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY epoch_us(o_orderdate) // 86400000000
+), r AS (
+  SELECT rev, ROW_NUMBER() OVER (ORDER BY rev) AS rn,
+         COUNT(*) OVER () AS n
+  FROM d
+), kk AS (
+  SELECT GREATEST(CAST(FLOOR(0.05 * n) AS BIGINT), 1) AS k,
+         CAST(n AS BIGINT) AS n
+  FROM r LIMIT 1
+)
+SELECT kk.n AS n_days, kk.k AS k_tail,
+  (SELECT CAST(rev AS BIGINT) FROM r WHERE rn = kk.k) AS var_cents,
+  (SELECT ROUND(CAST(SUM(rev) AS DOUBLE) / CAST(kk.k AS DOUBLE), 6)
+   FROM r WHERE rn <= kk.k) AS cvar_cents
+FROM kk
+"""
+
+
+# =====================================================================
+# best 7-day revenue window
+# =====================================================================
+
+def q_best_week(sf_dir: str):
+    """The single best trailing-7-calendar-day revenue window and its
+    end day — peak_days finds local spikes; this finds THE peak run
+    (promo post-mortems and capacity planning both start here).
+    Gap-aware RANGE semantics via prefix sums + searchsorted on the
+    bounded day fold; window sums are exact int64, so the argmax — and
+    its min-day tie-break — is integer-deterministic."""
+    df = _day_rev_fold(sf_dir)
+    day = df["day"].to_numpy(np.int64)
+    rev = df["rev"].to_numpy(np.int64)
+    cs = np.concatenate(([0], np.cumsum(rev)))
+    lo = np.searchsorted(day, day - 6, side="left")
+    wsum = cs[np.arange(1, len(day) + 1)] - cs[lo]
+    best = int(wsum.max())
+    end_day = int(day[np.nonzero(wsum == best)[0][0]])  # min end day
+    return pa.table({
+        "end_day": pa.array([end_day], pa.int64()),
+        "window_cents": pa.array([best], pa.int64())})
+
+
+SQL_BEST_WEEK = """
+WITH d AS (
+  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1
+), w AS (
+  SELECT day,
+    CAST(SUM(rev) OVER (ORDER BY day
+                        RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS wsum
+  FROM d
+)
+SELECT CAST(day AS BIGINT) AS end_day, wsum AS window_cents
+FROM w
+QUALIFY ROW_NUMBER() OVER (ORDER BY wsum DESC, day) <= 1
+"""
+
+
 ROUNDFIVE_QUERIES = {
+    "cvar": (q_cvar, SQL_CVAR),
+    "best_week": (q_best_week, SQL_BEST_WEEK),
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "ppr": (q_ppr, None),
     "retrieval_mrr": (q_retrieval_mrr, SQL_RETRIEVAL_MRR),
