@@ -5886,7 +5886,96 @@ QUALIFY ROW_NUMBER() OVER (ORDER BY wsum DESC, day) <= 1
 """
 
 
+# =====================================================================
+# per-user feature matrix (ML feature assembly)
+# =====================================================================
+
+def q_feature_matrix(sf_dir: str):
+    """The churn-model FEATURE MATRIX: one row per user with recency
+    (days since last event vs the global horizon), frequency (events),
+    monetary (purchase cents), breadth (distinct event types), and
+    error rate — the feature-engineering join every tabular-ML
+    pipeline runs before training (logreg_train's input stage made
+    explicit). ONE user-hash exchange; every feature is partition-
+    local and vectorized (sorted-run reductions, no per-user loop);
+    exact ints everywhere, error_rate's single division at 6 dp."""
+    from .sizing import fold_parts
+
+    n_parts = fold_parts()
+    ds = _t(sf_dir, "events", ["user_id", "ts", "event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kp = (_splitmix64(uid).view(np.uint64)
+              % np.uint64(n_parts)).astype(np.int64)
+        is_p = pc.equal(b["event_type"], pa.scalar("purchase"))
+        cents = _cents(b["value"])
+        return pa.table({
+            "user_id": b["user_id"], "ts_us": b["ts"].cast(pa.int64()),
+            "event_type": b["event_type"],
+            "pc": pc.if_else(is_p, cents, pa.scalar(0, pa.int64())),
+            "kp": pa.array(kp),
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True).materialize()
+    horizon_day = int(prepped.aggregate(Max("ts_us"))["max(ts_us)"]) \
+        // DAY_US
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy()
+        cents = g["pc"].to_numpy(np.int64)
+        order = np.argsort(uid, kind="mergesort")
+        uid, ts, et, cents = uid[order], ts[order], et[order], cents[order]
+        users, idx, counts = np.unique(uid, return_index=True,
+                                       return_counts=True)
+        last_ts = np.maximum.reduceat(ts, idx)
+        monetary = np.add.reduceat(cents, idx)
+        is_err = (et == "error").astype(np.int64)
+        errors = np.add.reduceat(is_err, idx)
+        _t2, tcode = np.unique(et, return_inverse=True)
+        pair = uid * np.int64(len(_t2)) + tcode
+        breadth = np.bincount(
+            np.searchsorted(users, np.unique(pair) // len(_t2))
+        ).astype(np.int64)
+        return pd.DataFrame({
+            "user_id": users,
+            "recency_days": (horizon_day - last_ts // DAY_US)
+            .astype(np.int64),
+            "frequency": counts.astype(np.int64),
+            "monetary_cents": monetary.astype(np.int64),
+            "breadth": breadth,
+            "error_rate": np.round(
+                errors.astype(np.float64) / counts.astype(np.float64), 6),
+        })
+
+    return (prepped.groupby("kp").map_groups(fold, batch_format="pandas")
+            .select_columns(["user_id", "recency_days", "frequency",
+                             "monetary_cents", "breadth", "error_rate"]))
+
+
+SQL_FEATURE_MATRIX = """
+WITH h AS (SELECT MAX(epoch_us(ts)) // 86400000000 AS horizon
+           FROM events)
+SELECT user_id,
+  CAST(h.horizon - MAX(epoch_us(ts)) // 86400000000 AS BIGINT)
+    AS recency_days,
+  CAST(COUNT(*) AS BIGINT) AS frequency,
+  CAST(SUM(CASE WHEN event_type = 'purchase'
+           THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+    AS monetary_cents,
+  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS breadth,
+  ROUND(CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+             AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS error_rate
+FROM events, h
+GROUP BY user_id, h.horizon
+"""
+
+
 ROUNDFIVE_QUERIES = {
+    "feature_matrix": (q_feature_matrix, SQL_FEATURE_MATRIX),
     "cvar": (q_cvar, SQL_CVAR),
     "best_week": (q_best_week, SQL_BEST_WEEK),
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
