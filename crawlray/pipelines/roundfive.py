@@ -5974,7 +5974,177 @@ GROUP BY user_id, h.horizon
 """
 
 
+# =====================================================================
+# referential-integrity audit (orphan foreign keys)
+# =====================================================================
+
+def q_ri_audit(sf_dir: str):
+    """Referential-integrity audit of the fact table: how many
+    lineitem rows carry a partkey, suppkey, or orderkey that does NOT
+    exist in its dimension — the three orphan counts a warehouse load
+    check gates on (dq_checks' cross-TABLE sibling). Dimension key
+    sets broadcast ONCE as sorted arrays (ray.put; part/supplier are
+    dimension-sized, orders keys are the largest at fact/4 — the
+    documented broadcast bound); each block answers all three audits
+    with vectorized searchsorted membership — zero shuffle, <= 1-row
+    partials."""
+    import pyarrow.parquet as pq
+
+    pk = np.sort(np.asarray(pq.read_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey"])["p_partkey"], dtype=np.int64))
+    sk = np.sort(np.asarray(pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey"])["s_suppkey"], dtype=np.int64))
+    ok = np.sort(np.asarray(pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey"])["o_orderkey"], dtype=np.int64))
+    keys_ref = ray.put((pk, sk, ok))
+
+    ds = _t(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_orderkey"])
+
+    def member(sorted_keys: np.ndarray, v: np.ndarray) -> np.ndarray:
+        pos = np.searchsorted(sorted_keys, v)
+        hit = pos < len(sorted_keys)
+        out = np.zeros(len(v), bool)
+        out[hit] = sorted_keys[pos[hit]] == v[hit]
+        return out
+
+    def audit(b: pa.Table) -> pa.Table:
+        import ray as _r
+
+        pk_, sk_, ok_ = _r.get(keys_ref)
+        p = b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = b["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = b["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "n_rows": pa.array([b.num_rows], pa.int64()),
+            "orphan_part": pa.array([int((~member(pk_, p)).sum())],
+                                    pa.int64()),
+            "orphan_supp": pa.array([int((~member(sk_, s)).sum())],
+                                    pa.int64()),
+            "orphan_order": pa.array([int((~member(ok_, o)).sum())],
+                                     pa.int64()),
+        })
+
+    agg = ds.map_batches(audit, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .aggregate(Sum("n_rows", alias_name="n_rows"),
+                   Sum("orphan_part", alias_name="orphan_part"),
+                   Sum("orphan_supp", alias_name="orphan_supp"),
+                   Sum("orphan_order", alias_name="orphan_order"))
+    return pa.table({
+        "n_rows": pa.array([int(agg["n_rows"])], pa.int64()),
+        "orphan_part": pa.array([int(agg["orphan_part"])], pa.int64()),
+        "orphan_supp": pa.array([int(agg["orphan_supp"])], pa.int64()),
+        "orphan_order": pa.array([int(agg["orphan_order"])], pa.int64())})
+
+
+SQL_RI_AUDIT = """
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_rows,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+   WHERE l_partkey NOT IN (SELECT p_partkey FROM part)) AS orphan_part,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+   WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+    AS orphan_supp,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+    AS orphan_order
+"""
+
+
+# =====================================================================
+# prefix-collision rate per source (C4-style prefix dedup signal)
+# =====================================================================
+
+def q_prefix_collision(sf_dir: str, n_tokens: int = 16):
+    """Share of each source's documents whose FIRST-16-TOKEN prefix is
+    shared by at least one other document corpus-wide — the template/
+    boilerplate signal C4-style cleaning keys on (exact dedup misses
+    docs that diverge after a shared opening). Prefix = first 16
+    [a-z]+ tokens of the lowercased text joined by single spaces,
+    IDENTICAL RE2 both sides; then exactly dup_ratio_by_source's
+    one-md5-exchange plan on the prefix string."""
+    import hashlib
+
+    from .analytics import _splitmix64 as _sm
+    from .dataops import _docs
+    from .sizing import fold_parts
+
+    n_parts = fold_parts()
+    ds = _docs(sf_dir, ["source", "text"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        import re
+
+        split = re.compile("[^a-z]+")
+        prefixes = []
+        for t in b["text"].to_pylist():
+            w = [x for x in split.split((t or "").lower()) if x]
+            prefixes.append(" ".join(w[:n_tokens]))
+        ut, inv = np.unique(np.array(prefixes, dtype=object),
+                            return_inverse=True)
+        uh = np.fromiter(
+            (int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+             for t in ut), dtype=np.int64, count=len(ut))
+        h = uh[inv]
+        kp = (_sm(h).view(np.uint64) % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({"h": pa.array(h), "source": b["source"],
+                         "kp": pa.array(kp)})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g.groupby("h", sort=False)["source"].transform("size")
+        dup = (cnt > 1).astype(np.int64)
+        out = pd.DataFrame({"source": g["source"].to_numpy(),
+                            "n_dup": dup.to_numpy(), "n_docs": 1})
+        agg = out.groupby("source", sort=False).sum().reset_index()
+        return agg.astype({"n_dup": np.int64, "n_docs": np.int64})
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("kp").map_groups(fold, batch_format="pandas")
+           .groupby("source")
+           .aggregate(Sum("n_dup", alias_name="n_dup"),
+                      Sum("n_docs", alias_name="n_docs")))
+    df = agg.to_pandas().sort_values("source", ignore_index=True)
+    nd = df["n_dup"].to_numpy(np.int64)
+    nn = df["n_docs"].to_numpy(np.int64)
+    return pa.table({
+        "source": pa.array(df["source"], pa.string()),
+        "n_dup": pa.array(nd), "n_docs": pa.array(nn),
+        "collision_rate": pa.array(np.round(
+            nd.astype(np.float64) / nn.astype(np.float64), 6),
+            pa.float64())})
+
+
+SQL_PREFIX_COLLISION = """
+WITH p AS (
+  SELECT source,
+    array_to_string(
+      list_filter(regexp_split_to_array(lower(COALESCE(text, '')),
+                                        '[^a-z]+'),
+                  x -> x <> '')[1:16], ' ') AS prefix
+  FROM documents
+), h AS (
+  SELECT source,
+         COUNT(*) OVER (
+           PARTITION BY CAST(CONCAT('0x', SUBSTR(md5(prefix), 1, 8))
+                             AS BIGINT)) AS c
+  FROM p
+)
+SELECT source,
+       CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS collision_rate
+FROM h GROUP BY 1
+"""
+
+
 ROUNDFIVE_QUERIES = {
+    "ri_audit": (q_ri_audit, SQL_RI_AUDIT),
+    "prefix_collision": (q_prefix_collision, SQL_PREFIX_COLLISION),
     "feature_matrix": (q_feature_matrix, SQL_FEATURE_MATRIX),
     "cvar": (q_cvar, SQL_CVAR),
     "best_week": (q_best_week, SQL_BEST_WEEK),
