@@ -6142,7 +6142,111 @@ FROM h GROUP BY 1
 """
 
 
+# =====================================================================
+# cumulative gains curve (targeting-model eval)
+# =====================================================================
+
+def q_gains_curve(sf_dir: str):
+    """Cumulative GAINS curve: users ranked into deciles by event
+    frequency (the deterministic proxy score) and each decile's
+    cumulative share of total purchase revenue — the gains chart that
+    says 'the top 20% of scored users hold X% of the value', the
+    targeting-eval sibling of roc_auc/pr_curve. Per-user (frequency,
+    purchase cents) folds in ONE user exchange; the decile assignment
+    is the distributed NTILE (skinny sort + offset fold); tile and
+    cents re-join as Sum-able tagged columns; <= 10-row finale with
+    exact integer cumulative sums, one division per row."""
+    from .analytics import _ntile_pairs
+
+    ds = _t(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        is_p = pc.equal(b["event_type"], pa.scalar("purchase"))
+        cents = pc.if_else(is_p, _cents(b["value"]),
+                           pa.scalar(0, pa.int64()))
+        t = pa.table({"ck": b["user_id"], "freq": pa.array(
+            np.ones(b.num_rows, np.int64)), "mon": cents})
+        g = t.group_by("ck").aggregate([("freq", "sum"), ("mon", "sum")])
+        return g.rename_columns(["ck", "freq", "mon"])
+
+    per_user = (ds.map_batches(prep, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                .groupby("ck")
+                .aggregate(Sum("freq", alias_name="freq"),
+                           Sum("mon", alias_name="mon"))
+                .materialize())
+
+    pairs = _ntile_pairs(
+        per_user.map_batches(
+            lambda b: pa.table({"freq": b["freq"].cast(pa.int64()),
+                                "ck": b["ck"]}),
+            batch_format="pyarrow").materialize(),
+        "freq", k=10)
+
+    tagged = pairs.map_batches(
+        lambda b: pa.table({"ck": b["ck"], "tile": b["tile"],
+                            "mon": pa.array(
+                                np.zeros(b.num_rows, np.int64))}),
+        batch_format="pyarrow").union(
+        per_user.map_batches(
+            lambda b: pa.table({"ck": b["ck"],
+                                "tile": pa.array(
+                                    np.zeros(b.num_rows, np.int64)),
+                                "mon": b["mon"]}),
+            batch_format="pyarrow"))
+
+    joined = (tagged.groupby("ck")
+              .aggregate(Sum("tile", alias_name="tile"),
+                         Sum("mon", alias_name="mon")))
+
+    def cells(b: pa.Table) -> pa.Table:
+        g = b.group_by("tile").aggregate([("mon", "sum"),
+                                          ([], "count_all")])
+        return g.rename_columns(["decile", "cents", "n_users"])
+
+    agg = (joined.map_batches(cells, batch_format="pyarrow")
+           .groupby("decile")
+           .aggregate(Sum("cents", alias_name="cents"),
+                      Sum("n_users", alias_name="n_users")))
+    df = agg.to_pandas().sort_values("decile", ignore_index=True)
+    cents = df["cents"].to_numpy(np.int64)
+    total = int(cents.sum())
+    cum = np.cumsum(cents.astype(object))
+    return pa.table({
+        "decile": pa.array(df["decile"].to_numpy(np.int64)),
+        "n_users": pa.array(df["n_users"].to_numpy(np.int64)),
+        "cents": pa.array(cents),
+        "cum_share": pa.array(np.round(
+            np.array([float(c) for c in cum]) / float(total), 6),
+            pa.float64())})
+
+
+SQL_GAINS_CURVE = """
+WITH u AS (
+  SELECT user_id AS ck, CAST(COUNT(*) AS BIGINT) AS freq,
+    SUM(CASE WHEN event_type = 'purchase'
+        THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS mon
+  FROM events GROUP BY 1
+), t AS (
+  SELECT ck, mon,
+         CAST(NTILE(10) OVER (ORDER BY freq DESC, ck) AS BIGINT)
+           AS decile
+  FROM u
+), g AS (
+  SELECT decile, CAST(SUM(mon) AS BIGINT) AS cents,
+         CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM t GROUP BY 1
+), tot AS (SELECT CAST(SUM(cents) AS HUGEINT) AS total FROM g)
+SELECT g.decile, g.n_users, g.cents,
+  ROUND(CAST(SUM(g.cents) OVER (ORDER BY g.decile
+                                ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        / CAST(tot.total AS DOUBLE), 6) AS cum_share
+FROM g, tot
+"""
+
+
 ROUNDFIVE_QUERIES = {
+    "gains_curve": (q_gains_curve, SQL_GAINS_CURVE),
     "ri_audit": (q_ri_audit, SQL_RI_AUDIT),
     "prefix_collision": (q_prefix_collision, SQL_PREFIX_COLLISION),
     "feature_matrix": (q_feature_matrix, SQL_FEATURE_MATRIX),
