@@ -6245,7 +6245,136 @@ FROM g, tot
 """
 
 
+# =====================================================================
+# delta-method CI on revenue-per-order (ratio metric)
+# =====================================================================
+
+def q_ratio_ci(sf_dir: str):
+    """95% delta-method confidence interval on revenue-per-order per
+    customer segment — ratio KPIs (revenue/orders, clicks/sessions)
+    need the delta method because both numerator and denominator vary
+    per customer; the naive mean-of-ratios is a different (wrong)
+    estimand. Per-customer (orders, cents) fold through ONE custkey
+    exchange with the segment riding a broadcast LUT; per-segment
+    exact int64 moments (n, Σx, Σy, Σx², Σy², Σxy) in DOLLAR units —
+    cents² sums overflow int64 at sf >= 0.01 (hit and fixed), dollars
+    keep Σx² < 2^63 through sf ~ 100 (x < 2^31 asserted per block);
+    r = Σx/Σy and
+    var(r) = (Σx²−2rΣxy+r²Σy²)·n/(n−1)/Σy² — ONE identical IEEE
+    expression chain, z = 1.96, 6 dp."""
+    import pyarrow.parquet as pq
+
+    ct = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                       columns=["c_custkey", "c_mktsegment"])
+    ck = np.asarray(ct["c_custkey"], dtype=np.int64)
+    segs, scode = np.unique(np.asarray(ct["c_mktsegment"], dtype=object),
+                            return_inverse=True)
+    lut = np.zeros(int(ck.max()) + 1, np.int64)
+    lut[ck] = scode
+    lut_ref = ray.put((lut, len(segs)))
+
+    ds = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        # half-AWAY dollar rounding (DuckDB ROUND): totalprice ends in
+        # .50 often, where pc.round's half-even disagrees
+        v = b["o_totalprice"].to_numpy(zero_copy_only=False)
+        x = np.floor(v + 0.5).astype(np.int64)   # prices are positive
+        t = pa.table({"ck": b["o_custkey"], "x": pa.array(x),
+                      "y": pa.array(np.ones(b.num_rows, np.int64))})
+        g = t.group_by("ck").aggregate([("x", "sum"), ("y", "sum")])
+        return g.rename_columns(["ck", "x", "y"])
+
+    per_cust = (ds.map_batches(prep, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                .groupby("ck")
+                .aggregate(Sum("x", alias_name="x"),
+                           Sum("y", alias_name="y")))
+
+    def moments(b: pa.Table) -> pa.Table:
+        import ray as _r
+
+        seg_lut, ns = _r.get(lut_ref)
+        c = b["ck"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = b["x"].to_numpy(zero_copy_only=False)
+        y = b["y"].to_numpy(zero_copy_only=False)
+        assert int(x.max()) < (1 << 31), "dollar sums exceed the x² bound"
+        code = seg_lut[c]
+        out = {"seg": pa.array(np.arange(ns, dtype=np.int64))}
+        for name, v in (("n", np.ones(len(c), np.int64)),
+                        ("sx", x), ("sy", y), ("sxx", x * x),
+                        ("syy", y * y), ("sxy", x * y)):
+            s = np.zeros(ns, np.int64)
+            np.add.at(s, code, v)
+            out[name] = pa.array(s)
+        return pa.table(out)
+
+    agg = (per_cust.map_batches(moments, batch_format="pyarrow")
+           .groupby("seg")
+           .aggregate(*[Sum(c, alias_name=c)
+                        for c in ["n", "sx", "sy", "sxx", "syy", "sxy"]]))
+    df = agg.to_pandas().sort_values("seg", ignore_index=True)
+    z = 1.96
+    rows = {"segment": [], "n": [], "ratio": [], "lo": [], "hi": []}
+    for _, rr in df.iterrows():
+        n = int(rr["n"])
+        if n < 2:
+            continue
+        sx, sy = int(rr["sx"]), int(rr["sy"])
+        sxx, syy, sxy = int(rr["sxx"]), int(rr["syy"]), int(rr["sxy"])
+        r = float(sx) / float(sy)
+        var = (float(sxx) - 2.0 * r * float(sxy)
+               + r * r * float(syy)) * float(n) / float(n - 1) \
+            / (float(sy) * float(sy))
+        se = math.sqrt(var)
+        rows["segment"].append(str(segs[int(rr["seg"])]))
+        rows["n"].append(n)
+        rows["ratio"].append(np.round(r, 6))
+        rows["lo"].append(np.round(r - z * se, 6))
+        rows["hi"].append(np.round(r + z * se, 6))
+    return pa.table({
+        "segment": pa.array(rows["segment"], pa.string()),
+        "n": pa.array(rows["n"], pa.int64()),
+        "ratio": pa.array(rows["ratio"], pa.float64()),
+        "lo": pa.array(rows["lo"], pa.float64()),
+        "hi": pa.array(rows["hi"], pa.float64())})
+
+
+SQL_RATIO_CI = """
+WITH u AS (
+  SELECT c.c_mktsegment AS segment, o.o_custkey,
+         SUM(CAST(ROUND(o.o_totalprice) AS BIGINT)) AS x,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+), m AS (
+  SELECT segment, CAST(COUNT(*) AS HUGEINT) AS n,
+    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+    CAST(SUM(x * x) AS HUGEINT) AS sxx,
+    CAST(SUM(y * y) AS HUGEINT) AS syy,
+    CAST(SUM(x * y) AS HUGEINT) AS sxy
+  FROM u GROUP BY 1 HAVING COUNT(*) >= 2
+), s AS (
+  SELECT segment, CAST(n AS BIGINT) AS n,
+    CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) AS r,
+    SQRT((CAST(sxx AS DOUBLE)
+          - 2.0 * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+            * CAST(sxy AS DOUBLE)
+          + (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+            * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+            * CAST(syy AS DOUBLE))
+         * CAST(n AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+         / (CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS se
+  FROM m
+)
+SELECT segment, n, ROUND(r, 6) AS ratio,
+       ROUND(r - 1.96 * se, 6) AS lo, ROUND(r + 1.96 * se, 6) AS hi
+FROM s
+"""
+
+
 ROUNDFIVE_QUERIES = {
+    "ratio_ci": (q_ratio_ci, SQL_RATIO_CI),
     "gains_curve": (q_gains_curve, SQL_GAINS_CURVE),
     "ri_audit": (q_ri_audit, SQL_RI_AUDIT),
     "prefix_collision": (q_prefix_collision, SQL_PREFIX_COLLISION),
