@@ -6373,7 +6373,132 @@ FROM s
 """
 
 
+# =====================================================================
+# pairwise Jaccard histogram (shingle dedup-threshold calibration)
+# =====================================================================
+
+def q_jaccard_histogram(sf_dir: str):
+    """Histogram (10 bins) of word-trigram-shingle Jaccard over every
+    document pair sharing at least one shingle (doc_id < 300, the
+    set_sim corpus cap) — the threshold-calibration curve for SHINGLE
+    dedup, sibling to cosine_histogram's embedding curve: where the
+    natural-pair mass ends tells you where to put τ. Plan: per-doc
+    distinct shingle sets; ONE token-hash exchange emits co-occurring
+    doc pairs per shingle; a packed-pair-key exchange dedups pairs and
+    carries both sizes + a shared-count SUM, so J = shared /(|A|+|B|
+    −shared) needs NO second look at the sets; exact integer binning
+    (20·inter vs union cross products — no float decides a bin)."""
+    import pyarrow.dataset as pads
+
+    from .dataops import _pair_part
+    from .sizing import fold_parts
+    from crawlray.functions.murmur3 import hash64_batch_i64
+
+    n_parts = fold_parts()
+    base = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filter=pads.field("doc_id") < 300)
+
+    def doc_shingles(b: pa.Table) -> pa.Table:
+        import re
+
+        split = re.compile("[^a-z]+")
+        out_tok, out_id, out_sz = [], [], []
+        for did, text in zip(b["doc_id"].to_pylist(),
+                             b["text"].to_pylist()):
+            w = [t for t in split.split((text or "").lower()) if t]
+            sh = sorted({" ".join(w[j:j + 3])
+                         for j in range(len(w) - 2)})
+            for t in sh:
+                out_tok.append(t)
+                out_id.append(did)
+                out_sz.append(len(sh))
+        tok = pa.array(out_tok, pa.string())
+        h = np.asarray(hash64_batch_i64(tok))
+        return pa.table({
+            "token": tok, "tpart": pa.array(_pair_part(h)),
+            "doc_id": pa.array(out_id, pa.int64()),
+            "sz": pa.array(out_sz, pa.int64()),
+        })
+
+    def pairs(part: pd.DataFrame) -> pd.DataFrame:
+        keys, sa, sb = [], [], []
+        for _tok, g in part.groupby("token", sort=False):
+            ids = g["doc_id"].to_numpy(np.int64)
+            szs = g["sz"].to_numpy(np.int64)
+            order = np.argsort(ids)
+            ids, szs = ids[order], szs[order]
+            if len(ids) < 2:
+                continue
+            iu, iv = np.triu_indices(len(ids), k=1)
+            keys.append((ids[iu] << np.int64(32)) | ids[iv])
+            sa.append(szs[iu])
+            sb.append(szs[iv])
+        if not keys:
+            return pd.DataFrame({"key": pd.Series([], dtype=np.int64),
+                                 "sa": pd.Series([], dtype=np.int64),
+                                 "sb": pd.Series([], dtype=np.int64),
+                                 "shared": pd.Series([], dtype=np.int64),
+                                 "kp": pd.Series([], dtype=np.int64)})
+        key = np.concatenate(keys)
+        kp = (_splitmix64(key).view(np.uint64)
+              % np.uint64(n_parts)).astype(np.int64)
+        return pd.DataFrame({"key": key,
+                             "sa": np.concatenate(sa),
+                             "sb": np.concatenate(sb),
+                             "shared": np.ones(len(key), np.int64),
+                             "kp": kp})
+
+    def hist(g: pd.DataFrame) -> pd.DataFrame:
+        df_ = g.groupby("key", sort=False).agg(
+            sa=("sa", "first"), sb=("sb", "first"),
+            shared=("shared", "sum")).reset_index()
+        inter = df_["shared"].to_numpy(np.int64)
+        union = df_["sa"].to_numpy(np.int64) \
+            + df_["sb"].to_numpy(np.int64) - inter
+        # bin = floor(10·J) capped at 9 — exact integer cross products
+        binv = np.minimum((10 * inter) // union, 9).astype(np.int64)
+        ub, c = np.unique(binv, return_counts=True)
+        return pd.DataFrame({"bin": ub, "n": c.astype(np.int64)})
+
+    return (base.map_batches(doc_shingles, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .groupby("tpart").map_groups(pairs, batch_format="pandas")
+            .groupby("kp").map_groups(hist, batch_format="pandas")
+            .groupby("bin")
+            .aggregate(Sum("n", alias_name="n")))
+
+
+SQL_JACCARD_HISTOGRAM = """
+WITH w AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                x -> x <> '') AS l
+  FROM documents WHERE doc_id < 300
+), tok AS (
+  SELECT DISTINCT doc_id, array_to_string(l[g:g+2], ' ') AS token
+  FROM w, UNNEST(generate_series(1, len(l) - 2)) AS t(g)
+), sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM tok
+             GROUP BY doc_id),
+ip AS (
+  SELECT a.doc_id AS da, b.doc_id AS db,
+         CAST(COUNT(*) AS BIGINT) AS inter
+  FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), j AS (
+  SELECT LEAST((10 * ip.inter)
+               // (sa.sz + sb.sz - ip.inter), 9) AS bin
+  FROM ip JOIN sizes sa ON sa.doc_id = ip.da
+          JOIN sizes sb ON sb.doc_id = ip.db
+)
+SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n
+FROM j GROUP BY 1
+"""
+
+
 ROUNDFIVE_QUERIES = {
+    "jaccard_histogram": (q_jaccard_histogram, SQL_JACCARD_HISTOGRAM),
     "ratio_ci": (q_ratio_ci, SQL_RATIO_CI),
     "gains_curve": (q_gains_curve, SQL_GAINS_CURVE),
     "ri_audit": (q_ri_audit, SQL_RI_AUDIT),
