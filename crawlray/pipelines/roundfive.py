@@ -6497,7 +6497,106 @@ FROM j GROUP BY 1
 """
 
 
+# =====================================================================
+# per-part price-trend sweep (regression per high-cardinality member)
+# =====================================================================
+
+def q_price_trend_parts(sf_dir: str, k: int = 20):
+    """Top-20 parts by |unit-price trend| (cents/day OLS slope of
+    realized unit price on ship day) — regr_per_group run per
+    HIGH-CARDINALITY dimension member (every part, not 3 flags),
+    which forces the scale shape: exact int64 moment partials per
+    part fold through ONE partkey-hash partition exchange (never a
+    20k-group hash Aggregate), slopes divide unbounded ints on the
+    bounded per-partition member table, and per-partition partial
+    top-k merges on the driver. Unit price quantizes half-away to
+    whole cents (one identical expression both sides); rank by
+    (ROUNDED |slope| DESC, part) is deterministic."""
+    from .sizing import fold_parts
+
+    n_parts = fold_parts()
+    ds = _t(sf_dir, "lineitem",
+            ["l_partkey", "l_shipdate", "l_quantity", "l_extendedprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        p = b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = (b["l_shipdate"].cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // DAY_US)
+        qty = pc.round(b["l_quantity"]).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ext = _cents(b["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        up = ext.astype(np.float64) / qty.astype(np.float64)
+        y = np.floor(up + 0.5).astype(np.int64)   # half-away, positive
+        kp = (_splitmix64(p).view(np.uint64)
+              % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({"p": pa.array(p), "x": pa.array(day),
+                         "y": pa.array(y), "kp": pa.array(kp)})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        p = g["p"].to_numpy(np.int64)
+        x = g["x"].to_numpy(np.int64)
+        y = g["y"].to_numpy(np.int64)
+        up_, inv = np.unique(p, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        sums = {}
+        for name, v in (("sx", x), ("sy", y), ("sxx", x * x),
+                        ("sxy", x * y)):
+            s = np.zeros(len(up_), np.int64)
+            np.add.at(s, inv, v)
+            sums[name] = s
+        den = n * sums["sxx"] - sums["sx"] * sums["sx"]
+        num = n * sums["sxy"] - sums["sx"] * sums["sy"]
+        keep = (n >= 3) & (den > 0)
+        slope = np.round(num[keep].astype(np.float64)
+                         / den[keep].astype(np.float64), 6)
+        pp, nn = up_[keep], n[keep]
+        order = np.lexsort((pp, -np.abs(slope)))[:k]
+        return pd.DataFrame({"part": pp[order], "n": nn[order],
+                             "slope": slope[order]})
+
+    rows = [r for b in
+            (ds.map_batches(prep, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby("kp").map_groups(fold, batch_format="pandas"))
+            .iter_batches(batch_format="pyarrow")
+            for r in zip(b["part"].to_pylist(), b["n"].to_pylist(),
+                         b["slope"].to_pylist())]
+    rows.sort(key=lambda r: (-abs(r[2]), r[0]))
+    top = rows[:k]
+    return pa.table({
+        "part": pa.array([r[0] for r in top], pa.int64()),
+        "n": pa.array([r[1] for r in top], pa.int64()),
+        "slope": pa.array([r[2] for r in top], pa.float64())})
+
+
+SQL_PRICE_TREND_PARTS = """
+WITH q AS (
+  SELECT l_partkey AS part,
+    epoch_us(l_shipdate) // 86400000000 AS x,
+    CAST(ROUND(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    AS DOUBLE)
+               / CAST(CAST(ROUND(l_quantity) AS BIGINT) AS DOUBLE))
+         AS BIGINT) AS y
+  FROM lineitem
+), m AS (
+  SELECT part, CAST(COUNT(*) AS HUGEINT) AS n,
+    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+    CAST(SUM(x * x) AS HUGEINT) AS sxx,
+    CAST(SUM(x * y) AS HUGEINT) AS sxy
+  FROM q GROUP BY 1 HAVING COUNT(*) >= 3
+), s AS (
+  SELECT part, CAST(n AS BIGINT) AS n,
+    ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+          / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope
+  FROM m WHERE n * sxx - sx * sx > 0
+)
+SELECT part, n, slope FROM s
+QUALIFY ROW_NUMBER() OVER (ORDER BY ABS(slope) DESC, part) <= 20
+"""
+
+
 ROUNDFIVE_QUERIES = {
+    "price_trend_parts": (q_price_trend_parts, SQL_PRICE_TREND_PARTS),
     "jaccard_histogram": (q_jaccard_histogram, SQL_JACCARD_HISTOGRAM),
     "ratio_ci": (q_ratio_ci, SQL_RATIO_CI),
     "gains_curve": (q_gains_curve, SQL_GAINS_CURVE),
