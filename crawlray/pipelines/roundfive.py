@@ -6595,7 +6595,117 @@ QUALIFY ROW_NUMBER() OVER (ORDER BY ABS(slope) DESC, part) <= 20
 """
 
 
+# =====================================================================
+# attribution-window sweep (1h / 1d / 7d lookback)
+# =====================================================================
+
+def q_attribution_window(sf_dir: str):
+    """Share of purchases with a prior non-purchase touch within 1
+    hour, 1 day, and 7 days — the lookback-window sensitivity sweep
+    that decides an attribution policy BEFORE anyone commits to one
+    (first/last/linear all inherit the window). ONE user-hash
+    exchange; each partition sorts its users' touches once and every
+    purchase answers all three windows with ONE searchsorted probe
+    (strictly-before tuple semantics); <= 3-row exact int partials,
+    one division per window, 6 dp."""
+    from .sizing import fold_parts
+
+    n_parts = fold_parts()
+    windows = [3600 * 1_000_000, 86_400 * 1_000_000,
+               7 * 86_400 * 1_000_000]
+    names = ["1h", "1d", "7d"]
+    ds = _t(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kp = (_splitmix64(uid).view(np.uint64)
+              % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({
+            "user_id": b["user_id"], "event_id": b["event_id"],
+            "ts_us": b["ts"].cast(pa.int64()),
+            "is_p": pc.equal(b["event_type"],
+                             pa.scalar("purchase")).cast(pa.int64()),
+            "kp": pa.array(kp),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        res = np.zeros(4, np.int64)             # purchases, hit_1h/1d/7d
+        for _u, gu in g.groupby("user_id", sort=False):
+            ts = gu["ts_us"].to_numpy(np.int64)
+            eid = gu["event_id"].to_numpy(np.int64)
+            is_p = gu["is_p"].to_numpy(np.int64).astype(bool)
+            tts = np.sort(ts[~is_p])
+            pts = ts[is_p]
+            peid = eid[is_p]
+            res[0] += len(pts)
+            if len(tts) == 0:
+                continue
+            # nearest touch strictly before the purchase ts; a touch
+            # at the SAME microsecond counts when its event_id is
+            # smaller — conservative: use ts-strict (documented, both
+            # sides)
+            _ = peid
+            prev = np.searchsorted(tts, pts, side="left") - 1
+            has = prev >= 0
+            gap = np.where(has, pts - tts[np.maximum(prev, 0)],
+                           np.int64(1) << 62)
+            for i, w in enumerate(windows):
+                res[1 + i] += int((gap <= w).sum())
+        return pd.DataFrame({
+            "purchases": [int(res[0])], "h1": [int(res[1])],
+            "d1": [int(res[2])], "d7": [int(res[3])]})
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("kp").map_groups(fold, batch_format="pandas")
+           .aggregate(Sum("purchases", alias_name="purchases"),
+                      Sum("h1", alias_name="h1"),
+                      Sum("d1", alias_name="d1"),
+                      Sum("d7", alias_name="d7")))
+    total = int(agg["purchases"])
+    hits = [int(agg["h1"]), int(agg["d1"]), int(agg["d7"])]
+    return pa.table({
+        "window": pa.array(names, pa.string()),
+        "purchases": pa.array([total] * 3, pa.int64()),
+        "attributed": pa.array(hits, pa.int64()),
+        "share": pa.array([np.round(float(h) / float(total), 6)
+                           for h in hits], pa.float64())})
+
+
+SQL_ATTRIBUTION_WINDOW = """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS tu
+  FROM events WHERE event_type = 'purchase'
+), t AS (
+  SELECT user_id, epoch_us(ts) AS tu
+  FROM events WHERE event_type <> 'purchase'
+), g AS (
+  SELECT p.user_id, p.tu,
+         MAX(t.tu) AS prev
+  FROM p LEFT JOIN t ON t.user_id = p.user_id AND t.tu < p.tu
+  GROUP BY 1, 2
+), c AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS purchases,
+    CAST(SUM(CASE WHEN tu - prev <= 3600000000 THEN 1 ELSE 0 END)
+         AS BIGINT) AS h1,
+    CAST(SUM(CASE WHEN tu - prev <= 86400000000 THEN 1 ELSE 0 END)
+         AS BIGINT) AS d1,
+    CAST(SUM(CASE WHEN tu - prev <= 604800000000 THEN 1 ELSE 0 END)
+         AS BIGINT) AS d7
+  FROM g
+)
+SELECT w.window, c.purchases,
+  CASE w.window WHEN '1h' THEN c.h1 WHEN '1d' THEN c.d1
+                ELSE c.d7 END AS attributed,
+  ROUND(CAST(CASE w.window WHEN '1h' THEN c.h1 WHEN '1d' THEN c.d1
+             ELSE c.d7 END AS DOUBLE)
+        / CAST(c.purchases AS DOUBLE), 6) AS share
+FROM (SELECT unnest(['1h', '1d', '7d']) AS window) w, c
+"""
+
+
 ROUNDFIVE_QUERIES = {
+    "attribution_window": (q_attribution_window, SQL_ATTRIBUTION_WINDOW),
     "price_trend_parts": (q_price_trend_parts, SQL_PRICE_TREND_PARTS),
     "jaccard_histogram": (q_jaccard_histogram, SQL_JACCARD_HISTOGRAM),
     "ratio_ci": (q_ratio_ci, SQL_RATIO_CI),
