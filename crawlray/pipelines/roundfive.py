@@ -6704,7 +6704,69 @@ FROM (SELECT unnest(['1h', '1d', '7d']) AS window) w, c
 """
 
 
+# =====================================================================
+# daily log-return volatility
+# =====================================================================
+
+def q_volatility(sf_dir: str):
+    """Volatility of daily revenue: standard deviation of ln-returns
+    over consecutive PRESENT days (gap rule both sides), plus the
+    √365-annualized figure — the stability scalar next to
+    max_drawdown and cvar. ln-returns QUANTIZE to micro-unit int64
+    (ln of exact integer ratios, half-away — the elasticity trick) so
+    the distributed moments are exact; std = √((nΣx²−(Σx)²)/(n(n−1)))
+    in unbounded ints until one sqrt, de-scaled by the quantization
+    constant, 6 dp."""
+    df = _day_rev_fold(sf_dir)
+    day = df["day"].to_numpy(np.int64)
+    rev = df["rev"].to_numpy(np.int64)
+    consec = day[1:] == day[:-1] + 1
+    r1 = rev[1:][consec].astype(np.float64)
+    r0 = rev[:-1][consec].astype(np.float64)
+    x = np.log(r1 / r0) * 1e6
+    xq = np.where(x >= 0, np.floor(x + 0.5),
+                  -np.floor(-x + 0.5)).astype(object)
+    n = len(xq)
+    sx = int(sum(int(v) for v in xq))
+    sxx = int(sum(int(v) * int(v) for v in xq))
+    var_num = n * sxx - sx * sx
+    vol = math.sqrt(float(var_num) / float(n * (n - 1))) / 1e6
+    return pa.table({
+        "n_returns": pa.array([n], pa.int64()),
+        "daily_vol": pa.array([np.round(vol, 6)], pa.float64()),
+        "annualized": pa.array([np.round(vol * math.sqrt(365.0), 6)],
+                               pa.float64())})
+
+
+SQL_VOLATILITY = """
+WITH d AS (
+  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1
+), r AS (
+  SELECT CAST(ROUND(1000000 * LN(CAST(b.rev AS DOUBLE)
+                                 / CAST(a.rev AS DOUBLE))) AS BIGINT)
+           AS x
+  FROM d a JOIN d b ON b.day = a.day + 1
+), m AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(x) AS HUGEINT) AS sx,
+         CAST(SUM(x * x) AS HUGEINT) AS sxx
+  FROM r
+)
+SELECT CAST(n AS BIGINT) AS n_returns,
+  ROUND(SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+             / CAST(n * (n - 1) AS DOUBLE)) / 1000000.0, 6)
+    AS daily_vol,
+  ROUND(SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+             / CAST(n * (n - 1) AS DOUBLE)) / 1000000.0
+        * SQRT(365.0), 6) AS annualized
+FROM m
+"""
+
+
 ROUNDFIVE_QUERIES = {
+    "volatility": (q_volatility, SQL_VOLATILITY),
     "attribution_window": (q_attribution_window, SQL_ATTRIBUTION_WINDOW),
     "price_trend_parts": (q_price_trend_parts, SQL_PRICE_TREND_PARTS),
     "jaccard_histogram": (q_jaccard_histogram, SQL_JACCARD_HISTOGRAM),
