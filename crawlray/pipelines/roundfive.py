@@ -6765,7 +6765,107 @@ FROM m
 """
 
 
+# =====================================================================
+# dedup transitivity audit (single-link over-merge risk)
+# =====================================================================
+
+def q_dedup_transitivity(sf_dir: str):
+    """Transitivity audit of the Jaccard-0.8 near-dup pair graph: of
+    every wedge a~b~c, how many close into a triangle (a~c too)? Low
+    transitivity means single-link clustering (dedup_groups) chains
+    unrelated docs through hubs — THE failure mode to check before
+    trusting connected-components dedup. Reuses set_sim_join's entire
+    distributed plan for the pair set (prefix filtering, one shingle
+    exchange); the PAIR graph is bounded (near-dup pairs, not docs),
+    so wedges count on the driver with one sorted adjacency pass;
+    exact integer ratio, 6 dp."""
+    from .dataops import q_set_sim_join
+
+    pairs_ds = q_set_sim_join(sf_dir)
+    rows = [
+        (int(a), int(b))
+        for b_ in pairs_ds.iter_batches(batch_format="pyarrow")
+        for a, b in zip(b_["doc_a"].to_pylist(), b_["doc_b"].to_pylist())]
+    edges = set()
+    adj: dict[int, set] = {}
+    for a, b in rows:
+        lo, hi = (a, b) if a < b else (b, a)
+        if (lo, hi) in edges:
+            continue
+        edges.add((lo, hi))
+        adj.setdefault(lo, set()).add(hi)
+        adj.setdefault(hi, set()).add(lo)
+    closed = 0
+    wedges = 0
+    for center, nbrs in adj.items():
+        ns = sorted(nbrs)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                wedges += 1
+                lo, hi = ns[i], ns[j]
+                if (lo, hi) in edges:
+                    closed += 1
+    # every triangle closes 3 wedges; report wedge-level transitivity
+    open_w = wedges - closed
+    return pa.table({
+        "n_pairs": pa.array([len(edges)], pa.int64()),
+        "wedges": pa.array([wedges], pa.int64()),
+        "closed": pa.array([closed], pa.int64()),
+        "transitivity": pa.array(
+            [None if wedges == 0
+             else np.round(float(closed) / float(wedges), 6)],
+            pa.float64()),
+        "open_wedges": pa.array([open_w], pa.int64())})
+
+
+SQL_DEDUP_TRANSITIVITY = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 300
+  UNION ALL
+  SELECT doc_id + 1000000, regexp_replace(text, ' [^ ]*$', '')
+  FROM documents WHERE doc_id < 300
+), w AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                x -> x <> '') AS l
+  FROM corpus
+), tok AS (
+  SELECT DISTINCT doc_id, array_to_string(l[g:g+2], ' ') AS token
+  FROM w, UNNEST(generate_series(1, len(l) - 2)) AS t(g)
+), sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+ipairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+e AS (
+  SELECT doc_a AS u, doc_b AS v
+  FROM ipairs
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE 5 * inter >= 4 * (sa.sz + sb.sz - inter)
+), sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+wedge AS (
+  SELECT a.u AS center, a.v AS x, b.v AS y
+  FROM sym a JOIN sym b ON b.u = a.u AND a.v < b.v
+), c AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS wedges,
+    CAST(COALESCE(SUM(CASE WHEN EXISTS (
+      SELECT 1 FROM e WHERE e.u = wedge.x AND e.v = wedge.y)
+      THEN 1 ELSE 0 END), 0) AS BIGINT) AS closed
+  FROM wedge
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_pairs,
+  c.wedges, c.closed,
+  CASE WHEN c.wedges > 0
+       THEN ROUND(CAST(c.closed AS DOUBLE)
+                  / CAST(c.wedges AS DOUBLE), 6) END AS transitivity,
+  c.wedges - c.closed AS open_wedges
+FROM c
+"""
+
+
 ROUNDFIVE_QUERIES = {
+    "dedup_transitivity": (q_dedup_transitivity, SQL_DEDUP_TRANSITIVITY),
     "volatility": (q_volatility, SQL_VOLATILITY),
     "attribution_window": (q_attribution_window, SQL_ATTRIBUTION_WINDOW),
     "price_trend_parts": (q_price_trend_parts, SQL_PRICE_TREND_PARTS),
