@@ -6864,7 +6864,126 @@ FROM c
 """
 
 
+# =====================================================================
+# jackknife standard error on a ratio (deterministic resampling)
+# =====================================================================
+
+def q_jackknife_ratio(sf_dir: str):
+    """JACKKNIFE standard error of revenue-per-order per segment —
+    the deterministic resampling family (bootstrap needs RNG; leave-
+    one-out does not), cross-checkable against ratio_ci's delta
+    method: the two SEs should agree to first order and the query
+    shows both assumptions' gap. Per-customer (dollars, orders) folds
+    in ONE custkey exchange; each segment's customers co-locate in a
+    segment groupby, where every leave-one-out ratio r_i =
+    (Sx−x_i)/(Sy−y_i) is vectorized and the two order-dependent float
+    sums (r̄ and the squared deviations) run in CUSTKEY order on both
+    sides; se = √((n−1)/n · Σ(r_i−r̄)²), 6 dp."""
+    import pyarrow.parquet as pq
+
+    ct = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                       columns=["c_custkey", "c_mktsegment"])
+    ck = np.asarray(ct["c_custkey"], dtype=np.int64)
+    segs, scode = np.unique(np.asarray(ct["c_mktsegment"], dtype=object),
+                            return_inverse=True)
+    lut = np.zeros(int(ck.max()) + 1, np.int64)
+    lut[ck] = scode
+    lut_ref = ray.put((lut, [str(s) for s in segs]))
+
+    ds = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = b["o_totalprice"].to_numpy(zero_copy_only=False)
+        x = np.floor(v + 0.5).astype(np.int64)   # half-away dollars
+        t = pa.table({"ck": b["o_custkey"], "x": pa.array(x),
+                      "y": pa.array(np.ones(b.num_rows, np.int64))})
+        g = t.group_by("ck").aggregate([("x", "sum"), ("y", "sum")])
+        return g.rename_columns(["ck", "x", "y"])
+
+    per_cust = (ds.map_batches(prep, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                .groupby("ck")
+                .aggregate(Sum("x", alias_name="x"),
+                           Sum("y", alias_name="y")))
+
+    def tag_seg(b: pa.Table) -> pa.Table:
+        import ray as _r
+
+        seg_lut, names = _r.get(lut_ref)
+        c = b["ck"].to_numpy(zero_copy_only=False).astype(np.int64)
+        seg = np.array([names[i] for i in seg_lut[c]], dtype=object)
+        return b.append_column("segment", pa.array(seg, pa.string()))
+
+    def jack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ck", ignore_index=True)
+        x = g["x"].to_numpy(np.int64)
+        y = g["y"].to_numpy(np.int64)
+        n = len(x)
+        if n < 2:
+            return pd.DataFrame({"segment": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64),
+                                 "ratio": pd.Series([], dtype=np.float64),
+                                 "se_jack": pd.Series([],
+                                                      dtype=np.float64)})
+        sx, sy = int(x.sum()), int(y.sum())
+        ri = (float(sx) - x.astype(np.float64)) \
+            / (float(sy) - y.astype(np.float64))
+        acc = 0.0
+        for v in ri:                             # custkey order
+            acc += v
+        rbar = acc / float(n)
+        acc2 = 0.0
+        for v in ri:                             # custkey order
+            d = v - rbar
+            acc2 += d * d
+        se = math.sqrt(acc2 * float(n - 1) / float(n))
+        return pd.DataFrame({
+            "segment": [str(g["segment"].iloc[0])],
+            "n": np.array([n], np.int64),
+            "ratio": np.array([np.round(float(sx) / float(sy), 6)],
+                              np.float64),
+            "se_jack": np.array([np.round(se, 6)], np.float64)})
+
+    return (per_cust.map_batches(tag_seg, batch_format="pyarrow")
+            .groupby("segment").map_groups(jack, batch_format="pandas")
+            .select_columns(["segment", "n", "ratio", "se_jack"]))
+
+
+SQL_JACKKNIFE_RATIO = """
+WITH u AS (
+  SELECT c.c_mktsegment AS segment, o.o_custkey AS ck,
+         SUM(CAST(ROUND(o.o_totalprice) AS BIGINT)) AS x,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+), s AS (
+  SELECT segment, CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM u GROUP BY 1 HAVING COUNT(*) >= 2
+), j AS (
+  SELECT u.segment, u.ck,
+    (CAST(s.sx AS DOUBLE) - CAST(u.x AS DOUBLE))
+      / (CAST(s.sy AS DOUBLE) - CAST(u.y AS DOUBLE)) AS ri
+  FROM u JOIN s USING (segment)
+), m AS (
+  SELECT segment, SUM(ri ORDER BY ck) / CAST(COUNT(*) AS DOUBLE) AS rbar
+  FROM j GROUP BY 1
+), v AS (
+  SELECT j.segment,
+    SUM((j.ri - m.rbar) * (j.ri - m.rbar) ORDER BY j.ck) AS ss
+  FROM j JOIN m USING (segment) GROUP BY 1
+)
+SELECT s.segment, s.n,
+  ROUND(CAST(s.sx AS DOUBLE) / CAST(s.sy AS DOUBLE), 6) AS ratio,
+  ROUND(SQRT(v.ss * CAST(s.n - 1 AS DOUBLE) / CAST(s.n AS DOUBLE)), 6)
+    AS se_jack
+FROM s JOIN v USING (segment)
+"""
+
+
 ROUNDFIVE_QUERIES = {
+    "jackknife_ratio": (q_jackknife_ratio, SQL_JACKKNIFE_RATIO),
     "dedup_transitivity": (q_dedup_transitivity, SQL_DEDUP_TRANSITIVITY),
     "volatility": (q_volatility, SQL_VOLATILITY),
     "attribution_window": (q_attribution_window, SQL_ATTRIBUTION_WINDOW),
