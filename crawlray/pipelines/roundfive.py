@@ -6982,7 +6982,165 @@ FROM s JOIN v USING (segment)
 """
 
 
+# =====================================================================
+# difference-in-differences (two arms × two halves)
+# =====================================================================
+
+def q_diff_in_diff(sf_dir: str):
+    """DIFFERENCE-IN-DIFFERENCES on per-user purchase revenue: md5
+    arms × span halves, DiD = (Ā₂−Ā₁) − (B̄₂−B̄₁) with the unpaired
+    four-cell standard error — the quasi-experimental workhorse when
+    randomization happened once but the world changed under it (CUPED
+    and prop_ztest's sibling). ONE user-hash exchange; per-(arm,
+    half) exact int64 moments (n, Σ cents, Σ cents²) from per-user
+    sums; the finale is ONE identical IEEE expression chain (four
+    means, four variances, one sqrt), 6 dp."""
+    import hashlib
+
+    from .sizing import fold_parts
+
+    n_parts = fold_parts()
+    ds = _t(sf_dir, "events", ["user_id", "ts", "event_type", "value"])
+
+    bounds = ds.map_batches(
+        lambda b: pa.table({
+            "lo": pa.array([pc.min(b["ts"]).cast(pa.int64()).as_py()
+                            // DAY_US], pa.int64()),
+            "hi": pa.array([pc.max(b["ts"]).cast(pa.int64()).as_py()
+                            // DAY_US], pa.int64())}),
+        batch_format="pyarrow").aggregate(Min("lo"), Max("hi"))
+    lo, hi = int(bounds["min(lo)"]), int(bounds["max(hi)"])
+    mid = (lo + hi) // 2
+
+    def prep(b: pa.Table) -> pa.Table:
+        m = pc.equal(b["event_type"], pa.scalar("purchase"))
+        t = b.filter(m)
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = (t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+               // DAY_US)
+        half = (day > mid).astype(np.int64)
+        kp = (_splitmix64(uid).view(np.uint64)
+              % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({
+            "user_id": t["user_id"], "half": pa.array(half),
+            "c": _cents(t["value"]), "kp": pa.array(kp),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby(["user_id", "half"], sort=False)["c"].sum() \
+            .reset_index()
+        uid = per["user_id"].to_numpy(np.int64)
+        half = per["half"].to_numpy(np.int64)
+        c = per["c"].to_numpy(np.int64)
+        arm = np.fromiter(
+            (int(hashlib.md5(str(int(u)).encode()).hexdigest()[:8], 16) % 2
+             for u in uid), dtype=np.int64, count=len(uid))
+        cell = arm * 2 + half
+        n = np.bincount(cell, minlength=4).astype(np.int64)
+        s1 = np.zeros(4, np.int64)
+        s2 = np.zeros(4, np.int64)
+        np.add.at(s1, cell, c)
+        np.add.at(s2, cell, c * c)
+        return pd.DataFrame({"cell": np.arange(4, dtype=np.int64),
+                             "n": n, "s1": s1, "s2": s2})
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("kp").map_groups(fold, batch_format="pandas")
+           .groupby("cell")
+           .aggregate(Sum("n", alias_name="n"), Sum("s1", alias_name="s1"),
+                      Sum("s2", alias_name="s2")))
+    df = agg.to_pandas().sort_values("cell", ignore_index=True)
+    n = {int(r["cell"]): int(r["n"]) for _, r in df.iterrows()}
+    s1 = {int(r["cell"]): int(r["s1"]) for _, r in df.iterrows()}
+    s2 = {int(r["cell"]): int(r["s2"]) for _, r in df.iterrows()}
+    if any(n.get(i, 0) < 2 for i in range(4)):
+        raise ValueError("degenerate DiD cell: all four arm×half cells "
+                         "need n >= 2, got %s" % n)
+    mean = {i: float(s1[i]) / float(n[i]) for i in range(4)}
+    var = {i: (float(n[i]) * float(s2[i]) - float(s1[i]) * float(s1[i]))
+           / (float(n[i]) * float(n[i] - 1)) for i in range(4)}
+    # cells: 0=A·H1, 1=A·H2, 2=B·H1, 3=B·H2
+    did = (mean[1] - mean[0]) - (mean[3] - mean[2])
+    se = math.sqrt(var[0] / float(n[0]) + var[1] / float(n[1])
+                   + var[2] / float(n[2]) + var[3] / float(n[3]))
+    return pa.table({
+        "n_a1": pa.array([n[0]], pa.int64()),
+        "n_a2": pa.array([n[1]], pa.int64()),
+        "n_b1": pa.array([n[2]], pa.int64()),
+        "n_b2": pa.array([n[3]], pa.int64()),
+        "did_cents": pa.array([np.round(did, 6)], pa.float64()),
+        "z": pa.array([np.round(did / se, 6)], pa.float64())})
+
+
+SQL_DIFF_IN_DIFF = """
+WITH b AS (
+  SELECT (MIN(epoch_us(ts) // 86400000000)
+          + MAX(epoch_us(ts) // 86400000000)) // 2 AS mid
+  FROM events
+), u AS (
+  SELECT e.user_id,
+    CAST(CONCAT('0x', SUBSTR(md5(CAST(e.user_id AS VARCHAR)), 1, 8))
+         AS BIGINT) % 2 AS arm,
+    CASE WHEN epoch_us(e.ts) // 86400000000 > b.mid THEN 1 ELSE 0 END
+      AS half,
+    SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS c
+  FROM events e, b WHERE e.event_type = 'purchase'
+  GROUP BY 1, 2, 3
+), m AS (
+  SELECT arm * 2 + half AS cell, CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(c) AS HUGEINT) AS s1,
+         CAST(SUM(c * c) AS HUGEINT) AS s2
+  FROM u GROUP BY 1
+), p AS (
+  SELECT
+    MAX(CASE WHEN cell = 0 THEN n END) AS n0,
+    MAX(CASE WHEN cell = 1 THEN n END) AS n1,
+    MAX(CASE WHEN cell = 2 THEN n END) AS n2,
+    MAX(CASE WHEN cell = 3 THEN n END) AS n3,
+    MAX(CASE WHEN cell = 0 THEN s1 END) AS a0,
+    MAX(CASE WHEN cell = 1 THEN s1 END) AS a1,
+    MAX(CASE WHEN cell = 2 THEN s1 END) AS a2,
+    MAX(CASE WHEN cell = 3 THEN s1 END) AS a3,
+    MAX(CASE WHEN cell = 0 THEN s2 END) AS q0,
+    MAX(CASE WHEN cell = 1 THEN s2 END) AS q1,
+    MAX(CASE WHEN cell = 2 THEN s2 END) AS q2,
+    MAX(CASE WHEN cell = 3 THEN s2 END) AS q3
+  FROM m
+)
+SELECT CAST(n0 AS BIGINT) AS n_a1, CAST(n1 AS BIGINT) AS n_a2,
+       CAST(n2 AS BIGINT) AS n_b1, CAST(n3 AS BIGINT) AS n_b2,
+  ROUND((CAST(a1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+         - CAST(a0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+        - (CAST(a3 AS DOUBLE) / CAST(n3 AS DOUBLE)
+           - CAST(a2 AS DOUBLE) / CAST(n2 AS DOUBLE)), 6) AS did_cents,
+  ROUND(((CAST(a1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+          - CAST(a0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+         - (CAST(a3 AS DOUBLE) / CAST(n3 AS DOUBLE)
+            - CAST(a2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
+        / SQRT(
+     ((CAST(n0 AS DOUBLE) * CAST(q0 AS DOUBLE)
+       - CAST(a0 AS DOUBLE) * CAST(a0 AS DOUBLE))
+      / (CAST(n0 AS DOUBLE) * CAST(n0 - 1 AS DOUBLE)))
+       / CAST(n0 AS DOUBLE)
+     + ((CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE)
+         - CAST(a1 AS DOUBLE) * CAST(a1 AS DOUBLE))
+        / (CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE)))
+       / CAST(n1 AS DOUBLE)
+     + ((CAST(n2 AS DOUBLE) * CAST(q2 AS DOUBLE)
+         - CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE))
+        / (CAST(n2 AS DOUBLE) * CAST(n2 - 1 AS DOUBLE)))
+       / CAST(n2 AS DOUBLE)
+     + ((CAST(n3 AS DOUBLE) * CAST(q3 AS DOUBLE)
+         - CAST(a3 AS DOUBLE) * CAST(a3 AS DOUBLE))
+        / (CAST(n3 AS DOUBLE) * CAST(n3 - 1 AS DOUBLE)))
+       / CAST(n3 AS DOUBLE)), 6) AS z
+FROM p
+"""
+
+
 ROUNDFIVE_QUERIES = {
+    "diff_in_diff": (q_diff_in_diff, SQL_DIFF_IN_DIFF),
     "jackknife_ratio": (q_jackknife_ratio, SQL_JACKKNIFE_RATIO),
     "dedup_transitivity": (q_dedup_transitivity, SQL_DEDUP_TRANSITIVITY),
     "volatility": (q_volatility, SQL_VOLATILITY),
