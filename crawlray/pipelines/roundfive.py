@@ -7139,7 +7139,78 @@ FROM p
 """
 
 
+# =====================================================================
+# sample-ratio-mismatch check (A/B guardrail)
+# =====================================================================
+
+def q_srm_check(sf_dir: str):
+    """Sample-ratio-mismatch guardrail on the md5 split: chi² (1 dof)
+    of the observed arm sizes against the designed 50/50 — the FIRST
+    check every experimentation platform runs, because a biased split
+    invalidates every downstream test (prop_ztest, wilson_ci,
+    diff_in_diff all assume this passes). One user-hash exchange of
+    exact arm counts; chi² = (n₀−n₁)²/(n₀+n₁) in unbounded ints until
+    one division; flagged when chi² > 3.841 (the 5% critical value —
+    an exact constant compare, no p-value needed)."""
+    import hashlib
+
+    from .sizing import fold_parts
+
+    n_parts = fold_parts()
+    ds = _t(sf_dir, "events", ["user_id"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = np.unique(
+            b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64))
+        kp = (_splitmix64(uid).view(np.uint64)
+              % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({"u": pa.array(uid), "kp": pa.array(kp)})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = np.unique(g["u"].to_numpy(np.int64))
+        arm = np.fromiter(
+            (int(hashlib.md5(str(int(x)).encode()).hexdigest()[:8], 16) % 2
+             for x in u), dtype=np.int64, count=len(u))
+        return pd.DataFrame({"n0": [int((arm == 0).sum())],
+                             "n1": [int((arm == 1).sum())]})
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("kp").map_groups(fold, batch_format="pandas")
+           .aggregate(Sum("n0", alias_name="n0"),
+                      Sum("n1", alias_name="n1")))
+    n0, n1 = int(agg["n0"]), int(agg["n1"])
+    chi2 = float((n0 - n1) * (n0 - n1)) / float(n0 + n1)
+    return pa.table({
+        "n0": pa.array([n0], pa.int64()),
+        "n1": pa.array([n1], pa.int64()),
+        "chi2": pa.array([np.round(chi2, 6)], pa.float64()),
+        "srm_flag": pa.array([1 if chi2 > 3.841 else 0], pa.int64())})
+
+
+SQL_SRM_CHECK = """
+WITH u AS (
+  SELECT DISTINCT user_id,
+    CAST(CONCAT('0x', SUBSTR(md5(CAST(user_id AS VARCHAR)), 1, 8))
+         AS BIGINT) % 2 AS arm
+  FROM events
+), c AS (
+  SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+  FROM u
+)
+SELECT n0, n1,
+  ROUND(CAST((n0 - n1) * (n0 - n1) AS DOUBLE)
+        / CAST(n0 + n1 AS DOUBLE), 6) AS chi2,
+  CAST(CASE WHEN CAST((n0 - n1) * (n0 - n1) AS DOUBLE)
+                 / CAST(n0 + n1 AS DOUBLE) > 3.841
+       THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+FROM c
+"""
+
+
 ROUNDFIVE_QUERIES = {
+    "srm_check": (q_srm_check, SQL_SRM_CHECK),
     "diff_in_diff": (q_diff_in_diff, SQL_DIFF_IN_DIFF),
     "jackknife_ratio": (q_jackknife_ratio, SQL_JACKKNIFE_RATIO),
     "dedup_transitivity": (q_dedup_transitivity, SQL_DEDUP_TRANSITIVITY),
